@@ -1,0 +1,82 @@
+"""Engine configuration.
+
+The reference (hyukkyukang/SPLADE) declares its physical constants in Hydra
+configs (``config/encoding/_base.yaml``: batch 512, shard 100k docs, doc-vector
+top-k 4096; ``config/testing/_base.yaml``: eval k-list [1,5,10,50,100]).  It
+has *no* BM25 anywhere (doc-only query scoring is a plain bag-of-words dot
+product, ``src/model/retriever/sparse/neural/splade.py:243-265``), so this
+engine fixes ``k1=1.2, b=0.75`` itself and the pytest oracle uses the same
+constants (see SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """All knobs of the index build + query engine.
+
+    Deterministic-contract fields (changing them changes doc ids / scores and
+    therefore the oracle): ``num_buckets``, ``shard_size``, ``k1``, ``b``,
+    ``token_pattern``.
+    """
+
+    # --- BM25 scoring (engine-defined; reference has none — SURVEY.md §0) ---
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- deterministic doc-id assignment (SURVEY.md §3.2 contract) ---
+    # doc ids are assigned in (bucket, url) order where
+    # bucket = crc32(url) % num_buckets; per-bucket counts -> exclusive
+    # prefix sum on the driver -> offsets broadcast back.  The reference's
+    # contract is "rank-major, shard-major, row-minor position"
+    # (src/indexing/sparse_index.py:642-656); ours is the distributed
+    # equivalent with an explicit, seed-free ordering rule.
+    num_buckets: int = 64
+
+    # --- index layout ---
+    # Document-sharded index: shard s owns doc ids
+    # [s*shard_size, (s+1)*shard_size).  Mirrors the reference's
+    # shard_max_docs=100_000 (config/encoding/_base.yaml:22).  Head-term skew
+    # is bounded by construction: no posting list within a shard exceeds
+    # shard_size entries, so the groupby(shard) shuffle needs no salting.
+    shard_size: int = 100_000
+    # posting-block size for block-max WAND metadata (entries per block)
+    block_size: int = 128
+
+    # --- sparsification caps (reference defaults) ---
+    # reference: sparse_top_k = 4096 of 30522 vocab
+    # (config/encoding/_base.yaml:26); for the BM25 term-impact encoder the
+    # per-doc distinct-term count is naturally <= doc length, but the cap is
+    # enforced for parity with the neural encoder path.
+    doc_top_k: int = 4096
+    min_weight: float = 0.0
+
+    # --- query defaults (reference k-list, config/testing/_base.yaml:19) ---
+    eval_k_list: tuple = (1, 5, 10, 50, 100)
+    top_k: int = 10
+
+    # --- tokenizer (pure-function; must match the DuckDB oracle exactly) ---
+    # lowercase, then split on runs of non-[a-z0-9]; empty tokens dropped.
+    token_pattern: str = "[a-z0-9]+"
+    lowercase: bool = True
+
+    # --- execution sizing ---
+    read_batch_size: int = 8192
+    encode_batch_size: int = 512  # reference encode batch (encoding/_base.yaml:4)
+    query_batch_size: int = 32  # reference eval batch (testing/_base.yaml:4)
+    scorer_concurrency: Optional[int] = None  # None -> let Ray size the pool
+
+    # --- format version stamped into manifests ---
+    format_version: int = 1
+
+    def validate(self) -> "EngineConfig":
+        assert self.k1 > 0 and 0.0 <= self.b <= 1.0
+        assert self.num_buckets > 0 and self.shard_size > 0 and self.block_size > 0
+        return self
+
+
+DEFAULT_CONFIG = EngineConfig().validate()

@@ -1,0 +1,174 @@
+"""Single-process numpy oracle for the full index-build + BM25 query path.
+
+This is the rank-identity contract the Ray pipeline must reproduce — the
+role played in the reference by the numba kernels
+``_accumulate_scores`` / ``score_query_postings``
+(``/root/reference/src/indexing/sparse_index.py:661-755``): score(d) =
+Σ_t q_weight(t) · doc_weight(t), exhaustive accumulation, then top-k.  The
+reference leaves tie order implementation-defined (``:735-748``); the oracle
+(and the engine) fix it as ``(-score, doc_id)``.
+
+Deterministic contracts encoded here (SURVEY.md §3.2, §7):
+- url dedup keeps the max ``warc_ts`` row per url;
+- doc ids are assigned in ``(crc32(url) % num_buckets, url)`` order;
+- BM25 uses ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` with k1/b from
+  :class:`~splade_ray.config.EngineConfig` (the reference has no BM25 —
+  SURVEY.md §0);
+- accumulation in float64.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .config import EngineConfig, DEFAULT_CONFIG
+from .tokenizer import Tokenizer
+
+
+def crc32_bucket(url: str, num_buckets: int) -> int:
+    return zlib.crc32(url.encode("utf-8")) % num_buckets
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: list[str]  # doc_id -> url
+    dl: np.ndarray  # int32[N]
+    avgdl: float
+    n_docs: int
+    terms: list[str]  # term_id -> term (sorted)
+    term_to_id: dict = field(repr=False)
+    df: np.ndarray  # int64[vocab]
+    # CSC postings over the whole corpus (reference InvertedIndex shape,
+    # sparse_index.py:207-215)
+    term_ptr: np.ndarray  # int64[vocab+1]
+    post_doc_ids: np.ndarray  # int32[nnz]
+    post_weights: np.ndarray  # float64[nnz]
+    config: EngineConfig = DEFAULT_CONFIG
+
+
+def bm25_idf(df: np.ndarray, n_docs: int) -> np.ndarray:
+    return np.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_weight(tf: np.ndarray, dl: np.ndarray, df_of_term: np.ndarray, n_docs: int, avgdl: float, cfg: EngineConfig) -> np.ndarray:
+    idf = bm25_idf(df_of_term, n_docs)
+    tf = tf.astype(np.float64)
+    denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl.astype(np.float64) / avgdl)
+    return idf * tf * (cfg.k1 + 1.0) / denom
+
+
+def dedup_assign(web_pages: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """url-dedup (keep max warc_ts) + deterministic doc-id assignment.
+
+    Returns columns (doc_id:int64, url, warc_ts, text, lang) sorted by
+    doc_id == (bucket, url) rank.
+    """
+    urls = np.asarray(web_pages["url"].to_pylist(), dtype=object)
+    ts = web_pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # keep max warc_ts per url
+    order = np.lexsort((-ts, urls))  # by url asc, ts desc
+    keep_mask = np.ones(order.size, dtype=bool)
+    keep_mask[1:] = urls[order][1:] != urls[order][:-1]
+    kept = order[keep_mask]
+    kept_urls = urls[kept]
+    buckets = np.asarray([crc32_bucket(u, cfg.num_buckets) for u in kept_urls])
+    final = kept[np.lexsort((kept_urls, buckets))]
+    tbl = web_pages.take(pa.array(final))
+    return tbl.add_column(0, "doc_id", pa.array(np.arange(len(final), dtype=np.int64)))
+
+
+def build_oracle_index(web_pages: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> OracleIndex:
+    corpus = dedup_assign(web_pages, cfg)
+    tok = Tokenizer(cfg)
+    texts = corpus["text"].to_pylist()
+    n = len(texts)
+    uniq_terms, tfs, dls = tok.term_counts_batch(texts)
+    avgdl = float(dls.astype(np.float64).mean()) if n else 0.0
+
+    all_terms = sorted({t for row in uniq_terms for t in row})
+    term_to_id = {t: i for i, t in enumerate(all_terms)}
+    vocab = len(all_terms)
+
+    # flat (term_id, doc_id, tf) triples
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), [len(r) for r in uniq_terms])
+    flat_tids = np.asarray([term_to_id[t] for row in uniq_terms for t in row], dtype=np.int64)
+    flat_tf = np.concatenate(tfs) if tfs else np.zeros(0, np.int32)
+
+    df = np.bincount(flat_tids, minlength=vocab).astype(np.int64)
+    term_ptr = np.zeros(vocab + 1, dtype=np.int64)
+    np.cumsum(df, out=term_ptr[1:])
+
+    # counting-sort scatter by term (mirrors _fill_postings,
+    # sparse_index.py:591-658) — docs ascend within each term because doc_id
+    # is the outer iteration order
+    order = np.argsort(flat_tids, kind="stable")
+    post_doc_ids = doc_rep[order].astype(np.int32)
+    post_tf = flat_tf[order]
+    post_dl = dls[post_doc_ids].astype(np.float64)
+    post_df = df[flat_tids[order]]
+    post_weights = bm25_weight(post_tf, post_dl, post_df, n, avgdl, cfg)
+
+    return OracleIndex(
+        doc_ids=corpus["url"].to_pylist(),
+        dl=dls,
+        avgdl=avgdl,
+        n_docs=n,
+        terms=all_terms,
+        term_to_id=term_to_id,
+        df=df,
+        term_ptr=term_ptr,
+        post_doc_ids=post_doc_ids,
+        post_weights=post_weights,
+        config=cfg,
+    )
+
+
+def oracle_search(index: OracleIndex, query_text: str, k: int) -> list[tuple[int, float]]:
+    """Exhaustive accumulate + top-k with (-score, doc_id) tie-break.
+
+    Query side is bag-of-words counts (reference doc-only query encoding,
+    splade.py:243-265): q_weight(t) = count of t in the query.
+    """
+    tok = Tokenizer(index.config)
+    toks = tok.tokenize(query_text)
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    tids: dict[int, int] = {}
+    for t in toks:
+        tid = index.term_to_id.get(t)
+        if tid is not None:
+            tids[tid] = tids.get(tid, 0) + 1
+    for tid in sorted(tids):
+        qw = tids[tid]
+        s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+        scores[index.post_doc_ids[s:e]] += qw * index.post_weights[s:e]
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    k = min(k, nz.size)
+    # sort by (-score, doc_id): lexsort keys are last-key-primary
+    order = nz[np.lexsort((nz, -scores[nz]))][:k]
+    return [(int(d), float(scores[d])) for d in order]
+
+
+def oracle_search_all(index: OracleIndex, queries: pa.Table, k: int) -> pa.Table:
+    rows_qid, rows_rank, rows_doc, rows_url, rows_score = [], [], [], [], []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for rank, (doc, score) in enumerate(oracle_search(index, text, k), start=1):
+            rows_qid.append(qid)
+            rows_rank.append(rank)
+            rows_doc.append(doc)
+            rows_url.append(index.doc_ids[doc])
+            rows_score.append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_qid, type=pa.string()),
+            "rank": pa.array(rows_rank, type=pa.int32()),
+            "doc_id": pa.array(rows_doc, type=pa.int64()),
+            "url": pa.array(rows_url, type=pa.string()),
+            "score": pa.array(rows_score, type=pa.float64()),
+        }
+    )

@@ -1,0 +1,380 @@
+"""Query path: BM25 top-k over the document-sharded inverted index.
+
+Reference analogue: ``score_query_postings`` — numba exhaustive accumulate
+over postings + top-k (``/root/reference/src/indexing/sparse_index.py:
+661-755``), queries encoded as bag-of-words counts (doc-only mode,
+``src/model/retriever/sparse/neural/splade.py:243-265``).
+
+Engine kernels (per shard, all numpy-vectorized):
+
+- **exhaustive**: one ``np.bincount(local_ids, weights=qw·w)`` over the
+  concatenated postings of the query's terms — the vectorized equivalent of
+  the reference's accumulate loop — then top-k with the deterministic
+  ``(-score, doc_id)`` tie-break.
+- **block-max WAND**: doc-at-a-time with per-block max impacts; safe
+  pruning (identical top-k, asserted in tests).  Kept as the scale/latency
+  path; the exhaustive kernel is the throughput path.
+
+Distribution: doc shards are disjoint, so per-shard exact top-k merge is
+globally exact (scatter-gather).  Two deployments:
+
+- :class:`SearcherStage` — a ``map_batches`` actor pool where each actor
+  holds the full (small) index: embarrassingly parallel over query batches;
+  the single-node bench path.
+- :class:`ShardedSearcher` — one ``@ray.remote`` scorer actor per shard
+  pinning its partition (reference T5 pattern: mmap'd postings + reusable
+  buffers, ``src/model/pl_module/retrieval.py:146-162``); the multi-node
+  path where no node holds the whole index.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..codec import delta_decode, varint_decode
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..oracle import bm25_idf
+from ..state.lineage import read_json
+from ..tokenizer import Tokenizer
+
+
+def _binary_concat(arr: pa.Array) -> bytes:
+    """Concatenated payload bytes of a binary column (offset-safe)."""
+    n = len(arr)
+    if n == 0:
+        return b""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1 + arr.offset)[arr.offset :]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]].tobytes()
+
+
+class ShardIndex:
+    """One shard's postings, decompressed into CSC numpy arrays at load
+    (reference InvertedIndex shape, sparse_index.py:207-215, but per-shard)."""
+
+    def __init__(self, postings_path: str, docs_path: str, df_global: np.ndarray, n_docs: int, avgdl: float, cfg: EngineConfig):
+        self.cfg = cfg
+        post = pq.read_table(postings_path)
+        docs = pq.read_table(docs_path)
+        self.doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        self.urls = docs.column("url").to_pylist()
+        self.dl = docs.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        self.n_local = len(self.doc_ids)
+
+        self.term_ids = post.column("term_id").to_numpy(zero_copy_only=False)
+        seg_lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.term_ptr = np.zeros(seg_lens.size + 1, dtype=np.int64)
+        np.cumsum(seg_lens, out=self.term_ptr[1:])
+        nnz = int(self.term_ptr[-1])
+
+        # decode whole columns in two vectorized passes (the buffers are
+        # concatenations of the per-term varint segments, value-aligned)
+        deltas = varint_decode(_binary_concat(post.column("docs").combine_chunks()), nnz).astype(np.int64)
+        csum = np.cumsum(deltas)
+        seg_starts = self.term_ptr[:-1]
+        if nnz:
+            # per-segment absolute ids: csum minus the cumsum just before
+            # each segment start (delta at a segment start is absolute)
+            prior = np.where(seg_starts > 0, csum[np.maximum(seg_starts - 1, 0)], 0)
+            self.post_local = csum - np.repeat(prior, seg_lens)
+        else:
+            self.post_local = np.zeros(0, np.int64)
+        self.post_tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
+
+        # precompute float64 BM25 weights (identical formula to the oracle)
+        idf = bm25_idf(df_global[np.repeat(self.term_ids, seg_lens)].astype(np.float64), n_docs)
+        tf = self.post_tf
+        self.post_w = idf * tf * (cfg.k1 + 1.0) / (
+            tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
+        )
+        bm = post.column("block_maxs").combine_chunks()
+        block_maxs = bm.flatten().to_numpy(zero_copy_only=False)
+        self.bm_offsets = bm.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # suffix max per term: ub of all remaining postings once a cursor
+        # has advanced into block j — tightens WAND pruning as lists drain
+        self.bm_suffix = block_maxs.copy()
+        for t in range(self.term_ids.size):
+            s, e = self.bm_offsets[t], self.bm_offsets[t + 1]
+            if e > s:
+                self.bm_suffix[s:e] = np.maximum.accumulate(block_maxs[s:e][::-1])[::-1]
+
+    def _term_slices(self, qtids: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """(query-term position, start, end, term row) for terms present."""
+        pos = np.searchsorted(self.term_ids, qtids)
+        out = []
+        for i, tid in enumerate(qtids):
+            p = pos[i]
+            if p < self.term_ids.size and self.term_ids[p] == tid:
+                out.append((i, int(self.term_ptr[p]), int(self.term_ptr[p + 1]), int(p)))
+        return out
+
+    def _topk_from_scores(self, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        nz = np.nonzero(scores)[0]
+        if nz.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        kk = min(k, nz.size)
+        if nz.size > kk:
+            # partition for the kth score, then keep every candidate >= it so
+            # the (-score, doc_id) tie-break is exact at the boundary
+            part = np.argpartition(-scores[nz], kk - 1)[:kk]
+            kth = scores[nz[part]].min()
+            cand = nz[scores[nz] >= kth]
+        else:
+            cand = nz
+        order = cand[np.lexsort((cand, -scores[cand]))][:kk]
+        return self.doc_ids[order], scores[order]
+
+    def score_exhaustive(self, qtids: np.ndarray, qweights: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k (global doc ids, float64 scores): one bincount over
+        the concatenated postings of the query's terms — the vectorized
+        form of the reference's accumulate loop (sparse_index.py:661-686)."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        return self._topk_from_scores(scores, k)
+
+    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max WAND: doc-at-a-time with suffix-block-max upper bounds;
+        safe pruning — identical top-k to exhaustive (tested).  Pure-Python
+        cursors; the slot where a compiled kernel goes at scale."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        bs = self.cfg.block_size
+        BIG = np.iinfo(np.int64).max
+
+        class _Cur:
+            __slots__ = ("pos", "end", "qw", "row", "start")
+
+            def __init__(self, pos, end, qw, row):
+                self.pos, self.end, self.qw, self.row, self.start = pos, end, qw, row, pos
+
+        cursors = [_Cur(s, e, float(qweights[i]), p) for i, s, e, p in slices]
+        post_local, post_w = self.post_local, self.post_w
+
+        def doc_at(c: "_Cur") -> int:
+            return int(post_local[c.pos]) if c.pos < c.end else BIG
+
+        def ub(c: "_Cur") -> float:
+            if c.pos >= c.end:
+                return 0.0
+            blk = self.bm_offsets[c.row] + (c.pos - c.start) // bs
+            return c.qw * float(self.bm_suffix[blk])
+
+        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+        threshold = -np.inf
+        while True:
+            live = [c for c in cursors if c.pos < c.end]
+            if not live:
+                break
+            live.sort(key=doc_at)
+            acc = 0.0
+            pivot = None
+            for idx, c in enumerate(live):
+                acc += ub(c)
+                if len(heap) < k or acc >= threshold:
+                    pivot = idx
+                    break
+            if pivot is None:
+                break  # no remaining doc can enter the top-k
+            pivot_doc = doc_at(live[pivot])
+            if pivot_doc == BIG:
+                break
+            if doc_at(live[0]) == pivot_doc:
+                score = 0.0
+                for c in live:
+                    if doc_at(c) == pivot_doc:
+                        score += c.qw * post_w[c.pos]
+                        c.pos += 1
+                entry = (score, -int(self.doc_ids[pivot_doc]))
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                    if len(heap) == k:
+                        threshold = heap[0][0]
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                    threshold = heap[0][0]
+            else:
+                for c in live[:pivot]:
+                    c.pos = int(np.searchsorted(post_local[c.pos : c.end], pivot_doc) + c.pos)
+        if not heap:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        items = sorted(heap, key=lambda t: (-t[0], -t[1]))
+        docs = np.asarray([-d for _, d in items], dtype=np.int64)
+        scores = np.asarray([s for s, _ in items], dtype=np.float64)
+        return docs, scores
+
+
+class IndexReader:
+    """Loads index metadata + all shards of an index directory."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, shard_ids: list[int] | None = None):
+        stats_dir = os.path.join(index_dir, "stats")
+        meta = read_json(os.path.join(stats_dir, "meta.json"))
+        self.n_docs = meta["n_docs"]
+        self.avgdl = meta["avgdl"]
+        vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+        self.vocab_index = pd.Index(vocab.column("term").to_pylist())
+        self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.tok = Tokenizer(self.cfg)
+
+        pdir = os.path.join(index_dir, "postings")
+        all_ids = sorted(
+            int(m.group(1))
+            for f in os.listdir(pdir)
+            if (m := re.match(r"shard-(\d+)\.postings\.parquet$", f))
+        )
+        if shard_ids is not None:
+            all_ids = [s for s in all_ids if s in set(shard_ids)]
+        self.shards = [
+            ShardIndex(
+                os.path.join(pdir, f"shard-{s:05d}.postings.parquet"),
+                os.path.join(pdir, f"shard-{s:05d}.docs.parquet"),
+                self.df,
+                self.n_docs,
+                self.avgdl,
+                self.cfg,
+            )
+            for s in all_ids
+        ]
+        self.url_by_doc: dict[int, str] = {}
+        for sh in self.shards:
+            for d, u in zip(sh.doc_ids, sh.urls):
+                self.url_by_doc[int(d)] = u
+
+    def encode_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Bag-of-words query encoding (reference doc-only mode,
+        splade.py:243-265): q_weight(t) = term count; unknown terms dropped
+        (empty-postings path)."""
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        tids = self.vocab_index.get_indexer(np.asarray(toks, dtype=object))
+        tids = tids[tids >= 0]
+        if tids.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        uniq, counts = np.unique(tids, return_counts=True)
+        return uniq.astype(np.int64), counts.astype(np.float64)
+
+    def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        cands: list[tuple[np.ndarray, np.ndarray]] = []
+        for sh in self.shards:
+            fn = sh.score_wand if method == "wand" else sh.score_exhaustive
+            cands.append(fn(qtids, qw, k))
+        docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
+        scores = np.concatenate([c[1] for c in cands]) if cands else np.zeros(0)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i]), self.url_by_doc[int(docs[i])]) for i in order]
+
+
+class SearcherStage:
+    """map_batches(pyarrow) actor-pool stage over a queries Dataset:
+    (query_id, text) → top-k rows (query_id, rank, doc_id, url, score).
+    Each actor loads the index once (``__init__``)."""
+
+    def __init__(self, index_dir: str, k: int = 10, method: str = "exhaustive", cfg: EngineConfig | None = None):
+        self.reader = IndexReader(index_dir, cfg)
+        self.k = k
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, urls, scores = [], [], [], [], []
+        for qid, text in zip(batch.column("query_id").to_pylist(), batch.column("text").to_pylist()):
+            for rank, (doc, score, url) in enumerate(self.reader.search(text, self.k, self.method), 1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(doc)
+                urls.append(url)
+                scores.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.string()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+
+@ray.remote
+class ShardScorerActor:
+    """Pins one (or a few) shard partitions; serves scatter-gather scoring.
+    Reference T5 pattern (pinned postings + reusable buffers)."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int], cfg_kwargs: dict | None = None):
+        cfg = EngineConfig(**(cfg_kwargs or {}))
+        self.reader = IndexReader(index_dir, cfg, shard_ids=shard_ids)
+
+    def score(self, qtids: np.ndarray, qw: np.ndarray, k: int, method: str = "exhaustive"):
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            fn = sh.score_wand if method == "wand" else sh.score_exhaustive
+            d, s = fn(qtids, qw, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_by_doc[int(x)] for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
+
+class ShardedSearcher:
+    """Driver-side scatter-gather over per-shard scorer actors — the
+    multi-node deployment shape (each actor would be scheduled on the node
+    owning its partition)."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, num_actors: int | None = None):
+        self.cfg = cfg
+        pdir = os.path.join(index_dir, "postings")
+        shard_ids = sorted(
+            int(m.group(1))
+            for f in os.listdir(pdir)
+            if (m := re.match(r"shard-(\d+)\.postings\.parquet$", f))
+        )
+        n = num_actors or min(len(shard_ids), 8)
+        groups = [shard_ids[i::n] for i in range(n) if shard_ids[i::n]]
+        self.actors = [ShardScorerActor.remote(index_dir, g) for g in groups]
+        # query-side state (vocab) loaded once locally, no shards
+        self.reader = IndexReader(index_dir, cfg, shard_ids=[])
+
+    def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

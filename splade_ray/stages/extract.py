@@ -1,0 +1,61 @@
+"""Extract + project stage (per-batch, stateless tasks).
+
+Reference analogue: title+text concat at corpus load
+(``/root/reference/src/data/dataset/base.py:495-508``) generalized to
+html→text extraction per BASELINE.json ``input_hint``.  The per-row
+invariant — extracted text byte-identical to the table's ``text`` column —
+is enforced here when ``verify`` is on.
+
+The html binary column is projected away immediately after extraction so the
+wide payload never enters a shuffle (SURVEY.md §7 "never shuffle html").
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+from ..tokenizer import extract_text_batch
+
+
+def crc32_buckets(urls: pa.Array, num_buckets: int) -> pa.Array:
+    out = np.fromiter(
+        (zlib.crc32(u) % num_buckets for u in urls.cast(pa.binary()).to_pylist()),
+        dtype=np.int32,
+        count=len(urls),
+    )
+    return pa.array(out)
+
+
+class ExtractStage:
+    """map_batches(pyarrow) fn: (url, warc_ts, html, lang[, text]) →
+    (bucket, url, warc_ts, text, lang)."""
+
+    def __init__(self, cfg: EngineConfig, verify: bool = False):
+        self.cfg = cfg
+        self.verify = verify
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "html" in batch.column_names:
+            text = extract_text_batch(batch.column("html").combine_chunks())
+            if self.verify and "text" in batch.column_names:
+                eq = pc.equal(text, batch.column("text"))
+                if not pc.all(eq).as_py():
+                    bad = batch.column("url").filter(pc.invert(eq)).slice(0, 3).to_pylist()
+                    raise ValueError(f"extracted text != text column for urls {bad}")
+        else:
+            text = batch.column("text")
+        bucket = crc32_buckets(batch.column("url").combine_chunks(), self.cfg.num_buckets)
+        return pa.table(
+            {
+                "bucket": bucket,
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "text": text,
+                "lang": batch.column("lang"),
+            }
+        )

