@@ -1,0 +1,95 @@
+"""End-to-end oracle parity: Ray build + search vs the numpy oracle
+(SURVEY.md §5.2) — doc ids exact, scores to 1e-9 relative, ties fixed by
+(-score, doc_id)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.fixtures import generate_queries
+from splade_ray.oracle import oracle_search
+from splade_ray.pipelines.search import IndexReader, ShardedSearcher
+
+
+@pytest.fixture(scope="module")
+def reader(built_index):
+    index_dir, cfg = built_index
+    return IndexReader(index_dir, cfg)
+
+
+def test_corpus_stats_match(reader, oracle_index):
+    assert reader.n_docs == oracle_index.n_docs
+    assert reader.avgdl == pytest.approx(oracle_index.avgdl, rel=1e-12)
+    assert list(reader.vocab_index) == oracle_index.terms
+    np.testing.assert_array_equal(reader.df, oracle_index.df)
+
+
+def test_doc_meta_matches(built_index, oracle_index):
+    """Dedup + deterministic doc-id assignment contract (oracle_doc_meta)."""
+    index_dir, _ = built_index
+    docs = []
+    pdir = os.path.join(index_dir, "postings")
+    for f in sorted(os.listdir(pdir)):
+        if f.endswith(".docs.parquet"):
+            docs.append(pq.read_table(os.path.join(pdir, f)))
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(docs).sort_by("doc_id")
+    assert tbl.column("url").to_pylist() == oracle_index.doc_ids
+    np.testing.assert_array_equal(
+        tbl.column("dl").to_numpy(zero_copy_only=False), oracle_index.dl
+    )
+    np.testing.assert_array_equal(
+        tbl.column("doc_id").to_numpy(zero_copy_only=False),
+        np.arange(oracle_index.n_docs),
+    )
+
+
+def test_rank_identity_exhaustive(reader, oracle_index):
+    queries = generate_queries(100)
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        expected = oracle_search(oracle_index, text, 10)
+        got = reader.search(text, 10, method="exhaustive")
+        assert [d for d, _ in expected] == [d for d, _, _ in got], f"{qid}: {text}"
+        for (_, es), (_, gs, _) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_wand_equals_exhaustive(reader):
+    queries = generate_queries(60)
+    for text in queries["text"].to_pylist():
+        for k in (3, 10, 100):
+            ex = reader.search(text, k, method="exhaustive")
+            wd = reader.search(text, k, method="wand")
+            assert [d for d, _, _ in ex] == [d for d, _, _ in wd], text
+            for (_, es, _), (_, ws, _) in zip(ex, wd):
+                assert ws == pytest.approx(es, rel=1e-12)
+
+
+def test_sharded_equals_local(built_index, reader):
+    index_dir, cfg = built_index
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for text in generate_queries(20)["text"].to_pylist():
+            assert ss.search(text, 10) == reader.search(text, 10)
+    finally:
+        ss.shutdown()
+
+
+def test_empty_and_oov_queries(reader):
+    assert reader.search("", 10) == []
+    assert reader.search("zzznotaword", 10) == []
+    assert reader.search("...!!!", 10) == []
+
+
+def test_lineage_records(built_index):
+    index_dir, cfg = built_index
+    lineage = json.load(open(os.path.join(index_dir, "postings", "_LINEAGE.json")))
+    shards = lineage["shards"]
+    assert len(shards) == 4  # 1940 docs / 500 shard_size
+    assert sum(s["input_rows"] for s in shards) == 1940
+    assert all(s["nnz"] > 0 for s in shards)
+    assert all("checksum" in s for s in shards)
