@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 top-k
+search) on sf0.001.  ``queries()`` exposes one callable per implemented
+operator family (SURVEY.md §2 + the training-data ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL where the op is SQL-expressible (the BM25
+oracle reimplements the full scoring pipeline in SQL).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,178 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# one shared tokenizer expression so engine regex and SQL stay in lockstep
+_TOK_SQL = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run the
+    fixed BM25 query set; returns the top-k result table."""
+    from splade_ray.pipelines.queries import bm25_topk
+
+    return bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from splade_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def media_decode(sf_dir: str):
+        from splade_ray.pipelines.multimodal import decode_media, synth_media_table
+        import ray.data as rd
+
+        return decode_media(rd.from_arrow(synth_media_table(200))).to_pandas().sort_values("media_id", ignore_index=True)
+
+    def frame_sample(sf_dir: str):
+        from splade_ray.pipelines.multimodal import sample_frames, synth_media_table
+        import ray.data as rd
+
+        return (
+            sample_frames(rd.from_arrow(synth_media_table(100, kind="video")))
+            .to_pandas()
+            .sort_values(["media_id", "frame_idx"], ignore_index=True)
+        )
+
+    return {
+        # inverted index + BM25 (flagship)
+        "bm25_topk": q.bm25_topk,
+        # text aggregates
+        "term_df_top100": q.term_df_top100,
+        "token_counts": q.token_counts,
+        "quality_scores": q.quality_scores,
+        "doc_stats_by_lang": q.doc_stats_by_lang,
+        "lang_source_counts": q.lang_source_counts,
+        "top_docs_by_chars": q.top_docs_by_chars,
+        # dedup family
+        "dedup_exact_kept": q.dedup_exact_kept,
+        "exact_dup_pairs": q.exact_dup_pairs,
+        "minhash_pairs": q.minhash_pairs,
+        "simhash_pairs": q.simhash_pairs,
+        "embedding_near_dups": q.embedding_near_dups,
+        # similarity search
+        "knn_cosine": q.knn_cosine,
+        # text analysis (heuristics)
+        "lang_id_preds": q.lang_id_preds,
+        "doc_fingerprints": q.doc_fingerprints,
+        # relational / streaming-shaped
+        "lineitem_agg": q.lineitem_agg,
+        "orders_by_segment": q.orders_by_segment,
+        "events_window": q.events_window,
+        # multimodal plumbing (deterministic fake decoder)
+        "media_decode": media_decode,
+        "frame_sample": frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from splade_ray.pipelines.queries import BM25_QUERIES
+
+    doc_toks = _TOK_SQL.format(col="text")
+    bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
+    bm25 = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    return {
+        "bm25_topk": bm25,
+        "term_df_top100": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM df ORDER BY df DESC, term LIMIT 100
+""",
+        "token_counts": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens
+FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+""",
+        "quality_scores": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS tok FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(length(tok)) AS mtl,
+         avg(CASE WHEN tok IN ('the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','at','be','this','have') THEN 1.0 ELSE 0.0 END) AS sr
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       round(coalesce(a.mtl, 0), 6) AS mean_token_len,
+       round(coalesce(a.sr, 0), 6) AS stopword_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "doc_stats_by_lang": """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "lang_source_counts": """
+SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+        "top_docs_by_chars": """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+""",
+        "dedup_exact_kept": """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+""",
+        "exact_dup_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+scores AS (
+  SELECT q.query_vec_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "orders_by_segment": """
+SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+        "events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    }

@@ -1,0 +1,160 @@
+"""Benchmark harness (driver contract + scaling protocol).
+
+Headline metric: full inverted-index build (read → extract → dedup/doc-ids
+→ encode → stats → compressed sharded postings) over the deterministic
+synthetic web-pages corpus, reported as seconds (and docs/sec), plus BM25
+query p50/p95 latency over the fixed 200-query set, plus per-query timings
+of the operator-showcase pipelines over ``$GRAFT_SF_DIR``.
+
+Scaling protocol (BASELINE.md): ``--scaling`` re-runs the identical build in
+two fresh processes at ``num_cpus=8`` and ``num_cpus=32`` on the same input
+and reports both throughputs and the efficiency ``(dps_32 / dps_8) / 4``.
+
+Usage:
+  python bench.py                # one JSON line (driver contract)
+  python bench.py --scaling      # two fresh-process runs + efficiency line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "150000"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_PATH = f"/tmp/graft_bench/web_pages_{BENCH_DOCS}.parquet"
+INDEX_DIR = f"/tmp/graft_bench/index_{BENCH_DOCS}_{NUM_CPUS}"
+
+
+def _ensure_corpus() -> str:
+    from splade_ray.fixtures import write_web_pages
+
+    os.makedirs("/tmp/graft_bench", exist_ok=True)
+    if not os.path.exists(CORPUS_PATH):
+        tmp = CORPUS_PATH + ".tmp"
+        write_web_pages(tmp, BENCH_DOCS)
+        os.replace(tmp, CORPUS_PATH)
+    # warm page cache so both scaling runs measure compute, not first read
+    with open(CORPUS_PATH, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    return CORPUS_PATH
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import generate_queries
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader
+
+    corpus = _ensure_corpus()
+    cfg = EngineConfig()
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    summary = build_index(corpus, INDEX_DIR, cfg)
+    build_s = time.perf_counter() - t0
+    docs_per_s = summary["n_docs"] / build_s
+
+    # query latency: fixed 200-query set, single-threaded loop (p50 metric)
+    reader = IndexReader(INDEX_DIR, cfg)
+    queries = generate_queries(200)["text"].to_pylist()
+    lat_ex, lat_wand = [], []
+    for text in queries:
+        t = time.perf_counter()
+        reader.search(text, 10, method="exhaustive")
+        lat_ex.append(time.perf_counter() - t)
+    for text in queries[:50]:
+        t = time.perf_counter()
+        reader.search(text, 10, method="wand")
+        lat_wand.append(time.perf_counter() - t)
+
+    # operator-showcase pipelines over the sf dir
+    import __ray_entry__ as em
+
+    qtimes: dict[str, float] = {}
+    qtimes["index_build"] = round(build_s, 3)
+    for name, fn in em.queries().items():
+        t = time.perf_counter()
+        try:
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            qtimes[name] = round(time.perf_counter() - t, 3)
+        except Exception as e:  # pragma: no cover - bench robustness
+            qtimes[name] = -1.0
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "index_build_seconds",
+        "value": round(build_s, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": summary["n_docs"],
+        "docs_per_sec": round(docs_per_s, 1),
+        "nnz": summary.get("nnz"),
+        "stage_timings": summary.get("timings"),
+        "query_p50_ms": round(1000 * float(np.percentile(lat_ex, 50)), 3),
+        "query_p95_ms": round(1000 * float(np.percentile(lat_ex, 95)), 3),
+        "query_wand_p50_ms": round(1000 * float(np.percentile(lat_wand, 50)), 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r8 = run(8)
+    r32 = run(32)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8": r8["docs_per_sec"],
+        "docs_per_sec_32": r32["docs_per_sec"],
+        "sec_8": r8["value"],
+        "sec_32": r32["value"],
+        "bench_docs": r8["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

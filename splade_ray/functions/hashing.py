@@ -1,0 +1,58 @@
+"""Vectorized hashing primitives shared by the dedup / fingerprint family.
+
+All pure numpy — usable inside ``map_batches`` without per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xBF58476D1CE4E5B9)
+_M3 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _M1
+        z = (z ^ (z >> np.uint64(30))) * _M2
+        z = (z ^ (z >> np.uint64(27))) * _M3
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hashes of a string sequence (FNV-1a over utf-8,
+    then splitmix64 finalize).  Python loop over rows is unavoidable for
+    variable-length strings but the per-row work is C-level ``bytes`` ops."""
+    out = np.empty(len(values), dtype=np.uint64)
+    FNV_OFF = 0xCBF29CE484222325
+    FNV_PRIME = 0x100000001B3
+    MASK = (1 << 64) - 1
+    for i, v in enumerate(values):
+        h = FNV_OFF ^ seed
+        for b in (v if isinstance(v, bytes) else str(v).encode("utf-8")):
+            h = ((h ^ b) * FNV_PRIME) & MASK
+        out[i] = h
+    return splitmix64(out)
+
+
+def hash_tokens_to_u64(token_hashes: np.ndarray, seed: int) -> np.ndarray:
+    """Re-mix precomputed 64-bit token hashes under a new seed — the cheap
+    way to derive the k MinHash permutations from one string-hash pass."""
+    return splitmix64(token_hashes ^ splitmix64(np.full(token_hashes.shape, seed, np.uint64)))
+
+
+def shingle_hashes(token_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Rolling n-gram (shingle) hashes from per-token hashes: combine n
+    consecutive token hashes with position-mixed xor.  Returns an array of
+    length ``max(0, len(tokens) - n + 1)``."""
+    t = token_hashes.astype(np.uint64)
+    if t.size < n:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.zeros(t.size - n + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc ^= splitmix64(t[j : t.size - n + 1 + j] + np.uint64(j * 0x1F123BB5))
+    return acc

@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths per the build brief:
+
+- **brute-force cosine top-k** (the exactness baseline): the query matrix is
+  broadcast once (``ray.put``), each ``map_batches`` task does one
+  numpy matmul against its batch and emits its per-batch partial top-k per
+  query; a final ``groupby(query).map_groups`` merges partials.  Shuffle
+  volume is O(num_queries · k · num_batches), never the corpus.
+- **IVF (inverted-file) top-k** (the scale path): k-means centroids fitted
+  on a driver-side sample, vectors assigned to their nearest centroid in
+  ``map_batches``; a query probes only the ``nprobe`` nearest lists.  Same
+  partial-top-k merge.  Exactness: IVF recall vs brute force is measured in
+  tests, not assumed.
+
+Tie-break everywhere: ``(-score, id)`` — deterministic like the BM25 path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _partial_topk_table(qidx: np.ndarray, ids: np.ndarray, scores: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "query_idx": pa.array(qidx.astype(np.int32)),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "score": pa.array(scores.astype(np.float64)),
+        }
+    )
+
+
+def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns (query_idx, rank, vec_id, score) sorted by (query_idx, rank).
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        emb = _normalize(_as_matrix(batch.column(emb_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = emb @ Qm.T  # (n, q)
+        kk = min(k, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(Qm.shape[0]):
+            col = sims[:, qi]
+            if len(ids) > kk:
+                part = np.argpartition(-col, kk - 1)[:kk]
+            else:
+                part = np.arange(len(ids))
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[part])
+            out_s.append(col[part])
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    merged = partials.groupby("query_idx").map_groups(lambda g: _merge_topk(g, k), batch_format="pandas")
+    out = merged.to_pandas().sort_values(["query_idx", "rank"], ignore_index=True)
+    return out[["query_idx", "rank", "vec_id", "score"]]
+
+
+def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]), replace=False)]
+    for _ in range(iters):
+        d = sample @ centroids.T
+        assign = np.argmax(d, axis=1)
+        for c in range(centroids.shape[0]):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+class IVFIndex:
+    """Driver-held coarse quantizer + a Ray Dataset of assigned vectors.
+
+    ``fit`` samples the dataset for centroids (spherical k-means),
+    ``assign`` adds a ``cluster`` column in map_batches (centroids
+    broadcast), ``search`` probes the nprobe nearest lists only.
+    """
+
+    def __init__(self, n_clusters: int = 16, nprobe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id"):
+        self.n_clusters = n_clusters
+        self.nprobe = nprobe
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.centroids: np.ndarray | None = None
+        self.assigned: Dataset | None = None
+
+    def fit_assign(self, ds: Dataset, sample_fraction: float = 1.0, seed: int = 11) -> "IVFIndex":
+        sample_ds = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=seed)
+        chunks = [
+            _as_matrix(b.column(self.emb_col))
+            for b in sample_ds.select_columns([self.emb_col]).iter_batches(batch_format="pyarrow")
+        ]
+        sample = _normalize(np.concatenate(chunks))
+        self.centroids = _kmeans_fit(sample, self.n_clusters, seed=seed)
+        c_ref = ray.put(self.centroids)
+        emb_col, id_col = self.emb_col, self.id_col
+
+        def assign(batch: pa.Table) -> pa.Table:
+            C = ray.get(c_ref)
+            emb = _normalize(_as_matrix(batch.column(emb_col)))
+            cl = np.argmax(emb @ C.T, axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(cl))
+
+        self.assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+        return self
+
+    def search(self, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+        assert self.centroids is not None and self.assigned is not None, "call fit_assign first"
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(Q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        probe_set = pa.array(sorted({int(c) for c in probe.reshape(-1)}), type=pa.int32())
+        subset = self.assigned.map_batches(
+            lambda b: b.filter(pa.compute.is_in(b.column("cluster"), value_set=probe_set)),
+            batch_format="pyarrow",
+        )
+        # per-query restriction to its own probe list happens in the scorer
+        probe_ref = ray.put(probe)
+        q_ref = ray.put(Q)
+        emb_col, id_col = self.emb_col, self.id_col
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            Qm, Pr = ray.get(q_ref), ray.get(probe_ref)
+            emb = _normalize(_as_matrix(batch.column(emb_col)))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+            sims = emb @ Qm.T
+            out_q, out_i, out_s = [], [], []
+            for qi in range(Qm.shape[0]):
+                mask = np.isin(cl, Pr[qi])
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                sel_ids = ids[mask]
+                kk = min(k, col.size)
+                part = np.argpartition(-col, kk - 1)[:kk] if col.size > kk else np.arange(col.size)
+                out_q.append(np.full(part.size, qi))
+                out_i.append(sel_ids[part])
+                out_s.append(col[part])
+            if not out_q:
+                return _partial_topk_table(np.zeros(0), np.zeros(0), np.zeros(0))
+            return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+        partials = subset.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+        merged = partials.groupby("query_idx").map_groups(lambda g: _merge_topk(g, k), batch_format="pandas")
+        out = merged.to_pandas().sort_values(["query_idx", "rank"], ignore_index=True)
+        return out[["query_idx", "rank", "vec_id", "score"]]

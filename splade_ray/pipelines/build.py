@@ -47,6 +47,7 @@ from ..stages.extract import ExtractStage
 from ..stages.postings import MapTermIdsStage, build_shard_index
 from ..stages.stats import compute_doc_stats, compute_vocab
 from ..state.lineage import StageGuard, atomic_write_json, config_hash, read_json
+from ..util import pool_size
 
 
 def _corpus_columns(input_paths) -> list[str]:
@@ -114,7 +115,7 @@ class IndexBuilder:
             fn_constructor_args=(self.cfg, offsets_ref),
             batch_format="pyarrow",
             batch_size=self.cfg.read_batch_size,
-            concurrency=_pool_size(),
+            concurrency=pool_size(),
         ).write_parquet(dt_dir)
         self.timings["doc_terms"] = time.perf_counter() - t0
         guard.commit(n_docs=int(counts["count()"].sum()))
@@ -169,7 +170,7 @@ class IndexBuilder:
                 fn_constructor_args=(self.cfg, vocab_terms_ref),
                 batch_format="pyarrow",
                 batch_size=self.cfg.read_batch_size,
-                concurrency=_pool_size(),
+                concurrency=pool_size(),
             )
             .groupby("shard")
             .map_groups(kernel, batch_format="pyarrow")
@@ -206,15 +207,6 @@ class IndexBuilder:
         return summary
 
 
-def _pool_size() -> int:
-    """Actor-pool size: leave headroom for read/write/shuffle stages so the
-    pool doesn't starve the rest of the pipeline (ray_guide: a pool that
-    reserves every CPU serializes the pipeline)."""
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        ncpu = 4
-    return max(2, min(ncpu - 2, int(ncpu * 0.75)))
 
 
 def build_index(input_paths, out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, verify_extraction: bool = False) -> dict:
