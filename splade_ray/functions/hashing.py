@@ -23,19 +23,18 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_strings(values, seed: int = 0) -> np.ndarray:
-    """Deterministic 64-bit hashes of a string sequence (FNV-1a over utf-8,
-    then splitmix64 finalize).  Python loop over rows is unavoidable for
-    variable-length strings but the per-row work is C-level ``bytes`` ops."""
-    out = np.empty(len(values), dtype=np.uint64)
-    FNV_OFF = 0xCBF29CE484222325
-    FNV_PRIME = 0x100000001B3
-    MASK = (1 << 64) - 1
-    for i, v in enumerate(values):
-        h = FNV_OFF ^ seed
-        for b in (v if isinstance(v, bytes) else str(v).encode("utf-8")):
-            h = ((h ^ b) * FNV_PRIME) & MASK
-        out[i] = h
-    return splitmix64(out)
+    """Deterministic 64-bit hashes of a string sequence — vectorized via
+    pandas' C string-hash kernel (SipHash with a fixed key, process- and
+    chunk-invariant), splitmix-finalized; ``seed`` remixes the stream."""
+    arr = values if isinstance(values, np.ndarray) else np.asarray(list(values), dtype=object)
+    if arr.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    import pandas as pd
+
+    h = pd.util.hash_array(arr, categorize=arr.size > 4096)
+    if seed:
+        h = h ^ splitmix64(np.full(h.shape, seed, np.uint64))
+    return splitmix64(h)
 
 
 def hash_tokens_to_u64(token_hashes: np.ndarray, seed: int) -> np.ndarray:

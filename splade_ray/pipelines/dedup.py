@@ -197,8 +197,7 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        toks_arr, dls = self.tok.tokenize_batch(texts)
-        flat = toks_arr.flatten().to_pylist()
+        flat, dls = self.tok.tokenize_flat(texts)
         th = hash_strings(flat)
         seg_starts = np.zeros(len(texts), dtype=np.int64)
         if len(texts) > 1:

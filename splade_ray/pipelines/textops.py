@@ -48,8 +48,7 @@ class TokenStatsStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        toks_arr, dls = self.tok.tokenize_batch(texts)
-        flat = toks_arr.flatten().to_pylist()
+        flat, dls = self.tok.tokenize_flat(texts)
         tok_lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
         is_stop = np.fromiter((t in EN_STOPWORDS for t in flat), dtype=np.int64, count=len(flat))
         seg = np.zeros(len(texts), dtype=np.int64)
@@ -129,16 +128,33 @@ class FingerprintStage:
         self.id_col = id_col
         self.tok = Tokenizer()
 
+    _R = np.uint64(0x100000001B3)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(len(batch), dtype=np.uint64)
-        MUL = np.uint64(0x100000001B3)
-        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
-            th = hash_strings(self.tok.tokenize(text or ""))
-            h = np.uint64(0xCBF29CE484222325)
-            with np.errstate(over="ignore"):
-                for v in th:
-                    h = (h ^ v) * MUL
-            out[i] = splitmix64(np.asarray([h]))[0]
+        texts = batch.column(self.text_col).to_pylist()
+        flat, dls = self.tok.tokenize_flat(texts)
+        th = hash_strings(flat)
+        n = len(texts)
+        dls64 = dls.astype(np.int64)
+        seg_starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            seg_starts[1:] = np.cumsum(dls64[:-1])
+        # polynomial rolling hash fp = Σ h_i · r^(dl-1-i)  (mod 2^64),
+        # vectorized: precompute r powers, weight per position, reduceat
+        with np.errstate(over="ignore"):
+            max_dl = int(dls64.max()) if n else 0
+            powers = np.ones(max(max_dl, 1), dtype=np.uint64)
+            np.cumprod(np.full(max_dl - 1, self._R, dtype=np.uint64), out=powers[1:]) if max_dl > 1 else None
+            if th.size:
+                pos = np.arange(th.size, dtype=np.int64) - np.repeat(seg_starts, dls64)
+                pos_from_end = np.repeat(dls64, dls64) - 1 - pos
+                contrib = th * powers[pos_from_end]
+                safe = np.minimum(seg_starts, th.size - 1)
+                sums = np.add.reduceat(contrib, safe)
+                sums[dls64 == 0] = 0
+            else:
+                sums = np.zeros(n, dtype=np.uint64)
+        out = splitmix64(sums)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

@@ -31,9 +31,9 @@ def term_count_table(texts: list[str], tok: Tokenizer) -> tuple[pa.ListArray, pa
     """Vectorized batch term counting → (terms list<string>, tfs
     list<int32>, dl int32[n]).  Terms are sorted ascending within each row."""
     n = len(texts)
-    flat_tokens, dls = tok.tokenize_batch(texts)
+    flat_list, dls = tok.tokenize_flat(texts)
     counts = dls.astype(np.int64)
-    flat = np.asarray(flat_tokens.values.to_pylist(), dtype=object)
+    flat = np.asarray(flat_list, dtype=object)
     if flat.size == 0:
         empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
         return (
