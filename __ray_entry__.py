@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # inverted index + BM25 (flagship)
         "bm25_topk": q.bm25_topk,
+        # SPLADE-style hash-expansion encoder index (model scoring — no SQL
+        # oracle; gated by the pytest rank-identity oracle instead)
+        "neural_topk": q.neural_topk,
         # text aggregates
         "term_df_top100": q.term_df_top100,
         "token_counts": q.token_counts,

@@ -44,8 +44,23 @@ class EngineConfig:
     # is bounded by construction: no posting list within a shard exceeds
     # shard_size entries, so the groupby(shard) shuffle needs no salting.
     shard_size: int = 100_000
-    # posting-block size for block-max WAND metadata (entries per block)
-    block_size: int = 128
+    # doc-range zone width for block-max pruning metadata: per (term, zone)
+    # the max BM25 impact is stored, giving safe *cross-term* upper bounds
+    # (every posting of a doc lands in the same zone, unlike position-based
+    # 128-posting blocks).  The scorer processes zones in descending
+    # upper-bound order and stops when no zone can beat the running top-k.
+    zone_docs: int = 1024
+
+    # --- encoder plugin ---
+    # "bm25": term-impact encoder (tokenize → tf, BM25 weights at posting
+    # build).  "neural": SPLADE-style sparse term-expansion encoder
+    # (stages/neural.py) — deterministic hash-expansion stand-in for the
+    # reference MLM (vocab 30522, config/model/_base.yaml:2; seed 10,
+    # config/config.yaml:2), doc-only BoW query scoring.
+    encoder: str = "bm25"
+    neural_vocab_size: int = 30522
+    neural_expansions: int = 8
+    neural_seed: int = 10
 
     # --- sparsification caps (reference defaults) ---
     # reference: sparse_top_k = 4096 of 30522 vocab
@@ -75,7 +90,9 @@ class EngineConfig:
 
     def validate(self) -> "EngineConfig":
         assert self.k1 > 0 and 0.0 <= self.b <= 1.0
-        assert self.num_buckets > 0 and self.shard_size > 0 and self.block_size > 0
+        assert self.num_buckets > 0 and self.shard_size > 0 and self.zone_docs > 0
+        assert self.encoder in ("bm25", "neural")
+        assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 
 

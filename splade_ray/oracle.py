@@ -172,3 +172,64 @@ def oracle_search_all(index: OracleIndex, queries: pa.Table, k: int) -> pa.Table
             "score": pa.array(rows_score, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Neural (hash-expansion SPLADE) oracle — deliberately slow per-row Python,
+# independent of the vectorized pipeline kernels.  Scoring semantics are the
+# reference's sparse dot product (`_accumulate_scores`, sparse_index.py:
+# 661-686) with doc-only BoW queries (splade.py:243-265); the doc vectors
+# use the engine's model definition (stages/neural.py `expand_token_hashes`
+# — the model itself is shared, the *pipeline* is what this oracle checks).
+# ---------------------------------------------------------------------------
+
+
+def build_neural_oracle(web_pages: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> tuple[list[dict[int, float]], list[str]]:
+    """Per-doc sparse vectors {term_id: weight} after max-pool + M5
+    sparsify (threshold, top-k by (weight desc, tid asc), keep)."""
+    from .functions.hashing import hash_strings
+    from .stages.neural import expand_token_hashes
+
+    corpus = dedup_assign(web_pages, cfg)
+    tok = Tokenizer(cfg)
+    vecs: list[dict[int, float]] = []
+    for text in corpus["text"].to_pylist():
+        tokens = sorted(set(tok.tokenize(text)))
+        d: dict[int, float] = {}
+        if tokens:
+            hs = hash_strings(np.asarray(tokens, dtype=object), seed=cfg.neural_seed)
+            for h in hs:
+                tids, ws = expand_token_hashes(np.asarray([h], dtype=np.uint64), cfg)
+                for tid, w in zip(tids.tolist(), ws.tolist()):
+                    if w > cfg.min_weight and w > d.get(tid, 0.0):
+                        d[tid] = w
+        kept = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[: cfg.doc_top_k]
+        # engine stores weights as float32 (postings weight_mode="f32");
+        # quantize at the same point so scores match bit-for-bit
+        vecs.append({tid: float(np.float32(w)) for tid, w in kept})
+    return vecs, corpus["url"].to_pylist()
+
+
+def neural_oracle_search(vecs: list[dict[int, float]], urls: list[str], query_text: str, k: int, cfg: EngineConfig = DEFAULT_CONFIG) -> list[tuple[int, float, str]]:
+    from .functions.hashing import hash_strings
+
+    tok = Tokenizer(cfg)
+    tokens = tok.tokenize(query_text)
+    if not tokens:
+        return []
+    hs = hash_strings(np.asarray(tokens, dtype=object), seed=cfg.neural_seed)
+    qcounts: dict[int, float] = {}
+    for h in hs:
+        tid = int(h % np.uint64(cfg.neural_vocab_size))
+        qcounts[tid] = qcounts.get(tid, 0.0) + 1.0
+    scores: dict[int, float] = {}
+    for di, vec in enumerate(vecs):
+        s = 0.0
+        for tid, qw in qcounts.items():
+            w = vec.get(tid)
+            if w is not None:
+                s += qw * w
+        if s != 0.0:
+            scores[di] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, s, urls[d]) for d, s in top]

@@ -44,8 +44,9 @@ from ..config import EngineConfig, DEFAULT_CONFIG
 from ..stages.dedup import dedup_assign_group
 from ..stages.encode import EncodeStage
 from ..stages.extract import ExtractStage
-from ..stages.postings import MapTermIdsStage, build_shard_index
-from ..stages.stats import compute_doc_stats, compute_vocab
+from ..stages.neural import NeuralEncodeStage
+from ..stages.postings import MapTermIdsStage, add_shard_column, build_shard_index
+from ..stages.stats import compute_doc_stats, compute_vocab, compute_vocab_ids
 from ..state.lineage import StageGuard, atomic_write_json, config_hash, read_json
 from ..util import pool_size
 
@@ -103,15 +104,18 @@ class IndexBuilder:
             return dt_dir
         t0 = time.perf_counter()
         corpus = ray.data.read_parquet(corpus_dir)
-        counts = corpus.groupby("bucket").count().to_pandas()
+        counts = (
+            ray.data.read_parquet(corpus_dir, columns=["bucket"]).groupby("bucket").count().to_pandas()
+        )
         counts = counts.sort_values("bucket")
         offsets = np.zeros(self.cfg.num_buckets, dtype=np.int64)
         csum = np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]])
         offsets[counts["bucket"].to_numpy()] = csum
         offsets_ref = ray.put(offsets)
 
+        stage_cls = NeuralEncodeStage if self.cfg.encoder == "neural" else EncodeStage
         corpus.map_batches(
-            EncodeStage,
+            stage_cls,
             fn_constructor_args=(self.cfg, offsets_ref),
             batch_format="pyarrow",
             batch_size=self.cfg.read_batch_size,
@@ -129,9 +133,14 @@ class IndexBuilder:
         if guard.done():
             return stats_dir
         t0 = time.perf_counter()
-        doc_terms = ray.data.read_parquet(dt_dir, columns=["terms", "dl"])
-        vocab = compute_vocab(doc_terms)
-        meta = compute_doc_stats(doc_terms)
+        if self.cfg.encoder == "neural":
+            vocab = compute_vocab_ids(ray.data.read_parquet(dt_dir, columns=["tids"]))
+        else:
+            vocab = compute_vocab(ray.data.read_parquet(dt_dir, columns=["terms"]))
+        meta = compute_doc_stats(
+            ray.data.read_parquet(dt_dir, columns=["dl"]), nnz=int(vocab["df"].sum())
+        )
+        meta["encoder"] = self.cfg.encoder
         os.makedirs(stats_dir, exist_ok=True)
         vocab_tbl = pa.Table.from_pandas(vocab, preserve_index=False)
         import pyarrow.parquet as pq
@@ -153,28 +162,40 @@ class IndexBuilder:
         t0 = time.perf_counter()
         import pyarrow.parquet as pq
 
-        vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
         meta = read_json(os.path.join(stats_dir, "meta.json"))
-        terms = vocab.column("term").to_pylist()
-        df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab_terms_ref = ray.put(np.asarray(terms, dtype=object))
-        stats_ref = ray.put({"df": df, "n_docs": meta["n_docs"], "avgdl": meta["avgdl"]})
-
         doc_terms = ray.data.read_parquet(dt_dir)
-        kernel = functools.partial(
-            build_shard_index, postings_dir=postings_dir, cfg=self.cfg, stats_ref=stats_ref
-        )
-        lineage = (
-            doc_terms.map_batches(
+        if self.cfg.encoder == "neural":
+            stats_ref = ray.put({"n_docs": meta["n_docs"]})
+            kernel = functools.partial(
+                build_shard_index,
+                postings_dir=postings_dir,
+                cfg=self.cfg,
+                stats_ref=stats_ref,
+                weight_mode="f32",
+            )
+            sharded = doc_terms.map_batches(
+                add_shard_column,
+                fn_kwargs={"shard_size": self.cfg.shard_size},
+                batch_format="pyarrow",
+                batch_size=self.cfg.read_batch_size,
+            )
+        else:
+            vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+            terms = vocab.column("term").to_pylist()
+            df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab_terms_ref = ray.put(np.asarray(terms, dtype=object))
+            stats_ref = ray.put({"df": df, "n_docs": meta["n_docs"], "avgdl": meta["avgdl"]})
+            kernel = functools.partial(
+                build_shard_index, postings_dir=postings_dir, cfg=self.cfg, stats_ref=stats_ref
+            )
+            sharded = doc_terms.map_batches(
                 MapTermIdsStage,
                 fn_constructor_args=(self.cfg, vocab_terms_ref),
                 batch_format="pyarrow",
                 batch_size=self.cfg.read_batch_size,
                 concurrency=pool_size(),
             )
-            .groupby("shard")
-            .map_groups(kernel, batch_format="pyarrow")
-        )
+        lineage = sharded.groupby("shard").map_groups(kernel, batch_format="pyarrow")
         lineage_df = lineage.to_pandas()
         self.timings["postings"] = time.perf_counter() - t0
         atomic_write_json(

@@ -110,6 +110,25 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
+
+
+def neural_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — SPLADE-style hash-expansion
+    index + doc-only BoW top-10 (model scoring: no SQL oracle; the pytest
+    oracle in tests/test_neural.py is the correctness gate)."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{NEURAL_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_nidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, NEURAL_DOCS_CFG)
+    reader = IndexReader(out, NEURAL_DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (internal_doc, score, url) in enumerate(reader.search(text, BM25_K, method="wand"), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 # ------------------------------------------------------- text aggregates
 def term_df_top100(sf_dir: str) -> pd.DataFrame:
     """Top-100 terms by (df desc, term asc) over documents."""

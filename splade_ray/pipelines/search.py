@@ -11,9 +11,10 @@ Engine kernels (per shard, all numpy-vectorized):
   concatenated postings of the query's terms — the vectorized equivalent of
   the reference's accumulate loop — then top-k with the deterministic
   ``(-score, doc_id)`` tie-break.
-- **block-max WAND**: doc-at-a-time with per-block max impacts; safe
-  pruning (identical top-k, asserted in tests).  Kept as the scale/latency
-  path; the exhaustive kernel is the throughput path.
+- **block-max pruned** (``method="wand"``): zone-at-a-time dynamic pruning
+  with per-(term, doc-zone) max impacts; safe pruning (identical top-k,
+  asserted in tests) with every step a numpy kernel.  The scale/latency
+  path; the exhaustive kernel is the small-shard throughput path.
 
 Distribution: doc shards are disjoint, so per-shard exact top-k merge is
 globally exact (scatter-gather).  Two deployments:
@@ -29,7 +30,6 @@ globally exact (scatter-gather).  Two deployments:
 
 from __future__ import annotations
 
-import heapq
 import os
 import re
 
@@ -59,9 +59,13 @@ def _binary_concat(arr: pa.Array) -> bytes:
 
 class ShardIndex:
     """One shard's postings, decompressed into CSC numpy arrays at load
-    (reference InvertedIndex shape, sparse_index.py:207-215, but per-shard)."""
+    (reference InvertedIndex shape, sparse_index.py:207-215, but per-shard).
 
-    def __init__(self, postings_path: str, docs_path: str, df_global: np.ndarray, n_docs: int, avgdl: float, cfg: EngineConfig):
+    Two weight modes, detected from the postings schema: ``tfs`` (varint
+    term frequencies → BM25 impacts computed at load) or ``weights`` (raw
+    float32 neural impacts stored as-is)."""
+
+    def __init__(self, postings_path: str, docs_path: str, df_global: np.ndarray | None, n_docs: int, avgdl: float, cfg: EngineConfig):
         self.cfg = cfg
         post = pq.read_table(postings_path)
         docs = pq.read_table(docs_path)
@@ -88,24 +92,24 @@ class ShardIndex:
             self.post_local = csum - np.repeat(prior, seg_lens)
         else:
             self.post_local = np.zeros(0, np.int64)
-        self.post_tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
-
-        # precompute float64 BM25 weights (identical formula to the oracle)
-        idf = bm25_idf(df_global[np.repeat(self.term_ids, seg_lens)].astype(np.float64), n_docs)
-        tf = self.post_tf
-        self.post_w = idf * tf * (cfg.k1 + 1.0) / (
-            tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
-        )
-        bm = post.column("block_maxs").combine_chunks()
-        block_maxs = bm.flatten().to_numpy(zero_copy_only=False)
-        self.bm_offsets = bm.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # suffix max per term: ub of all remaining postings once a cursor
-        # has advanced into block j — tightens WAND pruning as lists drain
-        self.bm_suffix = block_maxs.copy()
-        for t in range(self.term_ids.size):
-            s, e = self.bm_offsets[t], self.bm_offsets[t + 1]
-            if e > s:
-                self.bm_suffix[s:e] = np.maximum.accumulate(block_maxs[s:e][::-1])[::-1]
+        if "tfs" in post.column_names:
+            tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
+            # precompute float64 BM25 weights (identical formula to the oracle)
+            idf = bm25_idf(df_global[np.repeat(self.term_ids, seg_lens)].astype(np.float64), n_docs)
+            self.post_w = idf * tf * (cfg.k1 + 1.0) / (
+                tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
+            )
+        else:
+            # neural impact mode: stored weights ARE the impacts
+            raw = _binary_concat(post.column("weights").combine_chunks())
+            self.post_w = np.frombuffer(raw, dtype=np.float32).astype(np.float64)
+        # per-(term, doc-zone) max impacts: CSR over terms, straight off the
+        # list columns (list offsets ARE the indptr) — no load-time loops
+        zi = post.column("zone_ids").combine_chunks()
+        self.zone_ptr = zi.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        self.zone_docs = int(cfg.zone_docs)
 
     def _term_slices(self, qtids: np.ndarray) -> list[tuple[int, int, int, int]]:
         """(query-term position, start, end, term row) for terms present."""
@@ -145,76 +149,68 @@ class ShardIndex:
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
         return self._topk_from_scores(scores, k)
 
-    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Block-max WAND: doc-at-a-time with suffix-block-max upper bounds;
-        safe pruning — identical top-k to exhaustive (tested).  Pure-Python
-        cursors; the slot where a compiled kernel goes at scale."""
+    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int, zones_per_chunk: int = 16) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned top-k (vectorized WAND variant): zones are
+        aligned doc-id ranges, so a doc's *entire* score lies within its
+        zone — scoring a zone over all query terms yields exact scores.
+        Zones are visited in descending upper-bound order
+        (ub(z) = Σ_t qw_t · zone_max_t[z], the block-max WAND bound) and
+        the walk stops when the best remaining ub cannot beat the running
+        kth score.  Identical top-k to exhaustive (tested); every step is a
+        numpy kernel — no per-doc Python."""
         slices = self._term_slices(qtids)
         if not slices:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        bs = self.cfg.block_size
-        BIG = np.iinfo(np.int64).max
+        zd = self.zone_docs
+        pl, pw = self.post_local, self.post_w
 
-        class _Cur:
-            __slots__ = ("pos", "end", "qw", "row", "start")
+        # zone upper bounds summed across query terms
+        z_parts, ub_parts = [], []
+        for i, _, _, p in slices:
+            zs, ze = self.zone_ptr[p], self.zone_ptr[p + 1]
+            z_parts.append(self.zone_zid[zs:ze])
+            ub_parts.append(self.zone_max[zs:ze] * qweights[i])
+        allz = np.concatenate(z_parts)
+        uz, inv = np.unique(allz, return_inverse=True)
+        ub = np.bincount(inv, weights=np.concatenate(ub_parts))
+        order = np.argsort(-ub, kind="stable")
+        uz, ub = uz[order], ub[order]
 
-            def __init__(self, pos, end, qw, row):
-                self.pos, self.end, self.qw, self.row, self.start = pos, end, qw, row, pos
-
-        cursors = [_Cur(s, e, float(qweights[i]), p) for i, s, e, p in slices]
-        post_local, post_w = self.post_local, self.post_w
-
-        def doc_at(c: "_Cur") -> int:
-            return int(post_local[c.pos]) if c.pos < c.end else BIG
-
-        def ub(c: "_Cur") -> float:
-            if c.pos >= c.end:
-                return 0.0
-            blk = self.bm_offsets[c.row] + (c.pos - c.start) // bs
-            return c.qw * float(self.bm_suffix[blk])
-
-        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+        best_docs = np.zeros(0, np.int64)
+        best_scores = np.zeros(0, np.float64)
         threshold = -np.inf
-        while True:
-            live = [c for c in cursors if c.pos < c.end]
-            if not live:
-                break
-            live.sort(key=doc_at)
-            acc = 0.0
-            pivot = None
-            for idx, c in enumerate(live):
-                acc += ub(c)
-                if len(heap) < k or acc >= threshold:
-                    pivot = idx
-                    break
-            if pivot is None:
-                break  # no remaining doc can enter the top-k
-            pivot_doc = doc_at(live[pivot])
-            if pivot_doc == BIG:
-                break
-            if doc_at(live[0]) == pivot_doc:
-                score = 0.0
-                for c in live:
-                    if doc_at(c) == pivot_doc:
-                        score += c.qw * post_w[c.pos]
-                        c.pos += 1
-                entry = (score, -int(self.doc_ids[pivot_doc]))
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                    if len(heap) == k:
-                        threshold = heap[0][0]
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                    threshold = heap[0][0]
-            else:
-                for c in live[:pivot]:
-                    c.pos = int(np.searchsorted(post_local[c.pos : c.end], pivot_doc) + c.pos)
-        if not heap:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        items = sorted(heap, key=lambda t: (-t[0], -t[1]))
-        docs = np.asarray([-d for _, d in items], dtype=np.int64)
-        scores = np.asarray([s for s, _ in items], dtype=np.float64)
-        return docs, scores
+        for c0 in range(0, uz.size, zones_per_chunk):
+            if best_docs.size >= k and ub[c0] < threshold:
+                break  # zones sorted by ub desc: nothing left can enter
+            zchunk = uz[c0 : c0 + zones_per_chunk]
+            lo_doc, hi_doc = zchunk * zd, (zchunk + 1) * zd
+            ids_parts, w_parts = [], []
+            for i, s, e, _ in slices:
+                seg = pl[s:e]
+                lo = np.searchsorted(seg, lo_doc) + s
+                hi = np.searchsorted(seg, hi_doc) + s
+                lens = hi - lo
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                # flatten the [lo, hi) ranges into one gather index
+                csum = np.cumsum(lens)
+                idx = np.arange(tot, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(lo, lens)
+                ids_parts.append(pl[idx])
+                w_parts.append(pw[idx] * qweights[i])
+            if not ids_parts:
+                continue
+            ids = np.concatenate(ids_parts)
+            ud, inv2 = np.unique(ids, return_inverse=True)
+            sc = np.bincount(inv2, weights=np.concatenate(w_parts))
+            # merge chunk's exact scores into the running top-k
+            docs_all = np.concatenate([best_docs, self.doc_ids[ud]])
+            sc_all = np.concatenate([best_scores, sc])
+            keep = np.lexsort((docs_all, -sc_all))[:k]
+            best_docs, best_scores = docs_all[keep], sc_all[keep]
+            if best_docs.size >= k:
+                threshold = best_scores[-1]
+        return best_docs, best_scores
 
 
 class IndexReader:
@@ -225,9 +221,13 @@ class IndexReader:
         meta = read_json(os.path.join(stats_dir, "meta.json"))
         self.n_docs = meta["n_docs"]
         self.avgdl = meta["avgdl"]
-        vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
-        self.vocab_index = pd.Index(vocab.column("term").to_pylist())
-        self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.encoder = meta.get("encoder", "bm25")
+        if self.encoder == "bm25":
+            vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+            self.vocab_index = pd.Index(vocab.column("term").to_pylist())
+            self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            self.vocab_index, self.df = None, None
         self.cfg = cfg or DEFAULT_CONFIG
         self.tok = Tokenizer(self.cfg)
 
@@ -258,7 +258,11 @@ class IndexReader:
     def encode_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Bag-of-words query encoding (reference doc-only mode,
         splade.py:243-265): q_weight(t) = term count; unknown terms dropped
-        (empty-postings path)."""
+        (empty-postings path).  Neural indexes hash straight to term ids."""
+        if self.encoder == "neural":
+            from ..stages.neural import encode_query_bow
+
+            return encode_query_bow(text, self.tok, self.cfg)
         toks = self.tok.tokenize(text)
         if not toks:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)

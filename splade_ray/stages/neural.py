@@ -1,0 +1,183 @@
+"""SPLADE-style neural encoder plugin (actor-pool stage).
+
+Reference analogue: the SPLADE doc encoder + sparsifier — MLM forward →
+``log1p(relu(logits))`` → masked **max pooling** over the sequence
+(``/root/reference/src/model/retriever/sparse/neural/splade.py:43-102``,
+pooling ``:69-87``), then per-doc sparsification: threshold, per-row top-k
+by value, re-sort by term id (``src/indexing/sparse_index.py:100-190``,
+M5 in SURVEY.md §2.2).  Query side uses the reference's *doc-only* mode:
+queries are a plain bag-of-words over token ids
+(``splade.py:243-265``, ``_encode_query_terms``), so score(q, d) =
+Σ_t q_count(t) · doc_weight(t) — the same posting/score kernel as BM25
+(SURVEY.md §0).
+
+The sealed container has no torch / HF weights / network, so the MLM
+backbone is replaced by a **deterministic hash-expansion model**: each
+token activates its identity vocab dim (weight 1.0) plus
+``neural_expansions - 1`` hash-derived expansion dims with deterministic
+weights in (0.1, 0.5) — sparse term expansion with exactly the reference's
+pooling/sparsify semantics, computable vectorized on CPU.  A real
+GPU-backed encoder drops into :class:`NeuralEncodeStage` by overriding
+``expand`` (the actor-pool plumbing — construct-once state, Arrow-batch
+``__call__``, ``num_gpus`` sizing — is identical).
+
+Everything is numpy-vectorized; the only per-row work is the regex
+tokenizer shared with the BM25 path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig
+from ..functions.hashing import hash_strings, splitmix64
+from ..tokenizer import Tokenizer
+
+_EXP_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def expand_token_hashes(uh: np.ndarray, cfg: EngineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """One (token-hash) → E (term_id, weight) expansion pairs, vectorized.
+
+    Returns ``(tids: int64[n*E], weights: float64[n*E])`` laid out
+    expansion-major (all j=0 first).  j=0 is the identity dim (weight 1.0);
+    j≥1 are hash-derived expansion dims with weights in (0.1, 0.5).
+    """
+    V = np.uint64(cfg.neural_vocab_size)
+    E = cfg.neural_expansions
+    n = uh.size
+    tids = np.empty(n * E, dtype=np.int64)
+    weights = np.empty(n * E, dtype=np.float64)
+    tids[:n] = (uh % V).astype(np.int64)
+    weights[:n] = 1.0
+    for j in range(1, E):
+        with np.errstate(over="ignore"):
+            m = splitmix64(uh ^ (np.uint64(j) * _EXP_SALT + np.uint64(cfg.neural_seed)))
+        tids[j * n : (j + 1) * n] = (m % V).astype(np.int64)
+        weights[j * n : (j + 1) * n] = 0.1 + 0.4 * ((m >> np.uint64(11)).astype(np.float64) / float(1 << 53))
+    return tids, weights
+
+
+def sparsify_rows(
+    rows: np.ndarray,
+    tids: np.ndarray,
+    weights: np.ndarray,
+    n_rows: int,
+    top_k: int,
+    min_weight: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference M5 sparsify semantics, vectorized over a whole batch:
+    keep weights > min_weight, per-row top-k by value (ties: lower term id
+    first — the reference leaves this implementation-defined, we fix it),
+    then re-sort the kept entries by term id within each row
+    (``sparse_index.py:144-158``).
+
+    Input triples need not be sorted.  Returns ``(offsets: int64[n_rows+1],
+    tids, weights)`` of the kept entries in (row, term-id) order.
+    """
+    mask = weights > min_weight
+    rows, tids, weights = rows[mask], tids[mask], weights[mask]
+    order = np.lexsort((tids, -weights, rows))
+    rows_s = rows[order]
+    if rows_s.size:
+        starts = np.r_[0, np.nonzero(np.diff(rows_s))[0] + 1]
+        lens = np.diff(np.r_[starts, rows_s.size])
+        rank = np.arange(rows_s.size, dtype=np.int64) - np.repeat(starts, lens)
+        sel = order[rank < top_k]
+    else:
+        sel = order
+    fin = sel[np.lexsort((tids[sel], rows[sel]))]
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows[fin], minlength=n_rows), out=offsets[1:])
+    return offsets, tids[fin], weights[fin]
+
+
+def encode_docs(texts: list[str], tok: Tokenizer, cfg: EngineConfig) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+    """Batch doc encoding → (tids list<int32>, weights list<float32>,
+    dl int32[n]).  Max-pool over token occurrences (repeated tokens are
+    no-ops, as in reference masked-max pooling), then M5 sparsify."""
+    n = len(texts)
+    flat_tokens, dls = tok.tokenize_flat(texts)
+    if not flat_tokens:
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+        return (
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.float32())),
+            dls,
+        )
+    h = hash_strings(np.asarray(flat_tokens, dtype=object), seed=cfg.neural_seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), dls.astype(np.int64))
+    # dedupe (row, token) before expanding — repeats can't change a max-pool
+    o = np.lexsort((h, rows))
+    keep = np.ones(o.size, dtype=bool)
+    keep[1:] = (rows[o][1:] != rows[o][:-1]) | (h[o][1:] != h[o][:-1])
+    ur, uh = rows[o][keep], h[o][keep]
+
+    etids, ew = expand_token_hashes(uh, cfg)
+    erows = np.tile(ur, cfg.neural_expansions)
+    # max-pool per (row, tid): collisions across tokens/expansions keep max
+    po = np.lexsort((etids, erows))
+    pr, pt, pw = erows[po], etids[po], ew[po]
+    bound = np.ones(pr.size, dtype=bool)
+    bound[1:] = (pr[1:] != pr[:-1]) | (pt[1:] != pt[:-1])
+    starts = np.nonzero(bound)[0]
+    g_rows, g_tids = pr[starts], pt[starts]
+    g_w = np.maximum.reduceat(pw, starts)
+
+    offsets, k_tids, k_w = sparsify_rows(g_rows, g_tids, g_w, n, cfg.doc_top_k, cfg.min_weight)
+    off32 = pa.array(offsets.astype(np.int32))
+    return (
+        pa.ListArray.from_arrays(off32, pa.array(k_tids.astype(np.int32))),
+        pa.ListArray.from_arrays(off32, pa.array(k_w.astype(np.float32))),
+        dls,
+    )
+
+
+def encode_query_bow(text: str, tok: Tokenizer, cfg: EngineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Doc-only query encoding (reference ``_encode_query_terms``,
+    splade.py:243-265): bag-of-words counts over identity term ids; no
+    expansion on the query side."""
+    tokens = tok.tokenize(text)
+    if not tokens:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    h = hash_strings(np.asarray(tokens, dtype=object), seed=cfg.neural_seed)
+    tids = (h % np.uint64(cfg.neural_vocab_size)).astype(np.int64)
+    uniq, counts = np.unique(tids, return_counts=True)
+    return uniq, counts.astype(np.float64)
+
+
+class NeuralEncodeStage:
+    """map_batches(pyarrow) actor: corpus rows → (doc_id, url, dl,
+    tids: list<int32>, weights: list<float32>).
+
+    Same construct-once actor-pool shape as the reference GPU encoder
+    (``src/model/pl_module/encode.py:39-214``): model state (here the
+    tokenizer + hash seeds; for a real model, the checkpoint) is built in
+    ``__init__`` once per actor; ``__call__`` is the batched forward.  Size
+    with ``concurrency=N`` (+ ``num_gpus=1`` for a real model).
+    """
+
+    def __init__(self, cfg: EngineConfig, offsets_ref):
+        self.cfg = cfg
+        self.tok = Tokenizer(cfg)
+        offsets = ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) else offsets_ref
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
+        doc_id = self.offsets[buckets] + local_idx
+        texts = batch.column("text").to_pylist()
+        tids, weights, dls = encode_docs(texts, self.tok, self.cfg)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id),
+                "url": batch.column("url"),
+                "dl": pa.array(dls),
+                "tids": tids,
+                "weights": weights,
+            }
+        )

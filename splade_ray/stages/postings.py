@@ -15,8 +15,9 @@ query-time top-k is a valid scatter-gather (doc sets are disjoint, so
 per-shard exact top-k merge is globally exact).
 
 Within each (shard, term) posting list doc ids ascend (stable counting
-sort), are delta+varint compressed (FOR), and carry per-block max BM25
-impacts (block size = cfg.block_size) for block-max WAND.
+sort), are delta+varint compressed (FOR), and carry per-(term, doc-zone)
+max BM25 impacts (zone width = cfg.zone_docs docs) for block-max pruned
+top-k (the vectorized WAND variant in pipelines/search.py).
 """
 
 from __future__ import annotations
@@ -89,22 +90,37 @@ class MapTermIdsStage:
         )
 
 
+def add_shard_column(batch: pa.Table, *, shard_size: int) -> pa.Table:
+    """Stateless map for encoders that already emit int term ids (the
+    neural path): tag each row with its doc-shard before the groupby."""
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    shard = (doc_id // shard_size).astype(np.int32)
+    return batch.add_column(0, "shard", pa.array(shard))
+
+
 def build_shard_index(
     group: pa.Table,
     *,
     postings_dir: str,
     cfg: EngineConfig,
     stats_ref,
+    weight_mode: str = "tf",
 ) -> pa.Table:
     """map_groups(pyarrow) kernel for one shard: counting-sort postings,
     compress, write two parquet files + a lineage record; returns the
     lineage row.  Idempotent: a shard whose files + manifest already match
-    this input is skipped (resume path)."""
+    this input is skipped (resume path).
+
+    ``weight_mode="tf"``: input rows carry int ``tfs``; postings store
+    varint tfs and zone maxes use the BM25 impact formula.
+    ``weight_mode="f32"``: input rows carry float ``weights`` (neural
+    encoder impacts, reference CSR values — sparse_index.py:100-190);
+    postings store raw float32 segments and the weight IS the impact."""
     t0 = time.perf_counter()
     stats = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
-    df_global: np.ndarray = stats["df"]  # int64[vocab]
     n_docs: int = stats["n_docs"]
-    avgdl: float = stats["avgdl"]
+    avgdl: float = stats.get("avgdl", 0.0)
+    df_global = stats.get("df")  # int64[vocab]; None in f32 mode
 
     shard_id = int(group.column("shard")[0].as_py())
     n_rows = group.num_rows
@@ -127,7 +143,8 @@ def build_shard_index(
 
     tids_list = group.column("tids").combine_chunks()
     flat_tids = tids_list.flatten().to_numpy(zero_copy_only=False)
-    flat_tfs = group.column("tfs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    val_col = "tfs" if weight_mode == "tf" else "weights"
+    flat_vals = group.column(val_col).combine_chunks().flatten().to_numpy(zero_copy_only=False)
     row_lens = tids_list.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     flat_local = np.repeat(local, row_lens)
 
@@ -135,7 +152,6 @@ def build_shard_index(
     sort = np.argsort(flat_tids, kind="stable")
     p_tid = flat_tids[sort]
     p_local = flat_local[sort]
-    p_tf = flat_tfs[sort].astype(np.int64)
     nnz = p_tid.size
 
     uniq_tids, seg_starts, seg_lens = np.unique(p_tid, return_index=True, return_counts=True)
@@ -155,38 +171,55 @@ def build_shard_index(
         doc_offs[1:] = np.cumsum(np.add.reduceat(doc_lens, seg_starts))
     docs_col = _binary_from_segments(doc_bytes, doc_offs)
 
-    tf_u = p_tf.astype(np.uint64)
-    tf_bytes = varint_encode(tf_u)
-    tf_lens = _varint_lengths(tf_u)
-    tf_offs = np.zeros(n_terms + 1, dtype=np.int64)
-    if nnz:
-        tf_offs[1:] = np.cumsum(np.add.reduceat(tf_lens, seg_starts))
-    tfs_col = _binary_from_segments(tf_bytes, tf_offs)
-
-    # --- block-max BM25 impacts (float64, exact same formula the scorer
-    # uses, so pruning bounds are tight and safe) ---
-    idf = bm25_idf(df_global[p_tid], n_docs)
-    tf_f = p_tf.astype(np.float64)
-    w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
-    pos_in_seg = np.arange(nnz, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
-    is_block_start = pos_in_seg % cfg.block_size == 0
-    block_starts = np.nonzero(is_block_start)[0]
-    bm_offs = np.zeros(n_terms + 1, dtype=np.int32)
-    if nnz:
-        block_maxs = np.maximum.reduceat(w, block_starts)
-        nblocks_per_term = np.add.reduceat(is_block_start.astype(np.int64), seg_starts)
-        bm_offs[1:] = np.cumsum(nblocks_per_term).astype(np.int32)
+    if weight_mode == "tf":
+        p_tf = flat_vals[sort].astype(np.int64)
+        tf_u = p_tf.astype(np.uint64)
+        val_bytes = varint_encode(tf_u)
+        tf_lens = _varint_lengths(tf_u)
+        val_offs = np.zeros(n_terms + 1, dtype=np.int64)
+        if nnz:
+            val_offs[1:] = np.cumsum(np.add.reduceat(tf_lens, seg_starts))
+        vals_col = _binary_from_segments(val_bytes, val_offs)
+        # impact = BM25 weight (float64, exact same formula the scorer
+        # uses, so pruning bounds are tight and safe)
+        idf = bm25_idf(df_global[p_tid], n_docs)
+        tf_f = p_tf.astype(np.float64)
+        w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
     else:
-        block_maxs = np.zeros(0, dtype=np.float64)
-    bm_col = pa.ListArray.from_arrays(pa.array(bm_offs), pa.array(block_maxs))
+        p_w32 = flat_vals[sort].astype(np.float32)
+        val_bytes = p_w32.tobytes()
+        val_offs = (np.r_[seg_starts, nnz] * 4).astype(np.int64) if nnz else np.zeros(n_terms + 1, np.int64)
+        vals_col = _binary_from_segments(val_bytes, val_offs)
+        w = p_w32.astype(np.float64)
+
+    # --- per-(term, doc-range zone) max impacts.  Zones are aligned doc-id
+    # ranges of cfg.zone_docs docs: all postings of one doc share a zone
+    # across terms, so summing per-term zone maxes is a valid cross-term
+    # upper bound for every doc in the zone. ---
+    z_offs = np.zeros(n_terms + 1, dtype=np.int32)
+    if nnz:
+        zone = p_local.astype(np.int64) // cfg.zone_docs
+        change = np.empty(nnz, dtype=bool)
+        change[0] = True
+        np.logical_or(np.diff(p_tid) != 0, np.diff(zone) != 0, out=change[1:])
+        zstarts = np.nonzero(change)[0]
+        zone_maxs = np.maximum.reduceat(w, zstarts)
+        zone_ids = zone[zstarts].astype(np.int32)
+        z_offs[1:] = np.searchsorted(p_tid[zstarts], uniq_tids, side="right").astype(np.int32)
+    else:
+        zone_maxs = np.zeros(0, dtype=np.float64)
+        zone_ids = np.zeros(0, dtype=np.int32)
+    zid_col = pa.ListArray.from_arrays(pa.array(z_offs), pa.array(zone_ids))
+    zmax_col = pa.ListArray.from_arrays(pa.array(z_offs), pa.array(zone_maxs))
 
     postings_tbl = pa.table(
         {
             "term_id": pa.array(uniq_tids.astype(np.int32)),
             "df": pa.array(seg_lens.astype(np.int32)),
             "docs": docs_col,
-            "tfs": tfs_col,
-            "block_maxs": bm_col,
+            ("tfs" if weight_mode == "tf" else "weights"): vals_col,
+            "zone_ids": zid_col,
+            "zone_maxs": zmax_col,
         }
     )
     docs_tbl = pa.table(
@@ -199,7 +232,7 @@ def build_shard_index(
     )
 
     os.makedirs(postings_dir, exist_ok=True)
-    checksum = zlib.crc32(doc_bytes) ^ zlib.crc32(tf_bytes)
+    checksum = zlib.crc32(doc_bytes) ^ zlib.crc32(val_bytes)
     for fname, tbl in ((post_file, postings_tbl), (docs_file, docs_tbl)):
         tmp = os.path.join(postings_dir, f".tmp-{fname}.{os.getpid()}")
         pq.write_table(tbl, tmp)

@@ -27,13 +27,14 @@ from ray.data.aggregate import Sum
 
 def df_partials(batch: pa.Table) -> pa.Table:
     """Partial document-frequency combiner: doc_terms batch → one
-    (term, df) row per distinct term in the batch."""
-    terms = batch.column("terms")
-    flat = np.asarray(terms.combine_chunks().flatten().to_pylist(), dtype=object)
-    if flat.size == 0:
+    (term, df) row per distinct term in the batch.  Terms are distinct
+    within each row, so a flat occurrence count IS the per-batch df.
+    Pure Arrow C++ (``value_counts``) — no Python-object round-trip."""
+    flat = batch.column("terms").combine_chunks().flatten()
+    if len(flat) == 0:
         return pa.table({"term": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
-    uniq, counts = np.unique(flat, return_counts=True)
-    return pa.table({"term": pa.array(uniq, type=pa.string()), "df": pa.array(counts.astype(np.int64))})
+    vc = pa.compute.value_counts(flat)
+    return pa.table({"term": vc.field("values"), "df": vc.field("counts")})
 
 
 def compute_vocab(doc_terms: Dataset) -> pd.DataFrame:
@@ -49,24 +50,43 @@ def compute_vocab(doc_terms: Dataset) -> pd.DataFrame:
     return vocab[["term", "term_id", "df"]]
 
 
-def compute_doc_stats(doc_terms: Dataset) -> dict:
-    """N, avgdl, nnz via tiny aggregates (Count/Sum over int columns)."""
+def compute_vocab_ids(doc_tids: Dataset) -> pd.DataFrame:
+    """df aggregate for encoders that already emit integer term ids (the
+    neural path): (term_id, df) sorted by term_id."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        dl = batch.column("dl").to_numpy(zero_copy_only=False)
-        nnz = batch.column("terms").combine_chunks().value_lengths()
-        return pa.table(
-            {
-                "n_docs": pa.array([len(batch)], type=pa.int64()),
-                "sum_dl": pa.array([int(dl.sum())], type=pa.int64()),
-                "nnz": pa.array([int(pa.compute.sum(nnz).as_py() or 0)], type=pa.int64()),
-            }
-        )
+        flat = batch.column("tids").combine_chunks().flatten()
+        if len(flat) == 0:
+            return pa.table({"term_id": pa.array([], type=pa.int32()), "df": pa.array([], type=pa.int64())})
+        vc = pa.compute.value_counts(flat)
+        return pa.table({"term_id": vc.field("values"), "df": vc.field("counts")})
 
-    parts = doc_terms.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(parts["n_docs"].sum())
+    agg = (
+        doc_tids.map_batches(partial, batch_format="pyarrow")
+        .groupby("term_id")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    vocab = agg.to_pandas().sort_values("term_id").reset_index(drop=True)
+    return vocab[["term_id", "df"]]
+
+
+def compute_doc_stats(doc_terms_dl: Dataset, nnz: int | None = None) -> dict:
+    """N, avgdl, nnz.  ``doc_terms_dl`` should be a column-pruned read of
+    just the ``dl`` column — ``count()`` comes from parquet metadata
+    (no data pass) and ``sum("dl")`` streams one int32 column.  ``nnz`` is
+    Σdf when the caller already has the vocab (terms are distinct per row),
+    else it is recomputed from list lengths."""
+    n = int(doc_terms_dl.count() or 0)
+    sum_dl = int(doc_terms_dl.sum("dl") or 0) if n else 0
+    if nnz is None:
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lens = batch.column("terms").combine_chunks().value_lengths()
+            return pa.table({"nnz": pa.array([int(pa.compute.sum(lens).as_py() or 0)], type=pa.int64())})
+
+        nnz = int(doc_terms_dl.map_batches(partial, batch_format="pyarrow").sum("nnz") or 0)
     return {
         "n_docs": n,
-        "avgdl": float(parts["sum_dl"].sum() / n) if n else 0.0,
-        "nnz": int(parts["nnz"].sum()),
+        "avgdl": float(sum_dl / n) if n else 0.0,
+        "nnz": int(nnz),
     }
