@@ -69,7 +69,11 @@ def run_bench() -> dict:
     from splade_ray.pipelines.search import IndexReader
 
     corpus = _ensure_corpus()
-    cfg = EngineConfig()
+    # shard_size sized so the postings groupby yields ~4 groups/CPU at this
+    # corpus size (the default 100k-doc shards are right when there are
+    # millions of shards at 100 TB, but serialize a 150k-doc bench on 2
+    # groups).  Same determinism contract, just finer doc partitioning.
+    cfg = EngineConfig(shard_size=4096)
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
     t0 = time.perf_counter()

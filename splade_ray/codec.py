@@ -79,3 +79,18 @@ def delta_decode(data: bytes, count: int | None = None) -> np.ndarray:
     """Inverse of :func:`delta_encode` → int64 ascending ids."""
     deltas = varint_decode(data, count)
     return np.cumsum(deltas.astype(np.int64))
+
+
+def binary_concat(arr) -> bytes:
+    """Concatenated payload bytes of an Arrow binary column (offset-safe):
+    the per-term varint/f32 segments are value-aligned, so one buffer slice
+    recovers the whole shard's payload for a single vectorized decode."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return b""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1 + arr.offset)[arr.offset :]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]].tobytes()

@@ -68,11 +68,22 @@ def _corpus_columns(input_paths) -> list[str]:
 
 
 class IndexBuilder:
-    def __init__(self, out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, verify_extraction: bool = False):
+    def __init__(
+        self,
+        out_dir: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        verify_extraction: bool = False,
+        doc_id_base: int = 0,
+    ):
+        """``doc_id_base``: first doc id of this segment — incremental
+        builds (new crawl batches) continue numbering from the previous
+        segment's total; segments over disjoint inputs then merge via
+        :mod:`splade_ray.pipelines.merge` (term-run merge, north rule)."""
         self.out_dir = out_dir
         self.cfg = cfg.validate()
-        self.cfg_hash = config_hash(cfg)
+        self.cfg_hash = config_hash(cfg) + (f"+base{doc_id_base}" if doc_id_base else "")
         self.verify_extraction = verify_extraction
+        self.doc_id_base = int(doc_id_base)
         self.timings: dict[str, float] = {}
 
     # ---------- stage 1: extract + dedup + local idx ----------
@@ -111,6 +122,7 @@ class IndexBuilder:
         offsets = np.zeros(self.cfg.num_buckets, dtype=np.int64)
         csum = np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]])
         offsets[counts["bucket"].to_numpy()] = csum
+        offsets += self.doc_id_base
         offsets_ref = ray.put(offsets)
 
         stage_cls = NeuralEncodeStage if self.cfg.encoder == "neural" else EncodeStage

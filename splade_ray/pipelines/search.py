@@ -40,21 +40,13 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..codec import delta_decode, varint_decode
+from ..codec import binary_concat as _binary_concat, delta_decode, varint_decode
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..oracle import bm25_idf
 from ..state.lineage import read_json
 from ..tokenizer import Tokenizer
 
 
-def _binary_concat(arr: pa.Array) -> bytes:
-    """Concatenated payload bytes of a binary column (offset-safe)."""
-    n = len(arr)
-    if n == 0:
-        return b""
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1 + arr.offset)[arr.offset :]
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return data[offs[0] : offs[-1]].tobytes()
 
 
 class ShardIndex:
@@ -110,6 +102,97 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
+
+    @classmethod
+    def consolidated(cls, shards: list["ShardIndex"], cfg: EngineConfig) -> "ShardIndex":
+        """Merge several loaded shards (ascending, disjoint doc ranges) into
+        one in-memory CSC — the per-node *serving view*.  One stable argsort
+        by term re-groups the posting runs (within a term, shard order ==
+        ascending doc order, so runs concatenate without a per-posting
+        sort); zone bounds are recomputed over consolidated positions.
+        Querying one merged view replaces a per-shard Python loop with
+        single numpy kernels over the node's whole partition."""
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.doc_ids = np.concatenate([s.doc_ids for s in shards])
+        self.urls = [u for s in shards for u in s.urls]
+        self.dl = np.concatenate([s.dl for s in shards])
+        self.n_local = int(self.doc_ids.size)
+        doc_offs = np.cumsum([0] + [s.n_local for s in shards][:-1])
+
+        # merged vocab rows + per-(shard, term) run lengths — all O(nnz),
+        # no sort: every shard is already (term, doc)-sorted
+        all_tids = np.unique(np.concatenate([s.term_ids for s in shards]))
+        n_terms = all_tids.size
+        L = np.zeros((len(shards), n_terms), dtype=np.int64)
+        shard_rows = []
+        for si, s in enumerate(shards):
+            rows = np.searchsorted(all_tids, s.term_ids)
+            shard_rows.append(rows)
+            L[si, rows] = np.diff(s.term_ptr)
+        self.term_ids = all_tids
+        self.term_ptr = np.zeros(n_terms + 1, dtype=np.int64)
+        np.cumsum(L.sum(axis=0), out=self.term_ptr[1:])
+        prior = np.cumsum(L, axis=0) - L  # runs of earlier shards per term
+
+        nnz = int(self.term_ptr[-1])
+        self.post_local = np.empty(nnz, dtype=np.int64)
+        self.post_w = np.empty(nnz, dtype=np.float64)
+        for si, s in enumerate(shards):
+            rows = shard_rows[si]
+            seg_lens = np.diff(s.term_ptr)
+            dest_start = self.term_ptr[rows] + prior[si, rows]
+            snnz = s.post_local.size
+            idx = (
+                np.arange(snnz, dtype=np.int64)
+                - np.repeat(s.term_ptr[:-1], seg_lens)
+                + np.repeat(dest_start, seg_lens)
+            )
+            self.post_local[idx] = s.post_local + doc_offs[si]
+            self.post_w[idx] = s.post_w
+
+        # zone bounds: when every shard's doc offset is zone-aligned
+        # (shard_size % zone_docs == 0 — true for full shards), shard zones
+        # shift whole and the per-shard zone CSRs scatter-merge directly;
+        # otherwise recompute from the merged postings (rare path)
+        self.zone_docs = int(cfg.zone_docs)
+        aligned = all(o % self.zone_docs == 0 for o in doc_offs)
+        if nnz and aligned:
+            ZL = np.zeros((len(shards), n_terms), dtype=np.int64)
+            for si, s in enumerate(shards):
+                ZL[si, shard_rows[si]] = np.diff(s.zone_ptr)
+            self.zone_ptr = np.zeros(n_terms + 1, dtype=np.int64)
+            np.cumsum(ZL.sum(axis=0), out=self.zone_ptr[1:])
+            zprior = np.cumsum(ZL, axis=0) - ZL
+            zn = int(self.zone_ptr[-1])
+            self.zone_zid = np.empty(zn, dtype=np.int64)
+            self.zone_max = np.empty(zn, dtype=np.float64)
+            for si, s in enumerate(shards):
+                rows = shard_rows[si]
+                zlens = np.diff(s.zone_ptr)
+                dest = self.zone_ptr[rows] + zprior[si, rows]
+                sz = s.zone_zid.size
+                idx = (
+                    np.arange(sz, dtype=np.int64)
+                    - np.repeat(s.zone_ptr[:-1], zlens)
+                    + np.repeat(dest, zlens)
+                )
+                self.zone_zid[idx] = s.zone_zid + doc_offs[si] // self.zone_docs
+                self.zone_max[idx] = s.zone_max
+        elif nnz:
+            zone = self.post_local // self.zone_docs
+            change = np.zeros(nnz, dtype=bool)
+            change[self.term_ptr[:-1][np.diff(self.term_ptr) > 0]] = True
+            change[1:] |= np.diff(zone) != 0
+            zstarts = np.nonzero(change)[0]
+            self.zone_max = np.maximum.reduceat(self.post_w, zstarts)
+            self.zone_zid = zone[zstarts]
+            self.zone_ptr = np.searchsorted(zstarts, self.term_ptr).astype(np.int64)
+        else:
+            self.zone_max = np.zeros(0, np.float64)
+            self.zone_zid = np.zeros(0, np.int64)
+            self.zone_ptr = np.zeros(n_terms + 1, np.int64)
+        return self
 
     def _term_slices(self, qtids: np.ndarray) -> list[tuple[int, int, int, int]]:
         """(query-term position, start, end, term row) for terms present."""
@@ -216,7 +299,7 @@ class ShardIndex:
 class IndexReader:
     """Loads index metadata + all shards of an index directory."""
 
-    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, shard_ids: list[int] | None = None):
+    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, shard_ids: list[int] | None = None, consolidate: bool = True):
         stats_dir = os.path.join(index_dir, "stats")
         meta = read_json(os.path.join(stats_dir, "meta.json"))
         self.n_docs = meta["n_docs"]
@@ -250,6 +333,8 @@ class IndexReader:
             )
             for s in all_ids
         ]
+        if consolidate and len(self.shards) > 1:
+            self.shards = [ShardIndex.consolidated(self.shards, self.cfg)]
         self.url_by_doc: dict[int, str] = {}
         for sh in self.shards:
             for d, u in zip(sh.doc_ids, sh.urls):

@@ -131,15 +131,16 @@ def build_shard_index(
         rec = {"part_id": shard_id, "input_rows": n_rows, "skipped": True}
         return _lineage_row(rec)
 
-    base = shard_id * cfg.shard_size
     doc_id = group.column("doc_id").to_numpy(zero_copy_only=False)
     order = np.argsort(doc_id, kind="stable")
     group = group.take(pa.array(order))
     doc_id = doc_id[order]
-    local = (doc_id - base).astype(np.int32)
+    # contiguous doc-id range within the shard (holes would break the
+    # positional local-id contract); local ids are row positions so segment
+    # builds with a doc_id_base > 0 still index docs tables positionally
+    assert n_rows == 0 or int(doc_id[-1]) - int(doc_id[0]) == n_rows - 1, "non-contiguous shard doc ids"
+    local = np.arange(n_rows, dtype=np.int32)
     dl = group.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
-    # dense per-local arrays (doc ids are dense within the shard)
-    assert local.size == 0 or int(local[-1]) == local.size - 1, "non-dense shard doc ids"
 
     tids_list = group.column("tids").combine_chunks()
     flat_tids = tids_list.flatten().to_numpy(zero_copy_only=False)
@@ -152,6 +153,56 @@ def build_shard_index(
     sort = np.argsort(flat_tids, kind="stable")
     p_tid = flat_tids[sort]
     p_local = flat_local[sort]
+    p_vals = flat_vals[sort]
+
+    docs_tbl = pa.table(
+        {
+            "local_id": pa.array(local),
+            "doc_id": pa.array(doc_id),
+            "url": group.column("url"),
+            "dl": pa.array(dl),
+        }
+    )
+    return encode_shard_postings(
+        postings_dir=postings_dir,
+        shard_id=shard_id,
+        p_tid=p_tid,
+        p_local=p_local,
+        p_vals=p_vals,
+        docs_tbl=docs_tbl,
+        cfg=cfg,
+        stats=stats,
+        weight_mode=weight_mode,
+        input_rows=n_rows,
+        t0=t0,
+    )
+
+
+def encode_shard_postings(
+    *,
+    postings_dir: str,
+    shard_id: int,
+    p_tid: np.ndarray,
+    p_local: np.ndarray,
+    p_vals: np.ndarray,
+    docs_tbl: pa.Table,
+    cfg: EngineConfig,
+    stats: dict,
+    weight_mode: str,
+    input_rows: int,
+    t0: float,
+) -> pa.Table:
+    """Shared encode+write path for shard builds AND segment merges: takes
+    flat postings sorted by (term, doc asc) plus the shard's docs table,
+    compresses and writes the two parquet files + manifest, returns the
+    lineage row."""
+    n_docs: int = stats["n_docs"]
+    avgdl: float = stats.get("avgdl", 0.0)
+    df_global = stats.get("df")
+    n_rows = input_rows
+    dl = docs_tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int32)
+    post_file = f"shard-{shard_id:05d}.postings.parquet"
+    docs_file = f"shard-{shard_id:05d}.docs.parquet"
     nnz = p_tid.size
 
     uniq_tids, seg_starts, seg_lens = np.unique(p_tid, return_index=True, return_counts=True)
@@ -172,7 +223,7 @@ def build_shard_index(
     docs_col = _binary_from_segments(doc_bytes, doc_offs)
 
     if weight_mode == "tf":
-        p_tf = flat_vals[sort].astype(np.int64)
+        p_tf = p_vals.astype(np.int64)
         tf_u = p_tf.astype(np.uint64)
         val_bytes = varint_encode(tf_u)
         tf_lens = _varint_lengths(tf_u)
@@ -186,7 +237,7 @@ def build_shard_index(
         tf_f = p_tf.astype(np.float64)
         w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
     else:
-        p_w32 = flat_vals[sort].astype(np.float32)
+        p_w32 = p_vals.astype(np.float32)
         val_bytes = p_w32.tobytes()
         val_offs = (np.r_[seg_starts, nnz] * 4).astype(np.int64) if nnz else np.zeros(n_terms + 1, np.int64)
         vals_col = _binary_from_segments(val_bytes, val_offs)
@@ -222,15 +273,6 @@ def build_shard_index(
             "zone_maxs": zmax_col,
         }
     )
-    docs_tbl = pa.table(
-        {
-            "local_id": pa.array(local),
-            "doc_id": pa.array(doc_id),
-            "url": group.column("url"),
-            "dl": pa.array(dl),
-        }
-    )
-
     os.makedirs(postings_dir, exist_ok=True)
     checksum = zlib.crc32(doc_bytes) ^ zlib.crc32(val_bytes)
     for fname, tbl in ((post_file, postings_tbl), (docs_file, docs_tbl)):

@@ -26,8 +26,11 @@ def ray_session():
 def small_cfg():
     from splade_ray.config import EngineConfig
 
-    # small shards/buckets so a 2k-doc corpus exercises multiple of each
-    return EngineConfig(shard_size=500, num_buckets=16)
+    # small shards/buckets so a 2k-doc corpus exercises multiple of each;
+    # zone_docs divides shard_size so consolidation takes the aligned
+    # zone-scatter path (the neural test keeps the default 1024 → covers
+    # the misaligned recompute fallback)
+    return EngineConfig(shard_size=500, num_buckets=16, zone_docs=125)
 
 
 @pytest.fixture(scope="session")
