@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SPLADE-style hash-expansion encoder index (model scoring — no SQL
         # oracle; gated by the pytest rank-identity oracle instead)
         "neural_topk": q.neural_topk,
+        # incremental segment build + term-run merge; must equal the
+        # single-build BM25 oracle
+        "segment_merge_topk": q.segment_merge_topk,
         # text aggregates
         "term_df_top100": q.term_df_top100,
         "token_counts": q.token_counts,
@@ -117,6 +120,8 @@ FROM ranked WHERE rank <= 10
 """
     return {
         "bm25_topk": bm25,
+        # merged segments must reproduce the single-build BM25 ranking
+        "segment_merge_topk": bm25,
         "term_df_top100": f"""
 WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)

@@ -242,5 +242,11 @@ class IndexBuilder:
 
 
 
-def build_index(input_paths, out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, verify_extraction: bool = False) -> dict:
-    return IndexBuilder(out_dir, cfg, verify_extraction).build(input_paths)
+def build_index(
+    input_paths,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    verify_extraction: bool = False,
+    doc_id_base: int = 0,
+) -> dict:
+    return IndexBuilder(out_dir, cfg, verify_extraction, doc_id_base=doc_id_base).build(input_paths)

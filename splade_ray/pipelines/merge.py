@@ -1,0 +1,229 @@
+"""Segment merge: streaming multi-way merge of sorted term runs.
+
+An incremental build writes each batch of new docs as its own *segment* —
+an index dir built with ``doc_id_base`` = total docs so far (segments hold
+disjoint, ascending doc-id ranges; cross-segment url dedup is the ingestion
+pipeline's job).  A doc shard may span several segments when a batch
+boundary falls inside it.  Merging k segments is a per-shard multi-way
+merge of per-term posting runs: O(nnz) concatenation in term order — runs
+are doc-ascending and disjoint, so no per-posting re-sort — with term ids
+remapped to the merged vocab and BM25 impacts / zone bounds recomputed
+under the merged corpus statistics (df, N, avgdl all change when segments
+join; stored tfs are raw so the recompute is exact).
+
+Reference analogue: ``load_shard_manifest`` + ``build_inverted_index_from_
+shards`` (``/root/reference/src/indexing/sparse_index.py:455-658``) re-read
+every CSR shard into RAM on one node; here each shard merges independently
+(``ray.data.from_items`` over shard descriptors → ``map_batches``), so the
+merge streams and scales with the cluster, and every output shard carries
+the same manifest/lineage records as a fresh build (resume: a valid merged
+shard is skipped).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..codec import binary_concat, varint_decode
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..stages.postings import encode_shard_postings, _lineage_row
+from ..state.lineage import atomic_write_json, config_hash, read_json, shard_is_valid
+from ..util import pool_size
+
+
+def decode_postings_table(post: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, str]:
+    """Postings parquet table → (term_ids, seg_lens, local_ids, vals,
+    weight_mode); two vectorized varint passes, mirrors the query-side load
+    (pipelines/search.py ShardIndex)."""
+    term_ids = post.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    seg_lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    nnz = int(seg_lens.sum())
+    deltas = varint_decode(binary_concat(post.column("docs").combine_chunks()), nnz).astype(np.int64)
+    csum = np.cumsum(deltas)
+    seg_starts = np.zeros(seg_lens.size, dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=seg_starts[1:])
+    if nnz:
+        prior = np.where(seg_starts > 0, csum[np.maximum(seg_starts - 1, 0)], 0)
+        local = csum - np.repeat(prior, seg_lens)
+    else:
+        local = np.zeros(0, np.int64)
+    if "tfs" in post.column_names:
+        vals = varint_decode(binary_concat(post.column("tfs").combine_chunks()), nnz)
+        mode = "tf"
+    else:
+        vals = np.frombuffer(binary_concat(post.column("weights").combine_chunks()), dtype=np.float32)
+        mode = "f32"
+    return term_ids, seg_lens, local, vals, mode
+
+
+def _segment_shards(seg_dir: str) -> dict[int, str]:
+    pdir = os.path.join(seg_dir, "postings")
+    return {
+        int(m.group(1)): pdir
+        for f in sorted(os.listdir(pdir))
+        if (m := re.match(r"shard-(\d+)\.postings\.parquet$", f))
+    }
+
+
+class MergeShardStage:
+    """map_batches kernel over shard descriptors: merge one shard's posting
+    runs from every segment that touches it."""
+
+    def __init__(self, postings_dir: str, cfg: EngineConfig, stats_ref, remaps_ref, weight_mode: str):
+        self.postings_dir = postings_dir
+        self.cfg = cfg
+        self.stats = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
+        self.remaps = ray.get(remaps_ref) if isinstance(remaps_ref, ray.ObjectRef) else remaps_ref
+        self.weight_mode = weight_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            out.append(self._merge_one(int(row["shard"]), row["seg_idx"], row["pdirs"]))
+        return pa.concat_tables(out)
+
+    def _merge_one(self, shard_id: int, seg_idx: list[int], pdirs: list[str]) -> pa.Table:
+        t0 = time.perf_counter()
+        docs_tbls, run_tids, run_lens, run_local, run_vals = [], [], [], [], []
+        doc_off = 0
+        for si, pdir in zip(seg_idx, pdirs):
+            post = pq.read_table(os.path.join(pdir, f"shard-{shard_id:05d}.postings.parquet"))
+            docs = pq.read_table(os.path.join(pdir, f"shard-{shard_id:05d}.docs.parquet"))
+            tids, lens, local, vals, mode = decode_postings_table(post)
+            assert mode == self.weight_mode
+            remap = self.remaps[si]
+            if remap is not None:
+                tids = remap[tids]
+            run_tids.append(np.repeat(tids, lens))
+            run_local.append(local + doc_off)
+            run_vals.append(vals)
+            docs_tbls.append(docs)
+            doc_off += docs.num_rows
+
+        if shard_is_valid(self.postings_dir, shard_id, doc_off):
+            return _lineage_row({"part_id": shard_id, "input_rows": doc_off, "skipped": True})
+
+        flat_tid = np.concatenate(run_tids)
+        flat_local = np.concatenate(run_local)
+        flat_vals = np.concatenate(run_vals)
+        # segments are ordered by doc range, so a stable term sort leaves
+        # each term's runs concatenated in ascending-doc order — the
+        # multi-way merge is this one stable counting sort
+        order = np.argsort(flat_tid, kind="stable")
+
+        docs_all = pa.concat_tables(docs_tbls)
+        docs_all = pa.table(
+            {
+                "local_id": pa.array(np.arange(doc_off, dtype=np.int32)),
+                "doc_id": docs_all.column("doc_id"),
+                "url": docs_all.column("url"),
+                "dl": docs_all.column("dl"),
+            }
+        )
+        return encode_shard_postings(
+            postings_dir=self.postings_dir,
+            shard_id=shard_id,
+            p_tid=flat_tid[order],
+            p_local=flat_local[order],
+            p_vals=flat_vals[order],
+            docs_tbl=docs_all,
+            cfg=self.cfg,
+            stats=self.stats,
+            weight_mode=self.weight_mode,
+            input_rows=doc_off,
+            t0=t0,
+        )
+
+
+def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+    """Merge segment index dirs (disjoint ascending doc ranges, same
+    config) into one index dir with merged stats + per-shard lineage."""
+    cfg = cfg.validate()
+    metas = [read_json(os.path.join(d, "stats", "meta.json")) for d in segment_dirs]
+    encoders = {m.get("encoder", "bm25") for m in metas}
+    assert len(encoders) == 1, f"mixed segment encoders: {encoders}"
+    encoder = encoders.pop()
+    weight_mode = "tf" if encoder == "bm25" else "f32"
+
+    n_docs = sum(m["n_docs"] for m in metas)
+    sum_dl = sum(m["avgdl"] * m["n_docs"] for m in metas)
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "nnz": sum(m["nnz"] for m in metas),
+        "encoder": encoder,
+        "merged_from": [os.path.abspath(d) for d in segment_dirs],
+    }
+
+    # ---- merged vocab + per-segment term-id remaps ----
+    vocabs = [pq.read_table(os.path.join(d, "stats", "vocab.parquet")).to_pandas() for d in segment_dirs]
+    stats_dir = os.path.join(out_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    if encoder == "bm25":
+        merged = (
+            pd.concat(vocabs, ignore_index=True)
+            .groupby("term", sort=True, as_index=False)["df"]
+            .sum()
+        )
+        merged["term_id"] = np.arange(len(merged), dtype=np.int64)
+        merged = merged[["term", "term_id", "df"]]
+        midx = pd.Index(merged["term"])
+        remaps = [midx.get_indexer(v["term"]).astype(np.int64) for v in vocabs]
+        df_global = merged["df"].to_numpy().astype(np.int64)
+        stats = {"df": df_global, "n_docs": n_docs, "avgdl": meta["avgdl"]}
+    else:
+        merged = (
+            pd.concat(vocabs, ignore_index=True)
+            .groupby("term_id", sort=True, as_index=False)["df"]
+            .sum()
+        )
+        remaps = [None] * len(segment_dirs)
+        stats = {"n_docs": n_docs}
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), os.path.join(stats_dir, "vocab.parquet"))
+    atomic_write_json(os.path.join(stats_dir, "meta.json"), meta)
+
+    # ---- shard descriptors: which segments touch which shard ----
+    per_seg = [_segment_shards(d) for d in segment_dirs]
+    items: dict[int, dict] = {}
+    for si, shards in enumerate(per_seg):  # si ascending == doc-range order
+        for sid, pdir in shards.items():
+            rec = items.setdefault(sid, {"shard": sid, "seg_idx": [], "pdirs": []})
+            rec["seg_idx"].append(si)
+            rec["pdirs"].append(pdir)
+
+    postings_dir = os.path.join(out_dir, "postings")
+    os.makedirs(postings_dir, exist_ok=True)
+    lineage = (
+        ray.data.from_items(list(items.values()))
+        .map_batches(
+            MergeShardStage,
+            fn_constructor_args=(postings_dir, cfg, ray.put(stats), ray.put(remaps), weight_mode),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+    atomic_write_json(
+        os.path.join(postings_dir, "_LINEAGE.json"),
+        {"shards": lineage.sort_values("part_id").to_dict("records")},
+    )
+    summary = {
+        "out_dir": out_dir,
+        "config_hash": config_hash(cfg),
+        "n_shards": int(len(lineage)),
+        "skipped_shards": int(lineage["skipped"].sum()),
+        **meta,
+    }
+    atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), summary)
+    return summary

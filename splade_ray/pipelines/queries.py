@@ -110,6 +110,42 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
+    """Incremental build: split the corpus into two segments, build each
+    with continued doc numbering, merge the term runs
+    (pipelines/merge.py), then answer the BM25 query set from the MERGED
+    index.  Must be rank- and score-identical to the single-build SQL
+    oracle — merge correctness is oracle-checked, not just tested."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .merge import merge_segments
+
+    base_dir = build_documents_index(sf_dir)
+    corpus_path = os.path.join(base_dir, "corpus_input.parquet")
+    out = os.path.join(base_dir, "segmented")
+    merged_dir = os.path.join(out, "merged")
+    if not os.path.exists(os.path.join(merged_dir, "_MANIFEST.json")):
+        corpus = pq.read_table(corpus_path)
+        urls = corpus.column("url")
+        n = corpus.num_rows
+        split_url = sorted(urls.to_pylist())[n // 2]
+        os.makedirs(out, exist_ok=True)
+        a_path, b_path = os.path.join(out, "a.parquet"), os.path.join(out, "b.parquet")
+        pq.write_table(corpus.filter(pc.less(urls, split_url)), a_path)
+        pq.write_table(corpus.filter(pc.greater_equal(urls, split_url)), b_path)
+        n_a = pq.read_metadata(a_path).num_rows
+        build_index(a_path, os.path.join(out, "segA"), DOCS_CFG, doc_id_base=0)
+        build_index(b_path, os.path.join(out, "segB"), DOCS_CFG, doc_id_base=n_a)
+        merge_segments([os.path.join(out, "segA"), os.path.join(out, "segB")], merged_dir, DOCS_CFG)
+    reader = IndexReader(merged_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (internal_doc, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
 

@@ -1,0 +1,112 @@
+"""Segment merge: merging two incremental segment builds must reproduce,
+table-for-table, the index a single full build produces over the same
+corpus (term runs merged, vocab remapped, stats/impacts recomputed)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.config import EngineConfig
+from splade_ray.fixtures import vocabulary
+
+
+def _synth_corpus(n: int) -> pa.Table:
+    """Deterministic corpus with zero-padded disjoint urls so that a
+    num_buckets=1 full build assigns doc ids in row order — the same ids
+    segment-major numbering assigns."""
+    vocab = vocabulary()
+    urls, texts = [], []
+    for i in range(n):
+        urls.append(f"https://example.com/{i:06d}")
+        words = [vocab[(i * 7 + j * j) % len(vocab)] for j in range(10 + i % 37)]
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000, type=pa.timestamp("us")),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+        }
+    )
+
+
+N, SPLIT = 2000, 1200
+
+
+def _build_all(tmp, cfg):
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.merge import merge_segments
+
+    corpus = _synth_corpus(N)
+    paths = {}
+    for name, tbl in (("full", corpus), ("a", corpus.slice(0, SPLIT)), ("b", corpus.slice(SPLIT))):
+        p = str(tmp / f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    build_index(paths["full"], str(tmp / "full"), cfg)
+    build_index(paths["a"], str(tmp / "segA"), cfg, doc_id_base=0)
+    build_index(paths["b"], str(tmp / "segB"), cfg, doc_id_base=SPLIT)
+    summary = merge_segments([str(tmp / "segA"), str(tmp / "segB")], str(tmp / "merged"), cfg)
+    return tmp, summary
+
+
+@pytest.fixture(scope="module", params=["bm25", "neural"])
+def built(request, ray_session, tmp_path_factory):
+    # shard_size=800: shard 1 (docs 800-1599) spans both segments — the
+    # term-run merge path, not just file concatenation
+    cfg = EngineConfig(shard_size=800, num_buckets=1, encoder=request.param).validate()
+    tmp = tmp_path_factory.mktemp(f"merge_{request.param}")
+    return (*_build_all(tmp, cfg), cfg)
+
+
+def test_merged_equals_full_tables(built):
+    tmp, summary, cfg = built
+    assert summary["n_docs"] == N
+    fdir, mdir = str(tmp / "full" / "postings"), str(tmp / "merged" / "postings")
+    files = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
+    assert files == sorted(f for f in os.listdir(mdir) if f.endswith(".parquet"))
+    assert any(f.startswith("shard-00001") for f in files)
+    for f in files:
+        tf, tm = pq.read_table(os.path.join(fdir, f)), pq.read_table(os.path.join(mdir, f))
+        assert tf.equals(tm), f
+
+
+def test_merged_stats_equal_full(built):
+    tmp, _, cfg = built
+    from splade_ray.state.lineage import read_json
+
+    mf = read_json(str(tmp / "full" / "stats" / "meta.json"))
+    mm = read_json(str(tmp / "merged" / "stats" / "meta.json"))
+    for k in ("n_docs", "nnz", "encoder"):
+        assert mf[k] == mm[k]
+    assert mm["avgdl"] == pytest.approx(mf["avgdl"], rel=1e-12)
+    vf = pq.read_table(str(tmp / "full" / "stats" / "vocab.parquet"))
+    vm = pq.read_table(str(tmp / "merged" / "stats" / "vocab.parquet"))
+    assert vf.to_pydict() == vm.to_pydict()
+
+
+def test_merged_search_parity(built):
+    tmp, _, cfg = built
+    from splade_ray.pipelines.search import IndexReader
+
+    rf = IndexReader(str(tmp / "full"), cfg)
+    rm = IndexReader(str(tmp / "merged"), cfg)
+    vocab = vocabulary()
+    queries = [f"{vocab[3]} {vocab[40]}", f"{vocab[7]} {vocab[7]} {vocab[11]}", vocab[100]]
+    for q in queries:
+        assert rf.search(q, 10) == rm.search(q, 10), q
+        assert rm.search(q, 10, method="wand") == rm.search(q, 10), q
+
+
+def test_merge_resume_skips_valid_shards(built):
+    tmp, _, cfg = built
+    from splade_ray.pipelines.merge import merge_segments
+    from splade_ray.state.lineage import read_json
+
+    again = merge_segments([str(tmp / "segA"), str(tmp / "segB")], str(tmp / "merged"), cfg)
+    assert again["skipped_shards"] == again["n_shards"]
+    lin = read_json(str(tmp / "merged" / "postings" / "_LINEAGE.json"))
+    assert all(s["skipped"] for s in lin["shards"])
