@@ -55,6 +55,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental segment build + term-run merge; must equal the
         # single-build BM25 oracle
         "segment_merge_topk": q.segment_merge_topk,
+        # boolean AND retrieval (postings intersection) + IR metrics
+        "boolean_and_match": q.boolean_and_match,
+        "retrieval_metrics_at10": q.retrieval_metrics_at10,
+        # cross-encoder-style rerank + hard-negative mining (T7, J3/M14)
+        "rerank_overlap": q.rerank_overlap,
+        "hard_negatives": q.hard_negatives,
+        # custom partial+final aggregate, seeded sampling, collect_set,
+        # sessionization (A4, K5/K6, D4, streaming-shaped)
+        "running_stats": q.running_stats,
+        "deterministic_sample": q.deterministic_sample,
+        "langs_by_source": q.langs_by_source,
+        "event_sessions": q.event_sessions,
         # text aggregates
         "term_df_top100": q.term_df_top100,
         "token_counts": q.token_counts,
@@ -88,7 +100,8 @@ def oracle_sql() -> dict[str, str]:
 
     doc_toks = _TOK_SQL.format(col="text")
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
-    bm25 = f"""
+    # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
+    bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
 qterms AS (
   SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
@@ -114,14 +127,124 @@ ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scores
-)
+),
+nq AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM qterms GROUP BY query_id),
+qrels AS (
+  SELECT m.query_id, m.doc_id
+  FROM (SELECT q.query_id, t.doc_id, count(DISTINCT q.term) AS matched
+        FROM qterms q JOIN tf t ON t.term = q.term GROUP BY 1, 2) m
+  JOIN nq ON nq.query_id = m.query_id
+  WHERE m.matched = nq.n_terms
+)"""
+    bm25 = (
+        bm25_ctes
+        + """
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    )
+    boolean_and = (
+        bm25_ctes
+        + """
+SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
+"""
+    )
+    metrics_at10 = (
+        bm25_ctes
+        + """
+, nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank, CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+  WHERE r.rank <= 10
+),
+per AS (
+  SELECT query_id,
+         max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0 END) AS rr,
+         sum(rel) AS n_hit,
+         sum(rel / log2(rank + 1.0)) AS dcg
+  FROM hits GROUP BY 1
+),
+idcg AS (
+  SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+  FROM (SELECT query_id, unnest(range(1, least(n_rel, 10) + 1)) AS i FROM nrel)
+  GROUP BY 1
+)
+SELECT p.query_id,
+       round(p.rr, 6) AS rr_at_k,
+       round(p.n_hit / n.n_rel, 6) AS recall_at_k,
+       round(p.dcg / i.idcg, 6) AS ndcg_at_k
+FROM per p JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+ORDER BY p.query_id
+"""
+    )
     return {
         "bm25_topk": bm25,
         # merged segments must reproduce the single-build BM25 ranking
         "segment_merge_topk": bm25,
+        "boolean_and_match": boolean_and,
+        "retrieval_metrics_at10": metrics_at10,
+        "rerank_overlap": bm25_ctes
+        + """
+, cand AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= 10),
+ov AS (
+  SELECT c.query_id, c.doc_id, c.score,
+         count(DISTINCT CASE WHEN t.doc_id IS NOT NULL THEN q.term END) AS overlap
+  FROM cand c
+  JOIN qterms q ON q.query_id = c.query_id
+  LEFT JOIN tf t ON t.term = q.term AND t.doc_id = c.doc_id
+  GROUP BY c.query_id, c.doc_id, c.score
+),
+rr AS (
+  SELECT query_id, doc_id, overlap,
+         row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, score DESC, doc_id) AS rerank
+  FROM ov
+)
+SELECT query_id, rerank, doc_id, overlap FROM rr ORDER BY query_id, rerank
+""",
+        "hard_negatives": bm25_ctes
+        + """
+, cand AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 30),
+neg AS (
+  SELECT c.query_id, c.doc_id, c.rank FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM qrels q WHERE q.query_id = c.query_id AND q.doc_id = c.doc_id)
+),
+rn AS (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+  FROM neg
+)
+SELECT query_id, neg_rank, doc_id FROM rn WHERE neg_rank <= 10 ORDER BY query_id, neg_rank
+""",
+        "running_stats": """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS mean_chars,
+       round(stddev_pop(n_chars), 6) AS std_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "deterministic_sample": """
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+ORDER BY doc_id
+""",
+        "langs_by_source": """
+WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
+l AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs FROM pairs GROUP BY source),
+c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT l.source, l.langs, c.n_docs FROM l JOIN c USING (source) ORDER BY source
+""",
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
         "term_df_top100": f"""
 WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)

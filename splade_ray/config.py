@@ -79,6 +79,18 @@ class EngineConfig:
     token_pattern: str = "[a-z0-9]+"
     lowercase: bool = True
 
+    # --- dedup strategy ---
+    # "broadcast": dedup winners (url -> max warc_ts, doc_id) are computed
+    # from a column-pruned (url, warc_ts) read and broadcast via ray.put;
+    # full rows never enter an exchange before the shard groupby.  Right
+    # whenever the url key set fits in a broadcast (<~50M urls).
+    # "shuffle": groupby(bucket) sort exchange of the full rows (the
+    # 10^12-doc path where the key set itself is distributed).
+    # Assumption of "broadcast": (url, warc_ts) pairs are unique — true of
+    # real crawls (fetch timestamps); violated duplicates fail loudly at
+    # the postings contiguity check.
+    dedup_mode: str = "broadcast"
+
     # --- execution sizing ---
     read_batch_size: int = 8192
     encode_batch_size: int = 512  # reference encode batch (encoding/_base.yaml:4)
@@ -92,6 +104,7 @@ class EngineConfig:
         assert self.k1 > 0 and 0.0 <= self.b <= 1.0
         assert self.num_buckets > 0 and self.shard_size > 0 and self.zone_docs > 0
         assert self.encoder in ("bm25", "neural")
+        assert self.dedup_mode in ("broadcast", "shuffle")
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 

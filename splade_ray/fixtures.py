@@ -16,6 +16,8 @@ posting-list skew.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -109,18 +111,27 @@ def generate_web_pages_chunk(start: int, count: int, seed: int = 42) -> pa.Table
 
 
 def write_web_pages(path: str, n: int, seed: int = 42, chunk: int = 50_000) -> str:
-    """Write the n-row corpus as one parquet file with many row groups (so
-    ray.data.read_parquet parallelizes the read)."""
-    writer = None
-    try:
-        for start in range(0, n, chunk):
-            tbl = generate_web_pages_chunk(start, min(chunk, n - start), seed)
-            if writer is None:
-                writer = pq.ParquetWriter(path, tbl.schema)
-            writer.write_table(tbl, row_group_size=8192)
-    finally:
-        if writer is not None:
-            writer.close()
+    """Write the n-row corpus.  A ``*.parquet`` path gets one file with many
+    row groups; any other path becomes a DIRECTORY of one file per chunk —
+    ray.data.read_parquet parallelizes by file, so the directory form is
+    what benchmarks should read (a single file reads as ONE task)."""
+    if path.endswith(".parquet"):
+        writer = None
+        try:
+            for start in range(0, n, chunk):
+                tbl = generate_web_pages_chunk(start, min(chunk, n - start), seed)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, tbl.schema)
+                writer.write_table(tbl, row_group_size=8192)
+        finally:
+            if writer is not None:
+                writer.close()
+        return path
+    os.makedirs(path, exist_ok=True)
+    chunk = min(chunk, 8192)  # file == read-task granularity
+    for start in range(0, n, chunk):
+        tbl = generate_web_pages_chunk(start, min(chunk, n - start), seed)
+        pq.write_table(tbl, os.path.join(path, f"part-{start:010d}.parquet"))
     return path
 
 

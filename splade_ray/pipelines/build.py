@@ -3,17 +3,18 @@
 Pipeline (each stage a Ray Data transform; every arrow is streamed with
 backpressure, never materialized on the driver):
 
-1. ``read_parquet`` (column-pruned: html never read when absent, html
-   projected away right after extraction) → :class:`ExtractStage`
-   → ``groupby(bucket).map_groups(dedup_assign_group)``
-   → ``write_parquet(corpus/)``            [stage ``corpus``]
-2. per-bucket counts (tiny aggregate) → exclusive prefix sum on the driver
-   → ``ray.put`` broadcast                  [doc-id offsets]
-3. corpus → :class:`EncodeStage` (actor pool) → ``write_parquet(doc_terms/)``
+1. ``read_parquet`` (column-pruned: html projected away right after
+   extraction) → :class:`ExtractStage` → ``groupby(bucket)`` →
+   :func:`dedup_encode_group` (fused dedup + tokenize; one exchange, no
+   intermediate corpus) → ``write_parquet(doc_terms/)``
                                               [stage ``doc_terms``]
-4. df aggregate (partial combiner + small groupby) → vocab + global stats
-   → ``stats/``                             [stage ``stats``]
-5. doc_terms → :class:`MapTermIdsStage` → ``groupby(shard)``
+   (neural encoder: two steps — dedup write + actor-pool encode pass —
+   because the model state wants construct-once actors)
+2. df aggregate (partial combiner + driver reduce) → vocab; per-bucket
+   counts + Σdl in one column-pruned pass → global stats + the doc-id
+   prefix-sum inputs → ``stats/``           [stage ``stats``]
+3. doc_terms → :func:`map_term_ids` tasks (resolves doc ids from the
+   broadcast bucket offsets) → ``groupby(shard)``
    → :func:`build_shard_index` (per-shard counting-sort kernel, compressed
    write, lineage record) → ``postings/`` + ``postings/_LINEAGE.json``
                                               [stage ``postings``]
@@ -41,12 +42,16 @@ import ray
 import ray.data
 
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..stages.dedup import dedup_assign_group
-from ..stages.encode import EncodeStage
+from ..stages.dedup import (
+    compute_winners,
+    dedup_assign_group,
+    dedup_broadcast_batch,
+    dedup_encode_group,
+)
 from ..stages.extract import ExtractStage
 from ..stages.neural import NeuralEncodeStage
-from ..stages.postings import MapTermIdsStage, add_shard_column, build_shard_index
-from ..stages.stats import compute_doc_stats, compute_vocab, compute_vocab_ids
+from ..stages.postings import assign_ids_and_shard, build_shard_index, map_term_ids
+from ..stages.stats import compute_vocab, compute_vocab_ids
 from ..state.lineage import StageGuard, atomic_write_json, config_hash, read_json
 from ..util import pool_size
 
@@ -86,55 +91,81 @@ class IndexBuilder:
         self.doc_id_base = int(doc_id_base)
         self.timings: dict[str, float] = {}
 
-    # ---------- stage 1: extract + dedup + local idx ----------
-    def build_corpus(self, input_paths) -> str:
-        corpus_dir = os.path.join(self.out_dir, "corpus")
-        guard = StageGuard(corpus_dir, self.cfg_hash)
-        if guard.done():
-            return corpus_dir
-        t0 = time.perf_counter()
-        cols = _corpus_columns(input_paths)
-        ds = ray.data.read_parquet(input_paths, columns=cols)
-        ds = ds.map_batches(
-            ExtractStage(self.cfg, verify=self.verify_extraction),
-            batch_format="pyarrow",
-            batch_size=self.cfg.read_batch_size,
-        )
-        deduped = ds.groupby("bucket").map_groups(dedup_assign_group, batch_format="pyarrow")
-        deduped.write_parquet(corpus_dir)
-        self.timings["corpus"] = time.perf_counter() - t0
-        guard.commit()
-        return corpus_dir
+    # ---------- stage 1: extract + dedup + encode (fused) ----------
+    def build_doc_terms(self, input_paths) -> str:
+        """BM25 path: ONE execution — read → extract (html projected away)
+        → groupby(bucket) → fused dedup+tokenize kernel → write.  The doc
+        id is deferred (offset[bucket] + local_idx, offsets from the stats
+        stage), so no barrier splits the pipeline here.
 
-    # ---------- stage 2+3: doc ids + encode ----------
-    def build_doc_terms(self) -> str:
-        corpus_dir = os.path.join(self.out_dir, "corpus")
+        Neural path: the encoder holds real model state, so it stays a
+        two-step (dedup write, then an actor-pool encode pass) — the GPU
+        deployment shape (reference encode lifecycle, SURVEY.md §3.1)."""
         dt_dir = os.path.join(self.out_dir, "doc_terms")
         guard = StageGuard(dt_dir, self.cfg_hash)
         if guard.done():
             return dt_dir
         t0 = time.perf_counter()
-        corpus = ray.data.read_parquet(corpus_dir)
-        counts = (
-            ray.data.read_parquet(corpus_dir, columns=["bucket"]).groupby("bucket").count().to_pandas()
-        )
-        counts = counts.sort_values("bucket")
-        offsets = np.zeros(self.cfg.num_buckets, dtype=np.int64)
-        csum = np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]])
-        offsets[counts["bucket"].to_numpy()] = csum
-        offsets += self.doc_id_base
-        offsets_ref = ray.put(offsets)
-
-        stage_cls = NeuralEncodeStage if self.cfg.encoder == "neural" else EncodeStage
-        corpus.map_batches(
-            stage_cls,
-            fn_constructor_args=(self.cfg, offsets_ref),
-            batch_format="pyarrow",
-            batch_size=self.cfg.read_batch_size,
-            concurrency=pool_size(),
-        ).write_parquet(dt_dir)
+        cols = _corpus_columns(input_paths)
+        ds = ray.data.read_parquet(input_paths, columns=cols)
+        if self.cfg.dedup_mode == "broadcast":
+            # dedup winners + doc ids from the narrow key side, broadcast
+            # once — full rows never enter an exchange here
+            winners_ref = ray.put(compute_winners(input_paths, self.cfg, self.doc_id_base))
+            if self.cfg.encoder == "neural":
+                corpus_dir = os.path.join(self.out_dir, "corpus")
+                ds.map_batches(
+                    dedup_broadcast_batch,
+                    fn_kwargs={
+                        "cfg": self.cfg,
+                        "winners_ref": winners_ref,
+                        "verify": self.verify_extraction,
+                        "encode": False,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.cfg.read_batch_size,
+                ).write_parquet(corpus_dir)
+                ray.data.read_parquet(corpus_dir).map_batches(
+                    NeuralEncodeStage,
+                    fn_constructor_args=(self.cfg,),
+                    batch_format="pyarrow",
+                    batch_size=self.cfg.read_batch_size,
+                    concurrency=pool_size(),
+                ).write_parquet(dt_dir)
+            else:
+                ds.map_batches(
+                    dedup_broadcast_batch,
+                    fn_kwargs={
+                        "cfg": self.cfg,
+                        "winners_ref": winners_ref,
+                        "verify": self.verify_extraction,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=self.cfg.read_batch_size,
+                ).write_parquet(dt_dir)
+        else:
+            ds = ds.map_batches(
+                ExtractStage(self.cfg, verify=self.verify_extraction),
+                batch_format="pyarrow",
+                batch_size=self.cfg.read_batch_size,
+            )
+            grouped = ds.groupby("bucket")
+            if self.cfg.encoder == "neural":
+                corpus_dir = os.path.join(self.out_dir, "corpus")
+                grouped.map_groups(dedup_assign_group, batch_format="pyarrow").write_parquet(corpus_dir)
+                ray.data.read_parquet(corpus_dir).map_batches(
+                    NeuralEncodeStage,
+                    fn_constructor_args=(self.cfg,),
+                    batch_format="pyarrow",
+                    batch_size=self.cfg.read_batch_size,
+                    concurrency=pool_size(),
+                ).write_parquet(dt_dir)
+            else:
+                grouped.map_groups(
+                    functools.partial(dedup_encode_group, cfg=self.cfg), batch_format="pyarrow"
+                ).write_parquet(dt_dir)
         self.timings["doc_terms"] = time.perf_counter() - t0
-        guard.commit(n_docs=int(counts["count()"].sum()))
+        guard.commit()
         return dt_dir
 
     # ---------- stage 4: stats ----------
@@ -149,10 +180,41 @@ class IndexBuilder:
             vocab = compute_vocab_ids(ray.data.read_parquet(dt_dir, columns=["tids"]))
         else:
             vocab = compute_vocab(ray.data.read_parquet(dt_dir, columns=["terms"]))
-        meta = compute_doc_stats(
-            ray.data.read_parquet(dt_dir, columns=["dl"]), nnz=int(vocab["df"].sum())
+        nb = self.cfg.num_buckets
+        with_buckets = self.cfg.dedup_mode == "shuffle"
+        stat_cols = ["bucket", "dl"] if with_buckets else ["dl"]
+
+        def bucket_dl_partial(batch: pa.Table) -> pa.Table:
+            dl = batch.column("dl").to_numpy(zero_copy_only=False)
+            if with_buckets:
+                b = batch.column("bucket").to_numpy(zero_copy_only=False)
+                counts = np.bincount(b, minlength=nb)
+            else:
+                counts = np.asarray([len(batch)], dtype=np.int64)
+            return pa.table(
+                {
+                    "counts": pa.array([counts]),
+                    "sum_dl": pa.array([int(dl.sum())], type=pa.int64()),
+                }
+            )
+
+        parts = (
+            ray.data.read_parquet(dt_dir, columns=stat_cols)
+            .map_batches(bucket_dl_partial, batch_format="pyarrow")
+            .to_pandas()
         )
-        meta["encoder"] = self.cfg.encoder
+        bucket_counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0).astype(np.int64)
+        n_docs = int(bucket_counts.sum())
+        meta = {
+            "n_docs": n_docs,
+            "avgdl": float(parts["sum_dl"].sum() / n_docs) if n_docs else 0.0,
+            "nnz": int(vocab["df"].sum()),
+            "encoder": self.cfg.encoder,
+        }
+        if with_buckets:
+            # per-bucket doc counts: the tiny aggregate behind the
+            # deterministic doc-id prefix sum (SURVEY.md §3.2)
+            meta["bucket_counts"] = bucket_counts.tolist()
         os.makedirs(stats_dir, exist_ok=True)
         vocab_tbl = pa.Table.from_pandas(vocab, preserve_index=False)
         import pyarrow.parquet as pq
@@ -175,6 +237,15 @@ class IndexBuilder:
         import pyarrow.parquet as pq
 
         meta = read_json(os.path.join(stats_dir, "meta.json"))
+        if "bucket_counts" in meta:  # shuffle dedup: doc ids still deferred
+            bucket_counts = np.asarray(meta["bucket_counts"], dtype=np.int64)
+            offsets = np.zeros(self.cfg.num_buckets, dtype=np.int64)
+            np.cumsum(bucket_counts[:-1], out=offsets[1:])
+            offsets += self.doc_id_base
+            offsets_ref = ray.put(offsets)
+        else:  # broadcast dedup already assigned doc ids
+            offsets_ref = None
+
         doc_terms = ray.data.read_parquet(dt_dir)
         if self.cfg.encoder == "neural":
             stats_ref = ray.put({"n_docs": meta["n_docs"]})
@@ -186,8 +257,8 @@ class IndexBuilder:
                 weight_mode="f32",
             )
             sharded = doc_terms.map_batches(
-                add_shard_column,
-                fn_kwargs={"shard_size": self.cfg.shard_size},
+                assign_ids_and_shard,
+                fn_kwargs={"cfg": self.cfg, "offsets_ref": offsets_ref},
                 batch_format="pyarrow",
                 batch_size=self.cfg.read_batch_size,
             )
@@ -201,11 +272,10 @@ class IndexBuilder:
                 build_shard_index, postings_dir=postings_dir, cfg=self.cfg, stats_ref=stats_ref
             )
             sharded = doc_terms.map_batches(
-                MapTermIdsStage,
-                fn_constructor_args=(self.cfg, vocab_terms_ref),
+                map_term_ids,
+                fn_kwargs={"cfg": self.cfg, "vocab_terms_ref": vocab_terms_ref, "offsets_ref": offsets_ref},
                 batch_format="pyarrow",
                 batch_size=self.cfg.read_batch_size,
-                concurrency=pool_size(),
             )
         lineage = sharded.groupby("shard").map_groups(kernel, batch_format="pyarrow")
         lineage_df = lineage.to_pandas()
@@ -223,8 +293,7 @@ class IndexBuilder:
 
     def build(self, input_paths) -> dict:
         t0 = time.perf_counter()
-        self.build_corpus(input_paths)
-        self.build_doc_terms()
+        self.build_doc_terms(input_paths)
         self.build_stats()
         self.build_postings()
         total = time.perf_counter() - t0

@@ -165,6 +165,43 @@ def neural_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def _external_ids(reader: IndexReader, docs: np.ndarray) -> list[int]:
+    return [int(reader.url_by_doc[int(d)].removeprefix("doc://")) for d in docs]
+
+
+def boolean_and_match(sf_dir: str) -> pd.DataFrame:
+    """(query_id, doc_id) pairs where the doc contains EVERY query term —
+    conjunctive boolean retrieval over the inverted index (postings
+    intersection).  A query with an OOV term matches nothing."""
+    from .metrics import conjunctive_match
+
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        toks = set(reader.tok.tokenize(text))
+        qtids, _ = reader.encode_query(text)
+        docs = np.zeros(0, np.int64) if qtids.size < len(toks) else conjunctive_match(reader, text)
+        for d in _external_ids(reader, docs):
+            rows.append((qid, d))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"]).sort_values(
+        ["query_id", "doc_id"], ignore_index=True
+    )
+
+
+def retrieval_metrics_at10(sf_dir: str) -> pd.DataFrame:
+    """Per-query RR/Recall/nDCG @10 of the BM25 run against conjunctive-
+    containment qrels (reference A5 metric semantics, binary relevance;
+    queries without qrels dropped per M13)."""
+    from .metrics import retrieval_metrics
+
+    run = bm25_topk(sf_dir)[["query_id", "rank", "doc_id"]]
+    qrels = boolean_and_match(sf_dir)
+    out = retrieval_metrics(run, qrels, k=10)
+    for c in ("rr_at_k", "recall_at_k", "ndcg_at_k"):
+        out[c] = out[c].round(6)
+    return out
+
+
 # ------------------------------------------------------- text aggregates
 def term_df_top100(sf_dir: str) -> pd.DataFrame:
     """Top-100 terms by (df desc, term asc) over documents."""
@@ -384,3 +421,154 @@ def events_window(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_value"] = out["sum_value"].round(6)
     return out.sort_values(["window_start", "event_type"], ignore_index=True)
+
+
+# ---------------------------------------------- extended operator family
+def running_stats(sf_dir: str) -> pd.DataFrame:
+    """Streaming count/mean/std/min/max of n_chars per lang — the
+    partial+final custom aggregate of the reference's logit-stats harness
+    (A4, script/experiment/logit_stats.py:18-61): per-batch partials
+    (count, sum, sumsq, min, max) combine on the driver."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang")["n_chars"]
+        out = pd.DataFrame(
+            {
+                "n": g.size(),
+                "s": g.sum(),
+                "ss": (df.assign(sq=df["n_chars"].astype("float64") ** 2).groupby("lang")["sq"].sum()),
+                "mn": g.min(),
+                "mx": g.max(),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", sort=True)
+    n = g["n"].sum()
+    s = g["s"].sum()
+    ss = g["ss"].sum()
+    mean = s / n
+    var = ss / n - mean**2
+    out = pd.DataFrame(
+        {
+            "lang": n.index,
+            "n_docs": n.to_numpy(),
+            "mean_chars": mean.round(6).to_numpy(),
+            "std_chars": np.sqrt(np.maximum(var, 0)).round(6).to_numpy(),
+            "min_chars": g["mn"].min().to_numpy(),
+            "max_chars": g["mx"].max().to_numpy(),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def deterministic_sample(sf_dir: str) -> pd.DataFrame:
+    """Seed-keyed 10% row sample: keep doc where
+    (doc_id * 2654435761) mod 2^32 < 0.1 * 2^32 — per-row deterministic
+    RNG (reference K5/K6 seeded sampling without global state; the Knuth
+    multiplier is the 'seed' and the SQL oracle reproduces it exactly)."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return batch.filter(pa.array(h < np.uint64(429496729)))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def rerank_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-encoder-style reranking (T7 scorer pattern,
+    script/preprocess/score_cross_encoder.py): rescore the BM25 top-10 of
+    each query with an interpretable pair scorer — # distinct query terms
+    present in the doc — and re-rank by (overlap desc, bm25 desc, doc_id)."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        top = reader.search(text, BM25_K)
+        if not top:
+            continue
+        qtids, _ = reader.encode_query(text)
+        internal = np.asarray([d for d, _, _ in top], dtype=np.int64)
+        overlap = np.zeros(internal.size, dtype=np.int64)
+        for sh in reader.shards:
+            for _, s, e, _ in sh._term_slices(qtids):
+                overlap += np.isin(internal, sh.doc_ids[sh.post_local[s:e]])
+        order = np.lexsort((internal, [-s for _, s, _ in top], -overlap))
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, rank, int(top[i][2].removeprefix("doc://")), int(overlap[i])))
+    return pd.DataFrame(rows, columns=["query_id", "rerank", "doc_id", "overlap"])
+
+
+def hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining (J3/M14, script/preprocess/
+    mine_hard_negatives.py:411-427): top-30 BM25 candidates per query,
+    anti-join the positives (conjunctive qrels), keep the 10 hardest."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    qrels = boolean_and_match(sf_dir)
+    pos = {q: set(g["doc_id"]) for q, g in qrels.groupby("query_id")}
+    rows = []
+    for qid, text in BM25_QUERIES:
+        rank = 0
+        for d, score, url in reader.search(text, 30):
+            ext = int(url.removeprefix("doc://"))
+            if ext in pos.get(qid, ()):  # anti-join
+                continue
+            rank += 1
+            if rank > 10:
+                break
+            rows.append((qid, rank, ext))
+    return pd.DataFrame(rows, columns=["query_id", "neg_rank", "doc_id"])
+
+
+def langs_by_source(sf_dir: str) -> pd.DataFrame:
+    """collect_set per group (D4): sorted distinct langs per source,
+    serialized to a comma-joined string for stable comparison."""
+    ds = _docs(sf_dir, columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow").to_pandas().drop_duplicates()
+    out = (
+        pairs.groupby("source", sort=True)["lang"]
+        .agg(lambda s: ",".join(sorted(set(s))))
+        .rename("langs")
+        .reset_index()
+    )
+    counts = _docs(sf_dir, columns=["source"]).groupby("source").count().to_pandas()
+    counts = counts.rename(columns={"count()": "n_docs"})
+    return out.merge(counts, on="source").sort_values("source", ignore_index=True)
+
+
+def event_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (streaming-shaped): per-user sessions split on >30 min
+    gaps; groupby(user_id).map_groups with vectorized gap detection — the
+    partitioning assumption is one user's events co-located, which the
+    groupby provides."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "value"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"])
+        gap = group["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum()
+        g = group.groupby(sid)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                "session_start": g["ts"].min(),
+                "n_events": g.size(),
+                "sum_value": g["value"].sum().round(6),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    return out.sort_values(["user_id", "session_start"], ignore_index=True)

@@ -33,3 +33,126 @@ def dedup_assign_group(group: pa.Table) -> pa.Table:
     return out.append_column(
         "local_idx", pa.array(np.arange(final.size, dtype=np.int64))
     )
+
+
+def dedup_encode_group(group: pa.Table, *, cfg) -> pa.Table:
+    """Fused dedup + encode kernel (one bucket): the dedup groupby already
+    co-locates every recrawl of a url, so tokenization rides the same
+    exchange — no intermediate corpus materialization, no second read.
+    Emits (bucket, local_idx, url, dl, terms, tfs); the global doc id
+    (offset[bucket] + local_idx) is resolved at the postings stage from the
+    per-bucket counts, keeping this stage embarrassingly parallel."""
+    from .encode import apply_top_k_cap, cached_tokenizer, term_count_table
+
+    deduped = dedup_assign_group(group)
+    tok = cached_tokenizer(cfg)
+    terms, tfs, dls = term_count_table(deduped.column("text"), tok)
+    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+    return pa.table(
+        {
+            "bucket": deduped.column("bucket"),
+            "local_idx": deduped.column("local_idx"),
+            "url": deduped.column("url"),
+            "dl": pa.array(dls),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )
+
+
+def compute_winners(input_paths, cfg, doc_id_base: int = 0):
+    """Driver-side dedup winner table from a column-pruned (url, warc_ts)
+    read: one row per url (max warc_ts) with its deterministic doc id —
+    the rank in (crc32(url) % num_buckets, url) order, same contract as the
+    shuffle path and the oracle.
+
+    The key table is ~50 B/url, so up to tens of millions of urls this is
+    a driver reduce + ``ray.put`` broadcast; beyond that use
+    ``dedup_mode="shuffle"`` (full-row exchange) — the trade documented in
+    EngineConfig.  Returns ``(pd.Index urls, winner_ts int64[], doc_ids
+    int64[])`` aligned by position.
+    """
+    import zlib
+
+    import pandas as pd
+    import ray.data
+
+    import ray
+
+    # distributed read → zero-copy Arrow refs → C++ hash-aggregate on the
+    # driver (a pandas path would materialize every url as a Python string
+    # before deduping — measured 3 s of serial time at 600k rows)
+    refs = ray.data.read_parquet(input_paths, columns=["url", "warc_ts"]).to_arrow_refs()
+    narrow = pa.concat_tables(ray.get(refs))
+    narrow = narrow.set_column(1, "warc_ts", narrow.column("warc_ts").cast(pa.int64()))
+    win = narrow.group_by("url").aggregate([("warc_ts", "max")])
+    urls = np.asarray(win.column("url").to_pylist(), dtype=object)
+    wts = win.column("warc_ts_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    buckets = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % cfg.num_buckets for u in urls), np.int64, urls.size
+    )
+    win = win.append_column("bucket", pa.array(buckets))
+    order = (
+        pa.compute.sort_indices(
+            win, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_ids = np.empty(urls.size, dtype=np.int64)
+    doc_ids[order] = np.arange(urls.size, dtype=np.int64) + doc_id_base
+    # broadcast url HASHES, not strings: three numpy arrays are zero-copy
+    # out of the object store per worker, while a string index would
+    # allocate |urls| Python objects in every worker process (measured as
+    # an allocator stampede at high concurrency).  64-bit collisions are
+    # birthday-negligible below ~1e8 urls and would fail loudly at the
+    # postings doc-id contiguity check.
+    from ..functions.hashing import hash_strings
+
+    h = hash_strings(urls)
+    hs = np.argsort(h, kind="stable")
+    return h[hs], wts[hs], doc_ids[hs]
+
+
+def dedup_broadcast_batch(batch: pa.Table, *, cfg, winners_ref, verify: bool = False, encode: bool = True) -> pa.Table:
+    """map_batches TASK (broadcast dedup): extract text, drop rows that are
+    not their url's winner (url, warc_ts) pair, attach the broadcast doc
+    id, and (optionally) tokenize in place.  Full rows never enter an
+    exchange — the winner table is the only thing that moved."""
+    from .encode import apply_top_k_cap, cached_ref, cached_tokenizer, term_count_table
+    from .extract import ExtractStage
+
+    from ..functions.hashing import hash_strings
+
+    win_h, wts, doc_ids = cached_ref(winners_ref)
+    ext = ExtractStage(cfg, verify=verify, compute_bucket=False)(batch)
+    urls = np.asarray(ext.column("url").to_pylist(), dtype=object)
+    h = hash_strings(urls)
+    idx = np.searchsorted(win_h, h)
+    idx = np.minimum(idx, win_h.size - 1)
+    found = win_h[idx] == h
+    ts = ext.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keep = found & (wts[idx] == ts)
+    ext = ext.filter(pa.array(keep))
+    row_doc_ids = doc_ids[idx[keep]]
+    if not encode:
+        return pa.table(
+            {
+                "doc_id": pa.array(row_doc_ids),
+                "url": ext.column("url"),
+                "text": ext.column("text"),
+                "lang": ext.column("lang"),
+            }
+        )
+    tok = cached_tokenizer(cfg)
+    terms, tfs, dls = term_count_table(ext.column("text"), tok)
+    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+    return pa.table(
+        {
+            "doc_id": pa.array(row_doc_ids),
+            "url": ext.column("url"),
+            "dl": pa.array(dls),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )

@@ -27,34 +27,60 @@ from ..config import EngineConfig
 from ..tokenizer import Tokenizer
 
 
-def term_count_table(texts: list[str], tok: Tokenizer) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+def _empty_term_table(n: int, dls: np.ndarray) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+    empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+    return (
+        pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string())),
+        pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+        dls,
+    )
+
+
+def term_count_table(texts, tok: Tokenizer) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
     """Vectorized batch term counting → (terms list<string>, tfs
-    list<int32>, dl int32[n]).  Terms are sorted ascending within each row."""
-    n = len(texts)
-    flat_list, dls = tok.tokenize_flat(texts)
-    counts = dls.astype(np.int64)
-    flat = np.asarray(flat_list, dtype=object)
-    if flat.size == 0:
-        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
-        return (
-            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string())),
-            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
-            dls,
-        )
-    codes, uniques = pd.factorize(flat, sort=True)
-    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-    # (row, code) pair → unique pairs + tf; uniques sorted so code order ==
-    # lexicographic term order within each row
-    key = rows * np.int64(len(uniques)) + codes
+    list<int32>, dl int32[n]).  Terms are sorted ascending within each row.
+
+    Accepts an Arrow string column (preferred — the whole pipeline stays
+    Arrow/C++, no per-token Python objects) or a python list of strings.
+    """
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        n = len(texts)
+    else:
+        texts = list(texts)
+        n = len(texts)
+    enc = tok.tokenize_codes(texts)
+    if enc is None:  # non-invertible pattern: python fallback
+        flat_list, dls32 = tok.tokenize_flat(texts if isinstance(texts, list) else texts.to_pylist())
+        flat = np.asarray(flat_list, dtype=object)
+        if flat.size == 0:
+            return _empty_term_table(n, dls32.astype(np.int64))
+        codes, uniques = pd.factorize(flat, sort=True)
+        rows = np.repeat(np.arange(n, dtype=np.int64), dls32.astype(np.int64))
+        vocab = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
+        rank = np.arange(len(uniques), dtype=np.int64)
+        dls = dls32.astype(np.int64)
+        sorted_vocab = vocab
+    else:
+        codes, rows, vocab, dls = enc
+        if codes.size == 0:
+            return _empty_term_table(n, dls)
+        # lexicographic rank per dictionary code (dictionary is in
+        # first-appearance order; ranking restores sorted-term layout)
+        sort_idx = pa.compute.array_sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
+        sorted_vocab = vocab.take(pa.array(sort_idx))
+        codes = rank[codes]
+
+    V = max(len(vocab), 1)
+    key = rows * np.int64(V) + codes
     uniq_keys, tf = np.unique(key, return_counts=True)
-    out_rows = (uniq_keys // len(uniques)).astype(np.int64)
-    out_codes = (uniq_keys % len(uniques)).astype(np.int64)
+    out_rows = (uniq_keys // V).astype(np.int64)
+    out_codes = (uniq_keys % V).astype(np.int64)
     per_row = np.bincount(out_rows, minlength=n).astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(per_row, out=offsets[1:])
-    terms_arr = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(np.asarray(uniques, dtype=object)[out_codes], type=pa.string())
-    )
+    terms_arr = pa.ListArray.from_arrays(pa.array(offsets), sorted_vocab.take(pa.array(out_codes)))
     tfs_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tf.astype(np.int32)))
     return terms_arr, tfs_arr, dls
 
@@ -90,33 +116,66 @@ def apply_top_k_cap(terms: pa.ListArray, tfs: pa.ListArray, k: int) -> tuple[pa.
     )
 
 
-class EncodeStage:
-    """map_batches(pyarrow) actor: corpus rows (bucket, local_idx, url,
+_TOK_CACHE: dict = {}
+_REF_CACHE: dict = {}
+
+
+def cached_tokenizer(cfg: EngineConfig) -> Tokenizer:
+    key = (cfg.token_pattern, cfg.lowercase)
+    tok = _TOK_CACHE.get(key)
+    if tok is None:
+        tok = _TOK_CACHE[key] = Tokenizer(cfg)
+    return tok
+
+
+def cached_ref(ref):
+    """Worker-local cache of a broadcast ``ray.put`` object — tasks get the
+    plasma object once per worker process, not once per batch."""
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def encode_batch(batch: pa.Table, *, cfg: EngineConfig, offsets_ref) -> pa.Table:
+    """map_batches(pyarrow) TASK: corpus rows (bucket, local_idx, url,
     text, …) → (doc_id, url, dl, terms, tfs).
 
+    A plain task, not an actor pool: the only state is a compiled regex and
+    the broadcast offsets array, both cached per worker process — actor
+    startup would dominate at this stage's compute density (the neural
+    encoder, with real model state, stays an actor pool).
     ``offsets_ref`` is a ``ray.put`` handle to the per-bucket exclusive
-    prefix sums — broadcast once, read per actor (not re-shipped per batch).
-    """
+    prefix sums — broadcast once, read per worker (not re-shipped per
+    batch)."""
+    tok = cached_tokenizer(cfg)
+    offsets = np.asarray(cached_ref(offsets_ref), dtype=np.int64)  # indexed by bucket
+    buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+    local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
+    doc_id = offsets[buckets] + local_idx
+    texts = batch.column("text").to_pylist()
+    terms, tfs, dls = term_count_table(texts, tok)
+    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "url": batch.column("url"),
+            "dl": pa.array(dls),
+            "terms": terms,
+            "tfs": tfs,
+        }
+    )
+
+
+class EncodeStage:
+    """Callable-class form of :func:`encode_batch` (kept for API parity
+    with :class:`~splade_ray.stages.neural.NeuralEncodeStage`)."""
 
     def __init__(self, cfg: EngineConfig, offsets_ref):
         self.cfg = cfg
-        self.tok = Tokenizer(cfg)
-        offsets = ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) else offsets_ref
-        self.offsets = np.asarray(offsets, dtype=np.int64)  # indexed by bucket
+        self.offsets_ref = offsets_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-        local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
-        doc_id = self.offsets[buckets] + local_idx
-        texts = batch.column("text").to_pylist()
-        terms, tfs, dls = term_count_table(texts, self.tok)
-        terms, tfs = apply_top_k_cap(terms, tfs, self.cfg.doc_top_k)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_id),
-                "url": batch.column("url"),
-                "dl": pa.array(dls),
-                "terms": terms,
-                "tfs": tfs,
-            }
-        )
+        return encode_batch(batch, cfg=self.cfg, offsets_ref=self.offsets_ref)

@@ -33,11 +33,14 @@ def crc32_buckets(urls: pa.Array, num_buckets: int) -> pa.Array:
 
 class ExtractStage:
     """map_batches(pyarrow) fn: (url, warc_ts, html, lang[, text]) →
-    (bucket, url, warc_ts, text, lang)."""
+    ([bucket,] url, warc_ts, text, lang).  ``compute_bucket=False`` skips
+    the crc32 loop for the broadcast-dedup path, which never shuffles by
+    bucket (ids come from the winner table)."""
 
-    def __init__(self, cfg: EngineConfig, verify: bool = False):
+    def __init__(self, cfg: EngineConfig, verify: bool = False, compute_bucket: bool = True):
         self.cfg = cfg
         self.verify = verify
+        self.compute_bucket = compute_bucket
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "html" in batch.column_names:
@@ -49,13 +52,15 @@ class ExtractStage:
                     raise ValueError(f"extracted text != text column for urls {bad}")
         else:
             text = batch.column("text")
-        bucket = crc32_buckets(batch.column("url").combine_chunks(), self.cfg.num_buckets)
+        cols = {
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "text": text,
+            "lang": batch.column("lang"),
+        }
+        if self.compute_bucket:
+            bucket = crc32_buckets(batch.column("url").combine_chunks(), self.cfg.num_buckets)
+            cols = {"bucket": bucket, **cols}
         return pa.table(
-            {
-                "bucket": bucket,
-                "url": batch.column("url"),
-                "warc_ts": batch.column("warc_ts"),
-                "text": text,
-                "lang": batch.column("lang"),
-            }
+            cols
         )

@@ -95,21 +95,39 @@ def sparsify_rows(
     return offsets, tids[fin], weights[fin]
 
 
-def encode_docs(texts: list[str], tok: Tokenizer, cfg: EngineConfig) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+def encode_docs(texts, tok: Tokenizer, cfg: EngineConfig) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
     """Batch doc encoding → (tids list<int32>, weights list<float32>,
     dl int32[n]).  Max-pool over token occurrences (repeated tokens are
-    no-ops, as in reference masked-max pooling), then M5 sparsify."""
+    no-ops, as in reference masked-max pooling), then M5 sparsify.
+
+    Tokenization stays in Arrow (dictionary codes); only the per-batch
+    UNIQUE terms are hashed, never per-occurrence Python strings."""
     n = len(texts)
-    flat_tokens, dls = tok.tokenize_flat(texts)
-    if not flat_tokens:
-        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
-        return (
-            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
-            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.float32())),
-            dls,
-        )
-    h = hash_strings(np.asarray(flat_tokens, dtype=object), seed=cfg.neural_seed)
-    rows = np.repeat(np.arange(n, dtype=np.int64), dls.astype(np.int64))
+    enc = tok.tokenize_codes(texts)
+    if enc is not None:
+        codes, rows, vocab, dls = enc
+        if codes.size == 0:
+            empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+            return (
+                pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+                pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.float32())),
+                dls,
+            )
+        vocab_h = hash_strings(np.asarray(vocab.to_pylist(), dtype=object), seed=cfg.neural_seed)
+        h = vocab_h[codes]
+    else:
+        texts = list(texts)
+        flat_tokens, dls32 = tok.tokenize_flat(texts)
+        dls = dls32.astype(np.int64)
+        if not flat_tokens:
+            empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+            return (
+                pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+                pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.float32())),
+                dls,
+            )
+        h = hash_strings(np.asarray(flat_tokens, dtype=object), seed=cfg.neural_seed)
+        rows = np.repeat(np.arange(n, dtype=np.int64), dls)
     # dedupe (row, token) before expanding — repeats can't change a max-pool
     o = np.lexsort((h, rows))
     keep = np.ones(o.size, dtype=bool)
@@ -150,8 +168,10 @@ def encode_query_bow(text: str, tok: Tokenizer, cfg: EngineConfig) -> tuple[np.n
 
 
 class NeuralEncodeStage:
-    """map_batches(pyarrow) actor: corpus rows → (doc_id, url, dl,
-    tids: list<int32>, weights: list<float32>).
+    """map_batches(pyarrow) actor: deduped corpus rows → (bucket,
+    local_idx, url, dl, tids: list<int32>, weights: list<float32>).
+    The global doc id (offset[bucket] + local_idx) is resolved at the
+    postings stage, same as the BM25 path.
 
     Same construct-once actor-pool shape as the reference GPU encoder
     (``src/model/pl_module/encode.py:39-214``): model state (here the
@@ -160,24 +180,14 @@ class NeuralEncodeStage:
     with ``concurrency=N`` (+ ``num_gpus=1`` for a real model).
     """
 
-    def __init__(self, cfg: EngineConfig, offsets_ref):
+    def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.tok = Tokenizer(cfg)
-        offsets = ray.get(offsets_ref) if isinstance(offsets_ref, ray.ObjectRef) else offsets_ref
-        self.offsets = np.asarray(offsets, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-        local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
-        doc_id = self.offsets[buckets] + local_idx
-        texts = batch.column("text").to_pylist()
-        tids, weights, dls = encode_docs(texts, self.tok, self.cfg)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_id),
-                "url": batch.column("url"),
-                "dl": pa.array(dls),
-                "tids": tids,
-                "weights": weights,
-            }
-        )
+        tids, weights, dls = encode_docs(batch.column("text"), self.tok, self.cfg)
+        # pass through whichever id columns the dedup mode produced
+        ids = [c for c in ("doc_id", "bucket", "local_idx") if c in batch.column_names]
+        cols = {c: batch.column(c) for c in ids}
+        cols.update({"url": batch.column("url"), "dl": pa.array(dls), "tids": tids, "weights": weights})
+        return pa.table(cols)

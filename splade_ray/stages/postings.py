@@ -58,44 +58,69 @@ def _binary_from_segments(data: bytes, byte_offsets: np.ndarray) -> pa.Array:
     )
 
 
-class MapTermIdsStage:
-    """map_batches(pyarrow) actor: doc_terms rows → (shard, doc_id, url, dl,
-    tids, tfs).  Vocab mapping broadcast once per actor via ``ray.put``."""
-
-    def __init__(self, cfg: EngineConfig, vocab_terms_ref):
-        self.cfg = cfg
-        terms = ray.get(vocab_terms_ref) if isinstance(vocab_terms_ref, ray.ObjectRef) else vocab_terms_ref
-        self.vocab_index = pd.Index(terms)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch.column("terms").combine_chunks()
-        flat = np.asarray(terms.flatten().to_pylist(), dtype=object)
-        tids = self.vocab_index.get_indexer(flat).astype(np.int32)
-        if (tids < 0).any():
-            missing = flat[tids < 0][:3]
-            raise ValueError(f"terms missing from vocab: {missing}")
-        offsets = terms.offsets
-        tids_col = pa.ListArray.from_arrays(offsets, pa.array(tids))
-        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        shard = (doc_id // self.cfg.shard_size).astype(np.int32)
-        return pa.table(
-            {
-                "shard": pa.array(shard),
-                "doc_id": batch.column("doc_id"),
-                "url": batch.column("url"),
-                "dl": batch.column("dl"),
-                "tids": tids_col,
-                "tfs": batch.column("tfs"),
-            }
-        )
+_VOCAB_INDEX_CACHE: dict = {}
 
 
-def add_shard_column(batch: pa.Table, *, shard_size: int) -> pa.Table:
+def _resolve_doc_ids(batch: pa.Table, cfg: EngineConfig, offsets_ref) -> np.ndarray:
+    """Global doc id: already present (broadcast dedup assigned it), or
+    offset[bucket] + local_idx (shuffle dedup; the deterministic assignment
+    contract, SURVEY.md §3.2) with offsets broadcast via ray.put."""
+    from .encode import cached_ref
+
+    if "doc_id" in batch.column_names:
+        return batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.asarray(cached_ref(offsets_ref), dtype=np.int64)
+    buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+    local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
+    return offsets[buckets] + local_idx
+
+
+def map_term_ids(batch: pa.Table, *, cfg: EngineConfig, vocab_terms_ref, offsets_ref) -> pa.Table:
+    """map_batches(pyarrow) TASK: doc_terms rows → (shard, doc_id, url, dl,
+    tids, tfs).  The vocab → term-id mapping is a ``ray.put`` broadcast,
+    materialized into a ``pd.Index`` once per worker process (cached by
+    object ref), not per batch."""
+    from .encode import cached_ref
+
+    key = vocab_terms_ref.hex() if isinstance(vocab_terms_ref, ray.ObjectRef) else id(vocab_terms_ref)
+    vocab_index = _VOCAB_INDEX_CACHE.get(key)
+    if vocab_index is None:
+        vocab_index = _VOCAB_INDEX_CACHE[key] = pd.Index(cached_ref(vocab_terms_ref))
+    terms = batch.column("terms").combine_chunks()
+    # dictionary-encode so only per-batch UNIQUE terms are hashed into the
+    # vocab index (vs. one Python string per posting)
+    dic = terms.flatten().dictionary_encode()
+    uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    mapped = vocab_index.get_indexer(uniq).astype(np.int32)
+    if (mapped < 0).any():
+        raise ValueError(f"terms missing from vocab: {uniq[mapped < 0][:3]}")
+    tids = mapped[dic.indices.to_numpy(zero_copy_only=False)]
+    offsets = terms.offsets
+    tids_col = pa.ListArray.from_arrays(offsets, pa.array(tids))
+    doc_id = _resolve_doc_ids(batch, cfg, offsets_ref)
+    shard = (doc_id // cfg.shard_size).astype(np.int32)
+    return pa.table(
+        {
+            "shard": pa.array(shard),
+            "doc_id": pa.array(doc_id),
+            "url": batch.column("url"),
+            "dl": batch.column("dl"),
+            "tids": tids_col,
+            "tfs": batch.column("tfs"),
+        }
+    )
+
+
+def assign_ids_and_shard(batch: pa.Table, *, cfg: EngineConfig, offsets_ref) -> pa.Table:
     """Stateless map for encoders that already emit int term ids (the
-    neural path): tag each row with its doc-shard before the groupby."""
-    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    shard = (doc_id // shard_size).astype(np.int32)
-    return batch.add_column(0, "shard", pa.array(shard))
+    neural path): resolve doc ids and tag each row with its doc-shard
+    before the groupby."""
+    doc_id = _resolve_doc_ids(batch, cfg, offsets_ref)
+    shard = (doc_id // cfg.shard_size).astype(np.int32)
+    drop = [c for c in ("bucket", "local_idx", "doc_id") if c in batch.column_names]
+    out = batch.drop_columns(drop)
+    out = out.add_column(0, "doc_id", pa.array(doc_id))
+    return out.add_column(0, "shard", pa.array(shard))
 
 
 def build_shard_index(

@@ -37,15 +37,24 @@ def df_partials(batch: pa.Table) -> pa.Table:
     return pa.table({"term": vc.field("values"), "df": vc.field("counts")})
 
 
-def compute_vocab(doc_terms: Dataset) -> pd.DataFrame:
-    """df aggregate → vocab DataFrame (term, term_id, df) sorted by term."""
-    agg = (
-        doc_terms.map_batches(df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    )
-    vocab = agg.to_pandas()
-    vocab = vocab.sort_values("term", kind="mergesort").reset_index(drop=True)
+def compute_vocab(doc_terms: Dataset, distributed: bool = False) -> pd.DataFrame:
+    """df aggregate → vocab DataFrame (term, term_id, df) sorted by term.
+
+    The distributed pass is only the combiner (one (term, df) row per
+    distinct term per block — bounded by vocab × blocks, not corpus size);
+    the final reduce runs in pandas on the driver, which beats a Ray
+    groupby shuffle by seconds of fixed cost at this output size.  Set
+    ``distributed=True`` when vocab × blocks outgrows driver memory
+    (billion-term vocabularies) to keep the reduce as a Ray groupby."""
+    partials = doc_terms.map_batches(df_partials, batch_format="pyarrow")
+    if distributed:
+        vocab = (
+            partials.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+        )
+        vocab = vocab.sort_values("term", kind="mergesort").reset_index(drop=True)
+    else:
+        parts = partials.to_pandas()
+        vocab = parts.groupby("term", sort=True, as_index=False)["df"].sum()
     vocab["term_id"] = np.arange(len(vocab), dtype=np.int64)
     return vocab[["term", "term_id", "df"]]
 
@@ -61,12 +70,8 @@ def compute_vocab_ids(doc_tids: Dataset) -> pd.DataFrame:
         vc = pa.compute.value_counts(flat)
         return pa.table({"term_id": vc.field("values"), "df": vc.field("counts")})
 
-    agg = (
-        doc_tids.map_batches(partial, batch_format="pyarrow")
-        .groupby("term_id")
-        .aggregate(Sum("df", alias_name="df"))
-    )
-    vocab = agg.to_pandas().sort_values("term_id").reset_index(drop=True)
+    parts = doc_tids.map_batches(partial, batch_format="pyarrow").to_pandas()
+    vocab = parts.groupby("term_id", sort=True, as_index=False)["df"].sum()
     return vocab[["term_id", "df"]]
 
 

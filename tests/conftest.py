@@ -49,6 +49,7 @@ def built_index(ray_session, small_cfg, web_pages_path, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("index") / "idx")
     build_index(web_pages_path, out, small_cfg, verify_extraction=True)
+    os.environ["GRAFT_TEST_INDEX"] = out
     return out, small_cfg
 
 

@@ -93,3 +93,25 @@ def test_lineage_records(built_index):
     assert sum(s["input_rows"] for s in shards) == 1940
     assert all(s["nnz"] > 0 for s in shards)
     assert all("checksum" in s for s in shards)
+
+
+def test_dedup_modes_equivalent(web_pages_path, small_cfg, tmp_path):
+    """Broadcast dedup (narrow-key winners + ray.put) and shuffle dedup
+    (groupby(bucket) full-row exchange) must produce identical indexes —
+    same doc ids, same postings tables."""
+    import dataclasses
+
+    import pyarrow.parquet as pq_
+
+    from splade_ray.pipelines.build import build_index
+
+    cfg_sh = dataclasses.replace(small_cfg, dedup_mode="shuffle")
+    out = str(tmp_path / "shuffle_idx")
+    build_index(web_pages_path, out, cfg_sh)
+    # session-fixture index was built with the default (broadcast) mode
+    base = os.path.join(os.environ["GRAFT_TEST_INDEX"], "postings")
+    got = os.path.join(out, "postings")
+    files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    assert files == sorted(f for f in os.listdir(got) if f.endswith(".parquet"))
+    for f in files:
+        assert pq_.read_table(os.path.join(base, f)).equals(pq_.read_table(os.path.join(got, f))), f

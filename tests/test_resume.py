@@ -51,5 +51,5 @@ def test_config_change_invalidates(built_index, web_pages_path, small_cfg, tmp_p
     assert builder.cfg_hash != IndexBuilder(work, cfg).cfg_hash
     from splade_ray.state.lineage import StageGuard
 
-    guard = StageGuard(os.path.join(work, "corpus"), builder.cfg_hash)
+    guard = StageGuard(os.path.join(work, "doc_terms"), builder.cfg_hash)
     assert guard.done() is None
