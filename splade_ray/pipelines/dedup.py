@@ -69,6 +69,8 @@ class MinHashStage:
         self.seeds = np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-doc reference path (tests); the batch path below is the
+        vectorized equivalent (identical values)."""
         toks = self.tok.tokenize(text or "")
         th = hash_strings(toks)
         sh = shingle_hashes(th, self.shingle_n)
@@ -80,10 +82,25 @@ class MinHashStage:
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column(self.text_col).to_pylist()]
-        offsets = np.arange(0, (len(sigs) + 1) * self.num_perm, self.num_perm, dtype=np.int32)
-        flat = np.concatenate(sigs) if sigs else np.zeros(0, np.int64)
-        col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+        n_rows = batch.num_rows
+        h, rows, dls = self.tok.tokenize_hashes(batch.column(self.text_col))
+        nsh = self.shingle_n
+        sig = np.full((n_rows, self.num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+        if h.size >= nsh:
+            # rolling shingles over the FLAT hash stream, then mask windows
+            # that cross a row boundary — per-doc values are identical to
+            # shingle_hashes on that doc's own tokens
+            acc = shingle_hashes(h, nsh)
+            valid = rows[: h.size - nsh + 1] == rows[nsh - 1 :]
+            sh, srows = acc[valid], rows[: h.size - nsh + 1][valid]
+            if sh.size:
+                bounds = np.r_[0, np.nonzero(np.diff(srows))[0] + 1]
+                urows = srows[bounds]
+                for k in range(self.num_perm):
+                    m = hash_tokens_to_u64(sh, int(self.seeds[k]))
+                    sig[urows, k] = np.minimum.reduceat(m, bounds).astype(np.int64)
+        offsets = np.arange(0, (n_rows + 1) * self.num_perm, self.num_perm, dtype=np.int32)
+        col = pa.ListArray.from_arrays(pa.array(offsets), pa.array(sig.ravel()))
         return pa.table({self.id_col: batch.column(self.id_col), "sig": col})
 
 
@@ -196,14 +213,13 @@ class SimHashStage:
         self.tok = Tokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        flat, dls = self.tok.tokenize_flat(texts)
-        th = hash_strings(flat)
-        seg_starts = np.zeros(len(texts), dtype=np.int64)
-        if len(texts) > 1:
+        n_texts = batch.num_rows
+        th, _rows, dls = self.tok.tokenize_hashes(batch.column(self.text_col))
+        seg_starts = np.zeros(n_texts, dtype=np.int64)
+        if n_texts > 1:
             seg_starts[1:] = np.cumsum(dls[:-1].astype(np.int64))
-        out = np.zeros(len(texts), dtype=np.uint64)
-        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        out = np.zeros(n_texts, dtype=np.uint64)
+        votes = np.zeros((n_texts, 64), dtype=np.int64)
         if th.size:
             # reduceat quirk: empty segments echo the element at the index
             # (and a trailing start == len raises) — clip, then zero them

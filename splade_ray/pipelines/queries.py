@@ -355,28 +355,30 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 # -------------------------------------------------------------- relational
 def lineitem_agg(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-shaped grouped aggregate (vectorized revenue column, partial
-    aggregation courtesy of Ray's Sum/Count combiners)."""
-    import pyarrow.compute as pc
+    """TPC-H Q1-shaped grouped aggregate: per-batch partial aggregation
+    (the combiner) + a driver combine — the result is 6 rows, so a Ray
+    groupby sort exchange would be pure overhead (same pattern as the df
+    aggregate in stages/stats.py)."""
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return batch.append_column("revenue", rev)
-
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Count(alias_name="n_rows"),
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        g = batch.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
         )
-        .to_pandas()
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
+        .agg(sum_qty=("sum_qty", "sum"), sum_revenue=("sum_revenue", "sum"), n_rows=("n_rows", "sum"))
+        .reset_index()
     )
     out["sum_qty"] = out["sum_qty"].round(6)
     out["sum_revenue"] = out["sum_revenue"].round(6)
@@ -384,40 +386,61 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
 
 
 def orders_by_segment(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join (small dimension side via ray.put) + aggregate."""
+    """Broadcast hash join (dimension side as numpy arrays via ray.put —
+    no Python dict rebuilt per worker) + partial aggregate per batch +
+    driver combine (result is one row per market segment)."""
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_names, seg_codes = np.unique(cust["c_mktsegment"].to_numpy(), return_inverse=True)
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    seg_ref = ray.put((keys[order], seg_codes[order].astype(np.int64), len(seg_names)))
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        seg = ray.get(seg_ref)
-        batch["c_mktsegment"] = batch["o_custkey"].map(seg)
-        return batch[["c_mktsegment", "o_totalprice"]]
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
 
-    out = (
+        skeys, scodes, n_seg = cached_ref(seg_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        codes = scodes[np.searchsorted(skeys, ck)]
+        return pa.table(
+            {
+                "n_orders": pa.array([np.bincount(codes, minlength=n_seg)]),
+                "total_price": pa.array([np.bincount(codes, weights=price, minlength=n_seg)]),
+            }
+        )
+
+    parts = (
         rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"])
-        .map_batches(join, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
-    out["total_price"] = out["total_price"].round(4)
+    n_orders = np.sum(np.stack(parts["n_orders"].to_numpy()), axis=0)
+    total = np.sum(np.stack(parts["total_price"].to_numpy()), axis=0)
+    out = pd.DataFrame(
+        {"c_mktsegment": seg_names, "n_orders": n_orders.astype(np.int64), "total_price": np.round(total, 4)}
+    )
+    out = out[out["n_orders"] > 0]
     return out.sort_values("c_mktsegment", ignore_index=True)
 
 
 def events_window(sf_dir: str) -> pd.DataFrame:
-    """Tumbling 1-hour window aggregate per event_type (groupby over the
-    floored-timestamp window key — ray_guide streaming-shaped pattern)."""
+    """Tumbling 1-hour window aggregate per event_type: per-batch partial
+    (window, type) aggregation + driver combine (streaming-shaped; the
+    window key count is tiny next to the event count)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"])
 
-    def window_key(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch["window_start"] = batch["ts"].dt.floor("h")
-        return batch[["window_start", "event_type", "value"]]
+        g = batch.groupby(["window_start", "event_type"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
 
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
-        ds.map_batches(window_key, batch_format="pandas")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+        parts.groupby(["window_start", "event_type"], sort=True)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
     )
     out["sum_value"] = out["sum_value"].round(6)
     return out.sort_values(["window_start", "event_type"], ignore_index=True)

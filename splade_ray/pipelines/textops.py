@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -47,27 +48,34 @@ class TokenStatsStage:
         self.tok = Tokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        flat, dls = self.tok.tokenize_flat(texts)
-        tok_lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
-        is_stop = np.fromiter((t in EN_STOPWORDS for t in flat), dtype=np.int64, count=len(flat))
-        seg = np.zeros(len(texts), dtype=np.int64)
-        if len(texts) > 1:
-            seg[1:] = np.cumsum(dls[:-1].astype(np.int64))
-        n_tok = dls.astype(np.int64)
-        if len(flat):
-            safe = np.minimum(seg, len(flat) - 1)
-            sum_len = np.add.reduceat(tok_lens, safe)
-            sum_stop = np.add.reduceat(is_stop, safe)
-            sum_len[n_tok == 0] = 0
-            sum_stop[n_tok == 0] = 0
+        text_arr = batch.column(self.text_col).combine_chunks()
+        n_texts = batch.num_rows
+        enc = self.tok.tokenize_codes(text_arr)
+        if enc is not None:
+            # per-UNIQUE-term lengths/stopword flags, gathered by code —
+            # no per-occurrence Python strings
+            codes, rows, vocab, dls = enc
+            vlen = pc.utf8_length(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+            vstop = np.fromiter((v in EN_STOPWORDS for v in vocab.to_pylist()), np.int64, len(vocab))
+            n_tok = dls
+            sum_len = np.bincount(rows, weights=vlen[codes], minlength=n_texts).astype(np.int64)
+            sum_stop = np.bincount(rows, weights=vstop[codes], minlength=n_texts).astype(np.int64)
         else:
-            sum_len = np.zeros(len(texts), np.int64)
-            sum_stop = np.zeros(len(texts), np.int64)
+            flat, dls32 = self.tok.tokenize_flat(text_arr.to_pylist())
+            n_tok = dls32.astype(np.int64)
+            rows = np.repeat(np.arange(n_texts, dtype=np.int64), n_tok)
+            tok_lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+            is_stop = np.fromiter((t in EN_STOPWORDS for t in flat), dtype=np.int64, count=len(flat))
+            sum_len = np.bincount(rows, weights=tok_lens, minlength=n_texts).astype(np.int64)
+            sum_stop = np.bincount(rows, weights=is_stop, minlength=n_texts).astype(np.int64)
         denom = np.maximum(n_tok, 1)
-        n_chars = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=len(texts))
-        n_digits = np.fromiter(
-            (sum(c.isdigit() for c in (t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        n_chars = (
+            pc.fill_null(pc.utf8_length(text_arr), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n_digits = (
+            pc.fill_null(pc.count_substring_regex(text_arr, "[0-9]"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         return pa.table(
             {
@@ -108,13 +116,56 @@ class LangIdStage:
                 best, score = lang, s
         return (best, score) if score > 0.05 else ("und", score)
 
+    _PRED_LANGS = ("en", "de", "es", "fr")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in batch.column(self.text_col).to_pylist()]
+        """Vectorized equivalent of :meth:`predict` over the whole batch:
+        CJK codepoint counts via RE2 char-class counts, stopword-profile
+        scores via dictionary codes over whitespace tokens."""
+        text = batch.column(self.text_col).combine_chunks()
+        n = batch.num_rows
+        nchar = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_hangul = pc.fill_null(pc.count_substring_regex(text, "[가-힯]"), 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_han = pc.fill_null(pc.count_substring_regex(text, "[一-鿿]"), 0).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(text, "")), r"\s+")
+        flat = toks.flatten()
+        counts = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if len(flat):
+            dic = flat.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dic.dictionary.to_pylist()
+            empty = np.fromiter((v == "" for v in vocab), bool, len(vocab))
+            keepm = ~empty[codes]
+            codes, trows = codes[keepm], rows[keepm]
+            n_tok = np.bincount(trows, minlength=n).astype(np.float64)
+            scores = np.zeros((len(self._PRED_LANGS), n), dtype=np.float64)
+            denom = np.maximum(n_tok, 1.0)
+            for li, lang in enumerate(self._PRED_LANGS):
+                vin = np.fromiter((v in LANG_PROFILES[lang] for v in vocab), np.float64, len(vocab))
+                scores[li] = np.bincount(trows, weights=vin[codes], minlength=n) / denom
+        else:
+            n_tok = np.zeros(n, dtype=np.float64)
+            scores = np.zeros((len(self._PRED_LANGS), n), dtype=np.float64)
+        # strictly-greater update order == argmax first-max (profile order)
+        best_i = np.argmax(scores, axis=0)
+        best_s = scores[best_i, np.arange(n)]
+
+        cjk = (nchar > 0) & ((n_hangul + n_han) / np.maximum(nchar, 1.0) > 0.1)
+        ko = n_hangul >= n_han
+        langs = np.asarray(self._PRED_LANGS, dtype=object)[best_i]
+        langs = np.where(best_s > 0.05, langs, "und")
+        langs = np.where(n_tok == 0, "und", langs)
+        score_out = np.where(n_tok == 0, 0.0, best_s)
+        langs = np.where(cjk, np.where(ko, "ko", "zh"), langs)
+        cjk_score = np.where(ko, n_hangul, n_han) / np.maximum(nchar, 1.0)
+        score_out = np.where(cjk, cjk_score, score_out)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "lang_pred": pa.array([p[0] for p in preds], type=pa.string()),
-                "lang_score": pa.array([p[1] for p in preds], type=pa.float64()),
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "lang_score": pa.array(score_out, type=pa.float64()),
             }
         )
 
@@ -131,11 +182,8 @@ class FingerprintStage:
     _R = np.uint64(0x100000001B3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        flat, dls = self.tok.tokenize_flat(texts)
-        th = hash_strings(flat)
-        n = len(texts)
-        dls64 = dls.astype(np.int64)
+        n = batch.num_rows
+        th, _rows, dls64 = self.tok.tokenize_hashes(batch.column(self.text_col))
         seg_starts = np.zeros(n, dtype=np.int64)
         if n > 1:
             seg_starts[1:] = np.cumsum(dls64[:-1])

@@ -111,6 +111,7 @@ class Tokenizer:
                 pa.array([], type=pa.string()),
                 np.zeros(0, np.int64),
             )
+        texts = pc.fill_null(texts, "")
         arr = pc.utf8_lower(texts) if self.lowercase else texts
         toks = pc.split_pattern_regex(arr, sp)
         flat = toks.flatten()
@@ -127,6 +128,25 @@ class Tokenizer:
             codes, rows = codes[keep], rows[keep]
         dls = np.bincount(rows, minlength=n).astype(np.int64)
         return codes, rows, vocab, dls
+
+    def tokenize_hashes(self, texts, seed: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch → (per-token u64 hashes in row order, rows, dls int64).
+        Hashing touches only the per-batch UNIQUE terms (dictionary codes
+        from :meth:`tokenize_codes`); per-occurrence Python strings never
+        exist.  Hash values are identical to ``hash_strings(tokens)``."""
+        from .functions.hashing import hash_strings
+
+        enc = self.tokenize_codes(texts)
+        if enc is None:
+            flat, dls32 = self.tokenize_flat(texts if isinstance(texts, list) else list(texts))
+            dls = dls32.astype(np.int64)
+            rows = np.repeat(np.arange(dls.size, dtype=np.int64), dls)
+            return hash_strings(np.asarray(flat, dtype=object), seed=seed), rows, dls
+        codes, rows, vocab, dls = enc
+        if codes.size == 0:
+            return np.zeros(0, np.uint64), rows, dls
+        vh = hash_strings(np.asarray(vocab.to_pylist(), dtype=object), seed=seed)
+        return vh[codes], rows, dls
 
     def tokenize_flat(self, texts: Iterable[str]) -> tuple[list[str], np.ndarray]:
         """Tokenize a batch → (flat python token list, per-row counts).

@@ -1,0 +1,81 @@
+"""Vectorized batch stages must equal their per-row reference paths on
+mixed inputs (empty/None/CJK/repeat-token/digit rows) — the guard for the
+Arrow-dictionary rewrites of minhash/simhash/langid/token-stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from splade_ray.functions.hashing import hash_strings
+from splade_ray.pipelines.dedup import MinHashStage, SimHashStage
+from splade_ray.pipelines.textops import FingerprintStage, LangIdStage, TokenStatsStage
+from splade_ray.tokenizer import Tokenizer
+
+TEXTS = [
+    "the cat and the dog",
+    "",
+    "der die das und ist",
+    "안녕하세요 세계 hello",
+    "el la de que y",
+    "le la les et de",
+    "123 456 numbers 789",
+    "one",
+    None,
+    "the the the",
+    "漢字のテキストです中文",
+]
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return pa.table(
+        {"doc_id": pa.array(range(len(TEXTS)), type=pa.int64()), "text": pa.array(TEXTS, type=pa.string())}
+    )
+
+
+def test_langid_matches_per_row(batch):
+    lid = LangIdStage()
+    for row, t in zip(lid(batch).to_pylist(), TEXTS):
+        exp = lid.predict(t or "")
+        assert row["lang_pred"] == exp[0], t
+        assert row["lang_score"] == pytest.approx(exp[1], abs=1e-12)
+
+
+def test_minhash_matches_per_row(batch):
+    mh = MinHashStage(num_perm=16)
+    out = mh(batch)
+    for i, t in enumerate(TEXTS):
+        assert np.array_equal(mh.signature(t or ""), np.asarray(out.column("sig")[i].as_py())), t
+
+
+def test_simhash_matches_per_row(batch):
+    sh = SimHashStage()
+    out = sh(batch).to_pylist()
+    tok = Tokenizer()
+    for i, t in enumerate(TEXTS):
+        th = hash_strings(tok.tokenize(t or ""))
+        ref = np.uint64(0)
+        for b in range(64):
+            bits = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            ref |= np.uint64(bits.sum() > 0) << np.uint64(b)
+        assert out[i]["simhash"] == ref.astype(np.int64), t
+
+
+def test_token_stats_match_per_row(batch):
+    r = TokenStatsStage()(batch).to_pandas()
+    tok = Tokenizer()
+    for i, t in enumerate(TEXTS):
+        toks = tok.tokenize(t or "")
+        assert r["n_tokens"][i] == len(toks)
+        assert r["n_chars"][i] == len(t or "")
+        if toks:
+            assert r["mean_token_len"][i] == pytest.approx(np.mean([len(x) for x in toks]))
+
+
+def test_fingerprint_chunk_invariant(batch):
+    fp = FingerprintStage()
+    whole = [r["fingerprint"] for r in fp(batch).to_pylist()]
+    split = [r["fingerprint"] for r in fp(batch.slice(0, 5)).to_pylist()] + [
+        r["fingerprint"] for r in fp(batch.slice(5)).to_pylist()
+    ]
+    assert whole == split
