@@ -146,6 +146,36 @@ def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 answered from the TERM-MAJOR salted index
+    (groupby(term) shuffle + skew-aware salting, pipelines/term_index.py)
+    — must be rank- and score-identical to the doc-sharded build and the
+    SQL oracle."""
+    from .term_index import TermIndexReader, build_term_index
+
+    base = build_documents_index(sf_dir)
+    tdir = os.path.join(base, "term_index")
+    if not os.path.exists(os.path.join(tdir, "_MANIFEST.json")):
+        build_term_index(
+            os.path.join(base, "doc_terms"),
+            os.path.join(base, "stats"),
+            tdir,
+            DOCS_CFG,
+            salt_block_postings=512,
+            max_salts=8,
+        )
+    reader = TermIndexReader(tdir, os.path.join(base, "stats"), DOCS_CFG)
+    dt = rd.read_parquet(os.path.join(base, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
+    dl = np.zeros(reader.n_docs, dtype=np.int64)
+    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
+    reader.set_doc_lengths(dl)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (doc, score) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, doc, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
 

@@ -1,0 +1,202 @@
+"""Term-partitioned posting build — the groupby(term) shuffle with
+skew-aware salting (north-star layout; alternate to the doc-sharded build).
+
+The doc-sharded layout (stages/postings.py) bounds head-term posting lists
+by construction and is the default.  This module implements the classic
+term-major layout the reference's single-node CSC corresponds to
+(``/root/reference/src/indexing/sparse_index.py:591-658`` — one posting
+list per term over the whole corpus), distributed:
+
+1. explode doc_terms → one (term_id, salt, doc_id, tf) row per posting —
+   the wide exchange doc-sharding avoids, done here deliberately;
+2. **salting**: salt = hash(doc_id) % S(term) where S(term) =
+   ceil(df / salt_block_postings) from the df table (A1) — head terms
+   (stopwords, df ≈ N) split into up to ``max_salts`` groups so no reducer
+   receives an unbounded group; tail terms keep S=1 (no overhead);
+3. ``groupby(term_id, salt)`` → per-group kernel sorts by doc id and
+   emits one compressed run (delta+varint doc ids, varint tfs, min/max doc
+   + count metadata);
+4. a term's full posting list is the k-way merge of its salted runs —
+   the scorer accumulates runs directly (score order is irrelevant for
+   Σ qw·w), so no merge materialization is needed.
+
+Query scoring over this layout is rank-identical to the doc-sharded
+reader (tested) — same BM25 weights, same (-score, doc_id) tie-break.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..codec import binary_concat, varint_decode, varint_encode
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..functions.hashing import splitmix64
+from ..oracle import bm25_idf
+from ..state.lineage import atomic_write_json, read_json
+from ..tokenizer import Tokenizer
+
+
+def _salt_counts(df: np.ndarray, cfg_block: int, max_salts: int) -> np.ndarray:
+    return np.clip((df + cfg_block - 1) // cfg_block, 1, max_salts).astype(np.int64)
+
+
+def explode_postings(batch: pa.Table, *, salts_ref) -> pa.Table:
+    """doc_terms rows → (term_id, salt, doc_id, tf) posting rows."""
+    from ..stages.encode import cached_ref
+
+    salts = cached_ref(salts_ref)  # int64[vocab]
+    tids_list = batch.column("tids").combine_chunks()
+    tids = tids_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = batch.column("tfs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    lens = tids_list.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    with np.errstate(over="ignore"):
+        salt = (splitmix64(doc_id.astype(np.uint64)) % salts[tids].astype(np.uint64)).astype(np.int32)
+    return pa.table(
+        {
+            "term_id": pa.array(tids.astype(np.int32)),
+            "salt": pa.array(salt),
+            "doc_id": pa.array(doc_id.astype(np.int32)),
+            "tf": pa.array(tfs.astype(np.int32)),
+        }
+    )
+
+
+def build_run(group: pa.Table) -> pa.Table:
+    """map_groups kernel for one (term_id, salt): sorted compressed run."""
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(doc, kind="stable")
+    doc, tf = doc[order], tf[order]
+    deltas = np.empty(doc.size, dtype=np.uint64)
+    if doc.size:
+        deltas[0] = doc[0]
+        np.subtract(doc[1:], doc[:-1], out=deltas[1:].view(np.int64), casting="unsafe")
+    return pa.table(
+        {
+            "term_id": pa.array([int(group.column("term_id")[0].as_py())], type=pa.int32()),
+            "salt": pa.array([int(group.column("salt")[0].as_py())], type=pa.int32()),
+            "df": pa.array([doc.size], type=pa.int32()),
+            "min_doc": pa.array([int(doc[0]) if doc.size else 0], type=pa.int32()),
+            "max_doc": pa.array([int(doc[-1]) if doc.size else 0], type=pa.int32()),
+            "docs": pa.array([varint_encode(deltas)], type=pa.binary()),
+            "tfs": pa.array([varint_encode(tf)], type=pa.binary()),
+        }
+    )
+
+
+def build_term_index(
+    doc_terms_dir: str,
+    stats_dir: str,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    salt_block_postings: int = 65536,
+    max_salts: int = 32,
+) -> dict:
+    """Term-major index from an existing doc_terms + stats build (BM25
+    mode).  Requires doc_terms with resolved doc ids (broadcast dedup)."""
+    vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+    meta = read_json(os.path.join(stats_dir, "meta.json"))
+    terms = np.asarray(vocab.column("term").to_pylist(), dtype=object)
+    df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    salts = _salt_counts(df, salt_block_postings, max_salts)
+    salts_ref = ray.put(salts)
+    vocab_ref = ray.put(terms)
+
+    from ..stages.postings import map_term_ids
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ray.data.read_parquet(doc_terms_dir)
+        .map_batches(
+            map_term_ids,
+            fn_kwargs={"cfg": cfg, "vocab_terms_ref": vocab_ref, "offsets_ref": None},
+            batch_format="pyarrow",
+            batch_size=cfg.read_batch_size,
+        )
+        .map_batches(explode_postings, fn_kwargs={"salts_ref": salts_ref}, batch_format="pyarrow")
+        .groupby(["term_id", "salt"])
+        .map_groups(build_run, batch_format="pyarrow")
+        .write_parquet(os.path.join(out_dir, "runs"))
+    )
+    summary = {
+        "n_docs": meta["n_docs"],
+        "avgdl": meta["avgdl"],
+        "nnz": meta["nnz"],
+        "max_salts": int(salts.max()),
+        "salted_terms": int((salts > 1).sum()),
+        "layout": "term-major-salted",
+    }
+    atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), summary)
+    return summary
+
+
+class TermIndexReader:
+    """Query-side reader over the salted term-major layout: a term's runs
+    accumulate directly into the dense score vector (no merge
+    materialization).  Exhaustive scoring only — rank-identical to the
+    doc-sharded reader (tested)."""
+
+    def __init__(self, term_index_dir: str, stats_dir: str, cfg: EngineConfig | None = None):
+        self.cfg = cfg or DEFAULT_CONFIG
+        meta = read_json(os.path.join(term_index_dir, "_MANIFEST.json"))
+        self.n_docs, self.avgdl = meta["n_docs"], meta["avgdl"]
+        vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+        self.vocab_index = pd.Index(vocab.column("term").to_pylist())
+        self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        runs = pq.read_table(os.path.join(term_index_dir, "runs"))
+        order = pa.compute.sort_indices(
+            runs, sort_keys=[("term_id", "ascending"), ("salt", "ascending")]
+        )
+        runs = runs.take(order)
+        self.run_tids = runs.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.run_df = runs.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.run_docs = runs.column("docs").to_pylist()
+        self.run_tfs = runs.column("tfs").to_pylist()
+        # doc lengths needed for BM25 at query time: load from doc_terms?
+        # stats doesn't keep per-doc dl, so reader takes it lazily below.
+        self._dl: np.ndarray | None = None
+        self.tok = Tokenizer(self.cfg)
+
+    def set_doc_lengths(self, dl: np.ndarray):
+        self._dl = dl.astype(np.float64)
+
+    def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        assert self._dl is not None, "call set_doc_lengths first"
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return []
+        tids = self.vocab_index.get_indexer(np.asarray(sorted(set(toks)), dtype=object))
+        counts = pd.Series(toks).value_counts()
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        cfg = self.cfg
+        for tok_s, tid in zip(sorted(set(toks)), tids):
+            if tid < 0:
+                continue
+            qw = float(counts[tok_s])
+            idf = float(bm25_idf(np.asarray([self.df[tid]], dtype=np.float64), self.n_docs)[0])
+            lo = np.searchsorted(self.run_tids, tid, side="left")
+            hi = np.searchsorted(self.run_tids, tid, side="right")
+            for r in range(lo, hi):
+                n = int(self.run_df[r])
+                docs = np.cumsum(varint_decode(self.run_docs[r], n).astype(np.int64))
+                tf = varint_decode(self.run_tfs[r], n).astype(np.float64)
+                w = idf * tf * (cfg.k1 + 1.0) / (
+                    tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self._dl[docs] / self.avgdl)
+                )
+                scores[docs] += qw * w
+        nz = np.nonzero(scores)[0]
+        if nz.size == 0:
+            return []
+        kk = min(k, nz.size)
+        order = nz[np.lexsort((nz, -scores[nz]))][:kk]
+        return [(int(d), float(scores[d])) for d in order]

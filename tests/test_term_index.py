@@ -1,0 +1,58 @@
+"""Term-major salted posting build (groupby(term) + skew-aware salting)
+must be rank-identical to the doc-sharded index on the same corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from splade_ray.pipelines.search import IndexReader
+from splade_ray.pipelines.term_index import TermIndexReader, build_term_index, _salt_counts
+from splade_ray.fixtures import generate_queries
+
+
+def test_salt_counts_df_aware():
+    df = np.array([10, 65536, 65537, 10_000_000])
+    s = _salt_counts(df, 65536, 32)
+    assert s.tolist() == [1, 1, 2, 32]
+
+
+@pytest.fixture(scope="module")
+def term_index(built_index, tmp_path_factory):
+    index_dir, cfg = built_index
+    out = str(tmp_path_factory.mktemp("term_idx"))
+    summary = build_term_index(
+        os.path.join(index_dir, "doc_terms"),
+        os.path.join(index_dir, "stats"),
+        out,
+        cfg,
+        salt_block_postings=200,  # small so head terms actually salt
+        max_salts=8,
+    )
+    reader = TermIndexReader(out, os.path.join(index_dir, "stats"), cfg)
+    dt = ray.data.read_parquet(os.path.join(index_dir, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
+    dt = dt.sort_values("doc_id")
+    dl = np.zeros(summary["n_docs"], dtype=np.int64)
+    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
+    reader.set_doc_lengths(dl)
+    return reader, summary
+
+
+def test_head_terms_salted(term_index):
+    _, summary = term_index
+    assert summary["salted_terms"] > 0
+    assert summary["max_salts"] > 1
+
+
+def test_rank_identity_vs_doc_sharded(term_index, built_index):
+    term_reader, _ = term_index
+    index_dir, cfg = built_index
+    doc_reader = IndexReader(index_dir, cfg)
+    for text in generate_queries(40)["text"].to_pylist():
+        expected = doc_reader.search(text, 10)
+        got = term_reader.search(text, 10)
+        assert [d for d, _, _ in expected] == [d for d, _ in got], text
+        for (_, es, _), (_, gs) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=1e-9)
