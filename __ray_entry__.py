@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q.lineitem_agg,
         "orders_by_segment": q.orders_by_segment,
         "events_window": q.events_window,
+        # training-triplet ingestion + seeded sampling (S2/M9/K6;
+        # deterministic synthetic TSV — rows-only check)
+        "triplet_ingest": q.triplet_ingest,
         # multimodal plumbing (deterministic fake decoder)
         "media_decode": media_decode,
         "frame_sample": frame_sample,

@@ -625,3 +625,33 @@ def event_sessions(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
     return out.sort_values(["user_id", "session_start"], ignore_index=True)
+
+
+def triplet_ingest(sf_dir: str) -> pd.DataFrame:
+    """Training-triplet TSV ingestion (S2/M9) + seeded sampling (K6):
+    synthesize a deterministic TSV from the documents table (every 7th doc
+    becomes a 4-col triplet line, every 13th a 3-col line, plus malformed
+    lines that must be skipped), parse it back distributed, subsample."""
+    from .triplets import read_triplets, sample_training_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).to_pandas().head(2000)
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/splade_ray_cache", f"triplets_{key}.tsv")
+    os.makedirs("/tmp/splade_ray_cache", exist_ok=True)
+    if not os.path.exists(path):
+        lines = []
+        for i, (did, text) in enumerate(zip(docs["doc_id"], docs["text"])):
+            words = text.split()[:6]
+            q = " ".join(words[:3]) or "q"
+            if i % 13 == 0:
+                lines.append(f"{q}\t{' '.join(words[3:5])}\t{' '.join(words[4:6])}")
+            elif i % 7 == 0:
+                lines.append(f"qid{did}\t{q}\t{' '.join(words[3:5])}\t{' '.join(words[4:6])}")
+            elif i % 97 == 0:
+                lines.append("malformed line")
+        tmp = path + ".tmp"
+        open(tmp, "w").write("\n".join(lines))
+        os.replace(tmp, path)
+    parsed = read_triplets(path)
+    sampled = sample_training_pairs(parsed, keep_fraction=0.5, seed=10).to_pandas()
+    return sampled.sort_values(["query_id", "query"], ignore_index=True)

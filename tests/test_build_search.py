@@ -115,3 +115,36 @@ def test_dedup_modes_equivalent(web_pages_path, small_cfg, tmp_path):
     assert files == sorted(f for f in os.listdir(got) if f.endswith(".parquet"))
     for f in files:
         assert pq_.read_table(os.path.join(base, f)).equals(pq_.read_table(os.path.join(got, f))), f
+
+
+def test_searcher_stage_batch_path(built_index, reader):
+    """Distributed query processing: a queries Dataset through the
+    SearcherStage actor pool must equal per-query reader.search."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.search import SearcherStage
+
+    index_dir, cfg = built_index
+    queries = generate_queries(30)
+    out = (
+        rd.from_arrow(queries)
+        .map_batches(
+            SearcherStage,
+            fn_constructor_args=(index_dir, 10, "exhaustive", cfg),
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    rows = []
+    for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):
+        for rank, (doc, score, url) in enumerate(reader.search(text, 10), 1):
+            rows.append((qid, rank, doc, url, score))
+    import pandas as pd
+
+    expected = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "url", "score"]).sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(out, expected, check_dtype=False)
