@@ -291,8 +291,62 @@ class IndexBuilder:
         )
         return postings_dir
 
+    def _input_rows(self, input_paths) -> int:
+        import pyarrow.parquet as pq
+
+        paths = input_paths if isinstance(input_paths, (list, tuple)) else [input_paths]
+        total = 0
+        for p in paths:
+            files = (
+                [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+                if os.path.isdir(p)
+                else [p]
+            )
+            total += sum(pq.read_metadata(f).num_rows for f in files)
+        return total
+
+    def _build_empty(self) -> None:
+        """Zero-row input: a valid empty index (empty vocab + stats, no
+        postings shards) so downstream readers degrade to empty results."""
+        stats_dir = os.path.join(self.out_dir, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        if self.cfg.encoder == "neural":
+            vocab = pa.table({"term_id": pa.array([], type=pa.int32()), "df": pa.array([], type=pa.int64())})
+        else:
+            vocab = pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "term_id": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        pq.write_table(vocab, os.path.join(stats_dir, "vocab.parquet"))
+        atomic_write_json(
+            os.path.join(stats_dir, "meta.json"),
+            {"n_docs": 0, "avgdl": 0.0, "nnz": 0, "encoder": self.cfg.encoder},
+        )
+        postings_dir = os.path.join(self.out_dir, "postings")
+        os.makedirs(postings_dir, exist_ok=True)
+        atomic_write_json(os.path.join(postings_dir, "_LINEAGE.json"), {"shards": []})
+
     def build(self, input_paths) -> dict:
         t0 = time.perf_counter()
+        if self._input_rows(input_paths) == 0:
+            self._build_empty()
+            summary = {
+                "out_dir": self.out_dir,
+                "config_hash": self.cfg_hash,
+                "wall_time_s": round(time.perf_counter() - t0, 3),
+                "timings": {},
+                "n_docs": 0,
+                "avgdl": 0.0,
+                "nnz": 0,
+                "encoder": self.cfg.encoder,
+            }
+            atomic_write_json(os.path.join(self.out_dir, "_MANIFEST.json"), summary)
+            return summary
         self.build_doc_terms(input_paths)
         self.build_stats()
         self.build_postings()

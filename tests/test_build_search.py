@@ -148,3 +148,26 @@ def test_searcher_stage_batch_path(built_index, reader):
         ["query_id", "rank"], ignore_index=True
     )
     pd.testing.assert_frame_equal(out, expected, check_dtype=False)
+
+
+def test_empty_corpus_builds_valid_empty_index(ray_session, small_cfg, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from splade_ray.pipelines.build import build_index
+
+    empty = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "warc_ts": pa.array([], type=pa.timestamp("us")),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+        }
+    )
+    p = str(tmp_path / "empty.parquet")
+    pq_.write_table(empty, p)
+    out = str(tmp_path / "empty_idx")
+    summary = build_index(p, out, small_cfg)
+    assert summary["n_docs"] == 0
+    reader = IndexReader(out, small_cfg)
+    assert reader.search("anything", 10) == []
