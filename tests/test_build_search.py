@@ -171,3 +171,25 @@ def test_empty_corpus_builds_valid_empty_index(ray_session, small_cfg, tmp_path)
     assert summary["n_docs"] == 0
     reader = IndexReader(out, small_cfg)
     assert reader.search("anything", 10) == []
+
+
+def test_duplicate_url_ts_fails_loudly(ray_session, small_cfg, tmp_path):
+    """Broadcast dedup assumes unique (url, warc_ts); exact duplicates must
+    fail at the postings contiguity check with an actionable message."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from splade_ray.pipelines.build import build_index
+
+    dup = pa.table(
+        {
+            "url": ["https://a/1", "https://a/1", "https://a/2"],
+            "warc_ts": pa.array([5, 5, 7], type=pa.timestamp("us")),
+            "text": ["same doc", "same doc", "other"],
+            "lang": ["en"] * 3,
+        }
+    )
+    p = str(tmp_path / "dup.parquet")
+    pq_.write_table(dup, p)
+    with pytest.raises(Exception, match="duplicate \\(url, warc_ts\\)"):
+        build_index(p, str(tmp_path / "dup_idx"), small_cfg)
