@@ -1,4 +1,4 @@
-"""Doc encoding stage: text → per-doc sparse term/tf vectors (actor pool).
+"""Doc encoding kernels: text → per-doc sparse term/tf vectors.
 
 This is the engine's BM25 "term-impact encoder" — the CPU analogue of the
 reference's SPLADE doc encoder + sparsifier
@@ -9,10 +9,11 @@ reference's SPLADE doc encoder + sparsifier
 Arrow list columns are the CSR representation — list offsets *are* the
 indptr (SURVEY.md §1.2).
 
-A stateful callable class: the tokenizer regex is compiled once per actor
-(``__init__``), batches are processed vectorized (flat tokens →
-``pandas.factorize`` → segmented unique/count) — no per-row Python beyond
-the regex engine.
+Called from the fused dedup+encode kernel (stages/dedup.py) as plain
+tasks; everything stays Arrow/numpy (tokenization via
+``Tokenizer.tokenize_codes`` dictionary codes — zero per-token Python
+objects).  The worker-local caches at the bottom back every broadcast
+(``ray.put``) consumer in the engine.
 """
 
 from __future__ import annotations
@@ -137,45 +138,3 @@ def cached_ref(ref):
     if key not in _REF_CACHE:
         _REF_CACHE[key] = ray.get(ref)
     return _REF_CACHE[key]
-
-
-def encode_batch(batch: pa.Table, *, cfg: EngineConfig, offsets_ref) -> pa.Table:
-    """map_batches(pyarrow) TASK: corpus rows (bucket, local_idx, url,
-    text, …) → (doc_id, url, dl, terms, tfs).
-
-    A plain task, not an actor pool: the only state is a compiled regex and
-    the broadcast offsets array, both cached per worker process — actor
-    startup would dominate at this stage's compute density (the neural
-    encoder, with real model state, stays an actor pool).
-    ``offsets_ref`` is a ``ray.put`` handle to the per-bucket exclusive
-    prefix sums — broadcast once, read per worker (not re-shipped per
-    batch)."""
-    tok = cached_tokenizer(cfg)
-    offsets = np.asarray(cached_ref(offsets_ref), dtype=np.int64)  # indexed by bucket
-    buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-    local_idx = batch.column("local_idx").to_numpy(zero_copy_only=False)
-    doc_id = offsets[buckets] + local_idx
-    texts = batch.column("text").to_pylist()
-    terms, tfs, dls = term_count_table(texts, tok)
-    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_id),
-            "url": batch.column("url"),
-            "dl": pa.array(dls),
-            "terms": terms,
-            "tfs": tfs,
-        }
-    )
-
-
-class EncodeStage:
-    """Callable-class form of :func:`encode_batch` (kept for API parity
-    with :class:`~splade_ray.stages.neural.NeuralEncodeStage`)."""
-
-    def __init__(self, cfg: EngineConfig, offsets_ref):
-        self.cfg = cfg
-        self.offsets_ref = offsets_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return encode_batch(batch, cfg=self.cfg, offsets_ref=self.offsets_ref)

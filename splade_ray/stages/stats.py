@@ -73,25 +73,3 @@ def compute_vocab_ids(doc_tids: Dataset) -> pd.DataFrame:
     parts = doc_tids.map_batches(partial, batch_format="pyarrow").to_pandas()
     vocab = parts.groupby("term_id", sort=True, as_index=False)["df"].sum()
     return vocab[["term_id", "df"]]
-
-
-def compute_doc_stats(doc_terms_dl: Dataset, nnz: int | None = None) -> dict:
-    """N, avgdl, nnz.  ``doc_terms_dl`` should be a column-pruned read of
-    just the ``dl`` column — ``count()`` comes from parquet metadata
-    (no data pass) and ``sum("dl")`` streams one int32 column.  ``nnz`` is
-    Σdf when the caller already has the vocab (terms are distinct per row),
-    else it is recomputed from list lengths."""
-    n = int(doc_terms_dl.count() or 0)
-    sum_dl = int(doc_terms_dl.sum("dl") or 0) if n else 0
-    if nnz is None:
-
-        def partial(batch: pa.Table) -> pa.Table:
-            lens = batch.column("terms").combine_chunks().value_lengths()
-            return pa.table({"nnz": pa.array([int(pa.compute.sum(lens).as_py() or 0)], type=pa.int64())})
-
-        nnz = int(doc_terms_dl.map_batches(partial, batch_format="pyarrow").sum("nnz") or 0)
-    return {
-        "n_docs": n,
-        "avgdl": float(sum_dl / n) if n else 0.0,
-        "nnz": int(nnz),
-    }
