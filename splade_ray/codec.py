@@ -21,6 +21,10 @@ _MAX_BYTES = 5  # uint32 fits in 5 varint bytes
 
 def varint_encode(values: np.ndarray) -> bytes:
     """Encode a uint32/int array (values < 2**35) into LEB128 varints."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    if values.size and bool((values >> np.uint64(7 * 5)).any()):
+        raise ValueError("varint_encode: value >= 2**35 would be truncated (5-byte cap)")
+
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""

@@ -40,15 +40,9 @@ def _zipf_cdf(n: int, s: float = 1.07) -> np.ndarray:
     return np.cumsum(p)
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer — uint64 in, uint64 out."""
-    z = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        z += np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z = z ^ (z >> np.uint64(31))
-    return z
+# same mixing kernel as the engine's hashing module — one definition so
+# fixture determinism can never desynchronize from engine hashing
+from .functions.hashing import splitmix64 as _splitmix64
 
 
 def _uniform(key: int, idx: np.ndarray) -> np.ndarray:

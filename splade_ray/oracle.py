@@ -69,8 +69,12 @@ def dedup_assign(web_pages: pa.Table, cfg: EngineConfig) -> pa.Table:
     """
     urls = np.asarray(web_pages["url"].to_pylist(), dtype=object)
     ts = web_pages["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    # keep max warc_ts per url
-    order = np.lexsort((-ts, urls))  # by url asc, ts desc
+    from .functions.hashing import hash_strings
+
+    content = hash_strings(np.asarray(web_pages["text"].to_pylist(), dtype=object)).astype(np.int64)
+    # keep max warc_ts per url; exact (url, ts) ties break by content hash
+    # (same deterministic rule as the engine's shuffle-mode dedup)
+    order = np.lexsort((content, -ts, urls))  # by url asc, ts desc, hash asc
     keep_mask = np.ones(order.size, dtype=bool)
     keep_mask[1:] = urls[order][1:] != urls[order][:-1]
     kept = order[keep_mask]

@@ -36,6 +36,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def _boundary_safe_topk(col: np.ndarray, kk: int) -> np.ndarray:
+    """Candidate indices for a per-batch partial top-k: everything with
+    score >= the kth score, not an arbitrary kk of them — keeps the global
+    (-score, vec_id) tie-break exact at the boundary (same rule as
+    ShardIndex._topk_from_scores)."""
+    if col.size <= kk:
+        return np.arange(col.size)
+    part = np.argpartition(-col, kk - 1)[:kk]
+    kth = col[part].min()
+    return np.nonzero(col >= kth)[0]
+
+
 def _partial_topk_table(qidx: np.ndarray, ids: np.ndarray, scores: np.ndarray) -> pa.Table:
     return pa.table(
         {
@@ -76,10 +88,7 @@ def brute_force_topk(
         out_q, out_i, out_s = [], [], []
         for qi in range(Qm.shape[0]):
             col = sims[:, qi]
-            if len(ids) > kk:
-                part = np.argpartition(-col, kk - 1)[:kk]
-            else:
-                part = np.arange(len(ids))
+            part = _boundary_safe_topk(col, kk)
             out_q.append(np.full(part.size, qi))
             out_i.append(ids[part])
             out_s.append(col[part])
@@ -170,8 +179,7 @@ class IVFIndex:
                     continue
                 col = sims[mask, qi]
                 sel_ids = ids[mask]
-                kk = min(k, col.size)
-                part = np.argpartition(-col, kk - 1)[:kk] if col.size > kk else np.arange(col.size)
+                part = _boundary_safe_topk(col, min(k, col.size))
                 out_q.append(np.full(part.size, qi))
                 out_i.append(sel_ids[part])
                 out_s.append(col[part])

@@ -105,6 +105,14 @@ class IndexBuilder:
         guard = StageGuard(dt_dir, self.cfg_hash)
         if guard.done():
             return dt_dir
+        # a crashed or config-changed prior run may have left parquet files
+        # behind; write_parquet APPENDS new UUID-named files, so a dirty
+        # stage dir would silently duplicate every row — clear it first
+        # (the postings stage is per-shard atomic and resumes instead)
+        import shutil
+
+        shutil.rmtree(dt_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(self.out_dir, "corpus"), ignore_errors=True)
         t0 = time.perf_counter()
         cols = _corpus_columns(input_paths)
         ds = ray.data.read_parquet(input_paths, columns=cols)

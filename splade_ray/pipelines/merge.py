@@ -94,7 +94,16 @@ class MergeShardStage:
 
     def _merge_one(self, shard_id: int, seg_idx: list[int], pdirs: list[str]) -> pa.Table:
         t0 = time.perf_counter()
-        docs_tbls, run_tids, run_lens, run_local, run_vals = [], [], [], [], []
+        # resume check from parquet METADATA only — a valid merged shard
+        # must not pay for reading/decoding every segment again
+        total_rows = sum(
+            pq.read_metadata(os.path.join(pdir, f"shard-{shard_id:05d}.docs.parquet")).num_rows
+            for pdir in pdirs
+        )
+        if shard_is_valid(self.postings_dir, shard_id, total_rows):
+            return _lineage_row({"part_id": shard_id, "input_rows": total_rows, "skipped": True})
+
+        docs_tbls, run_tids, run_local, run_vals = [], [], [], []
         doc_off = 0
         for si, pdir in zip(seg_idx, pdirs):
             post = pq.read_table(os.path.join(pdir, f"shard-{shard_id:05d}.postings.parquet"))
@@ -109,9 +118,6 @@ class MergeShardStage:
             run_vals.append(vals)
             docs_tbls.append(docs)
             doc_off += docs.num_rows
-
-        if shard_is_valid(self.postings_dir, shard_id, doc_off):
-            return _lineage_row({"part_id": shard_id, "input_rows": doc_off, "skipped": True})
 
         flat_tid = np.concatenate(run_tids)
         flat_local = np.concatenate(run_local)

@@ -431,7 +431,9 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
         skeys, scodes, n_seg = cached_ref(seg_ref)
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
         price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        codes = scodes[np.searchsorted(skeys, ck)]
+        idx = np.minimum(np.searchsorted(skeys, ck), skeys.size - 1)
+        matched = skeys[idx] == ck  # inner-join semantics: orphan keys drop
+        codes, price = scodes[idx[matched]], price[matched]
         return pa.table(
             {
                 "n_orders": pa.array([np.bincount(codes, minlength=n_seg)]),

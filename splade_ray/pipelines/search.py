@@ -30,6 +30,7 @@ globally exact (scatter-gather).  Two deployments:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 
@@ -441,7 +442,11 @@ class ShardedSearcher:
         )
         n = num_actors or min(len(shard_ids), 8)
         groups = [shard_ids[i::n] for i in range(n) if shard_ids[i::n]]
-        self.actors = [ShardScorerActor.remote(index_dir, g) for g in groups]
+        # actors must score under the SAME config the index was built with
+        # (k1/b/zone_docs) — a default-config actor would misread zone ids
+        # and diverge from the local reader
+        cfg_kwargs = dataclasses.asdict(cfg)
+        self.actors = [ShardScorerActor.remote(index_dir, g, cfg_kwargs) for g in groups]
         # query-side state (vocab) loaded once locally, no shards
         self.reader = IndexReader(index_dir, cfg, shard_ids=[])
 
@@ -455,6 +460,8 @@ class ShardedSearcher:
             docs.append(d)
             scores.append(s)
             urls.extend(u)
+        if not docs:  # empty index: zero shards, zero actors
+            return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)
         if d.size == 0:

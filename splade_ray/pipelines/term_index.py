@@ -64,7 +64,9 @@ def explode_postings(batch: pa.Table, *, salts_ref) -> pa.Table:
         {
             "term_id": pa.array(tids.astype(np.int32)),
             "salt": pa.array(salt),
-            "doc_id": pa.array(doc_id.astype(np.int32)),
+            # int64: global doc ids — this layout is the 10^12-doc design
+            # point, int32 would wrap silently past 2^31 docs
+            "doc_id": pa.array(doc_id.astype(np.int64)),
             "tf": pa.array(tfs.astype(np.int32)),
         }
     )
@@ -84,9 +86,9 @@ def build_run(group: pa.Table) -> pa.Table:
         {
             "term_id": pa.array([int(group.column("term_id")[0].as_py())], type=pa.int32()),
             "salt": pa.array([int(group.column("salt")[0].as_py())], type=pa.int32()),
-            "df": pa.array([doc.size], type=pa.int32()),
-            "min_doc": pa.array([int(doc[0]) if doc.size else 0], type=pa.int32()),
-            "max_doc": pa.array([int(doc[-1]) if doc.size else 0], type=pa.int32()),
+            "df": pa.array([doc.size], type=pa.int64()),
+            "min_doc": pa.array([int(doc[0]) if doc.size else 0], type=pa.int64()),
+            "max_doc": pa.array([int(doc[-1]) if doc.size else 0], type=pa.int64()),
             "docs": pa.array([varint_encode(deltas)], type=pa.binary()),
             "tfs": pa.array([varint_encode(tf)], type=pa.binary()),
         }
@@ -114,7 +116,11 @@ def build_term_index(
 
     from ..stages.postings import map_term_ids
 
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # write_parquet appends; clear any half-written runs from a prior crash
+    shutil.rmtree(os.path.join(out_dir, "runs"), ignore_errors=True)
     (
         ray.data.read_parquet(doc_terms_dir)
         .map_batches(

@@ -22,10 +22,16 @@ import pyarrow as pa
 
 def dedup_assign_group(group: pa.Table) -> pa.Table:
     """map_groups(pyarrow) over one bucket: drop url recrawls (keep max
-    warc_ts), sort by url, emit local_idx."""
+    warc_ts), sort by url, emit local_idx.  Exact (url, warc_ts) ties are
+    broken by content hash so the winner is deterministic regardless of
+    the arrival order the shuffle produced (broadcast mode instead fails
+    loudly on such ties — see EngineConfig.dedup_mode)."""
+    from ..functions.hashing import hash_strings
+
     urls = np.asarray(group.column("url").to_pylist(), dtype=object)
     ts = group.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    order = np.lexsort((-ts, urls))  # url asc, warc_ts desc
+    content = hash_strings(np.asarray(group.column("text").to_pylist(), dtype=object)).astype(np.int64)
+    order = np.lexsort((content, -ts, urls))  # url asc, warc_ts desc, hash asc
     keep = np.ones(order.size, dtype=bool)
     keep[1:] = urls[order][1:] != urls[order][:-1]
     final = order[keep]

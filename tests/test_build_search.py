@@ -75,6 +75,9 @@ def test_sharded_equals_local(built_index, reader):
     try:
         for text in generate_queries(20)["text"].to_pylist():
             assert ss.search(text, 10) == reader.search(text, 10)
+            # wand exercises zone metadata → catches actors scoring under a
+            # different config than the index was built with
+            assert ss.search(text, 10, method="wand") == reader.search(text, 10)
     finally:
         ss.shutdown()
 
