@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.bm25_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
+        # hashed-vocab build (feature-hashed term ids, no vocab strings)
+        "bm25_topk_hashed": q.bm25_topk_hashed,
         # SPLADE-style hash-expansion encoder index (model scoring — no SQL
         # oracle; gated by the pytest rank-identity oracle instead)
         "neural_topk": q.neural_topk,
@@ -187,6 +189,8 @@ ORDER BY p.query_id
         "bm25_topk": bm25,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
+        # so must the hashed-vocab build (same df/idf per term)
+        "bm25_topk_hashed": bm25,
         # merged segments must reproduce the single-build BM25 ranking
         "segment_merge_topk": bm25,
         "boolean_and_match": boolean_and,

@@ -58,6 +58,16 @@ class EngineConfig:
     # reference MLM (vocab 30522, config/model/_base.yaml:2; seed 10,
     # config/config.yaml:2), doc-only BoW query scoring.
     encoder: str = "bm25"
+    # --- term-id assignment for the BM25 encoder ---
+    # "sorted": term ids are the rank in sorted term order; the vocab table
+    # (term → id, df) is a driver-sized reduce — exact, right up to vocabs
+    # of ~100M terms.  "hashed": term id = 63-bit hash of the term string;
+    # NO term strings ever leave the tokenizer (doc_terms stores int ids,
+    # stats aggregates ints, queries hash directly) — the 10^12-doc path
+    # where the vocabulary itself is too large to sort on one node.
+    # Collisions are birthday-negligible below ~10^8 distinct terms and
+    # would only merge two terms' postings (BM25 degrades, nothing breaks).
+    vocab_mode: str = "sorted"
     neural_vocab_size: int = 30522
     neural_expansions: int = 8
     neural_seed: int = 10
@@ -105,6 +115,7 @@ class EngineConfig:
         assert self.num_buckets > 0 and self.shard_size > 0 and self.zone_docs > 0
         assert self.encoder in ("bm25", "neural")
         assert self.dedup_mode in ("broadcast", "shuffle")
+        assert self.vocab_mode in ("sorted", "hashed")
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 

@@ -184,7 +184,7 @@ class IndexBuilder:
         if guard.done():
             return stats_dir
         t0 = time.perf_counter()
-        if self.cfg.encoder == "neural":
+        if self.cfg.encoder == "neural" or self.cfg.vocab_mode == "hashed":
             vocab = compute_vocab_ids(ray.data.read_parquet(dt_dir, columns=["tids"]))
         else:
             vocab = compute_vocab(ray.data.read_parquet(dt_dir, columns=["terms"]))
@@ -218,6 +218,7 @@ class IndexBuilder:
             "avgdl": float(parts["sum_dl"].sum() / n_docs) if n_docs else 0.0,
             "nnz": int(vocab["df"].sum()),
             "encoder": self.cfg.encoder,
+            "vocab_mode": self.cfg.vocab_mode,
         }
         if with_buckets:
             # per-bucket doc counts: the tiny aggregate behind the
@@ -263,6 +264,24 @@ class IndexBuilder:
                 cfg=self.cfg,
                 stats_ref=stats_ref,
                 weight_mode="f32",
+            )
+            sharded = doc_terms.map_batches(
+                assign_ids_and_shard,
+                fn_kwargs={"cfg": self.cfg, "offsets_ref": offsets_ref},
+                batch_format="pyarrow",
+                batch_size=self.cfg.read_batch_size,
+            )
+        elif self.cfg.vocab_mode == "hashed":
+            # doc_terms already carries hashed int64 term ids — no vocab
+            # string mapping stage at all; df resolves by searchsorted
+            vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+            tid_index = vocab.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            stats_ref = ray.put(
+                {"df": df, "tid_index": tid_index, "n_docs": meta["n_docs"], "avgdl": meta["avgdl"]}
+            )
+            kernel = functools.partial(
+                build_shard_index, postings_dir=postings_dir, cfg=self.cfg, stats_ref=stats_ref
             )
             sharded = doc_terms.map_batches(
                 assign_ids_and_shard,

@@ -168,6 +168,7 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "nnz": sum(m["nnz"] for m in metas),
         "encoder": encoder,
+        "vocab_mode": metas[0].get("vocab_mode", "sorted"),
         "merged_from": [os.path.abspath(d) for d in segment_dirs],
     }
 
@@ -175,7 +176,7 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
     vocabs = [pq.read_table(os.path.join(d, "stats", "vocab.parquet")).to_pandas() for d in segment_dirs]
     stats_dir = os.path.join(out_dir, "stats")
     os.makedirs(stats_dir, exist_ok=True)
-    if encoder == "bm25":
+    if "term" in vocabs[0].columns:  # sorted-string vocab: remap per segment
         merged = (
             pd.concat(vocabs, ignore_index=True)
             .groupby("term", sort=True, as_index=False)["df"]
@@ -187,14 +188,22 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
         remaps = [midx.get_indexer(v["term"]).astype(np.int64) for v in vocabs]
         df_global = merged["df"].to_numpy().astype(np.int64)
         stats = {"df": df_global, "n_docs": n_docs, "avgdl": meta["avgdl"]}
-    else:
+    else:  # global int ids (neural hashes or hashed bm25 vocab): no remap
         merged = (
             pd.concat(vocabs, ignore_index=True)
             .groupby("term_id", sort=True, as_index=False)["df"]
             .sum()
         )
         remaps = [None] * len(segment_dirs)
-        stats = {"n_docs": n_docs}
+        if encoder == "bm25":  # hashed vocab still needs df for BM25 weights
+            stats = {
+                "df": merged["df"].to_numpy().astype(np.int64),
+                "tid_index": merged["term_id"].to_numpy().astype(np.int64),
+                "n_docs": n_docs,
+                "avgdl": meta["avgdl"],
+            }
+        else:
+            stats = {"n_docs": n_docs}
     pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), os.path.join(stats_dir, "vocab.parquet"))
     atomic_write_json(os.path.join(stats_dir, "meta.json"), meta)
 

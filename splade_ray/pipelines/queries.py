@@ -176,6 +176,25 @@ def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_hashed(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 from a HASHED-VOCAB build (vocab_mode="hashed": term ids
+    are 63-bit hashes, no term strings past the tokenizer — the 10^12-doc
+    vocabulary path).  df/idf per term are identical to the sorted-vocab
+    build, so this must match the same SQL oracle rank- and score-
+    identically."""
+    cfg = EngineConfig(shard_size=2000, num_buckets=1, vocab_mode="hashed")
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{cfg}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_hidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, cfg)
+    reader = IndexReader(out, cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (internal_doc, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
 

@@ -87,8 +87,15 @@ class ShardIndex:
             self.post_local = np.zeros(0, np.int64)
         if "tfs" in post.column_names:
             tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
-            # precompute float64 BM25 weights (identical formula to the oracle)
-            idf = bm25_idf(df_global[np.repeat(self.term_ids, seg_lens)].astype(np.float64), n_docs)
+            # precompute float64 BM25 weights (identical formula to the
+            # oracle).  df_global: dense array indexed by tid (sorted
+            # vocab) or (sorted_tids, df) for hashed-vocab term ids.
+            if isinstance(df_global, tuple):
+                tid_index, dfv = df_global
+                df_of = dfv[np.searchsorted(tid_index, self.term_ids)]
+            else:
+                df_of = df_global[self.term_ids]
+            idf = bm25_idf(np.repeat(df_of, seg_lens).astype(np.float64), n_docs)
             self.post_w = idf * tf * (cfg.k1 + 1.0) / (
                 tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
             )
@@ -306,7 +313,13 @@ class IndexReader:
         self.n_docs = meta["n_docs"]
         self.avgdl = meta["avgdl"]
         self.encoder = meta.get("encoder", "bm25")
-        if self.encoder == "bm25":
+        self.vocab_mode = meta.get("vocab_mode", "sorted")
+        if self.encoder == "bm25" and self.vocab_mode == "hashed":
+            vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
+            tid_index = vocab.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dfv = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            self.vocab_index, self.df = None, (tid_index, dfv)
+        elif self.encoder == "bm25":
             vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
             self.vocab_index = pd.Index(vocab.column("term").to_pylist())
             self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -349,6 +362,21 @@ class IndexReader:
             from ..stages.neural import encode_query_bow
 
             return encode_query_bow(text, self.tok, self.cfg)
+        if self.vocab_mode == "hashed":
+            from ..functions.hashing import hash_strings
+
+            toks = self.tok.tokenize(text)
+            if not toks:
+                return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            h = (hash_strings(np.asarray(toks, dtype=object)) >> np.uint64(1)).astype(np.int64)
+            tid_index = self.df[0]
+            idx = np.minimum(np.searchsorted(tid_index, h), max(tid_index.size - 1, 0))
+            known = tid_index[idx] == h if tid_index.size else np.zeros(h.size, bool)
+            h = h[known]
+            if h.size == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            uniq, counts = np.unique(h, return_counts=True)
+            return uniq, counts.astype(np.float64)
         toks = self.tok.tokenize(text)
         if not toks:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)

@@ -52,16 +52,23 @@ def dedup_encode_group(group: pa.Table, *, cfg) -> pa.Table:
 
     deduped = dedup_assign_group(group)
     tok = cached_tokenizer(cfg)
-    terms, tfs, dls = term_count_table(deduped.column("text"), tok)
-    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+    if cfg.vocab_mode == "hashed":
+        from .encode import term_hash_table
+
+        tids, tfs, dls = term_hash_table(deduped.column("text"), tok)
+        tids, tfs = apply_top_k_cap(tids, tfs, cfg.doc_top_k)
+        data = {"tids": tids, "tfs": tfs}
+    else:
+        terms, tfs, dls = term_count_table(deduped.column("text"), tok)
+        terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+        data = {"terms": terms, "tfs": tfs}
     return pa.table(
         {
             "bucket": deduped.column("bucket"),
             "local_idx": deduped.column("local_idx"),
             "url": deduped.column("url"),
             "dl": pa.array(dls),
-            "terms": terms,
-            "tfs": tfs,
+            **data,
         }
     )
 
@@ -151,14 +158,21 @@ def dedup_broadcast_batch(batch: pa.Table, *, cfg, winners_ref, verify: bool = F
             }
         )
     tok = cached_tokenizer(cfg)
-    terms, tfs, dls = term_count_table(ext.column("text"), tok)
-    terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+    if cfg.vocab_mode == "hashed":
+        from .encode import term_hash_table
+
+        tids, tfs, dls = term_hash_table(ext.column("text"), tok)
+        tids, tfs = apply_top_k_cap(tids, tfs, cfg.doc_top_k)
+        data = {"tids": tids, "tfs": tfs}
+    else:
+        terms, tfs, dls = term_count_table(ext.column("text"), tok)
+        terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
+        data = {"terms": terms, "tfs": tfs}
     return pa.table(
         {
             "doc_id": pa.array(row_doc_ids),
             "url": ext.column("url"),
             "dl": pa.array(dls),
-            "terms": terms,
-            "tfs": tfs,
+            **data,
         }
     )

@@ -86,6 +86,49 @@ def term_count_table(texts, tok: Tokenizer) -> tuple[pa.ListArray, pa.ListArray,
     return terms_arr, tfs_arr, dls
 
 
+def term_hash_table(texts, tok: Tokenizer, seed: int = 0) -> tuple[pa.ListArray, pa.ListArray, np.ndarray]:
+    """Hashed-vocab batch term counting → (tids list<int64>, tfs
+    list<int32>, dl int64[n]).  Term id = 63-bit hash of the term (only
+    per-batch UNIQUE terms are hashed); tids sorted ascending within each
+    row.  No term string survives this function — the vocab_mode="hashed"
+    scale path."""
+    from ..functions.hashing import hash_strings
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(["" if t is None else t for t in texts], type=pa.string())
+    n = len(texts)
+    enc = tok.tokenize_codes(texts)
+    if enc is None:
+        raise NotImplementedError("vocab_mode='hashed' requires an invertible token_pattern")
+    codes, rows, vocab, dls = enc
+    if codes.size == 0:
+        empty_off = pa.array(np.zeros(n + 1, dtype=np.int32))
+        return (
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int64())),
+            pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+            dls,
+        )
+    vh = (hash_strings(np.asarray(vocab.to_pylist(), dtype=object), seed=seed) >> np.uint64(1)).astype(np.int64)
+    # rank codes by hashed id so per-row output is id-sorted (dense ranks
+    # keep the (row, code) bincount key small)
+    sort_idx = np.argsort(vh, kind="stable")
+    rank = np.empty(vh.size, dtype=np.int64)
+    rank[sort_idx] = np.arange(vh.size, dtype=np.int64)
+    sorted_ids = vh[sort_idx]
+    rcodes = rank[codes]
+    V = vh.size
+    key = rows * np.int64(V) + rcodes
+    uniq_keys, tf = np.unique(key, return_counts=True)
+    out_rows = (uniq_keys // V).astype(np.int64)
+    out_ranks = (uniq_keys % V).astype(np.int64)
+    per_row = np.bincount(out_rows, minlength=n).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(per_row, out=offsets[1:])
+    tids_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(sorted_ids[out_ranks]))
+    tfs_arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tf.astype(np.int32)))
+    return tids_arr, tfs_arr, dls
+
+
 def apply_top_k_cap(terms: pa.ListArray, tfs: pa.ListArray, k: int) -> tuple[pa.ListArray, pa.ListArray]:
     """Keep the k highest-tf terms per row (reference sparsify semantics:
     top-k by value then re-sort by term id, sparse_index.py:144-158).
@@ -112,7 +155,9 @@ def apply_top_k_cap(terms: pa.ListArray, tfs: pa.ListArray, k: int) -> tuple[pa.
     new_offs = np.zeros(lens.size + 1, dtype=np.int32)
     np.cumsum(new_lens, out=new_offs[1:])
     return (
-        pa.ListArray.from_arrays(pa.array(new_offs), pa.array(np.concatenate(keep_terms), type=pa.string())),
+        pa.ListArray.from_arrays(
+            pa.array(new_offs), pa.array(np.concatenate(keep_terms), type=terms.values.type)
+        ),
         pa.ListArray.from_arrays(pa.array(new_offs), pa.array(np.concatenate(keep_tfs).astype(np.int32))),
     )
 

@@ -263,8 +263,11 @@ def encode_shard_postings(
             val_offs[1:] = np.cumsum(np.add.reduceat(tf_lens, seg_starts))
         vals_col = _binary_from_segments(val_bytes, val_offs)
         # impact = BM25 weight (float64, exact same formula the scorer
-        # uses, so pruning bounds are tight and safe)
-        idf = bm25_idf(df_global[p_tid], n_docs)
+        # uses, so pruning bounds are tight and safe).  Hashed-vocab mode
+        # resolves df by searchsorted over the sorted hashed term ids.
+        tid_index = stats.get("tid_index")
+        dfv = df_global[np.searchsorted(tid_index, p_tid)] if tid_index is not None else df_global[p_tid]
+        idf = bm25_idf(dfv, n_docs)
         tf_f = p_tf.astype(np.float64)
         w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
     else:
@@ -296,7 +299,9 @@ def encode_shard_postings(
 
     postings_tbl = pa.table(
         {
-            "term_id": pa.array(uniq_tids.astype(np.int32)),
+            # int64: sorted-vocab ids fit in int32 but hashed-vocab ids are
+            # 63-bit; one dtype for both keeps the format uniform
+            "term_id": pa.array(uniq_tids.astype(np.int64)),
             "df": pa.array(seg_lens.astype(np.int32)),
             "docs": docs_col,
             ("tfs" if weight_mode == "tf" else "weights"): vals_col,
