@@ -71,6 +71,13 @@ class EngineConfig:
     neural_vocab_size: int = 30522
     neural_expansions: int = 8
     neural_seed: int = 10
+    # posting-weight storage for the neural index (reference value_dtype,
+    # config/encoding/_base.yaml:23): "f32" raw floats, or "q8" —
+    # impact-quantized uint8 codes w/ a fixed global scale (4x smaller
+    # postings; scoring is exact w.r.t. the dequantized weights, which the
+    # oracle reproduces bit-for-bit)
+    neural_value_dtype: str = "f32"
+    q8_scale: float = 8.0
 
     # --- sparsification caps (reference defaults) ---
     # reference: sparse_top_k = 4096 of 30522 vocab
@@ -116,6 +123,7 @@ class EngineConfig:
         assert self.encoder in ("bm25", "neural")
         assert self.dedup_mode in ("broadcast", "shuffle")
         assert self.vocab_mode in ("sorted", "hashed")
+        assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 

@@ -208,9 +208,17 @@ def build_neural_oracle(web_pages: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG)
                     if w > cfg.min_weight and w > d.get(tid, 0.0):
                         d[tid] = w
         kept = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[: cfg.doc_top_k]
-        # engine stores weights as float32 (postings weight_mode="f32");
-        # quantize at the same point so scores match bit-for-bit
-        vecs.append({tid: float(np.float32(w)) for tid, w in kept})
+        # engine stores weights as float32 (weight_mode="f32") or uint8
+        # impact codes (value_dtype="q8"); mirror the exact storage
+        # round-trip so scores match bit-for-bit
+        if cfg.neural_value_dtype == "q8":
+            def store(w):
+                c = min(max(round(float(np.float64(np.float32(w))) / cfg.q8_scale * 255.0), 0), 255)
+                return c * (cfg.q8_scale / 255.0)
+        else:
+            def store(w):
+                return float(np.float32(w))
+        vecs.append({tid: store(w) for tid, w in kept})
     return vecs, corpus["url"].to_pylist()
 
 

@@ -219,6 +219,7 @@ class IndexBuilder:
             "nnz": int(vocab["df"].sum()),
             "encoder": self.cfg.encoder,
             "vocab_mode": self.cfg.vocab_mode,
+            "value_dtype": self.cfg.neural_value_dtype if self.cfg.encoder == "neural" else "tf",
         }
         if with_buckets:
             # per-bucket doc counts: the tiny aggregate behind the
@@ -263,7 +264,7 @@ class IndexBuilder:
                 postings_dir=postings_dir,
                 cfg=self.cfg,
                 stats_ref=stats_ref,
-                weight_mode="f32",
+                weight_mode="q8" if self.cfg.neural_value_dtype == "q8" else "f32",
             )
             sharded = doc_terms.map_batches(
                 assign_ids_and_shard,

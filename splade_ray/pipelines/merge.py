@@ -60,6 +60,9 @@ def decode_postings_table(post: pa.Table) -> tuple[np.ndarray, np.ndarray, np.nd
     if "tfs" in post.column_names:
         vals = varint_decode(binary_concat(post.column("tfs").combine_chunks()), nnz)
         mode = "tf"
+    elif "weights_q8" in post.column_names:
+        vals = np.frombuffer(binary_concat(post.column("weights_q8").combine_chunks()), dtype=np.uint8)
+        mode = "q8"
     else:
         vals = np.frombuffer(binary_concat(post.column("weights").combine_chunks()), dtype=np.float32)
         mode = "f32"
@@ -159,7 +162,12 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
     encoders = {m.get("encoder", "bm25") for m in metas}
     assert len(encoders) == 1, f"mixed segment encoders: {encoders}"
     encoder = encoders.pop()
-    weight_mode = "tf" if encoder == "bm25" else "f32"
+    if encoder == "bm25":
+        weight_mode = "tf"
+    elif metas[0].get("value_dtype") == "q8":
+        weight_mode = "q8"
+    else:
+        weight_mode = "f32"
 
     n_docs = sum(m["n_docs"] for m in metas)
     sum_dl = sum(m["avgdl"] * m["n_docs"] for m in metas)

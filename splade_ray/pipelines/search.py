@@ -99,6 +99,11 @@ class ShardIndex:
             self.post_w = idf * tf * (cfg.k1 + 1.0) / (
                 tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
             )
+        elif "weights_q8" in post.column_names:
+            # quantized impact mode: dequantize uint8 codes (fixed scale)
+            raw = _binary_concat(post.column("weights_q8").combine_chunks())
+            codes = np.frombuffer(raw, dtype=np.uint8)
+            self.post_w = codes.astype(np.float64) * (cfg.q8_scale / 255.0)
         else:
             # neural impact mode: stored weights ARE the impacts
             raw = _binary_concat(post.column("weights").combine_chunks())

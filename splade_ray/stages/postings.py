@@ -270,6 +270,16 @@ def encode_shard_postings(
         idf = bm25_idf(dfv, n_docs)
         tf_f = p_tf.astype(np.float64)
         w = idf * tf_f * (cfg.k1 + 1.0) / (tf_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dl[p_local] / avgdl))
+    elif weight_mode == "q8":
+        # impact-quantized uint8 codes, fixed global scale (cfg.q8_scale):
+        # w' = code * scale / 255 — the scorer and the oracle both use the
+        # dequantized value, so scoring is exact w.r.t. the stored index
+        wf = p_vals.astype(np.float64)
+        codes = np.clip(np.round(wf / cfg.q8_scale * 255.0), 0, 255).astype(np.uint8)
+        val_bytes = codes.tobytes()
+        val_offs = np.r_[seg_starts, nnz].astype(np.int64) if nnz else np.zeros(n_terms + 1, np.int64)
+        vals_col = _binary_from_segments(val_bytes, val_offs)
+        w = codes.astype(np.float64) * (cfg.q8_scale / 255.0)
     else:
         p_w32 = p_vals.astype(np.float32)
         val_bytes = p_w32.tobytes()
@@ -304,7 +314,7 @@ def encode_shard_postings(
             "term_id": pa.array(uniq_tids.astype(np.int64)),
             "df": pa.array(seg_lens.astype(np.int32)),
             "docs": docs_col,
-            ("tfs" if weight_mode == "tf" else "weights"): vals_col,
+            ("tfs" if weight_mode == "tf" else ("weights_q8" if weight_mode == "q8" else "weights")): vals_col,
             "zone_ids": zid_col,
             "zone_maxs": zmax_col,
         }

@@ -99,3 +99,30 @@ def test_neural_wand_equals_exhaustive(neural_built):
         ex = reader.search(text, 10, method="exhaustive")
         wd = reader.search(text, 10, method="wand")
         assert [d for d, _, _ in ex] == [d for d, _, _ in wd], text
+
+
+@pytest.fixture(scope="module")
+def neural_q8_built(ray_session, web_pages_path, tmp_path_factory):
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader
+
+    cfg = EngineConfig(shard_size=500, num_buckets=16, encoder="neural", neural_value_dtype="q8").validate()
+    out = str(tmp_path_factory.mktemp("nq8idx") / "idx")
+    build_index(web_pages_path, out, cfg)
+    return IndexReader(out, cfg), cfg
+
+
+def test_neural_q8_rank_identity(neural_q8_built, web_pages_path):
+    """Quantized-impact postings (value_dtype='q8'): scoring is exact
+    w.r.t. the dequantized weights, which the oracle mirrors."""
+    from splade_ray.oracle import build_neural_oracle, neural_oracle_search
+
+    reader, cfg = neural_q8_built
+    vecs, urls = build_neural_oracle(pq.read_table(web_pages_path), cfg)
+    for text in generate_queries(30)["text"].to_pylist():
+        expected = neural_oracle_search(vecs, urls, text, 10, cfg)
+        got = reader.search(text, 10, method="exhaustive")
+        wnd = reader.search(text, 10, method="wand")
+        assert [d for d, _, _ in expected] == [d for d, _, _ in got] == [d for d, _, _ in wnd], text
+        for (_, es, _), (_, gs, _) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=1e-9)
