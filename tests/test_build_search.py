@@ -174,6 +174,11 @@ def test_empty_corpus_builds_valid_empty_index(ray_session, small_cfg, tmp_path)
     assert summary["n_docs"] == 0
     reader = IndexReader(out, small_cfg)
     assert reader.search("anything", 10) == []
+    ss = ShardedSearcher(out, small_cfg)
+    try:
+        assert ss.search("anything", 10) == []
+    finally:
+        ss.shutdown()
 
 
 def test_duplicate_url_ts_fails_loudly(ray_session, small_cfg, tmp_path):
