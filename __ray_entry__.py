@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q.lineitem_agg,
         "orders_by_segment": q.orders_by_segment,
         "events_window": q.events_window,
+        "events_sliding": q.events_sliding,
         # training-triplet ingestion + seeded sampling (S2/M9/K6;
         # deterministic synthetic TSV — rows-only check)
         "triplet_ingest": q.triplet_ingest,
@@ -242,6 +243,14 @@ WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
 l AS (SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs FROM pairs GROUP BY source),
 c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
 SELECT l.source, l.langs, c.n_docs FROM l JOIN c USING (source) ORDER BY source
+""",
+        "events_sliding": """
+WITH rep AS (
+  SELECT date_trunc('hour', ts) - INTERVAL (off) HOUR AS window_start, event_type, value
+  FROM events, (SELECT unnest([0, 1, 2]) AS off)
+)
+SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM rep GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "event_sessions": """
 WITH o AS (

@@ -676,3 +676,34 @@ def triplet_ingest(sf_dir: str) -> pd.DataFrame:
     parsed = read_triplets(path)
     sampled = sample_training_pairs(parsed, keep_fraction=0.5, seed=10).to_pandas()
     return sampled.sort_values(["query_id", "query"], ignore_index=True)
+
+
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding 3-hour window advancing hourly, per event_type: each event
+    contributes to the 3 windows covering it (replicate-then-aggregate —
+    the standard shuffle-free sliding-window expansion); per-batch partials
+    + driver combine as with the tumbling variant."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor("h")
+        frames = []
+        for off in (0, 1, 2):  # window [start, start+3h) covers floor(ts)-off
+            f = batch[["event_type", "value"]].copy()
+            f["window_start"] = base - pd.Timedelta(hours=off)
+            frames.append(f)
+        rep = pd.concat(frames)
+        return (
+            rep.groupby(["window_start", "event_type"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby(["window_start", "event_type"], sort=True)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["window_start", "event_type"], ignore_index=True)
