@@ -82,12 +82,13 @@ class MergeShardStage:
     """map_batches kernel over shard descriptors: merge one shard's posting
     runs from every segment that touches it."""
 
-    def __init__(self, postings_dir: str, cfg: EngineConfig, stats_ref, remaps_ref, weight_mode: str):
+    def __init__(self, postings_dir: str, cfg: EngineConfig, stats_ref, remaps_ref, weight_mode: str, stats_key: str = ""):
         self.postings_dir = postings_dir
         self.cfg = cfg
         self.stats = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
         self.remaps = ray.get(remaps_ref) if isinstance(remaps_ref, ray.ObjectRef) else remaps_ref
         self.weight_mode = weight_mode
+        self.stats_key = stats_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -104,7 +105,14 @@ class MergeShardStage:
             for pdir in pdirs
         )
         if shard_is_valid(self.postings_dir, shard_id, total_rows):
-            return _lineage_row({"part_id": shard_id, "input_rows": total_rows, "skipped": True})
+            # row count alone is not enough for merges: BM25 impacts/zone
+            # bounds depend on the MERGED stats (df, N, avgdl), which change
+            # when the segment set changes even if this shard's rows don't
+            from ..state.lineage import read_json as _read_json, shard_manifest_path as _smp
+
+            man = _read_json(_smp(self.postings_dir, shard_id)) or {}
+            if man.get("stats_key") == self.stats_key:
+                return _lineage_row({"part_id": shard_id, "input_rows": total_rows, "skipped": True})
 
         docs_tbls, run_tids, run_local, run_vals = [], [], [], []
         doc_off = 0
@@ -113,6 +121,11 @@ class MergeShardStage:
             docs = pq.read_table(os.path.join(pdir, f"shard-{shard_id:05d}.docs.parquet"))
             tids, lens, local, vals, mode = decode_postings_table(post)
             assert mode == self.weight_mode
+            if mode == "q8":
+                # decode returns raw uint8 codes; the encode kernel expects
+                # WEIGHTS and re-quantizes — dequantize first so the
+                # round-trip is exact (code -> w -> code)
+                vals = vals.astype(np.float64) * (self.cfg.q8_scale / 255.0)
             remap = self.remaps[si]
             if remap is not None:
                 tids = remap[tids]
@@ -151,6 +164,7 @@ class MergeShardStage:
             weight_mode=self.weight_mode,
             input_rows=doc_off,
             t0=t0,
+            extra_manifest={"stats_key": self.stats_key},
         )
 
 
@@ -162,6 +176,10 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
     encoders = {m.get("encoder", "bm25") for m in metas}
     assert len(encoders) == 1, f"mixed segment encoders: {encoders}"
     encoder = encoders.pop()
+    vdts = {m.get("value_dtype", "tf") for m in metas}
+    assert len(vdts) == 1, f"mixed segment value dtypes: {vdts}"
+    vmodes = {m.get("vocab_mode", "sorted") for m in metas}
+    assert len(vmodes) == 1, f"mixed segment vocab modes: {vmodes}"
     if encoder == "bm25":
         weight_mode = "tf"
     elif metas[0].get("value_dtype") == "q8":
@@ -176,7 +194,8 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "nnz": sum(m["nnz"] for m in metas),
         "encoder": encoder,
-        "vocab_mode": metas[0].get("vocab_mode", "sorted"),
+        "vocab_mode": vmodes.pop(),
+        "value_dtype": vdts.pop(),
         "merged_from": [os.path.abspath(d) for d in segment_dirs],
     }
 
@@ -226,26 +245,39 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
 
     postings_dir = os.path.join(out_dir, "postings")
     os.makedirs(postings_dir, exist_ok=True)
-    lineage = (
-        ray.data.from_items(list(items.values()))
-        .map_batches(
-            MergeShardStage,
-            fn_constructor_args=(postings_dir, cfg, ray.put(stats), ray.put(remaps), weight_mode),
-            batch_format="pyarrow",
-            batch_size=1,
-            concurrency=pool_size(),
+    # fingerprint of the merged corpus stats: a resumed shard is only valid
+    # if it was written under the SAME merged stats (df/N/avgdl feed the
+    # stored impacts and zone bounds)
+    import hashlib as _hashlib
+    import zlib as _zlib
+
+    df_crc = _zlib.crc32(stats["df"].tobytes()) if "df" in stats else 0
+    stats_key = _hashlib.sha256(
+        f"{n_docs}|{meta['avgdl']:.9f}|{df_crc}|{weight_mode}|{config_hash(cfg)}".encode()
+    ).hexdigest()[:16]
+    if items:
+        lineage = (
+            ray.data.from_items(list(items.values()))
+            .map_batches(
+                MergeShardStage,
+                fn_constructor_args=(postings_dir, cfg, ray.put(stats), ray.put(remaps), weight_mode, stats_key),
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=pool_size(),
+            )
+            .to_pandas()
         )
-        .to_pandas()
-    )
+    else:  # all segments are valid empty indexes
+        lineage = pd.DataFrame({"part_id": [], "input_rows": [], "skipped": []})
     atomic_write_json(
         os.path.join(postings_dir, "_LINEAGE.json"),
-        {"shards": lineage.sort_values("part_id").to_dict("records")},
+        {"shards": lineage.sort_values("part_id").to_dict("records") if len(lineage) else []},
     )
     summary = {
         "out_dir": out_dir,
         "config_hash": config_hash(cfg),
         "n_shards": int(len(lineage)),
-        "skipped_shards": int(lineage["skipped"].sum()),
+        "skipped_shards": int(lineage["skipped"].sum()) if len(lineage) else 0,
         **meta,
     }
     atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), summary)

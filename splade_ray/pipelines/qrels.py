@@ -49,7 +49,9 @@ def read_qrels(path: str) -> Dataset:
     if path.endswith(".parquet"):
         ds = ray.data.read_parquet(path)
     else:
-        ds = ray.data.read_csv(path, parse_options=__import__("pyarrow").csv.ParseOptions(delimiter="\t"))
+        from pyarrow import csv as pacsv
+
+        ds = ray.data.read_csv(path, parse_options=pacsv.ParseOptions(delimiter="\t"))
     return ds.map_batches(normalize_qrels, batch_format="pandas")
 
 

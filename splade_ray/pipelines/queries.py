@@ -155,7 +155,10 @@ def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
 
     base = build_documents_index(sf_dir)
     tdir = os.path.join(base, "term_index")
-    if not os.path.exists(os.path.join(tdir, "_MANIFEST.json")):
+    from ..state.lineage import read_json as _read_json
+
+    man = _read_json(os.path.join(tdir, "_MANIFEST.json"))
+    if man is None or man.get("format") != 2:
         build_term_index(
             os.path.join(base, "doc_terms"),
             os.path.join(base, "stats"),

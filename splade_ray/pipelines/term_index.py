@@ -80,7 +80,10 @@ def build_run(group: pa.Table) -> pa.Table:
     doc, tf = doc[order], tf[order]
     deltas = np.empty(doc.size, dtype=np.uint64)
     if doc.size:
-        deltas[0] = doc[0]
+        # first delta is 0 relative to min_doc (stored as int64 in the run
+        # row) — absolute ids never enter the varint, so the 2^35 varint
+        # cap bounds RUN WIDTH, not corpus size
+        deltas[0] = 0
         np.subtract(doc[1:], doc[:-1], out=deltas[1:].view(np.int64), casting="unsafe")
     return pa.table(
         {
@@ -141,6 +144,9 @@ def build_term_index(
         "max_salts": int(salts.max()),
         "salted_terms": int((salts > 1).sum()),
         "layout": "term-major-salted",
+        # bump when the run encoding changes (2: first delta relative to
+        # min_doc) so cached builds in older formats rebuild
+        "format": 2,
     }
     atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), summary)
     return summary
@@ -166,6 +172,7 @@ class TermIndexReader:
         runs = runs.take(order)
         self.run_tids = runs.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.run_df = runs.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.run_min = runs.column("min_doc").to_numpy(zero_copy_only=False).astype(np.int64)
         self.run_docs = runs.column("docs").to_pylist()
         self.run_tfs = runs.column("tfs").to_pylist()
         # doc lengths needed for BM25 at query time: load from doc_terms?
@@ -194,7 +201,7 @@ class TermIndexReader:
             hi = np.searchsorted(self.run_tids, tid, side="right")
             for r in range(lo, hi):
                 n = int(self.run_df[r])
-                docs = np.cumsum(varint_decode(self.run_docs[r], n).astype(np.int64))
+                docs = self.run_min[r] + np.cumsum(varint_decode(self.run_docs[r], n).astype(np.int64))
                 tf = varint_decode(self.run_tfs[r], n).astype(np.float64)
                 w = idf * tf * (cfg.k1 + 1.0) / (
                     tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self._dl[docs] / self.avgdl)

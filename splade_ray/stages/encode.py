@@ -58,7 +58,7 @@ def term_count_table(texts, tok: Tokenizer) -> tuple[pa.ListArray, pa.ListArray,
         codes, uniques = pd.factorize(flat, sort=True)
         rows = np.repeat(np.arange(n, dtype=np.int64), dls32.astype(np.int64))
         vocab = pa.array(np.asarray(uniques, dtype=object), type=pa.string())
-        rank = np.arange(len(uniques), dtype=np.int64)
+        # codes from factorize(sort=True) are already lexicographic ranks
         dls = dls32.astype(np.int64)
         sorted_vocab = vocab
     else:
@@ -137,33 +137,35 @@ def apply_top_k_cap(terms: pa.ListArray, tfs: pa.ListArray, k: int) -> tuple[pa.
     lens = np.diff(offs)
     if lens.size == 0 or lens.max() <= k:
         return terms, tfs
-    term_vals = np.asarray(terms.values.to_pylist(), dtype=object)
+    # index-only selection (rows over the cap are rare), then ONE Arrow
+    # take — no per-posting Python objects in this hot-path helper
     tf_vals = tfs.values.to_numpy(zero_copy_only=False)
-    keep_terms, keep_tfs, new_lens = [], [], np.empty(lens.size, np.int64)
+    sels, new_lens = [], np.empty(lens.size, np.int64)
     for i in range(lens.size):
-        s, e = offs[i], offs[i + 1]
+        s, e = int(offs[i]), int(offs[i + 1])
         if e - s <= k:
-            sel = np.arange(s, e)
+            sel = np.arange(s, e, dtype=np.int64)
         else:
             seg_tf = tf_vals[s:e]
-            # top-k by (tf desc, term asc) then re-sort ascending by term
+            # top-k by (tf desc, position asc == term asc) then re-sort
+            # ascending by term
             part = np.lexsort((np.arange(e - s), -seg_tf))[:k]
             sel = s + np.sort(part)
-        keep_terms.append(term_vals[sel])
-        keep_tfs.append(tf_vals[sel])
+        sels.append(sel)
         new_lens[i] = sel.size
+    flat_sel = np.concatenate(sels)
     new_offs = np.zeros(lens.size + 1, dtype=np.int32)
     np.cumsum(new_lens, out=new_offs[1:])
     return (
-        pa.ListArray.from_arrays(
-            pa.array(new_offs), pa.array(np.concatenate(keep_terms), type=terms.values.type)
-        ),
-        pa.ListArray.from_arrays(pa.array(new_offs), pa.array(np.concatenate(keep_tfs).astype(np.int32))),
+        pa.ListArray.from_arrays(pa.array(new_offs), terms.values.take(pa.array(flat_sel))),
+        pa.ListArray.from_arrays(pa.array(new_offs), pa.array(tf_vals[flat_sel].astype(np.int32))),
     )
 
 
 _TOK_CACHE: dict = {}
 _REF_CACHE: dict = {}
+_REF_CACHE_MAX = 8  # broadcasts per build are few; bound so long-lived
+# workers serving many builds don't pin every historical vocab/winner array
 
 
 def cached_tokenizer(cfg: EngineConfig) -> Tokenizer:
@@ -176,10 +178,16 @@ def cached_tokenizer(cfg: EngineConfig) -> Tokenizer:
 
 def cached_ref(ref):
     """Worker-local cache of a broadcast ``ray.put`` object — tasks get the
-    plasma object once per worker process, not once per batch."""
+    plasma object once per worker process, not once per batch.  LRU-bounded
+    so repeated builds in one cluster session can't pin stale broadcasts
+    forever."""
     if not isinstance(ref, ray.ObjectRef):
         return ref
     key = ref.hex()
-    if key not in _REF_CACHE:
-        _REF_CACHE[key] = ray.get(ref)
+    if key in _REF_CACHE:
+        _REF_CACHE[key] = _REF_CACHE.pop(key)  # refresh LRU position
+        return _REF_CACHE[key]
+    while len(_REF_CACHE) >= _REF_CACHE_MAX:
+        _REF_CACHE.pop(next(iter(_REF_CACHE)))
+    _REF_CACHE[key] = ray.get(ref)
     return _REF_CACHE[key]

@@ -85,6 +85,8 @@ def map_term_ids(batch: pa.Table, *, cfg: EngineConfig, vocab_terms_ref, offsets
     key = vocab_terms_ref.hex() if isinstance(vocab_terms_ref, ray.ObjectRef) else id(vocab_terms_ref)
     vocab_index = _VOCAB_INDEX_CACHE.get(key)
     if vocab_index is None:
+        while len(_VOCAB_INDEX_CACHE) >= 4:  # bound: workers outlive builds
+            _VOCAB_INDEX_CACHE.pop(next(iter(_VOCAB_INDEX_CACHE)))
         vocab_index = _VOCAB_INDEX_CACHE[key] = pd.Index(cached_ref(vocab_terms_ref))
     terms = batch.column("terms").combine_chunks()
     # dictionary-encode so only per-batch UNIQUE terms are hashed into the
@@ -222,6 +224,7 @@ def encode_shard_postings(
     weight_mode: str,
     input_rows: int,
     t0: float,
+    extra_manifest: dict | None = None,
 ) -> pa.Table:
     """Shared encode+write path for shard builds AND segment merges: takes
     flat postings sorted by (term, doc asc) plus the shard's docs table,
@@ -334,6 +337,7 @@ def encode_shard_postings(
         "files": [post_file, docs_file],
         "wall_time_s": round(time.perf_counter() - t0, 4),
         "skipped": False,
+        **(extra_manifest or {}),
     }
     atomic_write_json(shard_manifest_path(postings_dir, shard_id), rec)
     return _lineage_row(rec)

@@ -53,11 +53,17 @@ def _build_all(tmp, cfg):
     return tmp, summary
 
 
-@pytest.fixture(scope="module", params=["bm25", "neural"])
+@pytest.fixture(scope="module", params=["bm25", "neural", "neural_q8"])
 def built(request, ray_session, tmp_path_factory):
     # shard_size=800: shard 1 (docs 800-1599) spans both segments — the
-    # term-run merge path, not just file concatenation
-    cfg = EngineConfig(shard_size=800, num_buckets=1, encoder=request.param).validate()
+    # term-run merge path, not just file concatenation.  neural_q8 guards
+    # the quantized round-trip: merge must dequantize codes before
+    # re-encoding or every weight saturates.
+    encoder = "neural" if request.param.startswith("neural") else "bm25"
+    vdt = "q8" if request.param == "neural_q8" else "f32"
+    cfg = EngineConfig(
+        shard_size=800, num_buckets=1, encoder=encoder, neural_value_dtype=vdt
+    ).validate()
     tmp = tmp_path_factory.mktemp(f"merge_{request.param}")
     return (*_build_all(tmp, cfg), cfg)
 
@@ -110,3 +116,30 @@ def test_merge_resume_skips_valid_shards(built):
     assert again["skipped_shards"] == again["n_shards"]
     lin = read_json(str(tmp / "merged" / "postings" / "_LINEAGE.json"))
     assert all(s["skipped"] for s in lin["shards"])
+
+
+def test_merge_of_empty_segments(ray_session, tmp_path):
+    """All-empty segments merge into a valid empty index (no crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.merge import merge_segments
+    from splade_ray.pipelines.search import IndexReader
+
+    cfg = EngineConfig(shard_size=800, num_buckets=1).validate()
+    empty = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "warc_ts": pa.array([], type=pa.timestamp("us")),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+        }
+    )
+    p = str(tmp_path / "e.parquet")
+    pq_.write_table(empty, p)
+    build_index(p, str(tmp_path / "segA"), cfg)
+    build_index(p, str(tmp_path / "segB"), cfg, doc_id_base=0)
+    summary = merge_segments([str(tmp_path / "segA"), str(tmp_path / "segB")], str(tmp_path / "m"), cfg)
+    assert summary["n_docs"] == 0
+    assert IndexReader(str(tmp_path / "m"), cfg).search("anything", 5) == []

@@ -37,3 +37,13 @@ def test_trec_format(ray_session, tmp_path):
     out = read_trec_qrels(str(p)).to_pandas().sort_values("query_id", ignore_index=True)
     assert out["query_id"].tolist() == ["q1", "q2"]
     assert out["doc_id"].tolist() == ["d7", "d3"]
+
+
+def test_tsv_with_header(ray_session, tmp_path):
+    from splade_ray.pipelines.qrels import read_qrels
+
+    p = tmp_path / "qrels.tsv"
+    p.write_text("query-id\tcorpus-id\tscore\nq1\td5\t1\nq2\td6\t0\n")
+    out = read_qrels(str(p)).to_pandas()
+    assert out["query_id"].tolist() == ["q1"]
+    assert out["doc_id"].tolist() == ["d5"]
