@@ -1,0 +1,43 @@
+"""CLI entrypoint (the ray-job-submit surface): build → search → merge
+end-to-end through `python -m splade_ray` subcommands."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(*args):
+    out = subprocess.run(
+        [sys.executable, "-m", "splade_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_build_search_merge(web_pages_path, tmp_path):
+    idx = str(tmp_path / "idx")
+    (summary,) = _run(
+        "--set", "shard_size=500", "--set", "num_buckets=16",
+        "build", "--input", web_pages_path, "--out", idx,
+    )
+    assert summary["n_docs"] > 0
+
+    hits = _run(
+        "--set", "shard_size=500", "--set", "num_buckets=16",
+        "search", "--index", idx, "--query", "w0001 w0093", "-k", "5",
+    )
+    assert hits and hits[0]["rank"] == 1 and "url" in hits[0]
+
+    merged = str(tmp_path / "merged")
+    (msum,) = _run(
+        "--set", "shard_size=500", "--set", "num_buckets=16",
+        "merge", "--segments", idx, "--out", merged,
+    )
+    assert msum["n_docs"] == summary["n_docs"]
