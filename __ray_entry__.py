@@ -309,10 +309,13 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """,
+        # embeddings are stored float32; cast to DOUBLE[] so the oracle's
+        # cosine runs in float64 like the engine (float32 cosine drifts
+        # ~1e-7, which flips 6-decimal rounding on nearly every row)
         "knn_cosine": """
-WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+WITH q AS (SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
 scores AS (
-  SELECT q.query_vec_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+  SELECT q.query_vec_id, e.vec_id, list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
   FROM q CROSS JOIN embeddings e
 ),
 ranked AS (
@@ -323,10 +326,13 @@ ranked AS (
 SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
 """,
+        # revenue summed in exact integer 1e-4 units (2-decimal money data):
+        # bit-identical to the engine regardless of accumulation order
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_revenue,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 6) AS sum_revenue,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,

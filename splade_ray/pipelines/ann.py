@@ -27,7 +27,19 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    """(n, dim) float64 matrix from a list<float> column without per-row
+    Python objects: flatten the list values (offset-aware) and reshape.
+    Requires a fixed embedding dim, which the schema guarantees."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = col.flatten()  # honors list offsets on sliced arrays
+    values = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if values.size % n:
+        raise ValueError("ragged embedding column: rows have differing dims")
+    return values.reshape(n, values.size // n)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

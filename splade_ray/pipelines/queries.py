@@ -410,7 +410,12 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped grouped aggregate: per-batch partial aggregation
     (the combiner) + a driver combine — the result is 6 rows, so a Ray
     groupby sort exchange would be pure overhead (same pattern as the df
-    aggregate in stages/stats.py)."""
+    aggregate in stages/stats.py).
+
+    Money is summed in exact integer 1e-4 units (prices/discounts are
+    2-decimal values), so the result is bit-identical regardless of
+    accumulation order — plain float64 summation at ~1e9 magnitude drifts
+    past 6-decimal rounding depending on reduce order."""
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -418,10 +423,12 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+        cents = np.rint(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_pct = np.rint(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        batch["revenue_e4"] = cents * (100 - disc_pct)
         g = batch.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_revenue=("revenue", "sum"),
+            sum_revenue_e4=("revenue_e4", "sum"),
             n_rows=("l_quantity", "size"),
         )
         return g.reset_index()
@@ -429,11 +436,12 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
         parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
-        .agg(sum_qty=("sum_qty", "sum"), sum_revenue=("sum_revenue", "sum"), n_rows=("n_rows", "sum"))
+        .agg(sum_qty=("sum_qty", "sum"), sum_revenue_e4=("sum_revenue_e4", "sum"), n_rows=("n_rows", "sum"))
         .reset_index()
     )
     out["sum_qty"] = out["sum_qty"].round(6)
-    out["sum_revenue"] = out["sum_revenue"].round(6)
+    out["sum_revenue"] = (out.pop("sum_revenue_e4") / 10000.0).round(6)
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n_rows"]]
     return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
 
 
