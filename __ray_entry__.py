@@ -105,8 +105,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from splade_ray.pipelines.queries import BM25_QUERIES
+    from splade_ray.pipelines.textops import LANG_PROFILES
 
     doc_toks = _TOK_SQL.format(col="text")
+
+    def _stop_list(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+
+    def _lang_score(lang: str) -> str:
+        return f"len(list_filter(toks, x -> x IN ({_stop_list(lang)})))::DOUBLE / greatest(len(toks), 1)"
+
+    _LANG_ID_SQL = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+m AS (
+  SELECT doc_id, length(t) AS nchar,
+         length(t) - length(regexp_replace(t, '[가-힯]', '', 'g')) AS n_hangul,
+         length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS n_han,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS toks
+  FROM base
+),
+s AS (
+  SELECT doc_id, nchar, n_hangul, n_han, len(toks) AS n_tok,
+         {_lang_score('en')} AS s_en, {_lang_score('de')} AS s_de,
+         {_lang_score('es')} AS s_es, {_lang_score('fr')} AS s_fr
+  FROM m
+)
+SELECT doc_id,
+  CASE
+    WHEN nchar > 0 AND (n_hangul + n_han)::DOUBLE / greatest(nchar, 1) > 0.1
+      THEN CASE WHEN n_hangul >= n_han THEN 'ko' ELSE 'zh' END
+    WHEN n_tok = 0 THEN 'und'
+    WHEN greatest(s_en, s_de, s_es, s_fr) <= 0.05 THEN 'und'
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM s ORDER BY doc_id
+"""
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
@@ -309,6 +345,75 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """,
+        # brute-force exact trigram-shingle Jaccard over ALL pairs — the
+        # engine's LSH (bands=32, r=4) has ~1-1e-15 recall at this data's
+        # jaccard range, and its exact verify discards false candidates,
+        # so LSH output == brute force
+        "minhash_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, u.term, u.ord
+  FROM (SELECT doc_id, {doc_toks} AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS term, generate_subscripts(l, 1) AS ord) u
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         term || chr(1) || lead(term, 1) OVER w || chr(1) || lead(term, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+ORDER BY id_a, id_b
+""",
+        # recompute the 64-bit simhash signatures from md5_number_lower
+        # token hashes (the engine uses the same MD5-derived hash), then
+        # brute-force Hamming <= 3 over all pairs.  The engine's 4x16-bit
+        # banding is EXACT for Hamming <= 3 (pigeonhole), so outputs match.
+        "simhash_pairs": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+h AS (SELECT doc_id, md5_number_lower(term) AS th FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (th >> CAST(b.bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, LATERAL (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig0 AS (
+  -- cast back to BIGINT: DuckDB sum(BIGINT) returns HUGEINT, and xor on
+  -- sign-extended 128-bit values would add 64 phantom bits to bit_count
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN
+               CASE WHEN bit = 63 THEN -9223372036854775808 ELSE CAST(1 AS BIGINT) << CAST(bit AS INTEGER) END
+             ELSE 0 END) AS BIGINT) AS s
+  FROM votes GROUP BY doc_id
+),
+allsig AS (
+  SELECT d.doc_id, coalesce(sig0.s, 0) AS s FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.s, b.s)) AS hd
+  FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming FROM p WHERE hd <= 3 ORDER BY id_a, id_b
+""",
+        # brute-force cosine over all pairs in float64 (embeddings stored
+        # float32); the engine's banded hyperplane LSH + exact verify must
+        # produce the same >= 0.98 pair set
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.emb, b.emb) AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.98 ORDER BY id_a, id_b
+""",
         # embeddings are stored float32; cast to DOUBLE[] so the oracle's
         # cosine runs in float64 like the engine (float32 cosine drifts
         # ~1e-7, which flips 6-decimal rounding on nearly every row)
@@ -345,5 +450,66 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # stopword-profile language heuristic, reproduced exactly: CJK
+        # codepoint ratios via regexp_replace length deltas, per-language
+        # stopword-hit ratios over whitespace tokens, first-max argmax in
+        # profile order (en, de, es, fr), thresholds 0.1 / 0.05
+        "lang_id_preds": _LANG_ID_SQL,
+        # polynomial rolling hash over md5_number_lower token hashes,
+        # folded mod 2^64 (matches FingerprintStage bit-for-bit)
+        "doc_fingerprints": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(l) = 0 THEN 0
+              ELSE list_reduce(list_transform(l, t -> CAST(md5_number_lower(t) AS HUGEINT)),
+                               (h, t) -> (h * 1099511628211 + t) % 18446744073709551616)
+         END AS fp
+  FROM toks
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fingerprint
+FROM f ORDER BY doc_id
+""",
+        # synthetic media metadata is closed-form in media_id, so the frame
+        # sampler (n = min(8, max(1, trunc(dur/1000*fps))), timestamps
+        # linspace endpoint=False truncated to ms) is pure SQL arithmetic
+        "frame_sample": """
+WITH ids AS (SELECT unnest(range(100)) AS media_id),
+d AS (SELECT media_id, 500 + (media_id * 977) % 59500 AS dur FROM ids),
+f AS (SELECT media_id, dur, least(8, greatest(1, CAST(trunc(dur / 1000.0) AS BIGINT))) AS nf FROM d)
+SELECT media_id, CAST(u.i AS INTEGER) AS frame_idx,
+       CAST(trunc(u.i * (CAST(dur AS DOUBLE) / nf)) AS BIGINT) AS ts_ms
+FROM f, LATERAL (SELECT unnest(range(f.nf)) AS i) u
+ORDER BY media_id, frame_idx
+""",
+        # rebuild the synthesized TSV lines from the documents table, parse
+        # them (3-col lines get an md5-derived surrogate qid; the md5-keyed
+        # 50% sample matches sample_training_pairs exactly)
+        "triplet_ingest": """
+WITH docs AS (
+  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM documents
+),
+w AS (
+  SELECT doc_id, i, (list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))[1:6] AS ws
+  FROM docs WHERE i < 2000
+),
+parts AS (
+  SELECT doc_id, i,
+         coalesce(nullif(array_to_string(ws[1:3], ' '), ''), 'q') AS q,
+         array_to_string(ws[4:5], ' ') AS pos,
+         array_to_string(ws[5:6], ' ') AS neg
+  FROM w
+),
+trip AS (
+  SELECT CASE WHEN i % 13 = 0 THEN 'h' || CAST(md5_number_lower(q) % 1000000000000 AS VARCHAR)
+              ELSE 'qid' || CAST(doc_id AS VARCHAR) END AS query_id,
+         q AS query, pos, neg
+  FROM parts WHERE i % 13 = 0 OR i % 7 = 0
+)
+SELECT query_id, query, pos, neg FROM trip
+WHERE md5_number_lower(query_id || chr(1) || query || chr(1) || '10') < CAST('9223372036854775808' AS UBIGINT)
+ORDER BY query_id, query
 """,
     }

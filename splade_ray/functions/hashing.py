@@ -37,6 +37,20 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return splitmix64(h)
 
 
+def md5_u64(values) -> np.ndarray:
+    """64-bit hash = MD5 digest bytes 8..16 little-endian — exactly DuckDB's
+    ``md5_number_lower``, so every operator built on it is SQL-oracle
+    checkable (simhash, fingerprints, triplet sampling).  Python loop — call
+    on per-batch UNIQUE terms (vocab) and gather by dictionary code, never
+    per occurrence."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
+    return out
+
+
 def hash_tokens_to_u64(token_hashes: np.ndarray, seed: int) -> np.ndarray:
     """Re-mix precomputed 64-bit token hashes under a new seed — the cheap
     way to derive the k MinHash permutations from one string-hash pass."""

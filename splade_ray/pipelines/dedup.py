@@ -16,10 +16,12 @@ needs, each expressed Ray-Data-first:
 
 Scale notes: every candidate-generation step is a bounded groupby on a
 band/bucket key (heavily skewed buckets = exact-dup clusters, bounded by
-cluster size, the data's own skew).  The verify step here broadcasts a
-doc→features map (fine below ~10M candidates); at 10^12 scale it becomes a
-co-partitioned join on doc_id — the candidate-pair schema is already keyed
-for it.
+cluster size, the data's own skew).  The MinHash verify is a co-partitioned
+hash join: candidate pairs are semi-joined against the corpus to build a
+(doc_id, shingle-set) table for only the referenced docs, then joined back
+to the pairs on id_a/id_b and Jaccard-verified with a vectorized
+segment-intersection kernel — no driver-side lookup tables, no per-pair
+Python loop, so the verify scales with the pair count across the cluster.
 """
 
 from __future__ import annotations
@@ -125,12 +127,36 @@ def explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str =
     )
 
 
-def candidate_pairs_from_bucket(group: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
-    ids = np.sort(group[id_col].to_numpy())
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Materialize and drop zero-row blocks.
+
+    Ray's sort-shuffle emits SCHEMA-LESS empty blocks for empty partitions;
+    map operators skip them (zero-row fast path) so they survive to the
+    next all-to-all, and Acero hash joins abort on a left-side block with
+    no columns.  Filtering uses only driver-side block metadata (num_rows)
+    — no block data moves to the driver."""
+    import ray.data as _rd
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return mat
+    return _rd.from_arrow_refs(refs)
+
+
+def candidate_pairs_from_bucket(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    ids = np.sort(group.column(id_col).to_numpy(zero_copy_only=False))
     if ids.size < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        return _PAIR_SCHEMA.empty_table()
     a, b = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])})
 
 
 def minhash_lsh_pairs(
@@ -149,63 +175,115 @@ def minhash_lsh_pairs(
     Returns a (id_a, id_b, jaccard) DataFrame — candidate sets are
     pair-scale, not corpus-scale, so a driver DataFrame is the right size.
     """
+    npart = concurrency or pool_size()
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency or pool_size(),
+        concurrency=npart,
     )
     banded = sigs.map_batches(
         lambda b: explode_bands(b, bands, rows_per_band, id_col), batch_format="pyarrow"
     )
-    pairs = (
+    # distributed pair dedup (a pair can surface from several bands):
+    # groupby both ids, keep one row per pair.  Pair-scale shuffle only.
+    # Everything feeding a hash join stays batch_format="pyarrow": empty
+    # shuffle partitions under pandas map_groups emit schema-LESS blocks
+    # that Ray's map operators skip (zero-row fast path) but Acero rejects.
+    pairs_ds = drop_empty_blocks(
         banded.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pandas")
-        .to_pandas()
+        .map_groups(lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
-    if pairs.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates(ignore_index=True)
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
+    )
+    if pairs_ds.count() == 0:
+        return empty
 
-    # exact verify: broadcast doc -> sorted unique shingle hashes
-    needed = set(pairs["id_a"]) | set(pairs["id_b"])
-    needed_ref = ray.put(needed)
+    # exact verify as a co-partitioned join pipeline over SCALAR columns
+    # (Acero hash joins reject list payloads, and scalar rows shuffle
+    # cheaper anyway):
+    #   1. semi-join the corpus to the docs referenced by any pair,
+    #   2. explode each such doc to (doc_id, shingle, set_size) unique rows,
+    #   3. pairs ⋈ shingles(id_a) → one row per a-side shingle, ⋈ shingles
+    #      on (id_b, shingle) → intersection rows (carrying both set sizes),
+    #   4. per-pair groupby: jaccard = n_rows / (n_a + n_b - n_rows).
+    # No driver-side lookup and no per-pair Python scoring loop anywhere;
+    # pairs with an empty intersection simply never reach step 4 (their
+    # jaccard is 0 < threshold by construction).
+    needed_ids = pairs_ds.select_columns(["id_a"]).rename_columns({"id_a": id_col}).union(
+        pairs_ds.select_columns(["id_b"]).rename_columns({"id_b": id_col})
+    )
+    docs_needed = ds.join(needed_ids, "left_semi", num_partitions=npart, on=(id_col,))
 
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        want = ray.get(needed_ref)
+    def explode_shingles(batch: pa.Table) -> pa.Table:
         tok = Tokenizer()
-        ids, shl = [], []
-        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
-            if i in want:
-                th = hash_strings(tok.tokenize(t or ""))
-                shl.append(np.unique(shingle_hashes(th, shingle_n)).astype(np.int64))
-                ids.append(i)
-        offs = np.zeros(len(ids) + 1, dtype=np.int32)
-        if ids:
-            np.cumsum([len(s) for s in shl], out=offs[1:])
-        flat = np.concatenate(shl) if shl else np.zeros(0, np.int64)
-        return pa.table({id_col: pa.array(ids, type=pa.int64()), "shingles": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))})
+        n = batch.num_rows
+        h, rows, _dls = tok.tokenize_hashes(batch.column(text_col))
+        if h.size >= shingle_n:
+            acc = shingle_hashes(h, shingle_n)
+            valid = rows[: h.size - shingle_n + 1] == rows[shingle_n - 1 :]
+            sh, srows = acc[valid].astype(np.int64), rows[: h.size - shingle_n + 1][valid]
+        else:
+            sh, srows = np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # per-doc unique: sort by (row, value), drop consecutive dups
+        order = np.lexsort((sh, srows))
+        sh, srows = sh[order], srows[order]
+        if sh.size:
+            keep = np.ones(sh.size, bool)
+            keep[1:] = (srows[1:] != srows[:-1]) | (sh[1:] != sh[:-1])
+            sh, srows = sh[keep], srows[keep]
+        set_sizes = np.bincount(srows, minlength=n).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: pa.array(ids[srows]), "shingle": pa.array(sh), "set_size": pa.array(set_sizes[srows])}
+        )
 
-    sets_df = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
-    lookup = {i: np.asarray(s) for i, s in zip(sets_df[id_col], sets_df["shingles"])}
-    jac = np.empty(len(pairs), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(pairs["id_a"], pairs["id_b"])):
-        sa, sb = lookup.get(a), lookup.get(b)
-        if sa is None or sb is None or sa.size + sb.size == 0:
-            jac[i] = 0.0
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        jac[i] = inter / (sa.size + sb.size - inter)
-    pairs["jaccard"] = jac
-    out = pairs[pairs["jaccard"] >= threshold].sort_values(["id_a", "id_b"], ignore_index=True)
-    return out
+    shingles = docs_needed.map_batches(explode_shingles, batch_format="pyarrow").materialize()
+
+    # one row per (pair, a-side shingle), n_a riding along
+    a_sh = pairs_ds.join(
+        shingles.rename_columns({"set_size": "n_a"}),
+        "inner", num_partitions=npart, on=("id_a",), right_on=(id_col,),
+    )
+    if id_col in a_sh.columns():
+        a_sh = a_sh.drop_columns([id_col])
+    # keep only shingles also present in the b-side doc == intersection
+    inter_rows = a_sh.join(
+        shingles.rename_columns({"set_size": "n_b"}),
+        "inner", num_partitions=npart, on=("id_b", "shingle"), right_on=(id_col, "shingle"),
+    )
+
+    def pair_jaccard(g: pa.Table) -> pa.Table:
+        ni = g.num_rows
+        n_a = g.column("n_a")[0].as_py()
+        n_b = g.column("n_b")[0].as_py()
+        jac = ni / max(n_a + n_b - ni, 1)
+        if jac < threshold:
+            return pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {"id_a": g.column("id_a").slice(0, 1), "id_b": g.column("id_b").slice(0, 1), "jaccard": pa.array([jac])}
+        )
+
+    out = inter_rows.groupby(["id_a", "id_b"]).map_groups(pair_jaccard, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 # ------------------------------------------------------------------- simhash
 class SimHashStage:
     """map_batches(pyarrow): (id, text) → (id, simhash int64).  64-bit
-    weighted-bit signature, vectorized per batch with segmented reduceat."""
+    weighted-bit signature, vectorized per batch with segmented reduceat.
+
+    Token hashes are MD5-derived (``Tokenizer.tokenize_md5`` == DuckDB
+    ``md5_number_lower``), so a SQL oracle can recompute the identical
+    signatures and the hamming-pair output is hash-checkable end to end."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -214,7 +292,7 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_texts = batch.num_rows
-        th, _rows, dls = self.tok.tokenize_hashes(batch.column(self.text_col))
+        th, _rows, dls = self.tok.tokenize_md5(batch.column(self.text_col))
         seg_starts = np.zeros(n_texts, dtype=np.int64)
         if n_texts > 1:
             seg_starts[1:] = np.cumsum(dls[:-1].astype(np.int64))
@@ -295,35 +373,46 @@ def embedding_near_dup_pairs(
     ds: Dataset,
     *,
     threshold: float = 0.95,
-    num_planes: int = 16,
+    bands: int = 4,
+    planes_per_band: int = 8,
     seed: int = 7,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> pd.DataFrame:
-    """Random-hyperplane LSH buckets → exact cosine verify (pairs with
-    cosine >= threshold).  Planes are broadcast once via ``ray.put``."""
+    """Banded random-hyperplane LSH → exact cosine verify (pairs with
+    cosine >= threshold).  A pair is a candidate if it agrees on ALL planes
+    of ANY band (OR-of-ANDs, same shape as MinHash banding), so recall on
+    high-cosine near-dups is 1-(1-p^r)^b instead of the single-bucket p^r.
+    Planes are broadcast once via ``ray.put``; the per-band explode is a
+    bounded groupby like the MinHash band shuffle."""
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
+    planes = rng.standard_normal((dim, bands * planes_per_band))
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        from .ann import _as_matrix
+
         P = ray.get(planes_ref)
-        emb = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column(emb_col).to_pylist()])
+        emb = _as_matrix(batch.column(emb_col))
+        n = emb.shape[0]
         bits = (emb @ P) > 0
-        code = np.zeros(len(batch), dtype=np.int64)
-        for j in range(P.shape[1]):
-            code |= bits[:, j].astype(np.int64) << j
+        codes = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(planes_per_band):
+                codes[:, b] |= bits[:, b * planes_per_band + j].astype(np.int64) << j
         norm = np.linalg.norm(emb, axis=1)
         norm[norm == 0] = 1.0
         unit = emb / norm[:, None]
-        offs = np.arange(0, (len(batch) + 1) * P.shape[0], P.shape[0], dtype=np.int32)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        offs = np.arange(0, (n * bands + 1) * dim, dim, dtype=np.int32)
         return pa.table(
             {
-                "bucket": pa.array(code),
-                id_col: batch.column(id_col),
-                "unit": pa.ListArray.from_arrays(pa.array(offs), pa.array(unit.reshape(-1))),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_code": pa.array(codes.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "unit": pa.ListArray.from_arrays(pa.array(offs), pa.array(np.repeat(unit, bands, axis=0).reshape(-1))),
             }
         )
 
@@ -331,7 +420,9 @@ def embedding_near_dup_pairs(
         g = g.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
         if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "cosine": pd.Series(dtype=np.float64)}
+            )
         U = np.stack([np.asarray(u) for u in g["unit"]])
         sims = U @ U.T
         a, b = np.triu_indices(ids.size, k=1)
@@ -341,10 +432,12 @@ def embedding_near_dup_pairs(
 
     out = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby(["band_id", "band_code"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "cosine": pd.Series(dtype=np.float64)}
+        )
     return out.drop_duplicates(["id_a", "id_b"], ignore_index=True).sort_values(["id_a", "id_b"], ignore_index=True)

@@ -30,12 +30,14 @@ _MAGIC = b"SYNB"
 
 def synth_media_table(n: int, kind: str = "image", seed: int = 5, payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media table: (media_id, kind, payload: binary,
-    width, height, duration_ms metadata columns)."""
+    width, height, duration_ms metadata columns).  Metadata is closed-form
+    arithmetic in media_id (not RNG) so a SQL oracle can regenerate it;
+    only the opaque payload body uses the seeded RNG."""
     rng = np.random.default_rng(seed)
     ids = np.arange(n, dtype=np.int64)
-    widths = rng.integers(64, 1920, n).astype(np.int32)
-    heights = rng.integers(64, 1080, n).astype(np.int32)
-    durations = rng.integers(500, 60_000, n).astype(np.int32)
+    widths = (64 + (ids * 211) % 1856).astype(np.int32)
+    heights = (64 + (ids * 131) % 1016).astype(np.int32)
+    durations = (500 + (ids * 977) % 59_500).astype(np.int32)
     payloads = []
     for i in range(n):
         header = _MAGIC + struct.pack("<iii", int(widths[i]), int(heights[i]), int(durations[i]))

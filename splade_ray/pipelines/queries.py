@@ -355,9 +355,13 @@ def exact_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """bands=32 (r=4) so LSH recall at the data's jaccard range (>=0.9) is
+    1-(1-0.9^4)^32 ~ 1-1e-15 — the brute-force SQL oracle must match
+    exactly, so the banding is sized for near-certain recall and the exact
+    Jaccard verify discards the extra candidates."""
     from .dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5)
+    out = minhash_lsh_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, bands=32)
     out["jaccard"] = out["jaccard"].round(6)
     return out
 

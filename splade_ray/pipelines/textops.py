@@ -21,7 +21,6 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..functions.hashing import hash_strings, splitmix64
 from ..util import pool_size
 from ..tokenizer import Tokenizer
 
@@ -171,8 +170,11 @@ class LangIdStage:
 
 
 class FingerprintStage:
-    """Order-sensitive 64-bit document fingerprint: rolling combination of
-    token hashes (position-mixed), deterministic across runs/partitions."""
+    """Order-sensitive 64-bit document fingerprint: polynomial rolling hash
+    of the token stream, fp = Σ h_i · R^(dl-1-i) mod 2^64 with MD5-derived
+    token hashes (``tokenize_md5`` == DuckDB ``md5_number_lower``) —
+    deterministic across runs/partitions AND recomputable by the SQL oracle
+    as ``list_reduce(tokens, (h, t) -> (h·R + t) mod 2^64)``."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -183,12 +185,11 @@ class FingerprintStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        th, _rows, dls64 = self.tok.tokenize_hashes(batch.column(self.text_col))
+        th, _rows, dls64 = self.tok.tokenize_md5(batch.column(self.text_col))
         seg_starts = np.zeros(n, dtype=np.int64)
         if n > 1:
             seg_starts[1:] = np.cumsum(dls64[:-1])
-        # polynomial rolling hash fp = Σ h_i · r^(dl-1-i)  (mod 2^64),
-        # vectorized: precompute r powers, weight per position, reduceat
+        # vectorized: precompute R powers, weight per position, reduceat
         with np.errstate(over="ignore"):
             max_dl = int(dls64.max()) if n else 0
             powers = np.ones(max(max_dl, 1), dtype=np.uint64)
@@ -202,11 +203,10 @@ class FingerprintStage:
                 sums[dls64 == 0] = 0
             else:
                 sums = np.zeros(n, dtype=np.uint64)
-        out = splitmix64(sums)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "fingerprint": pa.array(out.astype(np.int64)),
+                "fingerprint": pa.array(sums.astype(np.int64)),
             }
         )
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
-from ..functions.hashing import hash_strings, splitmix64
+from ..functions.hashing import md5_u64
 
 
 def parse_triplet_lines(batch: pd.DataFrame) -> pd.DataFrame:
@@ -50,7 +50,7 @@ def parse_triplet_lines(batch: pd.DataFrame) -> pd.DataFrame:
     if keep3.any():
         p3 = parts[keep3]
         q = p3.str[0]
-        qid = pd.Series(hash_strings(q.to_numpy(dtype=object)) % np.uint64(10**12)).astype(str)
+        qid = pd.Series(md5_u64(q.tolist()) % np.uint64(10**12)).astype(str)
         qid.index = q.index
         out.append(pd.DataFrame({"query_id": "h" + qid, "query": q, "pos": p3.str[1], "neg": p3.str[2]}))
     if not out:
@@ -64,16 +64,17 @@ def read_triplets(path: str) -> Dataset:
 
 def sample_training_pairs(ds: Dataset, keep_fraction: float = 0.5, seed: int = 10) -> Dataset:
     """Seeded per-row subsampling (K6): keep a row iff
-    splitmix64(hash(query_id ++ query) ^ seed) < fraction·2^64 —
-    deterministic per row, independent of partitioning/order."""
+    md5_u64(query_id ++ query ++ seed) < fraction·2^64 — deterministic per
+    row, independent of partitioning/order, and SQL-reproducible
+    (``md5_number_lower`` in the DuckDB oracle computes the same hash)."""
     threshold = np.uint64(int(keep_fraction * float(2**64 - 1)))
 
     def keep(batch: pa.Table) -> pa.Table:
         key = [
-            f"{q}\x00{t}"
+            f"{q}\x01{t}\x01{seed}"
             for q, t in zip(batch.column("query_id").to_pylist(), batch.column("query").to_pylist())
         ]
-        h = hash_strings(np.asarray(key, dtype=object), seed=seed)
+        h = md5_u64(key)
         return batch.filter(pa.array(h < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")

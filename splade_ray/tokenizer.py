@@ -148,6 +148,25 @@ class Tokenizer:
         vh = hash_strings(np.asarray(vocab.to_pylist(), dtype=object), seed=seed)
         return vh[codes], rows, dls
 
+    def tokenize_md5(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Like :meth:`tokenize_hashes` but with the SQL-reproducible MD5
+        hash (DuckDB ``md5_number_lower``) — used by the operators whose
+        DuckDB oracle must recompute the same per-token hashes (simhash,
+        fingerprints).  MD5 runs only over the per-batch unique vocab."""
+        from .functions.hashing import md5_u64
+
+        enc = self.tokenize_codes(texts)
+        if enc is None:
+            flat, dls32 = self.tokenize_flat(texts if isinstance(texts, list) else list(texts))
+            dls = dls32.astype(np.int64)
+            rows = np.repeat(np.arange(dls.size, dtype=np.int64), dls)
+            return md5_u64(flat), rows, dls
+        codes, rows, vocab, dls = enc
+        if codes.size == 0:
+            return np.zeros(0, np.uint64), rows, dls
+        vh = md5_u64(vocab.to_pylist())
+        return vh[codes], rows, dls
+
     def tokenize_flat(self, texts: Iterable[str]) -> tuple[list[str], np.ndarray]:
         """Tokenize a batch → (flat python token list, per-row counts).
 

@@ -6,7 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from splade_ray.functions.hashing import hash_strings
+from splade_ray.functions.hashing import hash_strings, md5_u64
 from splade_ray.pipelines.dedup import MinHashStage, SimHashStage
 from splade_ray.pipelines.textops import FingerprintStage, LangIdStage, TokenStatsStage
 from splade_ray.tokenizer import Tokenizer
@@ -53,7 +53,7 @@ def test_simhash_matches_per_row(batch):
     out = sh(batch).to_pylist()
     tok = Tokenizer()
     for i, t in enumerate(TEXTS):
-        th = hash_strings(tok.tokenize(t or ""))
+        th = md5_u64(tok.tokenize(t or ""))
         ref = np.uint64(0)
         for b in range(64):
             bits = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
