@@ -30,7 +30,7 @@ class EngineConfig:
 
     # --- deterministic doc-id assignment (SURVEY.md §3.2 contract) ---
     # doc ids are assigned in (bucket, url) order where
-    # bucket = crc32(url) % num_buckets; per-bucket counts -> exclusive
+    # bucket = hash_strings(url) % num_buckets; per-bucket counts -> exclusive
     # prefix sum on the driver -> offsets broadcast back.  The reference's
     # contract is "rank-major, shard-major, row-minor position"
     # (src/indexing/sparse_index.py:642-656); ours is the distributed
@@ -103,10 +103,15 @@ class EngineConfig:
     # whenever the url key set fits in a broadcast (<~50M urls).
     # "shuffle": groupby(bucket) sort exchange of the full rows (the
     # 10^12-doc path where the key set itself is distributed).
+    # "auto" (default): count input rows from parquet footers (driver-side
+    # metadata only) and pick broadcast below ``broadcast_row_limit``,
+    # shuffle above — so a 10^12-url input can never silently take the
+    # driver-broadcast path.
     # Assumption of "broadcast": (url, warc_ts) pairs are unique — true of
     # real crawls (fetch timestamps); violated duplicates fail loudly at
     # the postings contiguity check.
-    dedup_mode: str = "broadcast"
+    dedup_mode: str = "auto"
+    broadcast_row_limit: int = 30_000_000
 
     # --- execution sizing ---
     read_batch_size: int = 8192
@@ -121,7 +126,8 @@ class EngineConfig:
         assert self.k1 > 0 and 0.0 <= self.b <= 1.0
         assert self.num_buckets > 0 and self.shard_size > 0 and self.zone_docs > 0
         assert self.encoder in ("bm25", "neural")
-        assert self.dedup_mode in ("broadcast", "shuffle")
+        assert self.dedup_mode in ("auto", "broadcast", "shuffle")
+        assert self.broadcast_row_limit > 0
         assert self.vocab_mode in ("sorted", "hashed")
         assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1

@@ -10,7 +10,7 @@ reference leaves tie order implementation-defined (``:735-748``); the oracle
 
 Deterministic contracts encoded here (SURVEY.md §3.2, §7):
 - url dedup keeps the max ``warc_ts`` row per url;
-- doc ids are assigned in ``(crc32(url) % num_buckets, url)`` order;
+- doc ids are assigned in ``(hash_strings(url) % num_buckets, url)`` order;
 - BM25 uses ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` with k1/b from
   :class:`~splade_ray.config.EngineConfig` (the reference has no BM25 —
   SURVEY.md §0);
@@ -19,7 +19,6 @@ Deterministic contracts encoded here (SURVEY.md §3.2, §7):
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -29,8 +28,11 @@ from .config import EngineConfig, DEFAULT_CONFIG
 from .tokenizer import Tokenizer
 
 
-def crc32_bucket(url: str, num_buckets: int) -> int:
-    return zlib.crc32(url.encode("utf-8")) % num_buckets
+def url_bucket(url: str, num_buckets: int) -> int:
+    """Same bucket function as the engine (stages/extract.url_buckets)."""
+    from .functions.hashing import hash_strings
+
+    return int(hash_strings(np.asarray([url], dtype=object))[0] % np.uint64(num_buckets))
 
 
 @dataclass
@@ -79,7 +81,7 @@ def dedup_assign(web_pages: pa.Table, cfg: EngineConfig) -> pa.Table:
     keep_mask[1:] = urls[order][1:] != urls[order][:-1]
     kept = order[keep_mask]
     kept_urls = urls[kept]
-    buckets = np.asarray([crc32_bucket(u, cfg.num_buckets) for u in kept_urls])
+    buckets = (hash_strings(kept_urls) % np.uint64(cfg.num_buckets)).astype(np.int64)
     final = kept[np.lexsort((kept_urls, buckets))]
     tbl = web_pages.take(pa.array(final))
     return tbl.add_column(0, "doc_id", pa.array(np.arange(len(final), dtype=np.int64)))

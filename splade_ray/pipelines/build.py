@@ -56,13 +56,21 @@ from ..state.lineage import StageGuard, atomic_write_json, config_hash, read_jso
 from ..util import pool_size
 
 
+def _parquet_files(input_paths) -> list[str]:
+    paths = list(input_paths) if isinstance(input_paths, (list, tuple)) else [input_paths]
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        else:
+            files.append(p)
+    return files
+
+
 def _corpus_columns(input_paths) -> list[str]:
     import pyarrow.parquet as pq
 
-    path = input_paths[0] if isinstance(input_paths, (list, tuple)) else input_paths
-    if os.path.isdir(path):
-        files = [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-        path = files[0]
+    path = _parquet_files(input_paths)[0]
     names = set(pq.read_schema(path).names)
     cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in names]
     if "html" in names and "text" in names:
@@ -70,6 +78,23 @@ def _corpus_columns(input_paths) -> list[str]:
         # keeping both here feeds the byte-identity verification
         pass
     return cols
+
+
+def _input_row_count(input_paths) -> int:
+    """Total input rows from parquet FOOTERS only — a driver-side metadata
+    scan (no data read), used to auto-pick the dedup strategy."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(input_paths))
+
+
+def resolve_dedup_mode(input_paths, cfg: EngineConfig) -> str:
+    """``auto`` → broadcast below ``broadcast_row_limit`` input rows (the
+    winner table fits a ray.put broadcast), shuffle above (the 10^12-url
+    path where even the key set must stay distributed)."""
+    if cfg.dedup_mode != "auto":
+        return cfg.dedup_mode
+    return "broadcast" if _input_row_count(input_paths) <= cfg.broadcast_row_limit else "shuffle"
 
 
 class IndexBuilder:
@@ -116,7 +141,7 @@ class IndexBuilder:
         t0 = time.perf_counter()
         cols = _corpus_columns(input_paths)
         ds = ray.data.read_parquet(input_paths, columns=cols)
-        if self.cfg.dedup_mode == "broadcast":
+        if resolve_dedup_mode(input_paths, self.cfg) == "broadcast":
             # dedup winners + doc ids from the narrow key side, broadcast
             # once — full rows never enter an exchange here
             winners_ref = ray.put(compute_winners(input_paths, self.cfg, self.doc_id_base))
@@ -189,7 +214,11 @@ class IndexBuilder:
         else:
             vocab = compute_vocab(ray.data.read_parquet(dt_dir, columns=["terms"]))
         nb = self.cfg.num_buckets
-        with_buckets = self.cfg.dedup_mode == "shuffle"
+        # mode-agnostic: the doc_terms schema says whether doc ids are still
+        # deferred (shuffle mode writes a `bucket` column, broadcast doesn't)
+        import pyarrow.parquet as pq
+
+        with_buckets = "bucket" in pq.read_schema(_parquet_files(dt_dir)[0]).names
         stat_cols = ["bucket", "dl"] if with_buckets else ["dl"]
 
         def bucket_dl_partial(batch: pa.Table) -> pa.Table:

@@ -2,7 +2,7 @@
 
 Contract (SURVEY.md §3.2, mirrored by the oracle): one doc per url keeping
 the max ``warc_ts`` row; global doc ids are the rank in
-``(bucket = crc32(url) % num_buckets, url)`` order, realized as
+``(bucket = hash_strings(url) % num_buckets, url)`` order, realized as
 ``offset[bucket] + local_idx`` where ``local_idx`` is the url rank within
 the bucket and the offsets are an exclusive prefix sum of per-bucket counts
 computed on the driver (a tiny aggregate — the reference's equivalent
@@ -76,18 +76,16 @@ def dedup_encode_group(group: pa.Table, *, cfg) -> pa.Table:
 def compute_winners(input_paths, cfg, doc_id_base: int = 0):
     """Driver-side dedup winner table from a column-pruned (url, warc_ts)
     read: one row per url (max warc_ts) with its deterministic doc id —
-    the rank in (crc32(url) % num_buckets, url) order, same contract as the
+    the rank in (hash(url) % num_buckets, url) order, same contract as the
     shuffle path and the oracle.
 
     The key table is ~50 B/url, so up to tens of millions of urls this is
     a driver reduce + ``ray.put`` broadcast; beyond that use
     ``dedup_mode="shuffle"`` (full-row exchange) — the trade documented in
-    EngineConfig.  Returns ``(pd.Index urls, winner_ts int64[], doc_ids
-    int64[])`` aligned by position.
+    EngineConfig, auto-selected by ``resolve_dedup_mode``.  Returns
+    ``(url_hashes u64[], winner_ts int64[], doc_ids int64[])`` aligned by
+    position, sorted by hash.
     """
-    import zlib
-
-    import pandas as pd
     import ray.data
 
     import ray
@@ -101,10 +99,13 @@ def compute_winners(input_paths, cfg, doc_id_base: int = 0):
     win = narrow.group_by("url").aggregate([("warc_ts", "max")])
     urls = np.asarray(win.column("url").to_pylist(), dtype=object)
     wts = win.column("warc_ts_max").to_numpy(zero_copy_only=False).astype(np.int64)
-    buckets = np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % cfg.num_buckets for u in urls), np.int64, urls.size
-    )
-    win = win.append_column("bucket", pa.array(buckets))
+    # ONE vectorized hash pass serves both the bucket assignment
+    # (hash % num_buckets, same function as ExtractStage.url_buckets /
+    # the numpy oracle) and the broadcast lookup key below
+    from ..functions.hashing import hash_strings
+
+    h = hash_strings(urls)
+    win = win.append_column("bucket", pa.array((h % np.uint64(cfg.num_buckets)).astype(np.int64)))
     order = (
         pa.compute.sort_indices(
             win, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
@@ -118,13 +119,20 @@ def compute_winners(input_paths, cfg, doc_id_base: int = 0):
     # out of the object store per worker, while a string index would
     # allocate |urls| Python objects in every worker process (measured as
     # an allocator stampede at high concurrency).  64-bit collisions are
-    # birthday-negligible below ~1e8 urls and would fail loudly at the
-    # postings doc-id contiguity check.
-    from ..functions.hashing import hash_strings
-
-    h = hash_strings(urls)
+    # birthday-negligible below ~1e8 urls — but a collision would make the
+    # second url's winner unreachable in the searchsorted lookup and only
+    # surface later as a misleading doc-id contiguity error, so detect it
+    # HERE and fail with an accurate message.
     hs = np.argsort(h, kind="stable")
-    return h[hs], wts[hs], doc_ids[hs]
+    h_sorted = h[hs]
+    if h_sorted.size > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
+        dup_i = int(np.nonzero(h_sorted[1:] == h_sorted[:-1])[0][0])
+        raise ValueError(
+            "url hash collision between two distinct urls "
+            f"({urls[hs[dup_i]]!r} vs {urls[hs[dup_i + 1]]!r}): broadcast dedup "
+            "cannot disambiguate them — use dedup_mode='shuffle' for this input"
+        )
+    return h_sorted, wts[hs], doc_ids[hs]
 
 
 def dedup_broadcast_batch(batch: pa.Table, *, cfg, winners_ref, verify: bool = False, encode: bool = True) -> pa.Table:
@@ -138,15 +146,16 @@ def dedup_broadcast_batch(batch: pa.Table, *, cfg, winners_ref, verify: bool = F
     from ..functions.hashing import hash_strings
 
     win_h, wts, doc_ids = cached_ref(winners_ref)
-    ext = ExtractStage(cfg, verify=verify, compute_bucket=False)(batch)
-    urls = np.asarray(ext.column("url").to_pylist(), dtype=object)
+    # filter LOSERS before html extraction: the winner test needs only
+    # (url, warc_ts), so recrawl rows never pay the extraction kernel
+    urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
     h = hash_strings(urls)
     idx = np.searchsorted(win_h, h)
     idx = np.minimum(idx, win_h.size - 1)
     found = win_h[idx] == h
-    ts = ext.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts = batch.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     keep = found & (wts[idx] == ts)
-    ext = ext.filter(pa.array(keep))
+    ext = ExtractStage(cfg, verify=verify, compute_bucket=False)(batch.filter(pa.array(keep)))
     row_doc_ids = doc_ids[idx[keep]]
     if not encode:
         return pa.table(

@@ -12,8 +12,6 @@ wide payload never enters a shuffle (SURVEY.md §7 "never shuffle html").
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -22,19 +20,21 @@ from ..config import EngineConfig
 from ..tokenizer import extract_text_batch
 
 
-def crc32_buckets(urls: pa.Array, num_buckets: int) -> pa.Array:
-    out = np.fromiter(
-        (zlib.crc32(u) % num_buckets for u in urls.cast(pa.binary()).to_pylist()),
-        dtype=np.int32,
-        count=len(urls),
-    )
-    return pa.array(out)
+def url_buckets(urls: pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized bucket assignment: hash_strings (pandas C siphash kernel)
+    mod num_buckets — one C call per batch instead of a per-url Python
+    zlib.crc32 loop (the allocator stampede ROUND_NOTES documents).  The
+    numpy oracle (oracle.url_bucket) uses the identical function."""
+    from ..functions.hashing import hash_strings
+
+    h = hash_strings(np.asarray(urls.to_pylist(), dtype=object))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
 class ExtractStage:
     """map_batches(pyarrow) fn: (url, warc_ts, html, lang[, text]) →
     ([bucket,] url, warc_ts, text, lang).  ``compute_bucket=False`` skips
-    the crc32 loop for the broadcast-dedup path, which never shuffles by
+    the bucket hash for the broadcast-dedup path, which never shuffles by
     bucket (ids come from the winner table)."""
 
     def __init__(self, cfg: EngineConfig, verify: bool = False, compute_bucket: bool = True):
@@ -59,7 +59,7 @@ class ExtractStage:
             "lang": batch.column("lang"),
         }
         if self.compute_bucket:
-            bucket = crc32_buckets(batch.column("url").combine_chunks(), self.cfg.num_buckets)
+            bucket = url_buckets(batch.column("url").combine_chunks(), self.cfg.num_buckets)
             cols = {"bucket": bucket, **cols}
         return pa.table(
             cols

@@ -201,3 +201,34 @@ def test_duplicate_url_ts_fails_loudly(ray_session, small_cfg, tmp_path):
     pq_.write_table(dup, p)
     with pytest.raises(Exception, match="duplicate \\(url, warc_ts\\)"):
         build_index(p, str(tmp_path / "dup_idx"), small_cfg)
+
+
+def test_auto_dedup_mode(web_pages_path, small_cfg, tmp_path):
+    """dedup_mode='auto' routes on the parquet-footer row count: broadcast
+    below broadcast_row_limit, shuffle above — and the forced-shuffle auto
+    build must still produce the identical index (same doc ids/postings)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq_
+
+    from splade_ray.pipelines.build import build_index, resolve_dedup_mode
+
+    cfg_auto = dataclasses.replace(small_cfg, dedup_mode="auto")
+    assert resolve_dedup_mode(web_pages_path, cfg_auto) == "broadcast"
+    tiny = dataclasses.replace(cfg_auto, broadcast_row_limit=10)
+    assert resolve_dedup_mode(web_pages_path, tiny) == "shuffle"
+
+    out = str(tmp_path / "auto_shuffle_idx")
+    build_index(web_pages_path, out, tiny)
+    # evidence the shuffle path actually ran: doc_terms carries the
+    # deferred-id bucket column
+    dt = sorted(
+        f for f in os.listdir(os.path.join(out, "doc_terms")) if f.endswith(".parquet")
+    )
+    assert "bucket" in pq_.read_schema(os.path.join(out, "doc_terms", dt[0])).names
+    base = os.path.join(os.environ["GRAFT_TEST_INDEX"], "postings")
+    got = os.path.join(out, "postings")
+    files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+    assert files == sorted(f for f in os.listdir(got) if f.endswith(".parquet"))
+    for f in files:
+        assert pq_.read_table(os.path.join(base, f)).equals(pq_.read_table(os.path.join(got, f))), f
