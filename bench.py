@@ -102,6 +102,8 @@ def run_bench() -> dict:
             "bench_docs": summary["n_docs"],
             "docs_per_sec": round(docs_per_s, 1),
             "stage_timings": summary.get("timings"),
+            "build_policy": "best_of_2",
+            "build_runs_s": build_runs,
         }
         ray.shutdown()
         return result
@@ -167,7 +169,11 @@ def run_bench() -> dict:
         "docs_per_sec": round(docs_per_s, 1),
         "nnz": summary.get("nnz"),
         "stage_timings": summary.get("timings"),
+        # headline value/docs_per_sec are BEST-OF-2 (host-noise policy,
+        # BASELINE.md); both raw runs and the median are reported here
+        "build_policy": "best_of_2",
         "build_runs_s": build_runs,
+        "build_median_s": round(sorted(build_runs)[len(build_runs) // 2], 3),
         "query_p50_ms": round(1000 * float(np.percentile(lat_ex, 50)), 3),
         "query_p95_ms": round(1000 * float(np.percentile(lat_ex, 95)), 3),
         "query_wand_p50_ms": round(1000 * float(np.percentile(lat_wand, 50)), 3),

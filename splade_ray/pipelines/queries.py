@@ -218,7 +218,7 @@ def neural_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def _external_ids(reader: IndexReader, docs: np.ndarray) -> list[int]:
-    return [int(reader.url_by_doc[int(d)].removeprefix("doc://")) for d in docs]
+    return [int(reader.url_of(int(d)).removeprefix("doc://")) for d in docs]
 
 
 def boolean_and_match(sf_dir: str) -> pd.DataFrame:

@@ -63,7 +63,9 @@ class ShardIndex:
         post = pq.read_table(postings_path)
         docs = pq.read_table(docs_path)
         self.doc_ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
-        self.urls = docs.column("url").to_pylist()
+        # urls stay an Arrow StringArray: zero Python strings at load —
+        # only the k returned hits per query ever materialize a str
+        self.urls = docs.column("url").combine_chunks()
         self.dl = docs.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
         self.n_local = len(self.doc_ids)
 
@@ -128,33 +130,35 @@ class ShardIndex:
         self = cls.__new__(cls)
         self.cfg = cfg
         self.doc_ids = np.concatenate([s.doc_ids for s in shards])
-        self.urls = [u for s in shards for u in s.urls]
+        self.urls = pa.concat_arrays([s.urls for s in shards])
         self.dl = np.concatenate([s.dl for s in shards])
         self.n_local = int(self.doc_ids.size)
         doc_offs = np.cumsum([0] + [s.n_local for s in shards][:-1])
 
-        # merged vocab rows + per-(shard, term) run lengths — all O(nnz),
-        # no sort: every shard is already (term, doc)-sorted
+        # merged vocab rows + per-(shard, term) run lengths — all O(nnz
+        # posting runs), never a dense (n_shards x n_terms) matrix, so
+        # memory stays proportional to the postings themselves even for a
+        # wide (hashed-id) vocab
         all_tids = np.unique(np.concatenate([s.term_ids for s in shards]))
         n_terms = all_tids.size
-        L = np.zeros((len(shards), n_terms), dtype=np.int64)
+        L_sum = np.zeros(n_terms, dtype=np.int64)
         shard_rows = []
-        for si, s in enumerate(shards):
+        for s in shards:
             rows = np.searchsorted(all_tids, s.term_ids)
             shard_rows.append(rows)
-            L[si, rows] = np.diff(s.term_ptr)
+            L_sum[rows] += np.diff(s.term_ptr)
         self.term_ids = all_tids
         self.term_ptr = np.zeros(n_terms + 1, dtype=np.int64)
-        np.cumsum(L.sum(axis=0), out=self.term_ptr[1:])
-        prior = np.cumsum(L, axis=0) - L  # runs of earlier shards per term
+        np.cumsum(L_sum, out=self.term_ptr[1:])
 
         nnz = int(self.term_ptr[-1])
         self.post_local = np.empty(nnz, dtype=np.int64)
         self.post_w = np.empty(nnz, dtype=np.float64)
+        run_off = np.zeros(n_terms, dtype=np.int64)  # filled-so-far per term
         for si, s in enumerate(shards):
             rows = shard_rows[si]
             seg_lens = np.diff(s.term_ptr)
-            dest_start = self.term_ptr[rows] + prior[si, rows]
+            dest_start = self.term_ptr[rows] + run_off[rows]
             snnz = s.post_local.size
             idx = (
                 np.arange(snnz, dtype=np.int64)
@@ -163,6 +167,7 @@ class ShardIndex:
             )
             self.post_local[idx] = s.post_local + doc_offs[si]
             self.post_w[idx] = s.post_w
+            run_off[rows] += seg_lens
 
         # zone bounds: when every shard's doc offset is zone-aligned
         # (shard_size % zone_docs == 0 — true for full shards), shard zones
@@ -171,19 +176,19 @@ class ShardIndex:
         self.zone_docs = int(cfg.zone_docs)
         aligned = all(o % self.zone_docs == 0 for o in doc_offs)
         if nnz and aligned:
-            ZL = np.zeros((len(shards), n_terms), dtype=np.int64)
+            Z_sum = np.zeros(n_terms, dtype=np.int64)
             for si, s in enumerate(shards):
-                ZL[si, shard_rows[si]] = np.diff(s.zone_ptr)
+                Z_sum[shard_rows[si]] += np.diff(s.zone_ptr)
             self.zone_ptr = np.zeros(n_terms + 1, dtype=np.int64)
-            np.cumsum(ZL.sum(axis=0), out=self.zone_ptr[1:])
-            zprior = np.cumsum(ZL, axis=0) - ZL
+            np.cumsum(Z_sum, out=self.zone_ptr[1:])
             zn = int(self.zone_ptr[-1])
             self.zone_zid = np.empty(zn, dtype=np.int64)
             self.zone_max = np.empty(zn, dtype=np.float64)
+            zrun_off = np.zeros(n_terms, dtype=np.int64)
             for si, s in enumerate(shards):
                 rows = shard_rows[si]
                 zlens = np.diff(s.zone_ptr)
-                dest = self.zone_ptr[rows] + zprior[si, rows]
+                dest = self.zone_ptr[rows] + zrun_off[rows]
                 sz = s.zone_zid.size
                 idx = (
                     np.arange(sz, dtype=np.int64)
@@ -192,6 +197,7 @@ class ShardIndex:
                 )
                 self.zone_zid[idx] = s.zone_zid + doc_offs[si] // self.zone_docs
                 self.zone_max[idx] = s.zone_max
+                zrun_off[rows] += zlens
         elif nnz:
             zone = self.post_local // self.zone_docs
             change = np.zeros(nnz, dtype=bool)
@@ -245,20 +251,47 @@ class ShardIndex:
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
         return self._topk_from_scores(scores, k)
 
-    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int, zones_per_chunk: int = 16) -> tuple[np.ndarray, np.ndarray]:
-        """Block-max pruned top-k (vectorized WAND variant): zones are
-        aligned doc-id ranges, so a doc's *entire* score lies within its
-        zone — scoring a zone over all query terms yields exact scores.
-        Zones are visited in descending upper-bound order
-        (ub(z) = Σ_t qw_t · zone_max_t[z], the block-max WAND bound) and
-        the walk stops when the best remaining ub cannot beat the running
-        kth score.  Identical top-k to exhaustive (tested); every step is a
-        numpy kernel — no per-doc Python."""
+    def _gather_zones(self, slices, zones: np.ndarray, qweights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(local ids, query-weighted impacts) of every posting inside
+        ``zones`` — one searchsorted + flat gather per query term for ALL
+        zones at once (no per-chunk loop)."""
+        pl, pw = self.post_local, self.post_w
+        zd = self.zone_docs
+        lo_doc, hi_doc = zones * zd, (zones + 1) * zd
+        ids_parts, w_parts = [], []
+        for i, s, e, _ in slices:
+            seg = pl[s:e]
+            lo = np.searchsorted(seg, lo_doc) + s
+            hi = np.searchsorted(seg, hi_doc) + s
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            csum = np.cumsum(lens)
+            idx = np.arange(tot, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(lo, lens)
+            ids_parts.append(pl[idx])
+            w_parts.append(pw[idx] * qweights[i])
+        if not ids_parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return np.concatenate(ids_parts), np.concatenate(w_parts)
+
+    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int, top_zones: int = 32, fallback_frac: float = 0.5) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned top-k (two-phase vectorized WAND variant).
+
+        Zones are aligned doc-id ranges, so a doc's *entire* score lies
+        within its zone — scoring a zone over all query terms yields exact
+        scores.  Phase 1 exact-scores the ``top_zones`` zones with the
+        highest upper bounds (ub(z) = Σ_t qw_t · zone_max_t[z], the
+        block-max WAND bound) to establish the kth-score threshold; phase 2
+        scores only the remaining zones whose ub can still beat it — in ONE
+        vectorized gather, not a zone-at-a-time walk.  When the bound
+        distribution is flat (pruning keeps > ``fallback_frac`` of the
+        zones), it scores everything — degenerating to the exhaustive
+        kernel plus a small bound-evaluation overhead instead of a slow
+        chunked walk.  Identical top-k to exhaustive (tested)."""
         slices = self._term_slices(qtids)
         if not slices:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        zd = self.zone_docs
-        pl, pw = self.post_local, self.post_w
 
         # zone upper bounds summed across query terms
         z_parts, ub_parts = [], []
@@ -272,47 +305,56 @@ class ShardIndex:
         order = np.argsort(-ub, kind="stable")
         uz, ub = uz[order], ub[order]
 
-        best_docs = np.zeros(0, np.int64)
-        best_scores = np.zeros(0, np.float64)
-        threshold = -np.inf
-        for c0 in range(0, uz.size, zones_per_chunk):
-            if best_docs.size >= k and ub[c0] < threshold:
-                break  # zones sorted by ub desc: nothing left can enter
-            zchunk = uz[c0 : c0 + zones_per_chunk]
-            lo_doc, hi_doc = zchunk * zd, (zchunk + 1) * zd
-            ids_parts, w_parts = [], []
-            for i, s, e, _ in slices:
-                seg = pl[s:e]
-                lo = np.searchsorted(seg, lo_doc) + s
-                hi = np.searchsorted(seg, hi_doc) + s
-                lens = hi - lo
-                tot = int(lens.sum())
-                if tot == 0:
-                    continue
-                # flatten the [lo, hi) ranges into one gather index
-                csum = np.cumsum(lens)
-                idx = np.arange(tot, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(lo, lens)
-                ids_parts.append(pl[idx])
-                w_parts.append(pw[idx] * qweights[i])
-            if not ids_parts:
-                continue
-            ids = np.concatenate(ids_parts)
-            ud, inv2 = np.unique(ids, return_inverse=True)
-            sc = np.bincount(inv2, weights=np.concatenate(w_parts))
-            # merge chunk's exact scores into the running top-k
-            docs_all = np.concatenate([best_docs, self.doc_ids[ud]])
-            sc_all = np.concatenate([best_scores, sc])
-            keep = np.lexsort((docs_all, -sc_all))[:k]
-            best_docs, best_scores = docs_all[keep], sc_all[keep]
-            if best_docs.size >= k:
-                threshold = best_scores[-1]
-        return best_docs, best_scores
+        # flatness pre-check: the threshold can never exceed ub[0], so when
+        # the median zone bound is already within 15% of the best, pruning
+        # cannot discard a useful fraction — skip the bound machinery and
+        # answer exhaustively (costs only the ub computation above)
+        if uz.size > top_zones and ub[uz.size // 2] >= 0.85 * ub[0]:
+            return self.score_exhaustive(qtids, qweights, k)
+
+        # phase 1: exact scores of the best-bounded zones, candidate-scoped
+        # (unique+bincount over <= top_zones·zone_docs docs — no dense
+        # vector, no corpus-wide nonzero scan, so an eventual fallback has
+        # wasted almost nothing)
+        ids1, w1 = self._gather_zones(slices, uz[:top_zones], qweights)
+        sel = None
+        if uz.size > top_zones and ids1.size:
+            cand, inv1 = np.unique(ids1, return_inverse=True)
+            csc = np.bincount(inv1, weights=w1)
+            if cand.size >= k:
+                t = csc[np.argpartition(-csc, k - 1)[:k]].min()
+                # ub >= t keeps boundary ties exact under (-score, doc_id)
+                sel = ub[top_zones:] >= t
+        if uz.size > top_zones:
+            if sel is None or int(sel.sum()) > fallback_frac * (uz.size - top_zones):
+                # flat bound distribution: pruning keeps most zones, and the
+                # zone-indexed gather costs more than the plain contiguous
+                # slices — answer with the exhaustive kernel instead
+                return self.score_exhaustive(qtids, qweights, k)
+            ids2, w2 = self._gather_zones(slices, uz[top_zones:][sel], qweights)
+            ids1, w1 = np.concatenate([ids1, ids2]), np.concatenate([w1, w2])
+        scores = np.bincount(ids1, weights=w1, minlength=self.n_local)
+        return self._topk_from_scores(scores, k)
 
 
 class IndexReader:
-    """Loads index metadata + all shards of an index directory."""
+    """Loads index metadata + all shards of an index directory.
 
-    def __init__(self, index_dir: str, cfg: EngineConfig | None = None, shard_ids: list[int] | None = None, consolidate: bool = True):
+    ``consolidate``: merge loaded shards into one CSC serving view when the
+    postings fit ``consolidate_budget_bytes`` (estimated from nnz; the
+    merge transiently holds both views, so the budget covers 2x) — the
+    single-node fast path.  Past the budget the per-shard list is kept;
+    the multi-node deployment (:class:`ShardedSearcher`) never consolidates
+    across nodes at all."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: EngineConfig | None = None,
+        shard_ids: list[int] | None = None,
+        consolidate: bool = True,
+        consolidate_budget_bytes: int = 8 << 30,
+    ):
         stats_dir = os.path.join(index_dir, "stats")
         meta = read_json(os.path.join(stats_dir, "meta.json"))
         self.n_docs = meta["n_docs"]
@@ -353,11 +395,27 @@ class IndexReader:
             for s in all_ids
         ]
         if consolidate and len(self.shards) > 1:
-            self.shards = [ShardIndex.consolidated(self.shards, self.cfg)]
-        self.url_by_doc: dict[int, str] = {}
-        for sh in self.shards:
-            for d, u in zip(sh.doc_ids, sh.urls):
-                self.url_by_doc[int(d)] = u
+            # ~24 B per posting (local id int64 + weight f64 + zone slack),
+            # x2 for the transient original+merged views during the merge
+            est = sum(s.post_w.size for s in self.shards) * 24 * 2
+            if est <= consolidate_budget_bytes:
+                self.shards = [ShardIndex.consolidated(self.shards, self.cfg)]
+        # positional url lookup: doc_ids ascend within and across shards
+        # (doc-sharded contract), so searchsorted over the concatenated id
+        # array replaces the old per-doc Python dict (no |docs| dict
+        # entries, no Python strings — urls stay Arrow until a hit returns)
+        if self.shards:
+            self._doc_index = np.concatenate([sh.doc_ids for sh in self.shards])
+            self._url_arr = pa.concat_arrays([sh.urls for sh in self.shards])
+        else:
+            self._doc_index = np.zeros(0, np.int64)
+            self._url_arr = pa.array([], type=pa.string())
+
+    def url_of(self, doc_id: int) -> str:
+        i = int(np.searchsorted(self._doc_index, doc_id))
+        if i >= self._doc_index.size or self._doc_index[i] != doc_id:
+            raise KeyError(doc_id)
+        return self._url_arr[i].as_py()
 
     def encode_query(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """Bag-of-words query encoding (reference doc-only mode,
@@ -405,7 +463,7 @@ class IndexReader:
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]
-        return [(int(docs[i]), float(scores[i]), self.url_by_doc[int(docs[i])]) for i in order]
+        return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
 
 
 class SearcherStage:
@@ -454,7 +512,7 @@ class ShardScorerActor:
             d, s = fn(qtids, qw, k)
             cands_d.append(d)
             cands_s.append(s)
-            cands_u.extend(self.reader.url_by_doc[int(x)] for x in d)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
         d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u

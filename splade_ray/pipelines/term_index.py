@@ -153,10 +153,17 @@ def build_term_index(
 
 
 class TermIndexReader:
-    """Query-side reader over the salted term-major layout: a term's runs
-    accumulate directly into the dense score vector (no merge
-    materialization).  Exhaustive scoring only — rank-identical to the
-    doc-sharded reader (tested)."""
+    """Query-side reader over the salted term-major layout.
+
+    Load decodes EVERY run in two vectorized passes (concatenated varint
+    buffers, segment-reset cumsum for absolute doc ids — same pattern as
+    the doc-sharded ShardIndex load) and ``set_doc_lengths`` precomputes
+    float64 BM25 weights per posting.  Query scoring gathers the query
+    terms' posting slices and accumulates with unique+bincount over the
+    CANDIDATE docs only — no dense score vector over the global corpus, so
+    the reader stays partition-scoped at 10^12-doc scale (each reader
+    instance serves whatever runs live in its partition).  Exhaustive
+    scoring only — rank-identical to the doc-sharded reader (tested)."""
 
     def __init__(self, term_index_dir: str, stats_dir: str, cfg: EngineConfig | None = None):
         self.cfg = cfg or DEFAULT_CONFIG
@@ -170,46 +177,70 @@ class TermIndexReader:
             runs, sort_keys=[("term_id", "ascending"), ("salt", "ascending")]
         )
         runs = runs.take(order)
-        self.run_tids = runs.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        self.run_df = runs.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-        self.run_min = runs.column("min_doc").to_numpy(zero_copy_only=False).astype(np.int64)
-        self.run_docs = runs.column("docs").to_pylist()
-        self.run_tfs = runs.column("tfs").to_pylist()
-        # doc lengths needed for BM25 at query time: load from doc_terms?
-        # stats doesn't keep per-doc dl, so reader takes it lazily below.
-        self._dl: np.ndarray | None = None
+        run_tids = runs.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        run_df = runs.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        run_min = runs.column("min_doc").to_numpy(zero_copy_only=False).astype(np.int64)
+        run_ptr = np.zeros(run_df.size + 1, dtype=np.int64)
+        np.cumsum(run_df, out=run_ptr[1:])
+        nnz = int(run_ptr[-1])
+        # decode all runs at once: deltas are run-relative, so rebase each
+        # run's cumsum by subtracting the cumsum just before its start and
+        # adding its min_doc
+        deltas = varint_decode(binary_concat(runs.column("docs").combine_chunks()), nnz).astype(np.int64)
+        csum = np.cumsum(deltas)
+        starts = run_ptr[:-1]
+        if nnz:
+            prior = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
+            self.post_doc = csum - np.repeat(prior, run_df) + np.repeat(run_min, run_df)
+        else:
+            self.post_doc = np.zeros(0, np.int64)
+        self._tf = varint_decode(binary_concat(runs.column("tfs").combine_chunks()), nnz).astype(np.float64)
+        # postings grouped by term: runs are term-sorted, so per-term slices
+        # come from the first run of each distinct term
+        change = np.ones(run_tids.size, dtype=bool)
+        change[1:] = run_tids[1:] != run_tids[:-1]
+        first_run = np.nonzero(change)[0]
+        self.term_ids = run_tids[first_run]
+        self.term_ptr = np.append(run_ptr[first_run], nnz)
+        self._post_df = self.df[np.repeat(self.term_ids, np.diff(self.term_ptr))]
+        self.post_w: np.ndarray | None = None
         self.tok = Tokenizer(self.cfg)
 
     def set_doc_lengths(self, dl: np.ndarray):
-        self._dl = dl.astype(np.float64)
+        """Precompute float64 BM25 weights per posting (identical formula
+        to ShardIndex/oracle) — queries then only gather and accumulate."""
+        cfg = self.cfg
+        dlf = dl.astype(np.float64)
+        idf = bm25_idf(self._post_df.astype(np.float64), self.n_docs)
+        tf = self._tf
+        self.post_w = idf * tf * (cfg.k1 + 1.0) / (
+            tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dlf[self.post_doc] / self.avgdl)
+        )
 
     def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
-        assert self._dl is not None, "call set_doc_lengths first"
+        assert self.post_w is not None, "call set_doc_lengths first"
         toks = self.tok.tokenize(text)
         if not toks:
             return []
-        tids = self.vocab_index.get_indexer(np.asarray(sorted(set(toks)), dtype=object))
-        counts = pd.Series(toks).value_counts()
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        cfg = self.cfg
-        for tok_s, tid in zip(sorted(set(toks)), tids):
-            if tid < 0:
-                continue
-            qw = float(counts[tok_s])
-            idf = float(bm25_idf(np.asarray([self.df[tid]], dtype=np.float64), self.n_docs)[0])
-            lo = np.searchsorted(self.run_tids, tid, side="left")
-            hi = np.searchsorted(self.run_tids, tid, side="right")
-            for r in range(lo, hi):
-                n = int(self.run_df[r])
-                docs = self.run_min[r] + np.cumsum(varint_decode(self.run_docs[r], n).astype(np.int64))
-                tf = varint_decode(self.run_tfs[r], n).astype(np.float64)
-                w = idf * tf * (cfg.k1 + 1.0) / (
-                    tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self._dl[docs] / self.avgdl)
-                )
-                scores[docs] += qw * w
-        nz = np.nonzero(scores)[0]
-        if nz.size == 0:
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        tids = self.vocab_index.get_indexer(uniq)
+        known = tids >= 0
+        tids, qw = tids[known].astype(np.int64), counts[known].astype(np.float64)
+        if tids.size == 0:
             return []
-        kk = min(k, nz.size)
-        order = nz[np.lexsort((nz, -scores[nz]))][:kk]
-        return [(int(d), float(scores[d])) for d in order]
+        pos = np.searchsorted(self.term_ids, tids)
+        ids_parts, w_parts = [], []
+        for i in range(tids.size):
+            p = pos[i]
+            if p < self.term_ids.size and self.term_ids[p] == tids[i]:
+                s, e = self.term_ptr[p], self.term_ptr[p + 1]
+                ids_parts.append(self.post_doc[s:e])
+                w_parts.append(self.post_w[s:e] * qw[i])
+        if not ids_parts:
+            return []
+        ids = np.concatenate(ids_parts)
+        cand, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(w_parts))
+        kk = min(k, cand.size)
+        order = np.lexsort((cand, -scores))[:kk]
+        return [(int(cand[i]), float(scores[i])) for i in order]
