@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-triplet ingestion + seeded sampling (S2/M9/K6;
         # deterministic synthetic TSV — rows-only check)
         "triplet_ingest": q.triplet_ingest,
+        # meta-row shape dispatch + inline-score alignment + md5-keyed
+        # listwise subsample (M10/M11)
+        "meta_ingest": q.meta_ingest,
         # multimodal plumbing (deterministic fake decoder)
         "media_decode": media_decode,
         "frame_sample": frame_sample,
@@ -511,5 +514,35 @@ trip AS (
 SELECT query_id, query, pos, neg FROM trip
 WHERE md5_number_lower(query_id || chr(1) || query || chr(1) || '10') < CAST('9223372036854775808' AS UBIGINT)
 ORDER BY query_id, query
+""",
+        # listwise meta-row ingestion: same synthetic listwise table
+        # (label>0 = positive), subsampled to 2 pos / 3 neg per query by
+        # md5(seed|qid|doc) rank with doc_id tie-break — the engine's
+        # partition-order-independent replacement for the reference's
+        # sequential rng.sample
+        "meta_ingest": """
+WITH d AS (
+  SELECT doc_id, 'mq' || CAST(doc_id % 20 AS VARCHAR) AS qid,
+         CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS label,
+         doc_id * 0.25 AS sc
+  FROM documents
+),
+ranked AS (
+  SELECT qid, CAST(doc_id AS VARCHAR) AS doc_s, label, sc,
+         row_number() OVER (
+           PARTITION BY qid, (label > 0)
+           ORDER BY md5_number_lower('13' || chr(1) || qid || chr(1) || CAST(doc_id AS VARCHAR)),
+                    CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM d
+)
+SELECT qid AS query_id,
+       CASE WHEN label > 0 THEN 'pos' ELSE 'neg' END AS role,
+       CAST(rn - 1 AS INTEGER) AS slot,
+       doc_s AS doc_id,
+       round(sc, 6) AS score
+FROM ranked
+WHERE (label > 0 AND rn <= 2) OR (label <= 0 AND rn <= 3)
+ORDER BY query_id, role, slot
 """,
     }

@@ -68,6 +68,12 @@ def retrieval_metrics(run: pd.DataFrame, qrels: pd.DataFrame, k: int = 10) -> pd
             "rr_at_k": g["rr"].max(),
         }
     )
+    # a query WITH qrels but zero run rows must score 0, not vanish —
+    # dropping it would inflate the macro-average (torchmetrics scores such
+    # queries as zeros; only queries without qrels are dropped, M13)
+    out = out.reindex(n_rel.index)
+    out["n_rel"] = out["n_rel"].fillna(n_rel).astype(np.int64)
+    out[["n_hit", "dcg", "rr_at_k"]] = out[["n_hit", "dcg", "rr_at_k"]].fillna(0.0)
     ideal_n = np.minimum(out["n_rel"].to_numpy(), k)
     max_n = int(ideal_n.max()) if len(out) else 0
     idcg_table = np.concatenate([[0.0], np.cumsum(1.0 / np.log2(np.arange(1, max_n + 1) + 1.0))])

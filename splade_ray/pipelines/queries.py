@@ -663,12 +663,54 @@ def event_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_start"], ignore_index=True)
 
 
+def meta_ingest(sf_dir: str) -> pd.DataFrame:
+    """Training meta-row ingestion (M10/M11): synthesize a deterministic
+    LISTWISE training table from documents (query mq{doc_id % 20}, label
+    +1 on doc_id % 3 == 0, inline teacher score doc_id/4), normalize it
+    through the schema-dispatched meta reader (md5-keyed subsample to 2
+    pos / 3 neg per query), flatten to scalar rows.  The SQL oracle
+    replays the same synthesis + md5 ranking."""
+    from ..sources.meta import flatten_meta, normalize_meta_rows
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "qid": pa.array([f"mq{int(i) % 20}" for i in ids], type=pa.string()),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+    def build_row(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "query_id": pa.array([g.column("qid")[0].as_py()], type=pa.string()),
+                "doc_ids": pa.array([[str(int(i)) for i in ids]], type=pa.list_(pa.string())),
+                "labels": pa.array([[1.0 if i % 3 == 0 else 0.0 for i in ids]], type=pa.list_(pa.float64())),
+                "scores": pa.array([[i * 0.25 for i in ids]], type=pa.list_(pa.float64())),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(build_row, batch_format="pyarrow")
+    )
+    norm = normalize_meta_rows(rows, num_positives=2, num_negatives=3, seed=13)
+    out = flatten_meta(norm).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out[["query_id", "role", "slot", "doc_id", "score"]]
+    return out.sort_values(["query_id", "role", "slot"], ignore_index=True)
+
+
 def triplet_ingest(sf_dir: str) -> pd.DataFrame:
     """Training-triplet TSV ingestion (S2/M9) + seeded sampling (K6):
     synthesize a deterministic TSV from the documents table (every 7th doc
     becomes a 4-col triplet line, every 13th a 3-col line, plus malformed
     lines that must be skipped), parse it back distributed, subsample."""
-    from .triplets import read_triplets, sample_training_pairs
+    from ..sources.triplets import read_triplets, sample_training_pairs
 
     docs = _docs(sf_dir, columns=["doc_id", "text"]).to_pandas().head(2000)
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]

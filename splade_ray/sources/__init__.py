@@ -1,1 +1,1 @@
-
+"""Input-source readers (SURVEY.md S-family): TSV training triplets, qrels."""

@@ -132,7 +132,17 @@ def term_hash_table(texts, tok: Tokenizer, seed: int = 0) -> tuple[pa.ListArray,
 def apply_top_k_cap(terms: pa.ListArray, tfs: pa.ListArray, k: int) -> tuple[pa.ListArray, pa.ListArray]:
     """Keep the k highest-tf terms per row (reference sparsify semantics:
     top-k by value then re-sort by term id, sparse_index.py:144-158).
-    No-op when every row is already within the cap."""
+    No-op when every row is already within the cap.
+
+    Tie-break at the cap boundary: (tf desc, term ID asc) — rows arrive
+    id-sorted, so position order IS id order.  NOTE the term ID is
+    mode-relative: lexicographic rank under vocab_mode='sorted' but the
+    63-bit hash under 'hashed', so a doc exceeding ``doc_top_k`` distinct
+    terms with tf ties exactly at the boundary may keep a different term
+    set in the two modes.  Each mode is individually deterministic; the
+    SQL oracle applies no cap at all, so oracle rank-identity (for either
+    mode) additionally assumes no doc hits the cap — true for web pages at
+    the reference's doc_top_k=4096."""
     offs = terms.offsets.to_numpy(zero_copy_only=False)
     lens = np.diff(offs)
     if lens.size == 0 or lens.max() <= k:

@@ -39,3 +39,22 @@ def test_metrics_k_cutoff():
     assert out["rr_at_k"].iloc[0] == 0.0
     assert out["recall_at_k"].iloc[0] == 0.0
     assert out["ndcg_at_k"].iloc[0] == 0.0
+
+
+def test_metrics_zero_fill_for_missing_run():
+    """A query that HAS qrels but produced no run rows scores 0 across the
+    board (torchmetrics semantics) instead of being dropped — dropping it
+    would inflate the macro-average."""
+    import numpy as np
+    import pandas as pd
+
+    from splade_ray.pipelines.metrics import retrieval_metrics
+
+    run = pd.DataFrame({"query_id": ["q1", "q1"], "rank": [1, 2], "doc_id": [10, 11]})
+    qrels = pd.DataFrame({"query_id": ["q1", "q2"], "doc_id": [10, 99]})
+    out = retrieval_metrics(run, qrels, k=10).set_index("query_id")
+    assert list(out.index) == ["q1", "q2"]
+    assert out.loc["q2", "rr_at_k"] == 0.0
+    assert out.loc["q2", "recall_at_k"] == 0.0
+    assert out.loc["q2", "ndcg_at_k"] == 0.0
+    assert out.loc["q1", "rr_at_k"] == 1.0

@@ -3,7 +3,7 @@
 import pandas as pd
 import pytest
 
-from splade_ray.pipelines.qrels import normalize_qrels, read_trec_qrels
+from splade_ray.sources.qrels import normalize_qrels, read_trec_qrels
 
 
 @pytest.mark.parametrize(
@@ -40,7 +40,7 @@ def test_trec_format(ray_session, tmp_path):
 
 
 def test_tsv_with_header(ray_session, tmp_path):
-    from splade_ray.pipelines.qrels import read_qrels
+    from splade_ray.sources.qrels import read_qrels
 
     p = tmp_path / "qrels.tsv"
     p.write_text("query-id\tcorpus-id\tscore\nq1\td5\t1\nq2\td6\t0\n")

@@ -20,7 +20,7 @@ def triplet_file(tmp_path_factory):
 
 
 def test_parse_semantics(ray_session, triplet_file):
-    from splade_ray.pipelines.triplets import read_triplets
+    from splade_ray.sources.triplets import read_triplets
 
     df = read_triplets(triplet_file).to_pandas().sort_values("query", ignore_index=True)
     assert len(df) == 4  # two malformed lines dropped
@@ -35,7 +35,7 @@ def test_parse_semantics(ray_session, triplet_file):
 def test_seeded_sampling_deterministic_and_partition_invariant(ray_session, triplet_file):
     import ray.data
 
-    from splade_ray.pipelines.triplets import read_triplets, sample_training_pairs
+    from splade_ray.sources.triplets import read_triplets, sample_training_pairs
 
     ds = read_triplets(triplet_file)
     a = sorted(sample_training_pairs(ds, 0.5, seed=3).to_pandas()["query"])
