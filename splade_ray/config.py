@@ -71,6 +71,18 @@ class EngineConfig:
     neural_vocab_size: int = 30522
     neural_expansions: int = 8
     neural_seed: int = 10
+    # --- neural encoder backend ---
+    # "hash": deterministic hash-expansion stand-in (no external deps).
+    # "torch": real MLM-backed SPLADE encoder (HF MaskedLM + optional
+    # checkpoint, bf16 on CUDA, optional torch.compile, special-token
+    # exclusion) — mirrors the reference encode lifecycle
+    # (src/model/pl_module/encode.py:39-130); requires torch+transformers.
+    neural_backend: str = "hash"
+    neural_model_name: str = "naver/splade-v3-distilbert"
+    neural_checkpoint: str = ""
+    neural_device: str = "cpu"
+    neural_max_len: int = 256  # reference max seq len (dataset/_base.yaml:9-10)
+    neural_torch_compile: bool = False
     # posting-weight storage for the neural index (reference value_dtype,
     # config/encoding/_base.yaml:23): "f32" raw floats, or "q8" —
     # impact-quantized uint8 codes w/ a fixed global scale (4x smaller
@@ -130,6 +142,7 @@ class EngineConfig:
         assert self.broadcast_row_limit > 0
         assert self.vocab_mode in ("sorted", "hashed")
         assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
+        assert self.neural_backend in ("hash", "torch")
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 

@@ -67,16 +67,18 @@ def _parquet_files(input_paths) -> list[str]:
     return files
 
 
-def _corpus_columns(input_paths) -> list[str]:
+def _corpus_columns(input_paths, verify_extraction: bool = False) -> list[str]:
     import pyarrow.parquet as pq
 
     path = _parquet_files(input_paths)[0]
     names = set(pq.read_schema(path).names)
     cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in names]
-    if "html" in names and "text" in names:
-        # production reads would drop `text` and extract from html alone;
-        # keeping both here feeds the byte-identity verification
-        pass
+    if "html" in names and "text" in names and not verify_extraction:
+        # text is derivable from html — reading both nearly doubles the
+        # scanned bytes (text is ~48% of this corpus' compressed size), so
+        # the redundant column rides along ONLY when the byte-identity
+        # verification asked for it
+        cols.remove("text")
     return cols
 
 
@@ -139,7 +141,7 @@ class IndexBuilder:
         shutil.rmtree(dt_dir, ignore_errors=True)
         shutil.rmtree(os.path.join(self.out_dir, "corpus"), ignore_errors=True)
         t0 = time.perf_counter()
-        cols = _corpus_columns(input_paths)
+        cols = _corpus_columns(input_paths, self.verify_extraction)
         ds = ray.data.read_parquet(input_paths, columns=cols)
         if resolve_dedup_mode(input_paths, self.cfg) == "broadcast":
             # dedup winners + doc ids from the narrow key side, broadcast

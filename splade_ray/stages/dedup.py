@@ -90,31 +90,50 @@ def compute_winners(input_paths, cfg, doc_id_base: int = 0):
 
     import ray
 
-    # distributed read → zero-copy Arrow refs → C++ hash-aggregate on the
-    # driver (a pandas path would materialize every url as a Python string
-    # before deduping — measured 3 s of serial time at 600k rows)
-    refs = ray.data.read_parquet(input_paths, columns=["url", "warc_ts"]).to_arrow_refs()
-    narrow = pa.concat_tables(ray.get(refs))
-    narrow = narrow.set_column(1, "warc_ts", narrow.column("warc_ts").cast(pa.int64()))
-    win = narrow.group_by("url").aggregate([("warc_ts", "max")])
-    urls = np.asarray(win.column("url").to_pylist(), dtype=object)
-    wts = win.column("warc_ts_max").to_numpy(zero_copy_only=False).astype(np.int64)
-    # ONE vectorized hash pass serves both the bucket assignment
-    # (hash % num_buckets, same function as ExtractStage.url_buckets /
-    # the numpy oracle) and the broadcast lookup key below
     from ..functions.hashing import hash_strings
 
-    h = hash_strings(urls)
-    win = win.append_column("bucket", pa.array((h % np.uint64(cfg.num_buckets)).astype(np.int64)))
+    # url hashing runs in the WORKERS during the read (one vectorized pass
+    # serves both bucket assignment — hash % num_buckets, same function as
+    # ExtractStage.url_buckets / the numpy oracle — and the broadcast
+    # lookup key); the driver then only runs C++ pyarrow kernels
+    # (hash-aggregate + sort) over narrow columns, never materializing a
+    # single Python url string (measured ~3 s of serial string churn at
+    # 1.2M urls otherwise)
+    def key_batch(batch: pa.Table) -> pa.Table:
+        h = hash_strings(np.asarray(batch.column("url").to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts").cast(pa.int64()),
+                "h": pa.array(h.view(np.int64)),
+                "bucket": pa.array((h % np.uint64(cfg.num_buckets)).astype(np.int64)),
+            }
+        )
+
+    refs = (
+        ray.data.read_parquet(input_paths, columns=["url", "warc_ts"])
+        .map_batches(key_batch, batch_format="pyarrow", batch_size=None)  # whole blocks
+        .to_arrow_refs()
+    )
+    # zero-row blocks skip the map UDF entirely (Ray fast path) and arrive
+    # with the RAW read schema — drop them before concatenating
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    narrow = pa.concat_tables(tables)
+    win = narrow.group_by("url").aggregate([("warc_ts", "max"), ("h", "one"), ("bucket", "one")])
+    n = win.num_rows
+    wts = win.column("warc_ts_max").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = win.column("h_one").to_numpy(zero_copy_only=False).view(np.uint64)
     order = (
         pa.compute.sort_indices(
-            win, sort_keys=[("bucket", "ascending"), ("url", "ascending")]
+            win, sort_keys=[("bucket_one", "ascending"), ("url", "ascending")]
         )
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    doc_ids = np.empty(urls.size, dtype=np.int64)
-    doc_ids[order] = np.arange(urls.size, dtype=np.int64) + doc_id_base
+    doc_ids = np.empty(n, dtype=np.int64)
+    doc_ids[order] = np.arange(n, dtype=np.int64) + doc_id_base
     # broadcast url HASHES, not strings: three numpy arrays are zero-copy
     # out of the object store per worker, while a string index would
     # allocate |urls| Python objects in every worker process (measured as
@@ -127,10 +146,12 @@ def compute_winners(input_paths, cfg, doc_id_base: int = 0):
     h_sorted = h[hs]
     if h_sorted.size > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
         dup_i = int(np.nonzero(h_sorted[1:] == h_sorted[:-1])[0][0])
+        a = win.column("url")[int(hs[dup_i])].as_py()
+        b = win.column("url")[int(hs[dup_i + 1])].as_py()
         raise ValueError(
-            "url hash collision between two distinct urls "
-            f"({urls[hs[dup_i]]!r} vs {urls[hs[dup_i + 1]]!r}): broadcast dedup "
-            "cannot disambiguate them — use dedup_mode='shuffle' for this input"
+            f"url hash collision between two distinct urls ({a!r} vs {b!r}): "
+            "broadcast dedup cannot disambiguate them — use "
+            "dedup_mode='shuffle' for this input"
         )
     return h_sorted, wts[hs], doc_ids[hs]
 

@@ -167,6 +167,101 @@ def encode_query_bow(text: str, tok: Tokenizer, cfg: EngineConfig) -> tuple[np.n
     return uniq, counts.astype(np.float64)
 
 
+class TorchSpladeBackend:
+    """Real MLM-backed SPLADE doc encoder — the reference encode lifecycle
+    (``/root/reference/src/model/pl_module/encode.py:39-130``) expressed as
+    a per-actor backend behind the same sparsify seam:
+
+    - construct ONCE per actor: HF tokenizer + MaskedLM model (optionally
+      from a checkpoint state dict), moved to ``device``, bf16 autocast on
+      CUDA, ``torch.compile`` when requested and available;
+    - exclude-token-ids semantics (``splade.py:186-241``): logits of the
+      tokenizer's special tokens (or an explicit id list) are masked to
+      -inf BEFORE the log1p(relu(·)) activation, so special tokens can
+      never activate a vocab dim;
+    - forward: tokenize (max_len-truncated) → logits → log1p(relu) →
+      attention-masked max pool over the sequence → per-row sparse
+      (rows, tids, weights) triples for :func:`sparsify_rows`.
+
+    Importable without torch; CONSTRUCTION raises a clear ImportError when
+    torch/transformers are absent (this container has neither — the
+    skip-if-no-torch tests exercise the path where available).
+    """
+
+    def __init__(
+        self,
+        model_name: str,
+        checkpoint_path: str | None = None,
+        device: str = "cpu",
+        max_len: int = 256,
+        torch_compile: bool = False,
+        exclude_token_ids: list[int] | None = None,
+    ):
+        try:
+            import torch
+            from transformers import AutoModelForMaskedLM, AutoTokenizer
+        except ImportError as e:  # pragma: no cover - container has no torch
+            raise ImportError(
+                "TorchSpladeBackend requires torch + transformers; install them "
+                "or use the default hash-expansion backend (neural_backend='hash')"
+            ) from e
+        self.torch = torch
+        self.device = device
+        self.max_len = max_len
+        self.hf_tok = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModelForMaskedLM.from_pretrained(model_name)
+        if checkpoint_path:
+            state = torch.load(checkpoint_path, map_location="cpu")
+            self.model.load_state_dict(state.get("state_dict", state), strict=False)
+        self.model.eval().to(device)
+        if torch_compile and hasattr(torch, "compile"):
+            self.model = torch.compile(self.model)
+        ids = exclude_token_ids if exclude_token_ids is not None else self.hf_tok.all_special_ids
+        self.exclude_ids = torch.tensor(sorted({int(i) for i in ids}), dtype=torch.long, device=device)
+
+    def encode_raw(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(rows, tids, weights, dls) sparse activations for a text batch."""
+        torch = self.torch
+        enc = self.hf_tok(
+            ["" if t is None else t for t in texts],
+            padding=True,
+            truncation=True,
+            max_length=self.max_len,
+            return_tensors="pt",
+        ).to(self.device)
+        dls = enc["attention_mask"].sum(dim=1).cpu().numpy().astype(np.int64)
+        autocast = (
+            torch.autocast(device_type="cuda", dtype=torch.bfloat16)
+            if self.device.startswith("cuda")
+            else torch.autocast(device_type="cpu", enabled=False)
+        )
+        with torch.no_grad(), autocast:
+            logits = self.model(**enc).logits  # (B, L, V)
+            logits.index_fill_(-1, self.exclude_ids, float("-inf"))
+            acts = torch.log1p(torch.relu(logits))
+            mask = enc["attention_mask"].unsqueeze(-1)
+            pooled = (acts * mask).max(dim=1).values  # (B, V) masked max pool
+        sp = pooled.to_sparse().coalesce()
+        rows, tids = sp.indices().cpu().numpy().astype(np.int64)
+        weights = sp.values().float().cpu().numpy().astype(np.float64)
+        return rows, tids, weights, dls
+
+
+def encode_docs_torch(texts, backend: TorchSpladeBackend, cfg: EngineConfig):
+    """Torch-backend batch encoding → same output layout as
+    :func:`encode_docs` (tids list<int32>, weights list<float32>, dls)."""
+    texts = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
+    n = len(texts)
+    rows, tids, weights, dls = backend.encode_raw(texts)
+    offsets, k_tids, k_w = sparsify_rows(rows, tids, weights, n, cfg.doc_top_k, cfg.min_weight)
+    off32 = pa.array(offsets.astype(np.int32))
+    return (
+        pa.ListArray.from_arrays(off32, pa.array(k_tids.astype(np.int32))),
+        pa.ListArray.from_arrays(off32, pa.array(k_w.astype(np.float32))),
+        dls,
+    )
+
+
 class NeuralEncodeStage:
     """map_batches(pyarrow) actor: deduped corpus rows → (bucket,
     local_idx, url, dl, tids: list<int32>, weights: list<float32>).
@@ -174,18 +269,31 @@ class NeuralEncodeStage:
     postings stage, same as the BM25 path.
 
     Same construct-once actor-pool shape as the reference GPU encoder
-    (``src/model/pl_module/encode.py:39-214``): model state (here the
-    tokenizer + hash seeds; for a real model, the checkpoint) is built in
-    ``__init__`` once per actor; ``__call__`` is the batched forward.  Size
-    with ``concurrency=N`` (+ ``num_gpus=1`` for a real model).
+    (``src/model/pl_module/encode.py:39-214``): model state (the hash
+    seeds, or the torch checkpoint for ``neural_backend='torch'``) is
+    built in ``__init__`` once per actor; ``__call__`` is the batched
+    forward.  Size with ``concurrency=N`` (+ ``num_gpus=1`` for torch on
+    GPU: ``map_batches(NeuralEncodeStage, num_gpus=1, ...)``).
     """
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
         self.tok = Tokenizer(cfg)
+        self.backend: TorchSpladeBackend | None = None
+        if getattr(cfg, "neural_backend", "hash") == "torch":
+            self.backend = TorchSpladeBackend(
+                model_name=cfg.neural_model_name,
+                checkpoint_path=cfg.neural_checkpoint or None,
+                device=cfg.neural_device,
+                max_len=cfg.neural_max_len,
+                torch_compile=cfg.neural_torch_compile,
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tids, weights, dls = encode_docs(batch.column("text"), self.tok, self.cfg)
+        if self.backend is not None:
+            tids, weights, dls = encode_docs_torch(batch.column("text"), self.backend, self.cfg)
+        else:
+            tids, weights, dls = encode_docs(batch.column("text"), self.tok, self.cfg)
         # pass through whichever id columns the dedup mode produced
         ids = [c for c in ("doc_id", "bucket", "local_idx") if c in batch.column_names]
         cols = {c: batch.column(c) for c in ids}

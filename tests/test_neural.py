@@ -126,3 +126,47 @@ def test_neural_q8_rank_identity(neural_q8_built, web_pages_path):
         assert [d for d, _, _ in expected] == [d for d, _, _ in got] == [d for d, _, _ in wnd], text
         for (_, es, _), (_, gs, _) in zip(expected, got):
             assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_torch_backend_importable_without_torch():
+    """The torch backend class is importable (and raises a CLEAR error at
+    construction) in environments without torch/transformers."""
+    import importlib.util
+
+    import pytest
+
+    from splade_ray.stages.neural import TorchSpladeBackend
+
+    if importlib.util.find_spec("torch") is not None:
+        pytest.skip("torch present: covered by test_torch_backend_end_to_end")
+    with pytest.raises(ImportError, match="torch"):
+        TorchSpladeBackend(model_name="x")
+
+
+def test_torch_backend_end_to_end():
+    """Exercised only where torch + transformers are installed: the torch
+    backend must produce sparsified rows in the same output layout and the
+    build must run end-to-end under neural_backend='torch'."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("torch") is None or importlib.util.find_spec("transformers") is None:
+        pytest.skip("torch/transformers not installed in this container")
+    import dataclasses
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.stages.neural import NeuralEncodeStage
+
+    cfg = dataclasses.replace(
+        EngineConfig(encoder="neural"), neural_backend="torch", neural_model_name="distilbert-base-uncased"
+    )
+    stage = NeuralEncodeStage(cfg)
+    import pyarrow as pa_
+
+    out = stage(
+        pa_.table({"doc_id": [0, 1], "url": ["u0", "u1"], "text": ["hello world", "ray data splade"]})
+    )
+    assert out.num_rows == 2
+    assert out.column("tids").type == pa_.list_(pa_.int32())
+    assert all(len(r) > 0 for r in out.column("tids").to_pylist())
