@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort_values(["media_id", "frame_idx"], ignore_index=True)
         )
 
-    return {
+    ops = {
         # inverted index + BM25 (flagship)
         "bm25_topk": q.bm25_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
@@ -103,7 +103,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic fake decoder)
         "media_decode": media_decode,
         "frame_sample": frame_sample,
+        # S3 sample window (skip/limit projection) + cross-encoder-style
+        # pair scoring with teacher-score output (reference
+        # score_cross_encoder shape)
+        "doc_window": q.doc_window,
+        "pair_scores": q.pair_scores,
     }
+    # §2.10 extension surface: every driver pipeline is reachable by name
+    from splade_ray.registry import register_op
+
+    for _name, _fn in ops.items():
+        register_op(_name, _fn)
+    return ops
 
 
 def oracle_sql() -> dict[str, str]:
@@ -252,6 +263,33 @@ rr AS (
   FROM ov
 )
 SELECT query_id, rerank, doc_id, overlap FROM rr ORDER BY query_id, rerank
+""",
+        # teacher-score pair scoring: idf-weighted query-term coverage of
+        # each BM25 top-10 candidate, normalized to [0, 1]
+        "pair_scores": bm25_ctes
+        + """
+, cand AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10),
+num AS (
+  SELECT c.query_id, c.doc_id,
+         sum(CASE WHEN t.doc_id IS NOT NULL
+                  THEN q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) ELSE 0 END) AS num
+  FROM cand c
+  JOIN qtf q ON q.query_id = c.query_id
+  JOIN df ON df.term = q.term
+  CROSS JOIN stats s
+  LEFT JOIN tf t ON t.term = q.term AND t.doc_id = c.doc_id
+  GROUP BY 1, 2
+),
+den AS (
+  SELECT q.query_id, sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))) AS den
+  FROM qtf q JOIN df ON df.term = q.term CROSS JOIN stats s GROUP BY 1
+)
+SELECT n.query_id, n.doc_id, round(n.num / d.den, 6) AS teacher_score
+FROM num n JOIN den d USING (query_id) ORDER BY query_id, doc_id
+""",
+        # S3 sample window: rows [100, 150) in doc_id order
+        "doc_window": """
+SELECT doc_id, n_chars FROM documents ORDER BY doc_id OFFSET 100 LIMIT 50
 """,
         "hard_negatives": bm25_ctes
         + """

@@ -594,6 +594,57 @@ def rerank_overlap(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rerank", "doc_id", "overlap"])
 
 
+def pair_scores(sf_dir: str) -> pd.DataFrame:
+    """Cross-encoder-style pair scoring with TEACHER-SCORE output (the
+    reference's score_cross_encoder shape: (qid, doc_id, score) records,
+    jsonl sidecar): teacher_score(q, d) = Σ_{t∈q∩d} qtf·idf / Σ_{t∈q}
+    qtf·idf ∈ [0, 1] over the BM25 top-10 candidates — an interpretable,
+    deterministic stand-in for the cross-encoder logit that the SQL oracle
+    reproduces exactly.  Scores are also written as a jsonl sidecar (S9)."""
+    import json as _json
+
+    from ..oracle import bm25_idf
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        top = reader.search(text, BM25_K)
+        if not top:
+            continue
+        qtids, qw = reader.encode_query(text)
+        idf = bm25_idf(reader.df[qtids].astype(np.float64), reader.n_docs)
+        den = float((qw * idf).sum())
+        internal = np.asarray([d for d, _, _ in top], dtype=np.int64)
+        num = np.zeros(internal.size, dtype=np.float64)
+        for sh in reader.shards:
+            for i, s, e, _ in sh._term_slices(qtids):
+                num += np.isin(internal, sh.doc_ids[sh.post_local[s:e]]) * (qw[i] * idf[i])
+        ext = np.asarray([int(u.removeprefix("doc://")) for _, _, u in top], dtype=np.int64)
+        for d, n_ in zip(ext, num):
+            rows.append((qid, int(d), round(n_ / den, 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "doc_id", "teacher_score"]).sort_values(
+        ["query_id", "doc_id"], ignore_index=True
+    )
+    # S9 teacher-score sidecar (reference jsonl output shape)
+    sidecar = os.path.join(index_dir, "pair_scores.jsonl")
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        for r in out.itertuples(index=False):
+            f.write(_json.dumps({"query_id": r.query_id, "doc_id": int(r.doc_id), "score": float(r.teacher_score)}) + "\n")
+    os.replace(tmp, sidecar)
+    return out
+
+
+def doc_window(sf_dir: str) -> pd.DataFrame:
+    """S3 sample window (skip/limit) as a first-class projection: rows
+    [100, 150) of the documents table in doc_id order."""
+    from ..util import sample_window
+
+    out = sample_window(_docs(sf_dir, columns=["doc_id", "n_chars"]), "doc_id", skip=100, limit=50)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
 def hard_negatives(sf_dir: str) -> pd.DataFrame:
     """Hard-negative mining (J3/M14, script/preprocess/
     mine_hard_negatives.py:411-427): top-30 BM25 candidates per query,

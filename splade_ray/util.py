@@ -15,3 +15,17 @@ def pool_size(reserve: int = 2, fraction: float = 0.75) -> int:
     except Exception:
         ncpu = 4
     return max(1, min(ncpu - reserve, int(ncpu * fraction)))
+
+
+def sample_window(ds, key: str, skip: int, limit: int):
+    """S3 sample window (reference ``base.py:268-279``: dataset slice
+    [skip, skip+limit)) as a first-class projection over a DETERMINISTIC
+    order: sort by ``key``, truncate to the first skip+limit rows with the
+    streaming ``limit`` operator (only that prefix ever materializes), then
+    drop the first ``skip`` with an order-preserving ``split_at_indices``.
+    Row-position semantics over an unordered distributed dataset require
+    the explicit sort key — there is no hidden "input order"."""
+    head = ds.sort(key).limit(skip + limit)
+    if skip <= 0:
+        return head
+    return head.split_at_indices([skip])[1]

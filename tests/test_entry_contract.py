@@ -83,3 +83,13 @@ def test_entry_smoke():
     out = _to_df(entrymod.entry())
     assert len(out) > 0
     assert set(out.columns) == {"query_id", "rank", "doc_id", "score_r"}
+
+
+def test_registry_exposes_all_ops(ray_session):
+    import __ray_entry__ as e
+
+    from splade_ray.registry import get_op, list_ops
+
+    ops = e.queries()
+    assert set(list_ops()) >= set(ops)
+    assert get_op("bm25_topk") is ops["bm25_topk"]
