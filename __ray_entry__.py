@@ -82,10 +82,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_kept": q.dedup_exact_kept,
         "exact_dup_pairs": q.exact_dup_pairs,
         "minhash_pairs": q.minhash_pairs,
+        # exact set-similarity join (no LSH) — same oracle as minhash_pairs
+        "ngram_jaccard": q.ngram_jaccard,
         "simhash_pairs": q.simhash_pairs,
         "embedding_near_dups": q.embedding_near_dups,
         # similarity search
         "knn_cosine": q.knn_cosine,
+        # IVF with nprobe == n_clusters: exhaustive, same oracle
+        "knn_cosine_ivf": q.knn_cosine_ivf,
         # text analysis (heuristics)
         "lang_id_preds": q.lang_id_preds,
         "doc_fingerprints": q.doc_fingerprints,
@@ -236,7 +240,7 @@ FROM per p JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
 ORDER BY p.query_id
 """
     )
-    return {
+    oracles = {
         "bm25_topk": bm25,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
@@ -584,3 +588,8 @@ WHERE (label > 0 AND rn <= 2) OR (label <= 0 AND rn <= 3)
 ORDER BY query_id, role, slot
 """,
     }
+    # exact-join and exhaustive-IVF variants must reproduce the SAME
+    # reference rankings as their sibling operators
+    oracles["ngram_jaccard"] = oracles["minhash_pairs"]
+    oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
+    return oracles

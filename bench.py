@@ -82,11 +82,16 @@ def run_bench() -> dict:
     # run the build twice and report the best so the recorded number
     # reflects the engine, not the epoch (both runs are listed)
     build_runs = []
+    best_summary = None
     for attempt in range(2):
         shutil.rmtree(INDEX_DIR, ignore_errors=True)
         t0 = time.perf_counter()
         summary = build_index(corpus, INDEX_DIR, cfg)
-        build_runs.append(round(time.perf_counter() - t0, 3))
+        dt = round(time.perf_counter() - t0, 3)
+        build_runs.append(dt)
+        if best_summary is None or dt <= min(build_runs):
+            best_summary = summary  # stage timings must match the headline run
+    summary = best_summary
     build_s = min(build_runs)
     docs_per_s = summary["n_docs"] / build_s
 

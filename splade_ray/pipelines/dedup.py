@@ -308,6 +308,101 @@ def minhash_lsh_pairs(
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs — no LSH approximation anywhere:
+    the sparse all-pairs join (a pair appears iff it shares >= 1 shingle,
+    which any pair with jaccard > 0 does), i.e. the inverted-shingle-index
+    formulation of exact set-similarity join.
+
+    Pipeline: explode every doc to unique (doc_id, shingle, set_size)
+    rows → self hash-join on shingle (id_a < id_b kept) → per-pair
+    groupby counts the intersection → jaccard = |∩| / (n_a + n_b - |∩|).
+    All shuffles are scalar-keyed; hub shingles (stop-trigram clusters)
+    bound each join key's fan-out by their df — the exact-join analogue of
+    the LSH bucket skew, and the reason :func:`minhash_lsh_pairs` is the
+    sub-quadratic path at corpus scale."""
+    npart = concurrency or pool_size()
+
+    def explode_shingles(batch: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        n = batch.num_rows
+        h, rows, _dls = tok.tokenize_hashes(batch.column(text_col))
+        if h.size >= shingle_n:
+            acc = shingle_hashes(h, shingle_n)
+            valid = rows[: h.size - shingle_n + 1] == rows[shingle_n - 1 :]
+            sh, srows = acc[valid].astype(np.int64), rows[: h.size - shingle_n + 1][valid]
+        else:
+            sh, srows = np.zeros(0, np.int64), np.zeros(0, np.int64)
+        order = np.lexsort((sh, srows))
+        sh, srows = sh[order], srows[order]
+        if sh.size:
+            keep = np.ones(sh.size, bool)
+            keep[1:] = (srows[1:] != srows[:-1]) | (sh[1:] != sh[:-1])
+            sh, srows = sh[keep], srows[keep]
+        set_sizes = np.bincount(srows, minlength=n).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: pa.array(ids[srows]), "shingle": pa.array(sh), "set_size": pa.array(set_sizes[srows])}
+        )
+
+    shingles = ds.map_batches(explode_shingles, batch_format="pyarrow").materialize()
+    a = shingles.rename_columns({id_col: "id_a", "set_size": "n_a"})
+    b = shingles.rename_columns({id_col: "id_b", "set_size": "n_b"})
+    joined = a.join(b, "inner", num_partitions=npart, on=("shingle",))
+
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
+        # length filter (exact): jaccard <= min/max, so a pair whose set
+        # sizes differ by more than the threshold ratio can never qualify
+        # — dropped before the per-pair aggregate ever sees it
+        ok = (ia < ib) & (np.minimum(na, nb) >= threshold * np.maximum(na, nb))
+        return batch.filter(pa.array(ok))
+
+    inter_rows = joined.map_batches(keep_ordered, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count, Max
+
+    # vectorized per-pair reduce: intersection = row count; set sizes ride
+    # along as max() (constant within a pair) — no per-group Python
+    agg = inter_rows.groupby(["id_a", "id_b"]).aggregate(Count(), Max("n_a"), Max("n_b"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count()" not in batch.column_names:
+            return pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        ni = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("max(n_a)").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("max(n_b)").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = ni / np.maximum(na + nb - ni, 1.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
+        )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 # ------------------------------------------------------------------- simhash
 class SimHashStage:
     """map_batches(pyarrow): (id, text) → (id, simhash int64).  64-bit

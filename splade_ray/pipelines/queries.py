@@ -366,6 +366,17 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram Jaccard dedup (no LSH): the inverted-shingle-index
+    all-pairs join — must equal both the brute-force SQL oracle AND
+    minhash_pairs' LSH output on this data."""
+    from .dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from .dedup import simhash_near_dup_pairs
 
@@ -390,6 +401,24 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     qrows = ds.sort("vec_id").limit(5).to_pandas()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
     out = brute_force_topk(ds, Q, k=10)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "score_r"]]
+
+
+def knn_cosine_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF top-k with nprobe == n_clusters: probing every inverted list is
+    an exhaustive scan, so the result must be EXACTLY the brute-force
+    ranking — this puts the IVF routing/assign/partial-merge machinery
+    under the same SQL oracle as knn_cosine (recall < 1 configurations are
+    covered by the pytest recall-floor test)."""
+    from .ann import IVFIndex
+
+    ds = _emb(sf_dir)
+    qrows = ds.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    idx = IVFIndex(n_clusters=8, nprobe=8).fit_assign(ds, sample_fraction=0.5)
+    out = idx.search(Q, k=10)
     out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
     out["score_r"] = out["score"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "score_r"]]
