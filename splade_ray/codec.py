@@ -51,6 +51,10 @@ def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if count is not None and buf.size == count:
+        # every value is a single byte (no continuation bits possible):
+        # skip the boundary scan entirely — the common case for tf columns
+        return buf.astype(np.uint64)
     ends = np.nonzero((buf & 0x80) == 0)[0]
     n = ends.size
     starts = np.empty(n, dtype=np.int64)
