@@ -21,6 +21,7 @@ absent, shutdown on exit); library code never does.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -69,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--input", required=True)
     be.add_argument("--out", required=True)
 
+    op = sub.add_parser("op", help="run a registered operator by name (registry surface)")
+    op.add_argument("name", nargs="?", help="operator name; omit to list all")
+    op.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    op.add_argument("--limit", type=int, default=20, help="max result rows printed")
+
     args = p.parse_args(argv)
     cfg = _cfg(args.set)
 
@@ -95,6 +101,25 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.merge import merge_segments
 
             print(json.dumps(merge_segments(args.segments, args.out, cfg)))
+        elif args.cmd == "op":
+            import importlib.util as _ilu
+
+            # populate the registry from the driver contract
+            spec = _ilu.spec_from_file_location(
+                "__ray_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py")
+            )
+            entry = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(entry)
+            entry.queries()
+            from .registry import get_op, list_ops
+
+            if not args.name:
+                print(json.dumps(list_ops()))
+            else:
+                res = get_op(args.name)(args.sf_dir)
+                if hasattr(res, "to_pandas"):
+                    res = res.to_pandas()
+                print(res.head(args.limit).to_string())
         elif args.cmd == "bench":
             from .pipelines.build import build_index
             from .pipelines.search import IndexReader
