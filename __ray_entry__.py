@@ -31,10 +31,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from splade_ray.pipelines import queries as q
 
     def media_decode(sf_dir: str):
+        """Decoded metadata + features, flattened to scalar rows (media_id,
+        width, height, duration_ms, feat_idx, feat_value) — the synthetic
+        payload bytes are closed-form, so the SQL oracle recomputes the
+        per-chunk byte means the fake decoder extracts."""
         from splade_ray.pipelines.multimodal import decode_media, synth_media_table
         import ray.data as rd
 
-        return decode_media(rd.from_arrow(synth_media_table(200))).to_pandas().sort_values("media_id", ignore_index=True)
+        wide = decode_media(rd.from_arrow(synth_media_table(200))).to_pandas()
+        rows = []
+        for r in wide.itertuples(index=False):
+            for fi, v in enumerate(r.features):
+                rows.append((int(r.media_id), int(r.width), int(r.height), int(r.duration_ms), fi, round(float(v), 6)))
+        import pandas as pd
+
+        out = pd.DataFrame(
+            rows, columns=["media_id", "width", "height", "duration_ms", "feat_idx", "feat_value"]
+        ).sort_values(["media_id", "feat_idx"], ignore_index=True)
+        for c in ("width", "height", "duration_ms", "feat_idx"):
+            out[c] = out[c].astype("int32")
+        return out
 
     def frame_sample(sf_dir: str):
         from splade_ray.pipelines.multimodal import sample_frames, synth_media_table
@@ -592,4 +608,22 @@ ORDER BY query_id, role, slot
     # reference rankings as their sibling operators
     oracles["ngram_jaccard"] = oracles["minhash_pairs"]
     oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
+    # fake-decoder media features: per-256-byte-chunk means of the
+    # closed-form payload bytes ((id*131 + j*31 + 7) mod 256), metadata
+    # closed-form in media_id — pure SQL arithmetic
+    oracles["media_decode"] = """
+WITH ids AS (SELECT unnest(range(200)) AS media_id),
+feats AS (
+  SELECT media_id, CAST(u.j // 256 AS INTEGER) AS feat_idx,
+         round(avg(CAST((media_id * 131 + u.j * 31 + 7) % 256 AS DOUBLE)), 6) AS feat_value
+  FROM ids, LATERAL (SELECT unnest(range(4096)) AS j) u
+  GROUP BY media_id, u.j // 256
+)
+SELECT media_id,
+       CAST(64 + (media_id * 211) % 1856 AS INTEGER) AS width,
+       CAST(64 + (media_id * 131) % 1016 AS INTEGER) AS height,
+       CAST(500 + (media_id * 977) % 59500 AS INTEGER) AS duration_ms,
+       feat_idx, feat_value
+FROM feats ORDER BY media_id, feat_idx
+"""
     return oracles

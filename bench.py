@@ -136,12 +136,15 @@ def run_bench() -> dict:
     t = time.perf_counter()
     n_out = (
         rd.from_arrow(qtbl)
+        # from_arrow yields ONE block — without a repartition the actor
+        # pool receives a single task and the whole set runs serially
+        .repartition(32)
         .map_batches(
             SearcherStage,
             fn_constructor_args=(INDEX_DIR, 10, "exhaustive", cfg),
             batch_format="pyarrow",
             batch_size=cfg.query_batch_size,
-            concurrency=2,
+            concurrency=4,
         )
         .count()
     )

@@ -30,18 +30,19 @@ _MAGIC = b"SYNB"
 
 def synth_media_table(n: int, kind: str = "image", seed: int = 5, payload_bytes: int = 4096) -> pa.Table:
     """Deterministic fake media table: (media_id, kind, payload: binary,
-    width, height, duration_ms metadata columns).  Metadata is closed-form
-    arithmetic in media_id (not RNG) so a SQL oracle can regenerate it;
-    only the opaque payload body uses the seeded RNG."""
-    rng = np.random.default_rng(seed)
+    width, height, duration_ms metadata columns).  Metadata AND payload
+    body are closed-form arithmetic in (media_id, byte position) — no RNG
+    anywhere — so a SQL oracle can regenerate everything the fake decoder
+    derives from the bytes (per-chunk means)."""
     ids = np.arange(n, dtype=np.int64)
     widths = (64 + (ids * 211) % 1856).astype(np.int32)
     heights = (64 + (ids * 131) % 1016).astype(np.int32)
     durations = (500 + (ids * 977) % 59_500).astype(np.int32)
+    j = np.arange(payload_bytes, dtype=np.int64)
     payloads = []
     for i in range(n):
         header = _MAGIC + struct.pack("<iii", int(widths[i]), int(heights[i]), int(durations[i]))
-        body = rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
+        body = ((int(ids[i]) * 131 + j * 31 + 7) % 256).astype(np.uint8).tobytes()
         payloads.append(header + body)
     return pa.table(
         {
@@ -60,30 +61,65 @@ def _parse_header(payload: bytes) -> tuple[int, int, int]:
 
 class MediaDecodeStage:
     """map_batches(pyarrow) actor: (media_id, payload) → decoded metadata +
-    a fixed-dim feature vector.  ``feature_dim`` floats per row."""
+    a fixed-dim feature vector.  ``feature_dim`` floats per row.
+
+    ``decoder="real"`` is a WORKING Pillow-backed image decoder behind an
+    import-try (this container has no codec libraries, so constructing it
+    here raises a clear ImportError; the skip-if-no-PIL test exercises it
+    where Pillow exists).  The decode cost lives in ``__call__`` per batch
+    with Pillow state imported once per actor — the same
+    construct-once/actor-pool shape as the fake path."""
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 16):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
-        if decoder == "real":
-            # slot for a real codec (PIL.Image.open / av.open / soundfile):
-            raise NotImplementedError(
-                "real media decoding requires codec libraries not present in "
-                "this container; use decoder='fake' for plumbing tests"
-            )
+        self.decoder = decoder
         self.feature_dim = feature_dim
+        if decoder == "real":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "decoder='real' requires Pillow, which is not installed in "
+                    "this container; use decoder='fake' for plumbing tests"
+                ) from e
+            self._pil_image = Image
+
+    def _decode_real(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float64)
+        # features: per-cell mean intensity over a fixed grid — fixed dim
+        # regardless of image size
+        g = int(np.sqrt(self.feature_dim))
+        h, w = arr.shape[:2]
+        cells = [
+            arr[i * h // g : (i + 1) * h // g, j * w // g : (j + 1) * w // g].mean()
+            if (i + 1) * h // g > i * h // g and (j + 1) * w // g > j * w // g
+            else 0.0
+            for i in range(g)
+            for j in range(g)
+        ]
+        feats = np.zeros(self.feature_dim)
+        feats[: len(cells)] = cells
+        return w, h, 0, feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, durs, feats = [], [], [], []
         for payload in batch.column("payload").to_pylist():
-            w, h, d = _parse_header(payload)
+            if self.decoder == "real":
+                w, h, d, f = self._decode_real(payload)
+            else:
+                w, h, d = _parse_header(payload)
+                body = np.frombuffer(payload[16:], dtype=np.uint8)
+                # deterministic "features": per-chunk means of payload bytes
+                chunks = np.array_split(body.astype(np.float64), self.feature_dim)
+                f = np.asarray([c.mean() if c.size else 0.0 for c in chunks])
             widths.append(w)
             heights.append(h)
             durs.append(d)
-            body = np.frombuffer(payload[16:], dtype=np.uint8)
-            # deterministic "features": per-chunk means of the payload bytes
-            chunks = np.array_split(body.astype(np.float64), self.feature_dim)
-            feats.append(np.asarray([c.mean() if c.size else 0.0 for c in chunks]))
+            feats.append(f)
         offs = np.arange(0, (len(feats) + 1) * self.feature_dim, self.feature_dim, dtype=np.int32)
         flat = np.concatenate(feats) if feats else np.zeros(0)
         return pa.table(

@@ -41,3 +41,32 @@ def test_cli_build_search_merge(web_pages_path, tmp_path):
         "merge", "--segments", idx, "--out", merged,
     )
     assert msum["n_docs"] == summary["n_docs"]
+
+
+def test_real_decoder_importable_without_pil():
+    """decoder='real' is a working Pillow path behind an import-try: clear
+    ImportError here (no codecs in the container); decodes where PIL
+    exists."""
+    import importlib.util
+
+    import pytest
+
+    from splade_ray.pipelines.multimodal import MediaDecodeStage
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ImportError, match="Pillow"):
+            MediaDecodeStage(decoder="real")
+    else:
+        import io
+
+        import numpy as np
+        import pyarrow as pa
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((32, 48, 3), dtype=np.uint8)).save(buf, format="PNG")
+        out = MediaDecodeStage(decoder="real")(
+            pa.table({"media_id": [0], "payload": pa.array([buf.getvalue()], type=pa.binary())})
+        )
+        assert out.column("width")[0].as_py() == 48
+        assert out.column("height")[0].as_py() == 32
