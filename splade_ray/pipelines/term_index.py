@@ -165,7 +165,17 @@ class TermIndexReader:
     instance serves whatever runs live in its partition).  Exhaustive
     scoring only — rank-identical to the doc-sharded reader (tested)."""
 
-    def __init__(self, term_index_dir: str, stats_dir: str, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        term_index_dir: str,
+        stats_dir: str,
+        cfg: EngineConfig | None = None,
+        term_range: tuple[int, int] | None = None,
+    ):
+        """``term_range=(lo, hi)``: load only the runs with lo <= term_id
+        < hi — the term-PARTITIONED deployment, where each node owns a
+        term-id range and a query fans out to the owners of its terms
+        (see :func:`search_term_partitioned`)."""
         self.cfg = cfg or DEFAULT_CONFIG
         meta = read_json(os.path.join(term_index_dir, "_MANIFEST.json"))
         self.n_docs, self.avgdl = meta["n_docs"], meta["avgdl"]
@@ -173,6 +183,13 @@ class TermIndexReader:
         self.vocab_index = pd.Index(vocab.column("term").to_pylist())
         self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
         runs = pq.read_table(os.path.join(term_index_dir, "runs"))
+        if term_range is not None:
+            lo, hi = term_range
+            tid_col = runs.column("term_id")
+            keep = pa.compute.and_(
+                pa.compute.greater_equal(tid_col, pa.scalar(lo)), pa.compute.less(tid_col, pa.scalar(hi))
+            )
+            runs = runs.filter(keep)
         order = pa.compute.sort_indices(
             runs, sort_keys=[("term_id", "ascending"), ("salt", "ascending")]
         )
@@ -217,17 +234,21 @@ class TermIndexReader:
             tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dlf[self.post_doc] / self.avgdl)
         )
 
-    def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def score_partial(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """(candidate doc ids, PARTIAL scores) from the runs THIS reader
+        holds — the per-partition contribution of a term-partitioned
+        deployment.  Score order is irrelevant for Σ qw·w, so partials from
+        disjoint term ranges sum exactly to the full score."""
         assert self.post_w is not None, "call set_doc_lengths first"
         toks = self.tok.tokenize(text)
         if not toks:
-            return []
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         tids = self.vocab_index.get_indexer(uniq)
         known = tids >= 0
         tids, qw = tids[known].astype(np.int64), counts[known].astype(np.float64)
         if tids.size == 0:
-            return []
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         pos = np.searchsorted(self.term_ids, tids)
         ids_parts, w_parts = [], []
         for i in range(tids.size):
@@ -237,10 +258,33 @@ class TermIndexReader:
                 ids_parts.append(self.post_doc[s:e])
                 w_parts.append(self.post_w[s:e] * qw[i])
         if not ids_parts:
-            return []
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         ids = np.concatenate(ids_parts)
         cand, inv = np.unique(ids, return_inverse=True)
-        scores = np.bincount(inv, weights=np.concatenate(w_parts))
+        return cand, np.bincount(inv, weights=np.concatenate(w_parts))
+
+    def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        cand, scores = self.score_partial(text)
+        if cand.size == 0:
+            return []
         kk = min(k, cand.size)
         order = np.lexsort((cand, -scores))[:kk]
         return [(int(cand[i]), float(scores[i])) for i in order]
+
+
+def search_term_partitioned(readers: list[TermIndexReader], text: str, k: int = 10) -> list[tuple[int, float]]:
+    """Scatter-gather over TERM-partitioned readers (each holding a
+    disjoint term-id range): per-partition partial scores sum exactly —
+    unlike doc-sharded top-k merge, the gather must ADD contributions for
+    the same doc before ranking.  This is the query model of the
+    term-major layout on a cluster where each node owns a term range."""
+    parts = [r.score_partial(text) for r in readers]
+    ids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    if ids.size == 0:
+        return []
+    sc = np.concatenate([p[1] for p in parts])
+    cand, inv = np.unique(ids, return_inverse=True)
+    scores = np.bincount(inv, weights=sc)
+    kk = min(k, cand.size)
+    order = np.lexsort((cand, -scores))[:kk]
+    return [(int(cand[i]), float(scores[i])) for i in order]

@@ -37,6 +37,8 @@ def term_index(built_index, tmp_path_factory):
     dl = np.zeros(summary["n_docs"], dtype=np.int64)
     dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
     reader.set_doc_lengths(dl)
+    # breadcrumbs for the term-partitioned test
+    reader._tdir, reader._stats_dir, reader._dl = out, os.path.join(index_dir, "stats"), dl
     return reader, summary
 
 
@@ -56,3 +58,26 @@ def test_rank_identity_vs_doc_sharded(term_index, built_index):
         assert [d for d, _, _ in expected] == [d for d, _ in got], text
         for (_, es, _), (_, gs) in zip(expected, got):
             assert gs == pytest.approx(es, rel=1e-9)
+
+
+def test_term_partitioned_search_equals_full(term_index, built_index):
+    """Two readers over disjoint term-id ranges must reproduce the full
+    reader's ranking exactly when their partial scores are summed — the
+    term-partitioned cluster query model."""
+    from splade_ray.pipelines.term_index import search_term_partitioned
+
+    full, _ = term_index
+    _, cfg = built_index
+    n_terms = full.df.size
+    mid = n_terms // 2
+    parts = []
+    for rng in ((0, mid), (mid, n_terms + 1)):
+        r = TermIndexReader(full._tdir, full._stats_dir, cfg, term_range=rng)
+        r.set_doc_lengths(full._dl)
+        parts.append(r)
+    # partitions hold disjoint, complementary run sets
+    assert parts[0].term_ids.size + parts[1].term_ids.size == full.term_ids.size
+    for q in generate_queries(30)["text"].to_pylist():
+        a = [(d, round(s, 9)) for d, s in full.search(q, 10)]
+        b = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10)]
+        assert a == b, q
