@@ -35,7 +35,6 @@ import os
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

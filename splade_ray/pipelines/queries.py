@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Mean
 
 from ..config import EngineConfig
 from .build import build_index

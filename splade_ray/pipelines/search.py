@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..codec import binary_concat as _binary_concat, delta_decode, varint_decode
+from ..codec import binary_concat as _binary_concat, varint_decode
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..oracle import bm25_idf
 from ..state.lineage import read_json
