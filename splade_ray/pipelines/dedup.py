@@ -354,6 +354,11 @@ def ngram_jaccard_pairs(
         )
 
     shingles = ds.map_batches(explode_shingles, batch_format="pyarrow").materialize()
+    # join parallelism proportional to the DATA, not the cluster — each
+    # hash-join partition is an aggregator actor with seconds of fixed
+    # startup (same sizing rule as the MinHash verify above)
+    n_sh = shingles.count()
+    npart = max(2, min(npart, n_sh // 200_000 + 1))
     a = shingles.rename_columns({id_col: "id_a", "set_size": "n_a"})
     b = shingles.rename_columns({id_col: "id_b", "set_size": "n_b"})
     joined = a.join(b, "inner", num_partitions=npart, on=("shingle",))
