@@ -128,6 +128,58 @@ def explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str =
 
 
 _PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+_PAIR_JACCARD_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())])
+
+# Per-(id_a, id_b) reduces go through a COARSE bucketed exchange, never a
+# groupby on the pair itself: Ray finalizes each group with Python-level
+# overhead, and pair-keyed groups are tiny and astronomically many (measured
+# 29 s for 850k pairs vs <1 s bucketed at sf0.1).  The bucket count only
+# bounds Python calls per task — the shuffle itself is the same sort
+# exchange either way.
+_PAIR_BUCKETS = 1024
+
+
+def _pair_bucket(batch: pa.Table, nbuckets: int = _PAIR_BUCKETS) -> pa.Table:
+    ia = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ib = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = (splitmix64(ia ^ splitmix64(ib)) % np.uint64(nbuckets)).astype(np.int32)
+    return batch.append_column("pair_bucket", pa.array(bucket))
+
+
+def _pair_sorted(g: pa.Table):
+    """lexsort a bucket group by (id_a, id_b) and return the sorted key
+    arrays plus the group-boundary indices (one segment per distinct pair)."""
+    ia = g.column("id_a").to_numpy(zero_copy_only=False)
+    ib = g.column("id_b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ib, ia))
+    ia, ib = ia[order], ib[order]
+    bounds = np.r_[0, np.nonzero((np.diff(ia) != 0) | (np.diff(ib) != 0))[0] + 1]
+    return ia, ib, order, bounds
+
+
+def _bucket_pair_unique(g: pa.Table) -> pa.Table:
+    """One row per distinct (id_a, id_b) in the bucket — vectorized dedup."""
+    if g.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    ia, ib, _order, bounds = _pair_sorted(g)
+    return pa.table({"id_a": pa.array(ia[bounds]), "id_b": pa.array(ib[bounds])})
+
+
+def _bucket_pair_jaccard(g: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized per-pair Jaccard over intersection rows: each input row is
+    one shared shingle of (id_a, id_b), with both set sizes riding along.
+    intersection = segment length; jaccard = |∩| / (n_a + n_b - |∩|)."""
+    if g.num_rows == 0:
+        return _PAIR_JACCARD_SCHEMA.empty_table()
+    ia, ib, order, bounds = _pair_sorted(g)
+    cnt = np.diff(np.r_[bounds, ia.size]).astype(np.float64)
+    na = g.column("n_a").to_numpy(zero_copy_only=False)[order][bounds].astype(np.float64)
+    nb = g.column("n_b").to_numpy(zero_copy_only=False)[order][bounds].astype(np.float64)
+    jac = cnt / np.maximum(na + nb - cnt, 1.0)
+    keep = jac >= threshold
+    return pa.table(
+        {"id_a": pa.array(ia[bounds][keep]), "id_b": pa.array(ib[bounds][keep]), "jaccard": pa.array(jac[keep])}
+    )
 
 
 def drop_empty_blocks(ds: Dataset) -> Dataset:
@@ -187,15 +239,18 @@ def minhash_lsh_pairs(
         lambda b: explode_bands(b, bands, rows_per_band, id_col), batch_format="pyarrow"
     )
     # distributed pair dedup (a pair can surface from several bands):
-    # groupby both ids, keep one row per pair.  Pair-scale shuffle only.
-    # Everything feeding a hash join stays batch_format="pyarrow": empty
-    # shuffle partitions under pandas map_groups emit schema-LESS blocks
-    # that Ray's map operators skip (zero-row fast path) but Acero rejects.
+    # coarse pair-hash buckets + a vectorized per-bucket unique — never a
+    # groupby on the pair itself (Python-per-group finalize, see
+    # _PAIR_BUCKETS).  Pair-scale shuffle only.  Everything feeding a hash
+    # join stays batch_format="pyarrow": empty shuffle partitions under
+    # pandas map_groups emit schema-LESS blocks that Ray's map operators
+    # skip (zero-row fast path) but Acero rejects.
     pairs_ds = drop_empty_blocks(
         banded.groupby(["band_id", "band_hash"])
         .map_groups(lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(_bucket_pair_unique, batch_format="pyarrow")
     )
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
@@ -289,20 +344,12 @@ def minhash_lsh_pairs(
         "inner", num_partitions=npart, on=("id_b", "shingle"), right_on=(id_col, "shingle"),
     )
 
-    def pair_jaccard(g: pa.Table) -> pa.Table:
-        ni = g.num_rows
-        n_a = g.column("n_a")[0].as_py()
-        n_b = g.column("n_b")[0].as_py()
-        jac = ni / max(n_a + n_b - ni, 1)
-        if jac < threshold:
-            return pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
-            ).empty_table()
-        return pa.table(
-            {"id_a": g.column("id_a").slice(0, 1), "id_b": g.column("id_b").slice(0, 1), "jaccard": pa.array([jac])}
-        )
-
-    out = inter_rows.groupby(["id_a", "id_b"]).map_groups(pair_jaccard, batch_format="pyarrow").to_pandas()
+    out = (
+        inter_rows.map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(lambda g: _bucket_pair_jaccard(g, threshold), batch_format="pyarrow")
+        .to_pandas()
+    )
     if out.empty:
         return empty
     return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -98,7 +98,7 @@ def test_lineage_records(built_index):
     assert all("checksum" in s for s in shards)
 
 
-def test_dedup_modes_equivalent(web_pages_path, small_cfg, tmp_path):
+def test_dedup_modes_equivalent(web_pages_path, small_cfg, tmp_path, built_index):
     """Broadcast dedup (narrow-key winners + ray.put) and shuffle dedup
     (groupby(bucket) full-row exchange) must produce identical indexes —
     same doc ids, same postings tables."""
@@ -112,7 +112,7 @@ def test_dedup_modes_equivalent(web_pages_path, small_cfg, tmp_path):
     out = str(tmp_path / "shuffle_idx")
     build_index(web_pages_path, out, cfg_sh)
     # session-fixture index was built with the default (broadcast) mode
-    base = os.path.join(os.environ["GRAFT_TEST_INDEX"], "postings")
+    base = os.path.join(built_index[0], "postings")
     got = os.path.join(out, "postings")
     files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
     assert files == sorted(f for f in os.listdir(got) if f.endswith(".parquet"))
@@ -203,7 +203,7 @@ def test_duplicate_url_ts_fails_loudly(ray_session, small_cfg, tmp_path):
         build_index(p, str(tmp_path / "dup_idx"), small_cfg)
 
 
-def test_auto_dedup_mode(web_pages_path, small_cfg, tmp_path):
+def test_auto_dedup_mode(web_pages_path, small_cfg, tmp_path, built_index):
     """dedup_mode='auto' routes on the parquet-footer row count: broadcast
     below broadcast_row_limit, shuffle above — and the forced-shuffle auto
     build must still produce the identical index (same doc ids/postings)."""
@@ -226,7 +226,7 @@ def test_auto_dedup_mode(web_pages_path, small_cfg, tmp_path):
         f for f in os.listdir(os.path.join(out, "doc_terms")) if f.endswith(".parquet")
     )
     assert "bucket" in pq_.read_schema(os.path.join(out, "doc_terms", dt[0])).names
-    base = os.path.join(os.environ["GRAFT_TEST_INDEX"], "postings")
+    base = os.path.join(built_index[0], "postings")
     got = os.path.join(out, "postings")
     files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
     assert files == sorted(f for f in os.listdir(got) if f.endswith(".parquet"))
