@@ -423,31 +423,17 @@ def ngram_jaccard_pairs(
 
     inter_rows = joined.map_batches(keep_ordered, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count, Max
-
-    # vectorized per-pair reduce: intersection = row count; set sizes ride
-    # along as max() (constant within a pair) — no per-group Python
-    agg = inter_rows.groupby(["id_a", "id_b"]).aggregate(Count(), Max("n_a"), Max("n_b"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "count()" not in batch.column_names:
-            return pa.schema(
-                [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
-            ).empty_table()
-        ni = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch.column("max(n_a)").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("max(n_b)").to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = ni / np.maximum(na + nb - ni, 1.0)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "id_a": batch.column("id_a").filter(pa.array(keep)),
-                "id_b": batch.column("id_b").filter(pa.array(keep)),
-                "jaccard": pa.array(jac[keep]),
-            }
-        )
-
-    out = agg.map_batches(finish, batch_format="pyarrow").to_pandas()
+    # per-pair reduce through the coarse pair-bucket exchange — a
+    # pair-keyed groupby.aggregate finalizes per GROUP in Python, and at
+    # ~1M distinct pairs that costs minutes (measured 136 s vs <2 s
+    # bucketed on the sf0.1 showcase); the bucketed kernel segments each
+    # bucket with one lexsort and scores every pair vectorized
+    out = (
+        inter_rows.map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(lambda g: _bucket_pair_jaccard(g, threshold), batch_format="pyarrow")
+        .to_pandas()
+    )
     if out.empty:
         return pd.DataFrame(
             {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "jaccard": pd.Series(dtype=np.float64)}
