@@ -203,12 +203,39 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     return _rd.from_arrow_refs(refs)
 
 
-def candidate_pairs_from_bucket(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    ids = np.sort(group.column(id_col).to_numpy(zero_copy_only=False))
-    if ids.size < 2:
+def _band_bucket(batch: pa.Table, nbuckets: int = _PAIR_BUCKETS) -> pa.Table:
+    bid = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = (splitmix64(bh ^ splitmix64(bid)) % np.uint64(nbuckets)).astype(np.int32)
+    return batch.append_column("band_bucket", pa.array(bucket))
+
+
+def candidate_pairs_from_band_bucket(g: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Candidate pairs from every (band_id, band_hash) segment of a COARSE
+    band bucket (see _PAIR_BUCKETS — a groupby keyed on the band hash
+    itself pays Python-per-group finalize over ~docs×bands mostly-singleton
+    groups).  Segmentation is one lexsort; only multi-row segments — true
+    LSH collisions, one per near-dup cluster × band — reach the Python
+    pair-emit loop, so its trip count is collision clusters, not rows."""
+    if g.num_rows == 0:
         return _PAIR_SCHEMA.empty_table()
-    a, b = np.triu_indices(ids.size, k=1)
-    return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b])})
+    bid = g.column("band_id").to_numpy(zero_copy_only=False)
+    bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+    ids = g.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, bid))
+    bid, bh, ids = bid[order], bh[order], ids[order]
+    bounds = np.r_[0, np.nonzero((np.diff(bid) != 0) | (np.diff(bh) != 0))[0] + 1, np.int64(bid.size)]
+    lens = np.diff(bounds)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, ln in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+        a, b = np.triu_indices(int(ln), k=1)
+        seg = ids[s : s + ln]  # lexsort put ids ascending within the segment → id_a < id_b
+        out_a.append(seg[a])
+        out_b.append(seg[b])
+    if not out_a:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.table({"id_a": pa.array(np.concatenate(out_a)), "id_b": pa.array(np.concatenate(out_b))})
 
 
 def minhash_lsh_pairs(
@@ -246,8 +273,9 @@ def minhash_lsh_pairs(
     # pandas map_groups emit schema-LESS blocks that Ray's map operators
     # skip (zero-row fast path) but Acero rejects.
     pairs_ds = drop_empty_blocks(
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: candidate_pairs_from_bucket(g, id_col), batch_format="pyarrow")
+        banded.map_batches(_band_bucket, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(lambda g: candidate_pairs_from_band_bucket(g, id_col), batch_format="pyarrow")
         .map_batches(_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
         .map_groups(_bucket_pair_unique, batch_format="pyarrow")
@@ -265,7 +293,12 @@ def minhash_lsh_pairs(
     #   2. explode each such doc to (doc_id, shingle, set_size) unique rows,
     #   3. pairs ⋈ shingles(id_a) → one row per a-side shingle, ⋈ shingles
     #      on (id_b, shingle) → intersection rows (carrying both set sizes),
-    #   4. per-pair groupby: jaccard = n_rows / (n_a + n_b - n_rows).
+    #   4. bucketed per-pair reduce: jaccard = n_rows / (n_a + n_b - n_rows).
+    # Steps 3-4 only run past ``csr_broadcast_limit`` shingle rows: below
+    # it the needed docs' shingle sets are ray.put once as a CSR and every
+    # pair is scored vectorized inside map_batches over the pairs — no
+    # joins, no exchange (each Acero join costs seconds of aggregator-actor
+    # startup regardless of size).
     # No per-pair Python scoring loop anywhere; pairs with an empty
     # intersection never reach step 4 (their jaccard is 0 < threshold).
     #
@@ -331,25 +364,85 @@ def minhash_lsh_pairs(
 
     shingles = docs_needed.map_batches(explode_shingles, batch_format="pyarrow").materialize()
 
-    # one row per (pair, a-side shingle), n_a riding along
-    a_sh = pairs_ds.join(
-        shingles.rename_columns({"set_size": "n_a"}),
-        "inner", num_partitions=npart, on=("id_a",), right_on=(id_col,),
-    )
-    if id_col in a_sh.columns():
-        a_sh = a_sh.drop_columns([id_col])
-    # keep only shingles also present in the b-side doc == intersection
-    inter_rows = a_sh.join(
-        shingles.rename_columns({"set_size": "n_b"}),
-        "inner", num_partitions=npart, on=("id_b", "shingle"), right_on=(id_col, "shingle"),
-    )
+    # Physical-plan switch on the MEASURED shingle-row count of the
+    # pair-referenced docs (not a guess): small enough to broadcast → score
+    # every pair inside map_batches against a ray.put CSR of shingle sets,
+    # with NO joins and no extra exchange; otherwise the distributed
+    # two-join pipeline below.  160 MB of broadcast shingles ≈ 20M rows.
+    csr_broadcast_limit = 20_000_000
+    n_sh_rows = shingles.count()
+    if n_sh_rows <= csr_broadcast_limit:
+        sh_tabs = [t for t in ray.get(shingles.to_arrow_refs()) if t.num_rows]
+        if not sh_tabs:
+            return empty
+        all_ids = np.concatenate([t.column(id_col).to_numpy(zero_copy_only=False) for t in sh_tabs])
+        all_sh = np.concatenate([t.column("shingle").to_numpy(zero_copy_only=False) for t in sh_tabs])
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_sh = all_ids[order], all_sh[order]
+        csr_ids, csr_lens = np.unique(all_ids, return_counts=True)
+        csr_starts = np.zeros(csr_ids.size, dtype=np.int64)
+        np.cumsum(csr_lens[:-1], out=csr_starts[1:])
+        csr_ref = ray.put((csr_ids, csr_starts, csr_lens.astype(np.int64), all_sh))
 
-    out = (
-        inter_rows.map_batches(_pair_bucket, batch_format="pyarrow")
-        .groupby("pair_bucket")
-        .map_groups(lambda g: _bucket_pair_jaccard(g, threshold), batch_format="pyarrow")
-        .to_pandas()
-    )
+        def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+            total = int(lens.sum())
+            cum = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=cum[1:])
+            return np.arange(total, dtype=np.int64) + np.repeat(starts - cum, lens)
+
+        def pair_jaccard_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _PAIR_JACCARD_SCHEMA.empty_table()
+            ids_s, starts_s, lens_s, flat_s = ray.get(csr_ref)
+            ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+            ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+            hi = max(ids_s.size - 1, 0)
+            xa = np.minimum(np.searchsorted(ids_s, ia), hi)
+            xb = np.minimum(np.searchsorted(ids_s, ib), hi)
+            if ids_s.size == 0:
+                return _PAIR_JACCARD_SCHEMA.empty_table()
+            # a doc with an EMPTY shingle set has no CSR entry (it can still
+            # reach a pair via colliding empty signatures) — zero-length it
+            la = np.where(ids_s[xa] == ia, lens_s[xa], 0)
+            lb = np.where(ids_s[xb] == ib, lens_s[xb], 0)
+            n = batch.num_rows
+            # (pair_row, shingle) rows for BOTH sides; per-side sets are
+            # unique, so intersection = shingles seen twice within a pair
+            rows = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                                   np.repeat(np.arange(n, dtype=np.int64), lb)])
+            sh = np.concatenate([flat_s[_gather_ranges(starts_s[xa], la)],
+                                 flat_s[_gather_ranges(starts_s[xb], lb)]])
+            o = np.lexsort((sh, rows))
+            rows, sh = rows[o], sh[o]
+            dup = (rows[1:] == rows[:-1]) & (sh[1:] == sh[:-1])
+            inter = np.bincount(rows[1:][dup], minlength=n).astype(np.float64)
+            jac = inter / np.maximum(la + lb - inter, 1.0)
+            keep = jac >= threshold
+            return pa.table(
+                {"id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep]), "jaccard": pa.array(jac[keep])}
+            )
+
+        out = pairs_ds.map_batches(pair_jaccard_bcast, batch_format="pyarrow").to_pandas()
+    else:
+        # one row per (pair, a-side shingle), n_a riding along
+        a_sh = pairs_ds.join(
+            shingles.rename_columns({"set_size": "n_a"}),
+            "inner", num_partitions=npart, on=("id_a",), right_on=(id_col,),
+        )
+        if id_col in a_sh.columns():
+            a_sh = a_sh.drop_columns([id_col])
+        # keep only shingles also present in the b-side doc == intersection
+        inter_rows = a_sh.join(
+            shingles.rename_columns({"set_size": "n_b"}),
+            "inner", num_partitions=npart, on=("id_b", "shingle"), right_on=(id_col, "shingle"),
+        )
+
+        out = (
+            inter_rows.map_batches(_pair_bucket, batch_format="pyarrow")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: _bucket_pair_jaccard(g, threshold), batch_format="pyarrow")
+            .to_pandas()
+        )
     if out.empty:
         return empty
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
