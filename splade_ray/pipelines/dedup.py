@@ -597,13 +597,35 @@ def simhash_near_dup_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "t
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        a, b = np.triu_indices(ids.size, k=1)
+    _SIM_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())])
+
+    def pairs_in_band_bucket(g: pa.Table) -> pa.Table:
+        # coarse bucket (see _PAIR_BUCKETS): segment by (band_id, band_hash)
+        # with one lexsort; only multi-row segments — actual 16-bit-band
+        # collisions — emit pairs, then ONE vectorized popcount over all
+        if g.num_rows == 0:
+            return _SIM_PAIR_SCHEMA.empty_table()
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bh = g.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        hs = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids, hs = bid[order], bh[order], ids[order], hs[order]
+        keep = np.ones(bid.size, bool)  # defensive: one row per (segment, id)
+        keep[1:] = (np.diff(bid) != 0) | (np.diff(bh) != 0) | (np.diff(ids) != 0)
+        bid, bh, ids, hs = bid[keep], bh[keep], ids[keep], hs[keep]
+        bounds = np.r_[0, np.nonzero((np.diff(bid) != 0) | (np.diff(bh) != 0))[0] + 1, np.int64(bid.size)]
+        lens = np.diff(bounds)
+        ai: list[np.ndarray] = []
+        bi: list[np.ndarray] = []
+        for s, ln in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+            a, b = np.triu_indices(int(ln), k=1)
+            ai.append(s + a)
+            bi.append(s + b)
+        if not ai:
+            return _SIM_PAIR_SCHEMA.empty_table()
+        a = np.concatenate(ai)
+        b = np.concatenate(bi)
         x = hs[a] ^ hs[b]
         ham = np.zeros(x.size, dtype=np.int64)
         while True:
@@ -612,12 +634,13 @@ def simhash_near_dup_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "t
                 break
             ham[nz] += 1
             x = x & (x - np.uint64(1))
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b], "hamming": ham})
+        return pa.table({"id_a": pa.array(ids[a]), "id_b": pa.array(ids[b]), "hamming": pa.array(ham)})
 
     out = (
         sigs.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(_band_bucket, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(pairs_in_band_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:
