@@ -50,7 +50,7 @@ from ..stages.dedup import (
 from ..stages.extract import ExtractStage
 from ..stages.neural import NeuralEncodeStage
 from ..stages.postings import assign_ids_and_shard, build_shard_index, map_term_ids
-from ..stages.stats import compute_vocab, compute_vocab_ids
+from ..stages.stats import compute_stats_fused
 from ..state.lineage import StageGuard, atomic_write_json, config_hash, read_json
 from ..util import pool_size
 
@@ -210,42 +210,30 @@ class IndexBuilder:
         if guard.done():
             return stats_dir
         t0 = time.perf_counter()
-        if self.cfg.encoder == "neural" or self.cfg.vocab_mode == "hashed":
-            vocab = compute_vocab_ids(ray.data.read_parquet(dt_dir, columns=["tids"]))
-        else:
-            vocab = compute_vocab(ray.data.read_parquet(dt_dir, columns=["terms"]))
         nb = self.cfg.num_buckets
         # mode-agnostic: the doc_terms schema says whether doc ids are still
         # deferred (shuffle mode writes a `bucket` column, broadcast doesn't)
         import pyarrow.parquet as pq
 
         with_buckets = "bucket" in pq.read_schema(_parquet_files(dt_dir)[0]).names
-        stat_cols = ["bucket", "dl"] if with_buckets else ["dl"]
-
-        def bucket_dl_partial(batch: pa.Table) -> pa.Table:
-            dl = batch.column("dl").to_numpy(zero_copy_only=False)
-            if with_buckets:
-                b = batch.column("bucket").to_numpy(zero_copy_only=False)
-                counts = np.bincount(b, minlength=nb)
-            else:
-                counts = np.asarray([len(batch)], dtype=np.int64)
-            return pa.table(
-                {
-                    "counts": pa.array([counts]),
-                    "sum_dl": pa.array([int(dl.sum())], type=pa.int64()),
-                }
-            )
-
-        parts = (
-            ray.data.read_parquet(dt_dir, columns=stat_cols)
-            .map_batches(bucket_dl_partial, batch_format="pyarrow")
-            .to_pandas()
+        id_mode = "ids" if (self.cfg.encoder == "neural" or self.cfg.vocab_mode == "hashed") else "terms"
+        # ONE fused pass: df partials + (bucket counts, sum dl) per batch
+        # (two serial dataset executions here cost ~2 s of fixed overhead
+        # each at 1M docs, dominating the vocab-sized reduce itself)
+        stat_cols = ["tids" if id_mode == "ids" else "terms", "dl"] + (["bucket"] if with_buckets else [])
+        vocab, bucket_counts, sum_dl = compute_stats_fused(
+            ray.data.read_parquet(dt_dir, columns=stat_cols),
+            id_mode=id_mode,
+            with_buckets=with_buckets,
+            num_buckets=nb,
         )
-        bucket_counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0).astype(np.int64)
+        if id_mode == "terms":
+            vocab["term_id"] = np.arange(len(vocab), dtype=np.int64)
+            vocab = vocab[["term", "term_id", "df"]]
         n_docs = int(bucket_counts.sum())
         meta = {
             "n_docs": n_docs,
-            "avgdl": float(parts["sum_dl"].sum() / n_docs) if n_docs else 0.0,
+            "avgdl": float(sum_dl / n_docs) if n_docs else 0.0,
             "nnz": int(vocab["df"].sum()),
             "encoder": self.cfg.encoder,
             "vocab_mode": self.cfg.vocab_mode,

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
@@ -53,23 +54,90 @@ def compute_vocab(doc_terms: Dataset, distributed: bool = False) -> pd.DataFrame
         )
         vocab = vocab.sort_values("term", kind="mergesort").reset_index(drop=True)
     else:
-        parts = partials.to_pandas()
-        vocab = parts.groupby("term", sort=True, as_index=False)["df"].sum()
+        # final reduce in Arrow C++ end to end — partials are vocab × blocks
+        # rows of strings, and routing them through pandas materializes a
+        # Python object per term occurrence (measured ~3x the reduce time)
+        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            vocab = pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype=np.int64)})
+        else:
+            agg = pa.concat_tables(tabs).group_by("term").aggregate([("df", "sum")])
+            # UTF-8 bytewise sort == codepoint sort, matching pandas/SQL ORDER BY
+            tbl = pa.table({"term": agg.column("term"), "df": agg.column("df_sum")}).sort_by("term")
+            vocab = tbl.to_pandas()
     vocab["term_id"] = np.arange(len(vocab), dtype=np.int64)
     return vocab[["term", "term_id", "df"]]
 
 
-def compute_vocab_ids(doc_tids: Dataset) -> pd.DataFrame:
-    """df aggregate for encoders that already emit integer term ids (the
-    neural path): (term_id, df) sorted by term_id."""
+def compute_stats_fused(
+    doc_terms: Dataset,
+    *,
+    id_mode: str,
+    with_buckets: bool,
+    num_buckets: int,
+) -> tuple[pd.DataFrame, np.ndarray, int]:
+    """ONE pass over doc_terms serving both stage-4 aggregates: per-batch
+    df partials (one (term, df) row per distinct term) AND the per-batch
+    (bucket doc-counts, sum dl) summary, folded into the same output table
+    via nullable columns (summary = the single row where ``sum_dl`` is
+    valid).  Saves a full second dataset execution — the reduce itself is
+    vocab-sized and runs in Arrow C++ on the driver.
+
+    Returns (vocab_df, bucket_counts, sum_dl); vocab_df has columns
+    (term, df) for ``id_mode='terms'`` or (term_id, df) for ``'ids'``.
+    """
+    term_col = "tids" if id_mode == "ids" else "terms"
+    key_name = "term_id" if id_mode == "ids" else "term"
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat = batch.column("tids").combine_chunks().flatten()
-        if len(flat) == 0:
-            return pa.table({"term_id": pa.array([], type=pa.int32()), "df": pa.array([], type=pa.int64())})
-        vc = pa.compute.value_counts(flat)
-        return pa.table({"term_id": vc.field("values"), "df": vc.field("counts")})
+        flat = batch.column(term_col).combine_chunks().flatten()
+        if len(flat):
+            vc = pa.compute.value_counts(flat)
+            keys, dfs = vc.field("values"), vc.field("counts").cast(pa.int64())
+        else:
+            keys = pa.array([], type=pa.int64() if id_mode == "ids" else pa.string())
+            dfs = pa.array([], type=pa.int64())
+        n = len(keys)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False)
+        if with_buckets:
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            counts = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        else:
+            counts = np.asarray([batch.num_rows], dtype=np.int64)
+        return pa.table(
+            {
+                key_name: pa.concat_arrays([keys, pa.nulls(1, keys.type)]),
+                "df": pa.concat_arrays([dfs, pa.nulls(1, pa.int64())]),
+                "counts": pa.concat_arrays(
+                    [pa.nulls(n, pa.list_(pa.int64())), pa.array([counts.tolist()], type=pa.list_(pa.int64()))]
+                ),
+                "sum_dl": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([int(dl.sum())], type=pa.int64())]),
+            }
+        )
 
-    parts = doc_tids.map_batches(partial, batch_format="pyarrow").to_pandas()
-    vocab = parts.groupby("term_id", sort=True, as_index=False)["df"].sum()
-    return vocab[["term_id", "df"]]
+    tabs = [
+        t
+        for t in ray.get(doc_terms.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        key_dtype = np.int64 if id_mode == "ids" else object
+        empty = pd.DataFrame({key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)})
+        return empty, np.zeros(num_buckets if with_buckets else 1, dtype=np.int64), 0
+    full = pa.concat_tables(tabs)
+    valid_df = pa.compute.is_valid(full.column("df"))
+    vocab_rows = full.filter(valid_df).select([key_name, "df"])
+    summaries = full.filter(pa.compute.invert(valid_df))
+    if vocab_rows.num_rows:
+        agg = vocab_rows.group_by(key_name).aggregate([("df", "sum")])
+        tbl = pa.table({key_name: agg.column(key_name), "df": agg.column("df_sum")}).sort_by(key_name)
+        vocab = tbl.to_pandas()
+    else:
+        key_dtype = np.int64 if id_mode == "ids" else object
+        vocab = pd.DataFrame({key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)})
+    counts_mat = np.asarray(summaries.column("counts").to_pylist(), dtype=np.int64)
+    bucket_counts = counts_mat.sum(axis=0)
+    sum_dl = int(pa.compute.sum(summaries.column("sum_dl")).as_py() or 0)
+    return vocab, bucket_counts, sum_dl
+
+
