@@ -79,3 +79,48 @@ def test_fingerprint_chunk_invariant(batch):
         r["fingerprint"] for r in fp(batch.slice(5)).to_pylist()
     ]
     assert whole == split
+
+
+# ---- coarse-bucket pair kernels (pure numpy — no Ray needed) ----
+
+
+def test_band_bucket_candidate_pairs_match_bruteforce():
+    from splade_ray.pipelines.dedup import _PAIR_BUCKETS, candidate_pairs_from_band_bucket
+
+    rng = np.random.default_rng(11)
+    n = 400
+    bid = rng.integers(0, 4, n).astype(np.int32)
+    # few distinct hashes → plenty of multi-row segments
+    bh = rng.integers(0, 25, n).astype(np.int64)
+    ids = rng.integers(0, 10_000, n).astype(np.int64)
+    g = pa.table({"band_id": pa.array(bid), "band_hash": pa.array(bh), "doc_id": pa.array(ids)})
+    got = candidate_pairs_from_band_bucket(g)
+    got_pairs = set(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    want = set()
+    for b, h in {(int(b), int(h)) for b, h in zip(bid, bh)}:
+        seg = np.unique(ids[(bid == b) & (bh == h)])
+        for i in range(seg.size):
+            for j in range(i + 1, seg.size):
+                want.add((int(seg[i]), int(seg[j])))
+    assert got_pairs == want
+    assert (got.column("id_a").to_numpy(zero_copy_only=False) < got.column("id_b").to_numpy(zero_copy_only=False)).all()
+    # empty group
+    assert candidate_pairs_from_band_bucket(g.slice(0, 0)).num_rows == 0
+
+
+def test_bucket_pair_jaccard_segments():
+    from splade_ray.pipelines.dedup import _bucket_pair_jaccard
+
+    # two pairs: (1,2) with |∩|=3, sizes 4/5 → j=3/6; (3,4) |∩|=1, sizes 9/2 → j=0.1
+    rows = {
+        "id_a": [1] * 3 + [3],
+        "id_b": [2] * 3 + [4],
+        "n_a": [4] * 3 + [9],
+        "n_b": [5] * 3 + [2],
+    }
+    g = pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+    out = _bucket_pair_jaccard(g, threshold=0.3)
+    assert out.column("id_a").to_pylist() == [1] and abs(out.column("jaccard")[0].as_py() - 0.5) < 1e-12
+    out_all = _bucket_pair_jaccard(g, threshold=0.05)
+    assert out_all.num_rows == 2
+    assert _bucket_pair_jaccard(g.slice(0, 0), threshold=0.5).num_rows == 0
