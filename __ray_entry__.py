@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.minhash_pairs,
         # exact set-similarity join (no LSH) — same oracle as minhash_pairs
         "ngram_jaccard": q.ngram_jaccard,
+        # connected components + canonical-doc election over the verified
+        # near-dup pair graph
+        "dedup_clusters": q.dedup_clusters,
         "simhash_pairs": q.simhash_pairs,
         "embedding_near_dups": q.embedding_near_dups,
         # similarity search
@@ -607,6 +610,22 @@ ORDER BY query_id, role, slot
     # exact-join and exhaustive-IVF variants must reproduce the SAME
     # reference rankings as their sibling operators
     oracles["ngram_jaccard"] = oracles["minhash_pairs"]
+    # connected components over the same verified pair set: transitive
+    # min-label closure via recursive CTE (UNION dedups across rounds)
+    _pairs_body = oracles["minhash_pairs"].rsplit("ORDER BY", 1)[0]
+    oracles["dedup_clusters"] = f"""
+WITH RECURSIVE p AS ({_pairs_body}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
     oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
     # fake-decoder media features: per-256-byte-chunk means of the
     # closed-form payload bytes ((id*131 + j*31 + 7) mod 256), metadata

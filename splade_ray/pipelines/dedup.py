@@ -448,6 +448,53 @@ def minhash_lsh_pairs(
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Near-dup CLUSTER assignment from a verified pair list: one row per
+    clustered doc — (doc_id, cluster_id = min doc id reachable over the
+    pair graph, cluster_size).  ``doc_id == cluster_id`` marks the
+    canonical representative a dedup pipeline would keep.
+
+    Runs as vectorized min-label propagation + pointer doubling over the
+    edge arrays on the driver: the pair list is PAIR-scale (the output of
+    the near-dup joins), the same size class those pipelines already
+    return as driver DataFrames.  Each sweep is two ``np.minimum.at``
+    scatters and a gather; pointer doubling keeps the sweep count
+    logarithmic in component diameter.  At 10^12-doc scale the identical
+    update rule runs distributed as alternating large-star/small-star
+    rounds over the coarse pair buckets (groupby-min per round, see
+    ``_pair_bucket``); this function is that seam.
+    """
+    cols = {
+        "doc_id": pd.Series(dtype=np.int64),
+        "cluster_id": pd.Series(dtype=np.int64),
+        "cluster_size": pd.Series(dtype=np.int64),
+    }
+    if pairs.empty:
+        return pd.DataFrame(cols)
+    ea_ids = pairs["id_a"].to_numpy(np.int64)
+    eb_ids = pairs["id_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([ea_ids, eb_ids]))
+    ea = np.searchsorted(nodes, ea_ids)
+    eb = np.searchsorted(nodes, eb_ids)
+    lab = np.arange(nodes.size, dtype=np.int64)  # positions; nodes sorted → min pos == min id
+    while True:
+        prev = lab.copy()
+        m = np.minimum(lab[ea], lab[eb])
+        np.minimum.at(lab, ea, m)
+        np.minimum.at(lab, eb, m)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    cluster = nodes[lab]
+    _uniq, inv, cnt = np.unique(cluster, return_inverse=True, return_counts=True)
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": cluster, "cluster_size": cnt[inv].astype(np.int64)})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def ngram_jaccard_pairs(
     ds: Dataset,
     *,

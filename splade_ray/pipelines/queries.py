@@ -366,6 +366,17 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the exact-verified MinHash near-dup pairs
+    (identical pair set to ``minhash_pairs``): every clustered doc with
+    its canonical (min-id) representative and cluster size — the cluster
+    election step of a dedup pipeline."""
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, bands=32)
+    return connected_components(pairs)
+
+
 def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """EXACT n-gram Jaccard dedup (no LSH): the inverted-shingle-index
     all-pairs join — must equal both the brute-force SQL oracle AND
