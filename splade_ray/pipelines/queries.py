@@ -337,17 +337,38 @@ def exact_dup_pairs(sf_dir: str) -> pd.DataFrame:
         add_content_hash, batch_format="pyarrow"
     )
 
+    # coarse-bucket exchange, NOT groupby(content_hash): hash groups are
+    # corpus-count and Ray finalizes each group in Python (see
+    # dedup._PAIR_BUCKETS).  Within a bucket, segment by hash with one
+    # argsort; only multi-row segments — actual duplicate texts — reach
+    # the (text-verified) pair-emit loop.
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column("hash_bucket", pa.array((h % 1024).astype(np.int32)))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["content_hash"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        bounds = np.r_[0, np.nonzero(np.diff(h))[0] + 1, np.int64(h.size)]
+        lens = np.diff(bounds)
         out_a, out_b = [], []
-        for _, sub in g.groupby("text", sort=False):
-            ids = np.sort(sub["doc_id"].to_numpy())
-            if ids.size >= 2:
-                a, b = np.triu_indices(ids.size, k=1)
-                out_a.extend(ids[a].tolist())
-                out_b.extend(ids[b].tolist())
+        for s, ln in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+            seg = g.iloc[order[s : s + ln]]
+            for _, sub in seg.groupby("text", sort=False):  # hash-collision guard
+                ids = np.sort(sub["doc_id"].to_numpy())
+                if ids.size >= 2:
+                    a, b = np.triu_indices(ids.size, k=1)
+                    out_a.extend(ids[a].tolist())
+                    out_b.extend(ids[b].tolist())
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64), "id_b": pd.Series(out_b, dtype=np.int64)})
 
-    out = hashed.groupby("content_hash").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = (
+        hashed.map_batches(bucket, batch_format="pyarrow")
+        .groupby("hash_bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
     if out.empty or "id_a" not in out.columns:
         # all groups empty → Ray yields a column-less frame
         return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})

@@ -72,28 +72,62 @@ def explode_postings(batch: pa.Table, *, salts_ref) -> pa.Table:
     )
 
 
-def build_run(group: pa.Table) -> pa.Table:
-    """map_groups kernel for one (term_id, salt): sorted compressed run."""
+_RUN_SCHEMA = pa.schema(
+    [
+        ("term_id", pa.int32()),
+        ("salt", pa.int32()),
+        ("df", pa.int64()),
+        ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+    ]
+)
+
+_RUN_BUCKETS = 1024
+
+
+def _run_bucket(batch: pa.Table, nbuckets: int = _RUN_BUCKETS) -> pa.Table:
+    t = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    s = batch.column("salt").to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = (splitmix64(t ^ splitmix64(s)) % np.uint64(nbuckets)).astype(np.int32)
+    return batch.append_column("run_bucket", pa.array(b))
+
+
+def build_runs_in_bucket(group: pa.Table) -> pa.Table:
+    """map_groups kernel for a COARSE run bucket: every (term_id, salt)
+    run in the bucket, segmented with one lexsort.  A groupby keyed on
+    (term_id, salt) itself would finalize vocab × salts groups in Python
+    (the pathology the near-dup pipelines hit at pair scale); here Python
+    runs once per OUTPUT run row only, for the varint encode."""
+    if group.num_rows == 0:
+        return _RUN_SCHEMA.empty_table()
+    tid = group.column("term_id").to_numpy(zero_copy_only=False)
+    salt = group.column("salt").to_numpy(zero_copy_only=False)
     doc = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
-    order = np.argsort(doc, kind="stable")
-    doc, tf = doc[order], tf[order]
-    deltas = np.empty(doc.size, dtype=np.uint64)
-    if doc.size:
-        # first delta is 0 relative to min_doc (stored as int64 in the run
-        # row) — absolute ids never enter the varint, so the 2^35 varint
-        # cap bounds RUN WIDTH, not corpus size
-        deltas[0] = 0
+    order = np.lexsort((doc, salt, tid))
+    tid, salt, doc, tf = tid[order], salt[order], doc[order], tf[order]
+    bounds = np.r_[0, np.nonzero((np.diff(tid) != 0) | (np.diff(salt) != 0))[0] + 1, np.int64(tid.size)]
+    starts, ends = bounds[:-1], bounds[1:]
+    # first delta of each run is 0 relative to min_doc (stored as int64 in
+    # the run row) — absolute ids never enter the varint, so the 2^35
+    # varint cap bounds RUN WIDTH, not corpus size
+    deltas = np.zeros(doc.size, dtype=np.uint64)
+    if doc.size > 1:
         np.subtract(doc[1:], doc[:-1], out=deltas[1:].view(np.int64), casting="unsafe")
+    deltas[starts] = 0
+    docs_bin = [varint_encode(deltas[s:e]) for s, e in zip(starts, ends)]
+    tfs_bin = [varint_encode(tf[s:e]) for s, e in zip(starts, ends)]
     return pa.table(
         {
-            "term_id": pa.array([int(group.column("term_id")[0].as_py())], type=pa.int32()),
-            "salt": pa.array([int(group.column("salt")[0].as_py())], type=pa.int32()),
-            "df": pa.array([doc.size], type=pa.int64()),
-            "min_doc": pa.array([int(doc[0]) if doc.size else 0], type=pa.int64()),
-            "max_doc": pa.array([int(doc[-1]) if doc.size else 0], type=pa.int64()),
-            "docs": pa.array([varint_encode(deltas)], type=pa.binary()),
-            "tfs": pa.array([varint_encode(tf)], type=pa.binary()),
+            "term_id": pa.array(tid[starts].astype(np.int32)),
+            "salt": pa.array(salt[starts].astype(np.int32)),
+            "df": pa.array((ends - starts).astype(np.int64)),
+            "min_doc": pa.array(doc[starts]),
+            "max_doc": pa.array(doc[ends - 1]),
+            "docs": pa.array(docs_bin, type=pa.binary()),
+            "tfs": pa.array(tfs_bin, type=pa.binary()),
         }
     )
 
@@ -133,8 +167,9 @@ def build_term_index(
             batch_size=cfg.read_batch_size,
         )
         .map_batches(explode_postings, fn_kwargs={"salts_ref": salts_ref}, batch_format="pyarrow")
-        .groupby(["term_id", "salt"])
-        .map_groups(build_run, batch_format="pyarrow")
+        .map_batches(_run_bucket, batch_format="pyarrow")
+        .groupby("run_bucket")
+        .map_groups(build_runs_in_bucket, batch_format="pyarrow")
         .write_parquet(os.path.join(out_dir, "runs"))
     )
     summary = {

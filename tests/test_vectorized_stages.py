@@ -124,3 +124,27 @@ def test_bucket_pair_jaccard_segments():
     out_all = _bucket_pair_jaccard(g, threshold=0.05)
     assert out_all.num_rows == 2
     assert _bucket_pair_jaccard(g.slice(0, 0), threshold=0.5).num_rows == 0
+
+
+def test_exact_dup_pairs_positive(ray_session, tmp_path):
+    """The bucketed exact-dup path must emit transitive pair sets (one
+    pair per duplicate-text combination), id_a < id_b."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import exact_dup_pairs
+
+    texts = ["alpha beta gamma", "delta", "alpha beta gamma", "epsilon", "delta", "alpha beta gamma", "unique one"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(7), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 7),
+            "source": pa.array(["s"] * 7),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    out = exact_dup_pairs(str(tmp_path))
+    assert set(zip(out["id_a"], out["id_b"])) == {(0, 2), (0, 5), (2, 5), (1, 4)}
