@@ -248,6 +248,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    semi_broadcast_limit: int = 5_000_000,
+    csr_broadcast_limit: int = 20_000_000,
 ) -> pd.DataFrame:
     """Near-duplicate pairs with exact n-gram Jaccard >= threshold.
 
@@ -314,7 +316,6 @@ def minhash_lsh_pairs(
     # a few thousand rows is pure fixed overhead (measured ~6 s of join
     # time for 13k rows at npart=22 vs <2 s at npart=2)
     npart = max(2, min(npart, n_pairs // 50_000 + 1))
-    semi_broadcast_limit = 5_000_000
     if n_pairs <= semi_broadcast_limit:
         id_tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
         need = np.unique(
@@ -369,7 +370,6 @@ def minhash_lsh_pairs(
     # every pair inside map_batches against a ray.put CSR of shingle sets,
     # with NO joins and no extra exchange; otherwise the distributed
     # two-join pipeline below.  160 MB of broadcast shingles ≈ 20M rows.
-    csr_broadcast_limit = 20_000_000
     n_sh_rows = shingles.count()
     if n_sh_rows <= csr_broadcast_limit:
         sh_tabs = [t for t in ray.get(shingles.to_arrow_refs()) if t.num_rows]

@@ -148,3 +148,32 @@ def test_exact_dup_pairs_positive(ray_session, tmp_path):
     pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
     out = exact_dup_pairs(str(tmp_path))
     assert set(zip(out["id_a"], out["id_b"])) == {(0, 2), (0, 5), (2, 5), (1, 4)}
+
+
+def test_minhash_verify_paths_equivalent(ray_session):
+    """The CSR-broadcast verify (default at test scale) and the
+    distributed join verify (forced via the injectable limits) must
+    produce identical pairs."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.dedup import minhash_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}" for i in range(60)]
+    base = [" ".join(rng.choice(words, 40)) for _ in range(40)]
+    texts = list(base)
+    for i in range(0, 12, 2):  # near-dups: perturb one token
+        toks = base[i].split()
+        toks[5] = "mutated"
+        texts.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    kw = dict(threshold=0.5, bands=32)
+    fast = minhash_lsh_pairs(ds, **kw)
+    slow = minhash_lsh_pairs(ds, **kw, csr_broadcast_limit=0, semi_broadcast_limit=0)
+    assert len(fast) > 0  # the perturbed docs must actually pair up
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        fast.round(9).reset_index(drop=True), slow.round(9).reset_index(drop=True), check_dtype=False
+    )
