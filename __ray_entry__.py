@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q.orders_by_segment,
         "events_window": q.events_window,
         "events_sliding": q.events_sliding,
+        # backward as-of join (purchase ⋈ same user's latest prior click)
+        "events_asof": q.events_asof,
         # training-triplet ingestion + seeded sampling (S2/M9/K6;
         # deterministic synthetic TSV — rows-only check)
         "triplet_ingest": q.triplet_ingest,
@@ -351,6 +353,20 @@ WITH rep AS (
 )
 SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM rep GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # backward as-of join, deterministic tie-break (ts desc, id desc)
+        # spelled out with row_number instead of ASOF JOIN so equal-ts
+        # semantics are pinned
+        "events_asof": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+         CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, click_event_id, gap_us FROM j WHERE rn = 1 ORDER BY event_id
 """,
         "event_sessions": """
 WITH o AS (

@@ -1,0 +1,119 @@
+"""Backward as-of join — the "match each left row with the latest right
+row at or before it" operator Ray Data has no primitive for.
+
+Reference has no analogue (its joins are qrels/score lookups); this is the
+standard event-stream enrichment op (trade ⋈ quote, purchase ⋈ last
+click).  Ray-Data-first shape: both sides are tagged and unioned, the
+exchange is ONE groupby on ~1k coarse key-hash buckets (never on the raw
+key — Ray finalizes each group in Python, and keys are corpus-count), and
+the per-bucket kernel is one lexsort + a prefix-maximum scan:
+
+- sort (key, ts, side, id) with right rows ordered before left rows at
+  equal ts (ties are inclusive: right.ts == left.ts matches) and right
+  rows of equal ts ordered by id so the prefix max elects the max id;
+- ``last_right[i] = max position of a right row at or before i`` via
+  ``np.maximum.accumulate``; a match is valid iff it falls inside the
+  same key segment.
+
+Skew: a hot key lands in one bucket, bounded by that key's own row count
+— the same skew the sessionize groupby carries; salt the key upstream if
+a single key outgrows a worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .dedup import _PAIR_BUCKETS
+from ..functions.hashing import splitmix64
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.int64()),
+        ("key", pa.int64()),
+        ("left_ts", pa.int64()),
+        ("right_id", pa.int64()),
+        ("right_ts", pa.int64()),
+    ]
+)
+
+
+def _tag(batch: pa.Table, side: int, key: str, ts: str, id_col: str, nbuckets: int) -> pa.Table:
+    k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+    t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    i = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = (splitmix64(k.astype(np.uint64)) % np.uint64(nbuckets)).astype(np.int32)
+    return pa.table(
+        {
+            "key": pa.array(k),
+            "ts_us": pa.array(t),
+            "rid": pa.array(i),
+            "side": pa.array(np.full(k.size, side, dtype=np.int8)),
+            "key_bucket": pa.array(bucket),
+        }
+    )
+
+
+def _asof_bucket(g: pa.Table) -> pa.Table:
+    if g.num_rows == 0:
+        return _ASOF_SCHEMA.empty_table()
+    key = g.column("key").to_numpy(zero_copy_only=False)
+    ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+    rid = g.column("rid").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    # primary key, then ts; right (side 0) before left at equal ts so the
+    # prefix max sees it; equal-ts right rows ascending by id → max id wins
+    order = np.lexsort((rid, side, ts, key))
+    key, ts, rid, side = key[order], ts[order], rid[order], side[order]
+    n = key.size
+    pos = np.arange(n, dtype=np.int64)
+    right_pos = np.where(side == 0, pos, np.int64(-1))
+    last_right = np.maximum.accumulate(right_pos)
+    # segment starts per key → a match must not cross into another key
+    seg_start = np.zeros(n, dtype=np.int64)
+    starts = np.r_[0, np.nonzero(np.diff(key))[0] + 1]
+    seg_start[starts] = starts
+    seg_start = np.maximum.accumulate(seg_start)
+    is_left = side == 1
+    cand = last_right[is_left]
+    valid = cand >= seg_start[is_left]
+    li = np.nonzero(is_left)[0][valid]
+    cand = cand[valid]
+    return pa.table(
+        {
+            "left_id": pa.array(rid[li]),
+            "key": pa.array(key[li]),
+            "left_ts": pa.array(ts[li]),
+            "right_id": pa.array(rid[cand]),
+            "right_ts": pa.array(ts[cand]),
+        }
+    )
+
+
+def asof_join_backward(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    nbuckets: int = _PAIR_BUCKETS,
+) -> Dataset:
+    """For every left row, the latest right row of the same ``key`` with
+    ``right.ts <= left.ts`` (inclusive; ties elect the max ``id_col``).
+    Left rows with no prior right row are dropped (inner as-of).  Returns
+    (left_id, key, left_ts, right_id, right_ts) with timestamps as int64
+    of the input unit; join wider payloads back by id afterwards."""
+    tagged = left.map_batches(
+        _tag, fn_kwargs={"side": 1, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            _tag, fn_kwargs={"side": 0, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+            batch_format="pyarrow",
+        )
+    )
+    return tagged.groupby("key_bucket").map_groups(_asof_bucket, batch_format="pyarrow")

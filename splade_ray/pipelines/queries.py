@@ -789,6 +789,24 @@ def event_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "session_start"], ignore_index=True)
 
 
+def events_asof(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: each purchase event matched with the same
+    user's latest click at or before it (inner; tie on ts elects the max
+    event_id) — the stream-enrichment op Ray Data has no primitive for.
+    See :mod:`splade_ray.pipelines.asof` for the bucketed kernel."""
+    from .asof import asof_join_backward
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join_backward(purchases, clicks, key="user_id", ts="ts", id_col="event_id").to_pandas()
+    out = out.rename(columns={"left_id": "event_id", "key": "user_id", "right_id": "click_event_id"})
+    out["gap_us"] = (out["left_ts"] - out["right_ts"]).astype(np.int64)
+    out = out[["event_id", "user_id", "click_event_id", "gap_us"]]
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def meta_ingest(sf_dir: str) -> pd.DataFrame:
     """Training meta-row ingestion (M10/M11): synthesize a deterministic
     LISTWISE training table from documents (query mq{doc_id % 20}, label
