@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         # backward as-of join (purchase ⋈ same user's latest prior click)
         "events_asof": q.events_asof,
+        # trailing-window range join (clicks in the hour before a purchase)
+        "events_range_count": q.events_range_count,
         # training-triplet ingestion + seeded sampling (S2/M9/K6;
         # deterministic synthetic TSV — rows-only check)
         "triplet_ingest": q.triplet_ingest,
@@ -367,6 +369,17 @@ j AS (
   FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
 )
 SELECT event_id, user_id, click_event_id, gap_us FROM j WHERE rn = 1 ORDER BY event_id
+""",
+        # trailing-window range join (counting form): clicks in the
+        # half-open hour (p.ts - 1h, p.ts] before each purchase; LEFT
+        # semantics (count 0 kept)
+        "events_range_count": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks_1h
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id ORDER BY p.event_id
 """,
         "event_sessions": """
 WITH o AS (

@@ -93,6 +93,76 @@ def _asof_bucket(g: pa.Table) -> pa.Table:
     )
 
 
+_RANGE_SCHEMA = pa.schema([("left_id", pa.int64()), ("key", pa.int64()), ("n_right", pa.int64())])
+
+
+def _range_bucket(g: pa.Table, window_us: int) -> pa.Table:
+    """Per coarse bucket: for every left row, COUNT right rows of the same
+    key with ts in (left_ts - window, left_ts].  Same merge discipline as
+    the as-of kernel, but each left row contributes TWO probes (window
+    start exclusive / end inclusive); the count is the difference of the
+    right-row prefix sums at the probes — one lexsort, no per-row scans."""
+    if g.num_rows == 0:
+        return _RANGE_SCHEMA.empty_table()
+    key = g.column("key").to_numpy(zero_copy_only=False)
+    ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+    rid = g.column("rid").to_numpy(zero_copy_only=False)
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    is_left = side == 1
+    lk, lt, lid = key[is_left], ts[is_left], rid[is_left]
+    rk, rt = key[~is_left], ts[~is_left]
+    nl = lk.size
+    # probes: index i in [0, nl) = window end (ts=t, inclusive), i+nl =
+    # window start (ts=t-w, also "count <= this ts" → the difference is
+    # the half-open (t-w, t] window)
+    pk = np.concatenate([lk, lk])
+    pt = np.concatenate([lt, lt - np.int64(window_us)])
+    mk = np.concatenate([rk, pk])
+    mt = np.concatenate([rt, pt])
+    probe = np.concatenate([np.zeros(rk.size, np.int8), np.ones(2 * nl, np.int8)])
+    order = np.lexsort((probe, mt, mk))  # right rows before probes at equal ts → inclusive
+    mk_s, probe_s = mk[order], probe[order]
+    prefix = np.cumsum(probe_s == 0)
+    seg_base = np.zeros(mk_s.size, dtype=np.int64)
+    starts = np.r_[0, np.nonzero(np.diff(mk_s))[0] + 1]
+    seg_base[starts] = prefix[starts] - (probe_s[starts] == 0)
+    seg_base = np.maximum.accumulate(seg_base)
+    inkey = prefix - seg_base  # right rows of MY key at or before me
+    inv = np.empty(order.size, dtype=np.int64)
+    inv[order] = np.arange(order.size)
+    probe_counts = inkey[inv[rk.size :]]
+    n_right = probe_counts[:nl] - probe_counts[nl:]
+    return pa.table({"left_id": pa.array(lid), "key": pa.array(lk), "n_right": pa.array(n_right.astype(np.int64))})
+
+
+def range_join_count(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    window_us: int,
+    nbuckets: int = _PAIR_BUCKETS,
+) -> Dataset:
+    """Trailing-window range join, counting form: for every left row the
+    number of right rows of the same ``key`` with ``ts`` in
+    ``(left.ts - window_us, left.ts]``.  Every left row is emitted
+    (count 0 when the window is empty) — LEFT-join semantics."""
+    tagged = left.map_batches(
+        _tag, fn_kwargs={"side": 1, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            _tag, fn_kwargs={"side": 0, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+            batch_format="pyarrow",
+        )
+    )
+    return tagged.groupby("key_bucket").map_groups(
+        lambda g: _range_bucket(g, window_us), batch_format="pyarrow"
+    )
+
+
 def asof_join_backward(
     left: Dataset,
     right: Dataset,

@@ -807,6 +807,23 @@ def events_asof(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id", ignore_index=True)
 
 
+def events_range_count(sf_dir: str) -> pd.DataFrame:
+    """Trailing-window range join (counting form): per purchase, the
+    number of the same user's clicks in the preceding hour (half-open
+    window, LEFT semantics — zero-click purchases kept)."""
+    from .asof import range_join_count
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = range_join_count(
+        purchases, clicks, key="user_id", ts="ts", id_col="event_id", window_us=3_600_000_000
+    ).to_pandas()
+    out = out.rename(columns={"left_id": "event_id", "key": "user_id", "n_right": "n_clicks_1h"})
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def meta_ingest(sf_dir: str) -> pd.DataFrame:
     """Training meta-row ingestion (M10/M11): synthesize a deterministic
     LISTWISE training table from documents (query mq{doc_id % 20}, label
