@@ -39,21 +39,37 @@ from ..tokenizer import Tokenizer
 
 
 # ---------------------------------------------------------------- exact dedup
+_PAIR_BUCKETS = 1024
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = hash_strings(batch.column(text_col).to_pylist())
     return batch.append_column("content_hash", pa.array(h.astype(np.int64)))
 
 
-def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """One row per distinct text, keeping the min id (hash-partition +
-    per-group first).  Collision-proof: groups are bucketed by 64-bit hash
-    but winners are chosen per distinct text within the group."""
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", nbuckets: int = _PAIR_BUCKETS) -> Dataset:
+    """One row per distinct text, keeping the min id.  The exchange is a
+    groupby on COARSE hash buckets — never the raw content_hash, whose
+    groups are corpus-count and each pay Ray's per-group Python finalize —
+    and the per-bucket winner election is one pandas sort+drop_duplicates
+    over the whole bucket.  Collision-proof: equal texts always share a
+    hash (→ one bucket) while election keys on the text itself."""
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col, kind="mergesort").groupby(text_col, as_index=False, sort=False).first()
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = add_content_hash(batch, text_col)
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False)
+        bucket = (h.astype(np.uint64) % np.uint64(nbuckets)).astype(np.int32)
+        return batch.append_column("dedup_bucket", pa.array(bucket))
 
-    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas").drop_columns(["content_hash"])
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
+
+    hashed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return (
+        hashed.groupby("dedup_bucket")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["content_hash", "dedup_bucket"])
+    )
 
 
 # ---------------------------------------------------------------- minhash/LSH
@@ -136,9 +152,6 @@ _PAIR_JACCARD_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("
 # 29 s for 850k pairs vs <1 s bucketed at sf0.1).  The bucket count only
 # bounds Python calls per task — the shuffle itself is the same sort
 # exchange either way.
-_PAIR_BUCKETS = 1024
-
-
 def _pair_bucket(batch: pa.Table, nbuckets: int = _PAIR_BUCKETS) -> pa.Table:
     ia = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
     ib = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -765,27 +765,61 @@ def langs_by_source(sf_dir: str) -> pd.DataFrame:
 
 def event_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (streaming-shaped): per-user sessions split on >30 min
-    gaps; groupby(user_id).map_groups with vectorized gap detection — the
-    partitioning assumption is one user's events co-located, which the
-    groupby provides."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "value"])
+    gaps.  The exchange is a groupby on ~1k COARSE user-hash buckets (never
+    the raw user_id — Ray finalizes each group in Python, and users are
+    corpus-count); each bucket sessionizes ALL its users in one lexsort +
+    segment-reduceat kernel.  Co-location invariant: one user's events land
+    in one bucket."""
+    from ..functions.hashing import splitmix64
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"])
-        gap = group["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum()
-        g = group.groupby(sid)
-        out = pd.DataFrame(
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id", "value"])
+    gap_us = np.int64(30 * 60 * 1_000_000)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (splitmix64(uid.astype(np.uint64)) % np.uint64(1024)).astype(np.int32)
+        return pa.table(
             {
-                "user_id": g["user_id"].first(),
-                "session_start": g["ts"].min(),
-                "n_events": g.size(),
-                "sum_value": g["value"].sum().round(6),
+                "user_id": pa.array(uid),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "value": batch.column("value"),
+                "bucket": pa.array(bucket),
             }
         )
-        return out.reset_index(drop=True)
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas").to_pandas()
+    def sessionize_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("session_start", pa.int64()),
+                 ("n_events", pa.int64()), ("sum_value", pa.float64())]
+            ).empty_table()
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        brk = np.ones(uid.size, dtype=bool)
+        brk[1:] = (np.diff(uid) != 0) | (np.diff(ts) > gap_us)
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:], uid.size]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_start": pa.array(ts[starts]),
+                "n_events": pa.array(ends - starts),
+                "sum_value": pa.array(np.round(np.add.reduceat(val, starts), 6)),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
     return out.sort_values(["user_id", "session_start"], ignore_index=True)
 
 
