@@ -724,8 +724,14 @@ def embedding_near_dup_pairs(
     cosine >= threshold).  A pair is a candidate if it agrees on ALL planes
     of ANY band (OR-of-ANDs, same shape as MinHash banding), so recall on
     high-cosine near-dups is 1-(1-p^r)^b instead of the single-bucket p^r.
-    Planes are broadcast once via ``ray.put``; the per-band explode is a
-    bounded groupby like the MinHash band shuffle."""
+    Planes are broadcast once via ``ray.put``; the exchange is a groupby on
+    COARSE band-code buckets (never the raw (band_id, band_code), whose
+    groups are corpus-count and mostly singletons), and each bucket
+    verifies inline: one lexsort segments the true code collisions, only
+    multi-row segments emit pairs, and ONE gathered matmul scores every
+    pair in the bucket.  The unit vector rides the exchange (bands × dim
+    floats per doc) — for very wide embeddings switch to a pair→vector
+    join as in the MinHash verify."""
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
@@ -757,24 +763,54 @@ def embedding_near_dup_pairs(
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "cosine": pd.Series(dtype=np.float64)}
-            )
-        U = np.stack([np.asarray(u) for u in g["unit"]])
-        sims = U @ U.T
-        a, b = np.triu_indices(ids.size, k=1)
-        cos = sims[a, b]
-        keep = cos >= threshold
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep], "cosine": cos[keep]})
+    _EMB_PAIR_SCHEMA = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def code_bucket(batch: pa.Table) -> pa.Table:
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bc = batch.column("band_code").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (splitmix64(bc ^ splitmix64(bid)) % np.uint64(_PAIR_BUCKETS)).astype(np.int32)
+        return batch.append_column("band_bucket", pa.array(bucket))
+
+    def pairs_in_code_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bc = g.column("band_code").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        U = (
+            g.column("unit").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(g.num_rows, -1)
+        )
+        order = np.lexsort((ids, bc, bid))
+        bid, bc, ids, U = bid[order], bc[order], ids[order], U[order]
+        keep = np.ones(bid.size, bool)  # defensive: one row per (segment, id)
+        keep[1:] = (np.diff(bid) != 0) | (np.diff(bc) != 0) | (np.diff(ids) != 0)
+        bid, bc, ids, U = bid[keep], bc[keep], ids[keep], U[keep]
+        bounds = np.r_[0, np.nonzero((np.diff(bid) != 0) | (np.diff(bc) != 0))[0] + 1, np.int64(bid.size)]
+        lens = np.diff(bounds)
+        ai: list[np.ndarray] = []
+        bi: list[np.ndarray] = []
+        for s, ln in zip(bounds[:-1][lens >= 2], lens[lens >= 2]):
+            a, b = np.triu_indices(int(ln), k=1)
+            ai.append(s + a)
+            bi.append(s + b)
+        if not ai:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        a = np.concatenate(ai)
+        b = np.concatenate(bi)
+        cos = np.einsum("ij,ij->i", U[a], U[b])
+        m = cos >= threshold
+        return pa.table(
+            {"id_a": pa.array(ids[a][m]), "id_b": pa.array(ids[b][m]), "cosine": pa.array(cos[m])}
+        )
 
     out = (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["band_id", "band_code"])
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(code_bucket, batch_format="pyarrow")
+        .groupby("band_bucket")
+        .map_groups(pairs_in_code_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:

@@ -177,3 +177,40 @@ def test_minhash_verify_paths_equivalent(ray_session):
     pd.testing.assert_frame_equal(
         fast.round(9).reset_index(drop=True), slow.round(9).reset_index(drop=True), check_dtype=False
     )
+
+
+def test_embedding_near_dup_positive(ray_session):
+    """The coarse-bucketed hyperplane-LSH path must find every exact
+    duplicate vector (all planes agree -> candidate guaranteed), report
+    cosine ~1, and any extra pairs must be a subset of the brute-force
+    threshold pairs with correct cosines."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    vecs = np.vstack([base, base[:6], base[6:10] + 0.01 * rng.standard_normal((4, 16))])
+    ids = np.arange(vecs.shape[0], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_near_dup_pairs(
+        rd.from_arrow(tbl).repartition(3), threshold=0.99, emb_col="embedding", id_col="vec_id"
+    )
+    # brute force over the same float32-rounded vectors
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    U = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    sims = U @ U.T
+    a, b = np.triu_indices(len(ids), k=1)
+    brute = {(int(x), int(y)): sims[x, y] for x, y in zip(a[sims[a, b] >= 0.99], b[sims[a, b] >= 0.99])}
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.cosine for r in got.itertuples()}
+    # exact dups (30+i vs i) must all be found
+    for i in range(6):
+        assert (i, 30 + i) in got_pairs, f"exact dup ({i},{30+i}) missed"
+    assert set(got_pairs) <= set(brute)
+    for p, c in got_pairs.items():
+        assert abs(c - brute[p]) < 1e-9
