@@ -8,8 +8,9 @@ backpressure, never materialized on the driver):
    :func:`dedup_encode_group` (fused dedup + tokenize; one exchange, no
    intermediate corpus) → ``write_parquet(doc_terms/)``
                                               [stage ``doc_terms``]
-   (neural encoder: two steps — dedup write + actor-pool encode pass —
-   because the model state wants construct-once actors)
+   (neural encoder: the deduped batches stream straight into the
+   construct-once encoder actor pool — same single exchange, no
+   intermediate corpus write)
 2. df aggregate (partial combiner + driver reduce) → vocab; per-bucket
    counts + Σdl in one column-pruned pass → global stats + the doc-id
    prefix-sum inputs → ``stats/``           [stage ``stats``]
@@ -147,7 +148,9 @@ class IndexBuilder:
             # once — full rows never enter an exchange here
             winners_ref = ray.put(compute_winners(input_paths, self.cfg, self.doc_id_base))
             if self.cfg.encoder == "neural":
-                corpus_dir = os.path.join(self.out_dir, "corpus")
+                # fused: deduped (doc_id, url, text) batches stream straight
+                # into the encoder actor pool — no intermediate corpus
+                # write+re-read (a full extra round-trip of the corpus bytes)
                 ds.map_batches(
                     dedup_broadcast_batch,
                     fn_kwargs={
@@ -158,8 +161,7 @@ class IndexBuilder:
                     },
                     batch_format="pyarrow",
                     batch_size=self.cfg.read_batch_size,
-                ).write_parquet(corpus_dir)
-                ray.data.read_parquet(corpus_dir).map_batches(
+                ).map_batches(
                     NeuralEncodeStage,
                     fn_constructor_args=(self.cfg,),
                     batch_format="pyarrow",
@@ -185,9 +187,7 @@ class IndexBuilder:
             )
             grouped = ds.groupby("bucket")
             if self.cfg.encoder == "neural":
-                corpus_dir = os.path.join(self.out_dir, "corpus")
-                grouped.map_groups(dedup_assign_group, batch_format="pyarrow").write_parquet(corpus_dir)
-                ray.data.read_parquet(corpus_dir).map_batches(
+                grouped.map_groups(dedup_assign_group, batch_format="pyarrow").map_batches(
                     NeuralEncodeStage,
                     fn_constructor_args=(self.cfg,),
                     batch_format="pyarrow",
