@@ -41,19 +41,64 @@ _ASOF_SCHEMA = pa.schema(
 )
 
 
-def _tag(batch: pa.Table, side: int, key: str, ts: str, id_col: str, nbuckets: int) -> pa.Table:
+def _tag(
+    batch: pa.Table,
+    side: int | None,
+    key: str,
+    ts: str,
+    id_col: str,
+    nbuckets: int,
+    side_col: str | None = None,
+) -> pa.Table:
     k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
     t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
     i = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     bucket = (splitmix64(k.astype(np.uint64)) % np.uint64(nbuckets)).astype(np.int32)
+    if side_col is None:
+        s = np.full(k.size, side, dtype=np.int8)
+    else:
+        s = batch.column(side_col).to_numpy(zero_copy_only=False).astype(np.int8)
     return pa.table(
         {
             "key": pa.array(k),
             "ts_us": pa.array(t),
             "rid": pa.array(i),
-            "side": pa.array(np.full(k.size, side, dtype=np.int8)),
+            "side": pa.array(s),
             "key_bucket": pa.array(bucket),
         }
+    )
+
+
+def _tagged(
+    left: Dataset,
+    right: Dataset | None,
+    key: str,
+    ts: str,
+    id_col: str,
+    nbuckets: int,
+    side_col: str | None,
+) -> Dataset:
+    """Two-dataset form: tag each side and union.  Single-dataset form
+    (``right is None``): ``left`` already carries ``side_col`` (1 = left
+    row, 0 = right row) — ONE scan instead of two over a shared source,
+    and no union operator."""
+    if right is None:
+        if side_col is None:
+            raise ValueError("single-dataset form requires side_col")
+        return left.map_batches(
+            _tag,
+            fn_kwargs={"side": None, "key": key, "ts": ts, "id_col": id_col,
+                       "nbuckets": nbuckets, "side_col": side_col},
+            batch_format="pyarrow",
+        )
+    return left.map_batches(
+        _tag, fn_kwargs={"side": 1, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+        batch_format="pyarrow",
+    ).union(
+        right.map_batches(
+            _tag, fn_kwargs={"side": 0, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -137,27 +182,22 @@ def _range_bucket(g: pa.Table, window_us: int) -> pa.Table:
 
 def range_join_count(
     left: Dataset,
-    right: Dataset,
+    right: Dataset | None = None,
     *,
     key: str,
     ts: str,
     id_col: str,
     window_us: int,
     nbuckets: int = _PAIR_BUCKETS,
+    side_col: str | None = None,
 ) -> Dataset:
     """Trailing-window range join, counting form: for every left row the
     number of right rows of the same ``key`` with ``ts`` in
     ``(left.ts - window_us, left.ts]``.  Every left row is emitted
-    (count 0 when the window is empty) — LEFT-join semantics."""
-    tagged = left.map_batches(
-        _tag, fn_kwargs={"side": 1, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
-        batch_format="pyarrow",
-    ).union(
-        right.map_batches(
-            _tag, fn_kwargs={"side": 0, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
-            batch_format="pyarrow",
-        )
-    )
+    (count 0 when the window is empty) — LEFT-join semantics.  Pass
+    ``right=None`` with ``side_col`` when both streams come from one
+    source (one scan, no union)."""
+    tagged = _tagged(left, right, key, ts, id_col, nbuckets, side_col)
     return tagged.groupby("key_bucket").map_groups(
         lambda g: _range_bucket(g, window_us), batch_format="pyarrow"
     )
@@ -165,25 +205,20 @@ def range_join_count(
 
 def asof_join_backward(
     left: Dataset,
-    right: Dataset,
+    right: Dataset | None = None,
     *,
     key: str,
     ts: str,
     id_col: str,
     nbuckets: int = _PAIR_BUCKETS,
+    side_col: str | None = None,
 ) -> Dataset:
     """For every left row, the latest right row of the same ``key`` with
     ``right.ts <= left.ts`` (inclusive; ties elect the max ``id_col``).
     Left rows with no prior right row are dropped (inner as-of).  Returns
     (left_id, key, left_ts, right_id, right_ts) with timestamps as int64
-    of the input unit; join wider payloads back by id afterwards."""
-    tagged = left.map_batches(
-        _tag, fn_kwargs={"side": 1, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
-        batch_format="pyarrow",
-    ).union(
-        right.map_batches(
-            _tag, fn_kwargs={"side": 0, "key": key, "ts": ts, "id_col": id_col, "nbuckets": nbuckets},
-            batch_format="pyarrow",
-        )
-    )
+    of the input unit; join wider payloads back by id afterwards.  Pass
+    ``right=None`` with ``side_col`` when both streams come from one
+    source (one scan, no union)."""
+    tagged = _tagged(left, right, key, ts, id_col, nbuckets, side_col)
     return tagged.groupby("key_bucket").map_groups(_asof_bucket, batch_format="pyarrow")
