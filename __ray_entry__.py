@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": q.doc_stats_by_lang,
         "lang_source_counts": q.lang_source_counts,
         "top_docs_by_chars": q.top_docs_by_chars,
+        # grouped top-k + exact distributed quantiles
+        "top_docs_per_lang": q.top_docs_per_lang,
+        "chars_quantiles": q.chars_quantiles,
         # dedup family
         "dedup_exact_kept": q.dedup_exact_kept,
         "exact_dup_pairs": q.exact_dup_pairs,
@@ -427,6 +430,23 @@ SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source ORD
 """,
         "top_docs_by_chars": """
 SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+""",
+        # grouped top-k (window-rank family)
+        "top_docs_per_lang": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3 ORDER BY lang, rank
+""",
+        # exact distributed quantiles (percentile_cont semantics)
+        "chars_quantiles": """
+SELECT lang,
+       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars), 6) AS p50,
+       round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY n_chars), 6) AS p90,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 6) AS p99
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "dedup_exact_kept": """
 SELECT doc_id FROM (

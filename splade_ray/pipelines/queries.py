@@ -321,6 +321,61 @@ def top_docs_by_chars(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_chars"]]
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (the window-rank family: row_number() <= k per
+    partition): top-k docs per lang by (n_chars desc, doc_id asc).
+    Partial top-k inside every batch, final top-k over langs × k × blocks
+    candidate rows — driver work is bounded by group count, never corpus
+    size (the same partial+final discipline as running_stats)."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).head(k), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+    out = parts.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    return out[["lang", "rank", "doc_id", "n_chars"]]
+
+
+def chars_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles (p50/p90/p99 of n_chars per lang) via
+    per-batch value counts: the shuffle carries one (lang, n_chars, count)
+    row per distinct value per batch — bounded by value cardinality, not
+    rows — and the driver interpolates percentile_cont semantics
+    (linear, position (n-1)·q) from the merged counts.  The
+    bounded-cardinality assumption is explicit: for unbounded continuous
+    values swap the count table for a t-digest-style sketch."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(["lang", "n_chars"]).size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby(["lang", "n_chars"], sort=True)["cnt"].sum().reset_index()
+
+    def q_of(vals: np.ndarray, cum: np.ndarray, q: float) -> float:
+        n = cum[-1]
+        p = (n - 1) * q
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        v_lo = vals[np.searchsorted(cum, lo + 1)]
+        v_hi = vals[np.searchsorted(cum, hi + 1)]
+        return float(v_lo) + (p - lo) * (float(v_hi) - float(v_lo))
+
+    rows = []
+    for lang, g in merged.groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        rows.append(
+            (lang, *(round(q_of(vals, cum, q), 6) for q in (0.5, 0.9, 0.99)))
+        )
+    return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
+
+
 # ------------------------------------------------------------------ dedup
 def dedup_exact_kept(sf_dir: str) -> pd.DataFrame:
     from .dedup import exact_dedup
