@@ -83,6 +83,11 @@ class EngineConfig:
     neural_device: str = "cpu"
     neural_max_len: int = 256  # reference max seq len (dataset/_base.yaml:9-10)
     neural_torch_compile: bool = False
+    # GPUs reserved per encoder actor (passed to map_batches num_gpus;
+    # 0 = CPU pool).  Fractions pack several actors per device — the
+    # reference runs one Lightning process per GPU (encode.py:66-74);
+    # here the pool is sized cluster-wide by concurrency × num_gpus.
+    neural_num_gpus: float = 0.0
     # posting-weight storage for the neural index (reference value_dtype,
     # config/encoding/_base.yaml:23): "f32" raw floats, or "q8" —
     # impact-quantized uint8 codes w/ a fixed global scale (4x smaller

@@ -125,9 +125,11 @@ class IndexBuilder:
         id is deferred (offset[bucket] + local_idx, offsets from the stats
         stage), so no barrier splits the pipeline here.
 
-        Neural path: the encoder holds real model state, so it stays a
-        two-step (dedup write, then an actor-pool encode pass) — the GPU
-        deployment shape (reference encode lifecycle, SURVEY.md §3.1)."""
+        Neural path: the encoder holds real model state, so the deduped
+        batches stream into a construct-once actor pool (sized by
+        ``concurrency`` × ``cfg.neural_num_gpus`` — the GPU deployment
+        shape of the reference encode lifecycle, SURVEY.md §3.1) in the
+        same execution."""
         dt_dir = os.path.join(self.out_dir, "doc_terms")
         guard = StageGuard(dt_dir, self.cfg_hash)
         if guard.done():
@@ -167,6 +169,7 @@ class IndexBuilder:
                     batch_format="pyarrow",
                     batch_size=self.cfg.read_batch_size,
                     concurrency=pool_size(),
+                    **({"num_gpus": self.cfg.neural_num_gpus} if self.cfg.neural_num_gpus else {}),
                 ).write_parquet(dt_dir)
             else:
                 ds.map_batches(
@@ -193,6 +196,7 @@ class IndexBuilder:
                     batch_format="pyarrow",
                     batch_size=self.cfg.read_batch_size,
                     concurrency=pool_size(),
+                    **({"num_gpus": self.cfg.neural_num_gpus} if self.cfg.neural_num_gpus else {}),
                 ).write_parquet(dt_dir)
             else:
                 grouped.map_groups(
