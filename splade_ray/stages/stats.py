@@ -23,7 +23,6 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 def df_partials(batch: pa.Table) -> pa.Table:
@@ -49,8 +48,28 @@ def compute_vocab(doc_terms: Dataset, distributed: bool = False) -> pd.DataFrame
     (billion-term vocabularies) to keep the reduce as a Ray groupby."""
     partials = doc_terms.map_batches(df_partials, batch_format="pyarrow")
     if distributed:
+        # COARSE term-hash buckets, never groupby(term) itself: Ray
+        # finalizes every group in Python and terms are vocab-count.
+        # Each bucket reduces all its terms in one Arrow-C++ group_by.
+        from ..functions.hashing import hash_strings
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column("term").to_pylist())
+            return batch.append_column(
+                "term_bucket", pa.array((h % np.uint64(1024)).astype(np.int32))
+            )
+
+        def reduce_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.schema([("term", pa.string()), ("df", pa.int64())]).empty_table()
+            agg = g.group_by("term").aggregate([("df", "sum")])
+            return pa.table({"term": agg.column("term"), "df": agg.column("df_sum")})
+
         vocab = (
-            partials.groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+            partials.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("term_bucket")
+            .map_groups(reduce_bucket, batch_format="pyarrow")
+            .to_pandas()
         )
         vocab = vocab.sort_values("term", kind="mergesort").reset_index(drop=True)
     else:

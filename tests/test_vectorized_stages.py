@@ -214,3 +214,20 @@ def test_embedding_near_dup_positive(ray_session):
     assert set(got_pairs) <= set(brute)
     for p, c in got_pairs.items():
         assert abs(c - brute[p]) < 1e-9
+
+
+def test_distributed_vocab_equals_driver_reduce(ray_session):
+    """compute_vocab(distributed=True) — the billion-term escape path,
+    coarse term-hash buckets + per-bucket Arrow group_by — must equal the
+    driver-reduce default exactly (term order, ids, dfs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from splade_ray.stages.stats import compute_vocab
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(200)]
+    docs = [list(rng.choice(words, rng.integers(1, 30), replace=False)) for _ in range(300)]
+    tbl = pa.table({"terms": pa.array(docs, type=pa.list_(pa.string()))})
+    ds = rd.from_arrow(tbl).repartition(7)
+    pd.testing.assert_frame_equal(compute_vocab(ds), compute_vocab(ds, distributed=True))
