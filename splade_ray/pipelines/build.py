@@ -118,6 +118,19 @@ class IndexBuilder:
         self.doc_id_base = int(doc_id_base)
         self.timings: dict[str, float] = {}
 
+    def _encode_pool(self, deduped):
+        """Deduped corpus batches → the construct-once encoder actor pool
+        (ONE deployment shape for both dedup modes; sized by concurrency ×
+        ``cfg.neural_num_gpus``)."""
+        return deduped.map_batches(
+            NeuralEncodeStage,
+            fn_constructor_args=(self.cfg,),
+            batch_format="pyarrow",
+            batch_size=self.cfg.read_batch_size,
+            concurrency=pool_size(),
+            **({"num_gpus": self.cfg.neural_num_gpus} if self.cfg.neural_num_gpus else {}),
+        )
+
     # ---------- stage 1: extract + dedup + encode (fused) ----------
     def build_doc_terms(self, input_paths) -> str:
         """BM25 path: ONE execution — read → extract (html projected away)
@@ -153,7 +166,7 @@ class IndexBuilder:
                 # fused: deduped (doc_id, url, text) batches stream straight
                 # into the encoder actor pool — no intermediate corpus
                 # write+re-read (a full extra round-trip of the corpus bytes)
-                ds.map_batches(
+                deduped = ds.map_batches(
                     dedup_broadcast_batch,
                     fn_kwargs={
                         "cfg": self.cfg,
@@ -163,14 +176,8 @@ class IndexBuilder:
                     },
                     batch_format="pyarrow",
                     batch_size=self.cfg.read_batch_size,
-                ).map_batches(
-                    NeuralEncodeStage,
-                    fn_constructor_args=(self.cfg,),
-                    batch_format="pyarrow",
-                    batch_size=self.cfg.read_batch_size,
-                    concurrency=pool_size(),
-                    **({"num_gpus": self.cfg.neural_num_gpus} if self.cfg.neural_num_gpus else {}),
-                ).write_parquet(dt_dir)
+                )
+                self._encode_pool(deduped).write_parquet(dt_dir)
             else:
                 ds.map_batches(
                     dedup_broadcast_batch,
@@ -190,13 +197,8 @@ class IndexBuilder:
             )
             grouped = ds.groupby("bucket")
             if self.cfg.encoder == "neural":
-                grouped.map_groups(dedup_assign_group, batch_format="pyarrow").map_batches(
-                    NeuralEncodeStage,
-                    fn_constructor_args=(self.cfg,),
-                    batch_format="pyarrow",
-                    batch_size=self.cfg.read_batch_size,
-                    concurrency=pool_size(),
-                    **({"num_gpus": self.cfg.neural_num_gpus} if self.cfg.neural_num_gpus else {}),
+                self._encode_pool(
+                    grouped.map_groups(dedup_assign_group, batch_format="pyarrow")
                 ).write_parquet(dt_dir)
             else:
                 grouped.map_groups(

@@ -71,6 +71,8 @@ def compute_vocab(doc_terms: Dataset, distributed: bool = False) -> pd.DataFrame
             .map_groups(reduce_bucket, batch_format="pyarrow")
             .to_pandas()
         )
+        if "term" not in vocab.columns:  # zero-row input → schemaless frame
+            vocab = pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype=np.int64)})
         vocab = vocab.sort_values("term", kind="mergesort").reset_index(drop=True)
     else:
         # final reduce in Arrow C++ end to end — partials are vocab × blocks

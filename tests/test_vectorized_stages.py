@@ -231,3 +231,6 @@ def test_distributed_vocab_equals_driver_reduce(ray_session):
     tbl = pa.table({"terms": pa.array(docs, type=pa.list_(pa.string()))})
     ds = rd.from_arrow(tbl).repartition(7)
     pd.testing.assert_frame_equal(compute_vocab(ds), compute_vocab(ds, distributed=True))
+    # zero-row input: both paths must return the same well-formed empty vocab
+    empty = rd.from_arrow(pa.table({"terms": pa.array([], type=pa.list_(pa.string()))}))
+    pd.testing.assert_frame_equal(compute_vocab(empty), compute_vocab(empty, distributed=True))
