@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         # backward as-of join (purchase ⋈ same user's latest prior click)
         "events_asof": q.events_asof,
+        # forward as-of join (purchase ⋈ same user's earliest later click)
+        "events_asof_fwd": q.events_asof_fwd,
         # trailing-window range join (clicks in the hour before a purchase)
         "events_range_count": q.events_range_count,
         # training-triplet ingestion + seeded sampling (S2/M9/K6;
@@ -370,6 +372,18 @@ j AS (
          CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us,
          row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
   FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, click_event_id, gap_us FROM j WHERE rn = 1 ORDER BY event_id
+""",
+        # forward as-of: earliest click at/after the purchase, min-id ties
+        "events_asof_fwd": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+         CAST(date_diff('microsecond', p.ts, c.ts) AS BIGINT) AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
 )
 SELECT event_id, user_id, click_event_id, gap_us FROM j WHERE rn = 1 ORDER BY event_id
 """,

@@ -222,3 +222,46 @@ def asof_join_backward(
     source (one scan, no union)."""
     tagged = _tagged(left, right, key, ts, id_col, nbuckets, side_col)
     return tagged.groupby("key_bucket").map_groups(_asof_bucket, batch_format="pyarrow")
+
+
+def _negate(batch: pa.Table) -> pa.Table:
+    return batch.set_column(
+        batch.schema.get_field_index("ts_us"),
+        "ts_us",
+        pa.compute.negate(batch.column("ts_us")),
+    ).set_column(
+        batch.schema.get_field_index("rid"),
+        "rid",
+        pa.compute.negate(batch.column("rid")),
+    )
+
+
+def asof_join_forward(
+    left: Dataset,
+    right: Dataset | None = None,
+    *,
+    key: str,
+    ts: str,
+    id_col: str,
+    nbuckets: int = _PAIR_BUCKETS,
+    side_col: str | None = None,
+) -> Dataset:
+    """For every left row, the EARLIEST right row of the same ``key`` with
+    ``right.ts >= left.ts`` (inclusive; ties elect the min ``id_col``).
+    Pure reduction to the backward kernel: negate ts and id after tagging
+    (largest -ts <= -left_ts == smallest ts >= left_ts; the backward
+    max-(-id) election == min-id), then un-negate on the way out — the
+    tested kernel runs unchanged."""
+    tagged = _tagged(left, right, key, ts, id_col, nbuckets, side_col).map_batches(
+        _negate, batch_format="pyarrow"
+    )
+    out = tagged.groupby("key_bucket").map_groups(_asof_bucket, batch_format="pyarrow")
+
+    def unnegate(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            cols[name] = pa.compute.negate(col) if name != "key" else col
+        return pa.table(cols)
+
+    return out.map_batches(unnegate, batch_format="pyarrow")

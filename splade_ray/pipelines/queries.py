@@ -913,6 +913,21 @@ def events_asof(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id", ignore_index=True)
 
 
+def events_asof_fwd(sf_dir: str) -> pd.DataFrame:
+    """Forward as-of join: each purchase matched with the same user's
+    EARLIEST click at or after it (inner; tie on ts elects the min
+    event_id) — the mirror of events_asof via the negation reduction."""
+    from .asof import asof_join_forward
+
+    out = asof_join_forward(
+        _purchase_click_sides(sf_dir), key="user_id", ts="ts", id_col="event_id", side_col="side"
+    ).to_pandas()
+    out = out.rename(columns={"left_id": "event_id", "key": "user_id", "right_id": "click_event_id"})
+    out["gap_us"] = (out["right_ts"] - out["left_ts"]).astype(np.int64)
+    out = out[["event_id", "user_id", "click_event_id", "gap_us"]]
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def events_range_count(sf_dir: str) -> pd.DataFrame:
     """Trailing-window range join (counting form): per purchase, the
     number of the same user's clicks in the preceding hour (half-open

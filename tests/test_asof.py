@@ -14,7 +14,7 @@ import pytest
 
 import ray.data as rd
 
-from splade_ray.pipelines.asof import asof_join_backward, range_join_count
+from splade_ray.pipelines.asof import asof_join_backward, asof_join_forward, range_join_count
 
 WINDOW_US = 50
 
@@ -79,6 +79,36 @@ def test_asof_matches_brute(streams):
         .sort_values("left_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, brute_asof(left, right), check_dtype=False)
+
+
+def brute_asof_fwd(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for lid, k, t in left.itertuples(index=False):
+        cand = right[(right.k == k) & (right.t >= t)]
+        if len(cand):
+            best = cand.sort_values(["t", "id"]).iloc[0]
+            rows.append((lid, k, t, best.id, best.t))
+    return pd.DataFrame(
+        rows, columns=["left_id", "key", "left_ts", "right_id", "right_ts"]
+    ).sort_values("left_id", ignore_index=True)
+
+
+def test_asof_forward_matches_brute(streams):
+    left, right = streams
+    got = (
+        asof_join_forward(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(7),
+            key="k",
+            ts="t",
+            id_col="id",
+            nbuckets=13,
+        )
+        .to_pandas()
+        .sort_values("left_id", ignore_index=True)
+    )
+    got = got[["left_id", "key", "left_ts", "right_id", "right_ts"]]
+    pd.testing.assert_frame_equal(got, brute_asof_fwd(left, right), check_dtype=False)
 
 
 def test_range_count_matches_brute(streams):
