@@ -1,5 +1,8 @@
-"""Backward as-of join — the "match each left row with the latest right
-row at or before it" operator Ray Data has no primitive for.
+"""Event-stream join family — as-of (backward + forward) and trailing
+range joins, operators Ray Data has no primitive for.  Backward as-of:
+match each left row with the latest right row at or before it; forward:
+the earliest at or after (a negation reduction to the same kernel);
+range (counting form): how many right rows fall in the trailing window.
 
 Reference has no analogue (its joins are qrels/score lookups); this is the
 standard event-stream enrichment op (trade ⋈ quote, purchase ⋈ last
