@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sessionization (A4, K5/K6, D4, streaming-shaped)
         "running_stats": q.running_stats,
         "deterministic_sample": q.deterministic_sample,
+        # per-stratum (lang) deterministic sampling — training-data rebalance
+        "stratified_sample": q.stratified_sample,
         "langs_by_source": q.langs_by_source,
         "event_sessions": q.event_sessions,
         # text aggregates
@@ -345,6 +347,15 @@ FROM documents GROUP BY lang ORDER BY lang
         "deterministic_sample": """
 SELECT doc_id FROM documents
 WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+ORDER BY doc_id
+""",
+        # per-lang rates in permille must stay in lockstep with
+        # queries.STRATA_PERMILLE
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'es' THEN 300
+                WHEN 'fr' THEN 500 WHEN 'zh' THEN 200 ELSE 0 END
 ORDER BY doc_id
 """,
         "langs_by_source": """

@@ -700,6 +700,30 @@ def deterministic_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+STRATA_PERMILLE = {"en": 100, "de": 300, "es": 300, "fr": 500, "zh": 200}
+
+
+def stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-stratum deterministic sampling (the training-data rebalancing
+    op): keep a doc iff md5_u64(doc_id) % 1000 < rate_permille[lang] —
+    down-weights the head language, keeps more of the tail.  Per-row
+    seeded hash (no global state, partition-invariant); the broadcast is
+    a constant dict; SQL replays it via md5_number_lower."""
+    from ..functions.hashing import md5_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        h = md5_u64([str(int(i)) for i in ids]) % np.uint64(1000)
+        rates = np.fromiter((STRATA_PERMILLE.get(l, 0) for l in langs), np.uint64, len(langs))
+        return batch.filter(pa.array(h < rates))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def rerank_overlap(sf_dir: str) -> pd.DataFrame:
     """Cross-encoder-style reranking (T7 scorer pattern,
     script/preprocess/score_cross_encoder.py): rescore the BM25 top-10 of
