@@ -350,10 +350,10 @@ WHERE (doc_id * 2654435761) % 4294967296 < 429496729
 ORDER BY doc_id
 """,
         # per-lang rates in permille must stay in lockstep with
-        # queries.STRATA_PERMILLE
+        # queries.STRATA_PERMILLE (pure integer comparison — exact replay)
         "stratified_sample": """
 SELECT doc_id, lang FROM documents
-WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+WHERE (doc_id * 2246822519) % 4294967296 * 1000 < 4294967296 *
       CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 WHEN 'es' THEN 300
                 WHEN 'fr' THEN 500 WHEN 'zh' THEN 200 ELSE 0 END
 ORDER BY doc_id

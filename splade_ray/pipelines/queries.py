@@ -705,20 +705,25 @@ STRATA_PERMILLE = {"en": 100, "de": 300, "es": 300, "fr": 500, "zh": 200}
 
 def stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Per-stratum deterministic sampling (the training-data rebalancing
-    op): keep a doc iff md5_u64(doc_id) % 1000 < rate_permille[lang] —
-    down-weights the head language, keeps more of the tail.  Per-row
-    seeded hash (no global state, partition-invariant); the broadcast is
-    a constant dict; SQL replays it via md5_number_lower."""
-    from ..functions.hashing import md5_u64
-
+    op): keep a doc iff hash(doc_id)·1000 < 2^32·rate_permille[lang] —
+    down-weights the head language, keeps more of the tail.  Fully
+    vectorized: a multiplicative hash (different multiplier than
+    deterministic_sample, so the two samples are decorrelated) and a
+    dictionary-coded rate gather — no per-row Python; the comparison is
+    pure integer arithmetic so the SQL oracle replays it exactly."""
     ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    mult, mod = np.uint64(2246822519), np.uint64(4294967296)
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        langs = batch.column("lang").to_pylist()
-        h = md5_u64([str(int(i)) for i in ids]) % np.uint64(1000)
-        rates = np.fromiter((STRATA_PERMILLE.get(l, 0) for l in langs), np.uint64, len(langs))
-        return batch.filter(pa.array(h < rates))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * mult) % mod
+        dic = batch.column("lang").combine_chunks().dictionary_encode()
+        uniq_rates = np.asarray(
+            [STRATA_PERMILLE.get(v.as_py(), 0) for v in dic.dictionary], dtype=np.uint64
+        )
+        rates = uniq_rates[dic.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h * np.uint64(1000) < mod * rates))
 
     out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
