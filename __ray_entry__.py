@@ -117,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (heuristics)
         "lang_id_preds": q.lang_id_preds,
         "doc_fingerprints": q.doc_fingerprints,
+        # Gopher-style repetition quality signals (dup tokens, top bigram,
+        # longest run)
+        "repetition_scores": q.repetition_scores,
+        # benchmark n-gram decontamination (broadcast trigram-set membership)
+        "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
         "lineitem_agg": q.lineitem_agg,
         "orders_by_segment": q.orders_by_segment,
@@ -609,6 +614,58 @@ f AS (
 SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fingerprint
 FROM f ORDER BY doc_id
+""",
+        # Gopher repetition signals: distinct-token fraction, top bigram
+        # (lead-window concat; tokens are [a-z0-9]+ so ' ' can't collide),
+        # longest run via gaps-and-islands
+        "repetition_scores": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+base AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS nd FROM flat GROUP BY doc_id),
+bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM flat),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b),
+topbg AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bgc GROUP BY doc_id),
+runs AS (SELECT doc_id, tok, i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g FROM flat),
+runc AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, tok, g),
+mr AS (SELECT doc_id, max(rl) AS max_run FROM runc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(b.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN coalesce(b.n_tokens, 0) = 0 THEN 0
+                  ELSE (b.n_tokens - b.nd) / CAST(b.n_tokens AS DOUBLE) END, 6) AS dup_token_frac,
+       round(coalesce(t.mc / CAST(t.nb AS DOUBLE), 0), 6) AS top_bigram_frac,
+       coalesce(m.max_run, 0) AS max_run_len
+FROM documents d
+LEFT JOIN base b USING (doc_id) LEFT JOIN topbg t USING (doc_id) LEFT JOIN mr m USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # trigram decontamination: rolling-hash trigrams from
+        # md5_number_lower token hashes (same fold as the engine, mod 2^64),
+        # benchmark = Knuth-hash 4% doc sample, LEFT JOIN membership
+        "contamination_overlap": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+h AS (SELECT doc_id, i, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+tri AS (
+  SELECT doc_id,
+         (((th * 1099511628211 + lead(th) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 2) OVER w) % 18446744073709551616 AS trig,
+         lead(th, 2) OVER w IS NOT NULL AS ok
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+tset AS (SELECT DISTINCT doc_id, trig FROM tri WHERE ok),
+bench AS (SELECT DISTINCT trig FROM tset WHERE (doc_id * 2654435761) % 4294967296 < 171798691),
+corp AS (SELECT * FROM tset WHERE (doc_id * 2654435761) % 4294967296 >= 171798691),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_tri,
+         CAST(sum(CASE WHEN b.trig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM corp c LEFT JOIN bench b ON c.trig = b.trig GROUP BY c.doc_id
+)
+SELECT d.doc_id, coalesce(t.n_tri, 0) AS n_trigrams, coalesce(t.n_hit, 0) AS n_hit,
+       round(CASE WHEN coalesce(t.n_tri, 0) = 0 THEN 0
+                  ELSE t.n_hit / CAST(t.n_tri AS DOUBLE) END, 6) AS contamination
+FROM documents d LEFT JOIN hits t USING (doc_id)
+WHERE (d.doc_id * 2654435761) % 4294967296 >= 171798691
+ORDER BY d.doc_id
 """,
         # synthetic media metadata is closed-form in media_id, so the frame
         # sampler (n = min(8, max(1, trunc(dur/1000*fps))), timestamps

@@ -539,6 +539,52 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition filters (dup-token fraction, top-bigram
+    fraction, longest token run) — the classic pre-training quality
+    signals, one vectorized map_batches pass."""
+    from .textops import repetition_stats
+
+    out = repetition_stats(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out["dup_token_frac"] = out["dup_token_frac"].round(6)
+    out["top_bigram_frac"] = out["top_bigram_frac"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+# benchmark membership: Knuth multiplicative hash on doc_id, ~4% of docs
+# (the same integer comparison the SQL oracle replays)
+_BENCH_MULT, _BENCH_MOD = np.uint64(2654435761), np.uint64(4294967296)
+_BENCH_THRESH = np.uint64(171798691)
+
+
+def _bench_split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        m = (ids * _BENCH_MULT) % _BENCH_MOD < _BENCH_THRESH
+    return batch.filter(pa.array(m if keep_bench else ~m))
+
+
+def contamination_overlap(sf_dir: str) -> pd.DataFrame:
+    """Benchmark-decontamination check (GPT-3/PaLM style): fraction of each
+    corpus doc's distinct token trigrams that appear in a held-out
+    "benchmark" subset (a deterministic ~4% doc sample standing in for an
+    eval suite).  Benchmark trigram set is a ray.put broadcast; the corpus
+    side streams through one membership map_batches — no shuffle."""
+    from functools import partial
+
+    from .textops import contamination_check
+
+    bench = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial(_bench_split, keep_bench=True), batch_format="pyarrow"
+    )
+    corpus = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial(_bench_split, keep_bench=False), batch_format="pyarrow"
+    )
+    out = contamination_check(corpus, bench).to_pandas()
+    out["contamination"] = out["contamination"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 # -------------------------------------------------------------- relational
 def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped grouped aggregate: per-batch partial aggregation

@@ -230,3 +230,207 @@ def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", co
         FingerprintStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
+
+
+class RepetitionStage:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the duplicate-text filters):
+    (doc_id, text) → (doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+    max_run_len).
+
+    - ``dup_token_frac``  = (n_tokens − n_distinct_tokens) / n_tokens
+    - ``top_bigram_frac`` = count of the most frequent token bigram /
+      n_bigrams (token analogue of Gopher's top-2-gram character fraction)
+    - ``max_run_len``     = longest run of one repeated token
+
+    Fully vectorized: one dictionary-encode pass per batch, then composite
+    integer keys + ``np.unique`` / ``np.maximum.at`` — no per-token Python.
+    Each row is independent, so the stage partitions trivially.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        if enc is None:  # non-invertible tokenizer: factorize the flat list
+            flat, dls32 = self.tok.tokenize_flat(batch.column(self.text_col).to_pylist())
+            import pandas as pd
+
+            codes = pd.factorize(np.asarray(flat, dtype=object))[0].astype(np.int64)
+            dls = dls32.astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), dls)
+            nvocab = int(codes.max()) + 1 if codes.size else 1
+        else:
+            codes, rows, vocab, dls = enc
+            codes = codes.astype(np.int64)
+            nvocab = max(len(vocab), 1)
+
+        n_tok = dls.astype(np.int64)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        top_bg = np.zeros(n, dtype=np.float64)
+        max_run = np.zeros(n, dtype=np.int64)
+        if codes.size:
+            V = np.int64(nvocab)
+            # distinct tokens per row: one sort-unique over (row, code) keys
+            uniq = np.unique(rows * V + codes)
+            n_distinct = np.bincount((uniq // V).astype(np.int64), minlength=n)
+            nz = n_tok > 0
+            dup_frac[nz] = (n_tok[nz] - n_distinct[nz]) / n_tok[nz]
+
+            # top bigram per row: composite (row, c0, c1) keys where the pair
+            # stays inside one row, then max count per row
+            if codes.size > 1:
+                same = rows[:-1] == rows[1:]
+                if same.any():
+                    b_rows = rows[:-1][same]
+                    bkey = (b_rows * V + codes[:-1][same]) * V + codes[1:][same]
+                    ub, cnt = np.unique(bkey, return_counts=True)
+                    urow = (ub // (V * V)).astype(np.int64)
+                    best = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(best, urow, cnt)
+                    n_bg = np.bincount(b_rows, minlength=n)
+                    bz = n_bg > 0
+                    top_bg[bz] = best[bz] / n_bg[bz]
+
+            # longest same-token run per row: boundaries where the code or
+            # the row changes; run lengths from boundary diffs
+            bound = np.empty(codes.size, dtype=bool)
+            bound[0] = True
+            bound[1:] = (codes[1:] != codes[:-1]) | (rows[1:] != rows[:-1])
+            starts = np.flatnonzero(bound)
+            run_len = np.diff(np.append(starts, codes.size))
+            np.maximum.at(max_run, rows[starts], run_len)
+
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_tokens": pa.array(n_tok),
+                "dup_token_frac": pa.array(dup_frac),
+                "top_bigram_frac": pa.array(top_bg),
+                "max_run_len": pa.array(max_run),
+            }
+        )
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None) -> Dataset:
+    return ds.map_batches(
+        RepetitionStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )
+
+
+# rolling-hash radix shared with FingerprintStage / the SQL oracles
+_TRIGRAM_R = np.uint64(0x100000001B3)
+
+
+def _row_trigrams(th: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(trigram hashes u64, owning row) for every token trigram that stays
+    inside one row.  h = ((h0·R + h1)·R + h2) mod 2^64 with MD5 token hashes
+    — exactly replayable in SQL from ``md5_number_lower``."""
+    if th.size < 3:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    ok = rows[:-2] == rows[2:]
+    with np.errstate(over="ignore"):
+        trig = (th[:-2] * _TRIGRAM_R + th[1:-1]) * _TRIGRAM_R + th[2:]
+    return trig[ok], rows[:-2][ok]
+
+
+class TrigramSetStage:
+    """(id, text) → per-row DISTINCT trigram hashes as a list column
+    (used for the benchmark side of the contamination check)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        trig, trow = _row_trigrams(th, rows)
+        # batch-level distinct is enough here — the driver re-uniques
+        return pa.table({"trig": pa.array(np.unique(trig).view(np.int64))})
+
+
+class ContaminationStage:
+    """Benchmark-contamination scorer (the GPT-3/PaLM-style n-gram
+    decontamination check): for each corpus document, the fraction of its
+    DISTINCT token trigrams that appear anywhere in the benchmark set.
+
+    The benchmark trigram set arrives as a ``ray.put`` broadcast (a sorted
+    u64 array — eval suites are MB-scale even when the corpus is 100 TB),
+    so membership is one ``searchsorted`` per batch; no shuffle touches the
+    corpus side."""
+
+    def __init__(self, bench_ref, text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        th, rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        trig, trow = _row_trigrams(th, rows)
+        n_tri = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        if trig.size:
+            # per-row distinct trigrams: sort by (row, trig), drop adjacent dups
+            order = np.lexsort((trig, trow))
+            st, sr = trig[order], trow[order]
+            keep = np.empty(st.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (st[1:] != st[:-1]) | (sr[1:] != sr[:-1])
+            st, sr = st[keep], sr[keep]
+            n_tri = np.bincount(sr, minlength=n)
+            if self.bench.size:
+                ins = np.searchsorted(self.bench, st)
+                inb = (ins < self.bench.size) & (self.bench[np.minimum(ins, self.bench.size - 1)] == st)
+                n_hit = np.bincount(sr[inb], minlength=n)
+        contamination = np.where(n_tri > 0, n_hit / np.maximum(n_tri, 1), 0.0)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_trigrams": pa.array(n_tri),
+                "n_hit": pa.array(n_hit),
+                "contamination": pa.array(contamination),
+            }
+        )
+
+
+def contamination_check(
+    corpus: Dataset,
+    benchmark: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> Dataset:
+    """Score every corpus doc against the benchmark's distinct-trigram set.
+
+    Benchmark pass: distributed trigram extraction, driver union of the
+    per-batch distinct sets (the benchmark is the SMALL side by contract),
+    one ``ray.put``.  Corpus pass: streaming broadcast-membership
+    ``map_batches`` — the 100-TB side is never shuffled."""
+    import ray
+
+    parts = [
+        b.column("trig").to_numpy(zero_copy_only=False).view(np.uint64)
+        for b in benchmark.map_batches(
+            TrigramSetStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    # np.unique on the uint64 dtype keeps the array in the unsigned order
+    # that ContaminationStage's searchsorted assumes
+    tri = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+    ref = ray.put(tri)
+    return corpus.map_batches(
+        ContaminationStage, fn_constructor_kwargs={"bench_ref": ref, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )

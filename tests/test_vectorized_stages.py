@@ -234,3 +234,79 @@ def test_distributed_vocab_equals_driver_reduce(ray_session):
     # zero-row input: both paths must return the same well-formed empty vocab
     empty = rd.from_arrow(pa.table({"terms": pa.array([], type=pa.list_(pa.string()))}))
     pd.testing.assert_frame_equal(compute_vocab(empty), compute_vocab(empty, distributed=True))
+
+
+def _brute_repetition(text: str):
+    toks = Tokenizer().pattern.findall((text or "").lower())
+    n = len(toks)
+    if n == 0:
+        return 0, 0.0, 0.0, 0
+    dup = (n - len(set(toks))) / n
+    bigrams = list(zip(toks, toks[1:]))
+    top_bg = max((bigrams.count(b) for b in set(bigrams)), default=0) / max(len(bigrams), 1)
+    best = run = 1
+    for a, b in zip(toks, toks[1:]):
+        run = run + 1 if a == b else 1
+        best = max(best, run)
+    return n, dup, top_bg, best
+
+
+def test_repetition_stage_matches_bruteforce(batch):
+    from splade_ray.pipelines.textops import RepetitionStage
+
+    out = RepetitionStage()(batch).to_pylist()
+    for row, t in zip(out, TEXTS):
+        n, dup, top_bg, best = _brute_repetition(t or "")
+        assert row["n_tokens"] == n, t
+        assert abs(row["dup_token_frac"] - dup) < 1e-12, t
+        assert abs(row["top_bigram_frac"] - top_bg) < 1e-12, t
+        assert row["max_run_len"] == (best if n else 0), t
+
+
+def test_repetition_stage_chunk_invariant(batch):
+    from splade_ray.pipelines.textops import RepetitionStage
+
+    stage = RepetitionStage()
+    whole = stage(batch).to_pylist()
+    parts = [r for i in range(batch.num_rows) for r in stage(batch.slice(i, 1)).to_pylist()]
+    assert whole == parts
+
+
+def _brute_trigrams(text: str) -> set:
+    toks = Tokenizer().pattern.findall((text or "").lower())
+    hs = md5_u64(toks) if toks else np.zeros(0, np.uint64)
+    R = np.uint64(0x100000001B3)
+    out = set()
+    with np.errstate(over="ignore"):
+        for i in range(len(toks) - 2):
+            out.add(int((hs[i] * R + hs[i + 1]) * R + hs[i + 2]))
+    return out
+
+
+def test_contamination_stage_matches_bruteforce():
+    from splade_ray.pipelines.textops import ContaminationStage
+
+    corpus = ["a b c d e", "a b c", "x y z w", "", "q q q q", None, "a b"]
+    bench_texts = ["a b c d", "q q q"]
+    bench = sorted(set().union(*[_brute_trigrams(t) for t in bench_texts]))
+    stage = ContaminationStage(np.asarray(bench, dtype=np.uint64))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(corpus)), type=pa.int64()), "text": pa.array(corpus, type=pa.string())}
+    )
+    out = stage(tbl).to_pylist()
+    bset = set(bench)
+    for row, t in zip(out, corpus):
+        tri = _brute_trigrams(t or "")
+        assert row["n_trigrams"] == len(tri), t
+        assert row["n_hit"] == len(tri & bset), t
+        exp = len(tri & bset) / len(tri) if tri else 0.0
+        assert abs(row["contamination"] - exp) < 1e-12, t
+
+
+def test_contamination_empty_benchmark():
+    from splade_ray.pipelines.textops import ContaminationStage
+
+    stage = ContaminationStage(np.zeros(0, np.uint64))
+    tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": pa.array(["a b c d"], type=pa.string())})
+    row = stage(tbl).to_pylist()[0]
+    assert row["n_trigrams"] == 2 and row["n_hit"] == 0 and row["contamination"] == 0.0
