@@ -96,6 +96,14 @@ class EngineConfig:
     neural_value_dtype: str = "f32"
     q8_scale: float = 8.0
 
+    # --- forward index (phrase queries) ---
+    # When set, each doc's md5 token-hash stream (8 B/token, vocab-mode
+    # independent) rides the doc_terms rows into the shard exchange and is
+    # stored as a binary column of the per-shard docs table.  Enables
+    # IndexReader.search_phrase: boolean-AND candidates from the inverted
+    # postings, adjacency verified against the stream, BM25-scored.
+    store_forward: bool = False
+
     # --- sparsification caps (reference defaults) ---
     # reference: sparse_top_k = 4096 of 30522 vocab
     # (config/encoding/_base.yaml:26); for the BM25 term-impact encoder the
@@ -152,6 +160,11 @@ class EngineConfig:
         assert self.vocab_mode in ("sorted", "hashed")
         assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
         assert self.neural_backend in ("hash", "torch")
+        # the forward stream is the md5 token sequence — defined by the
+        # tokenizer, not the encoder; the neural path has no token stream
+        assert not (self.store_forward and self.encoder == "neural"), (
+            "store_forward requires the bm25 encoder"
+        )
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
         return self
 

@@ -50,6 +50,9 @@ class OracleIndex:
     post_doc_ids: np.ndarray  # int32[nnz]
     post_weights: np.ndarray  # float64[nnz]
     config: EngineConfig = DEFAULT_CONFIG
+    # per-doc token sequences (doc-id order) — the oracle's forward index,
+    # kept as plain Python lists for the phrase-containment check
+    tokens: list = field(default_factory=list)
 
 
 def bm25_idf(df: np.ndarray, n_docs: int) -> np.ndarray:
@@ -130,6 +133,7 @@ def build_oracle_index(web_pages: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) 
         post_doc_ids=post_doc_ids,
         post_weights=post_weights,
         config=cfg,
+        tokens=[tok.tokenize(t) for t in texts],
     )
 
 
@@ -157,6 +161,35 @@ def oracle_search(index: OracleIndex, query_text: str, k: int) -> list[tuple[int
     k = min(k, nz.size)
     # sort by (-score, doc_id): lexsort keys are last-key-primary
     order = nz[np.lexsort((nz, -scores[nz]))][:k]
+    return [(int(d), float(scores[d])) for d in order]
+
+
+def oracle_phrase_search(index: OracleIndex, phrase: str, k: int) -> list[tuple[int, float]]:
+    """Exact-phrase oracle: docs whose token sequence contains the phrase
+    tokens consecutively, ranked by the same BM25 bag score as
+    :func:`oracle_search` with (-score, doc_id) tie-break."""
+    tok = Tokenizer(index.config)
+    toks = tok.tokenize(phrase)
+    if not toks or any(t not in index.term_to_id for t in toks):
+        return []
+    m = len(toks)
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    counts: dict[int, int] = {}
+    for t in toks:
+        tid = index.term_to_id[t]
+        counts[tid] = counts.get(tid, 0) + 1
+    for tid in sorted(counts):
+        s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+        scores[index.post_doc_ids[s:e]] += counts[tid] * index.post_weights[s:e]
+    match = np.asarray(
+        [any(dt[i : i + m] == toks for i in range(len(dt) - m + 1)) for dt in index.tokens],
+        dtype=bool,
+    )
+    scores[~match] = 0.0
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    order = nz[np.lexsort((nz, -scores[nz]))][: min(k, nz.size)]
     return [(int(d), float(scores[d])) for d in order]
 
 

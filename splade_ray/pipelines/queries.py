@@ -198,6 +198,36 @@ def bm25_topk_hashed(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("pq1", "order fast"),
+    ("pq2", "stream column"),
+    ("pq3", "big order scan"),
+    ("pq4", "group slow spark"),
+    ("pq5", "order order"),  # repeated-token phrase (qtf = 2)
+    ("pq6", "zzz notaword"),  # OOV — empty result on both sides
+]
+
+PHRASE_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, store_forward=True)
+
+
+def phrase_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — exact-phrase top-10 from a
+    forward-enabled index (store_forward md5 token streams): boolean-AND
+    candidates from the postings, adjacency verified against the streams,
+    BM25 bag scoring; rank- and score-identical to the SQL oracle's
+    substring-over-joined-tokens phrase filter."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text in PHRASE_QUERIES:
+        for rank, (_doc, score, url) in enumerate(reader.search_phrase(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
 

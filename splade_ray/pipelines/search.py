@@ -68,6 +68,18 @@ class ShardIndex:
         self.urls = docs.column("url").combine_chunks()
         self.dl = docs.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
         self.n_local = len(self.doc_ids)
+        if "fwd" in docs.column_names:
+            # forward md5 token-hash streams (store_forward builds): one
+            # flat u64 array; per-doc extents come from dl, which is the
+            # exact token count of the same tokenization pass
+            raw = _binary_concat(docs.column("fwd").combine_chunks())
+            self.fwd_stream = np.frombuffer(raw, dtype=np.uint64)
+            self.fwd_ptr = np.zeros(self.n_local + 1, dtype=np.int64)
+            np.cumsum(self.dl.astype(np.int64), out=self.fwd_ptr[1:])
+            assert self.fwd_ptr[-1] == self.fwd_stream.size, "fwd stream / dl mismatch"
+        else:
+            self.fwd_stream = None
+            self.fwd_ptr = None
 
         self.term_ids = post.column("term_id").to_numpy(zero_copy_only=False)
         seg_lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -133,6 +145,13 @@ class ShardIndex:
         self.urls = pa.concat_arrays([s.urls for s in shards])
         self.dl = np.concatenate([s.dl for s in shards])
         self.n_local = int(self.doc_ids.size)
+        if all(s.fwd_stream is not None for s in shards):
+            self.fwd_stream = np.concatenate([s.fwd_stream for s in shards])
+            self.fwd_ptr = np.zeros(self.n_local + 1, dtype=np.int64)
+            np.cumsum(self.dl.astype(np.int64), out=self.fwd_ptr[1:])
+        else:
+            self.fwd_stream = None
+            self.fwd_ptr = None
         doc_offs = np.cumsum([0] + [s.n_local for s in shards][:-1])
 
         # merged vocab rows + per-(shard, term) run lengths — all O(nnz
@@ -250,6 +269,58 @@ class ShardIndex:
         w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
         return self._topk_from_scores(scores, k)
+
+    def phrase_topk(self, qtids: np.ndarray, qweights: np.ndarray, h_seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase top-k within this shard: boolean-AND candidates
+        from the inverted postings, adjacency verified against the forward
+        md5 streams (one vectorized window-compare over the candidates'
+        streams only), BM25-scored over the phrase bag.
+
+        ``qtids``/``qweights`` are the phrase's UNIQUE term ids + counts;
+        ``h_seq`` the md5 hash of each phrase token in order."""
+        if self.fwd_stream is None:
+            raise ValueError("phrase search requires an index built with store_forward=True")
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:  # a phrase term has no postings here
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # AND intersection: per-term posting locals are distinct, so a doc
+        # holding every term accumulates exactly len(qtids) hits
+        cnt = np.zeros(self.n_local, dtype=np.int64)
+        for _i, s, e, _p in slices:
+            cnt[self.post_local[s:e]] += 1
+        cand = np.flatnonzero(cnt == qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # windows of length m over each candidate's stream, all at once
+        m = h_seq.size
+        lens = self.fwd_ptr[cand + 1] - self.fwd_ptr[cand]
+        nwin = np.maximum(lens - m + 1, 0)
+        tot = int(nwin.sum())
+        if tot == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        csum = np.cumsum(nwin)
+        starts = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(csum - nwin, nwin)
+            + np.repeat(self.fwd_ptr[cand], nwin)
+        )
+        ok = self.fwd_stream[starts] == h_seq[0]
+        for j in range(1, m):
+            if not ok.any():
+                break
+            ok &= self.fwd_stream[starts + j] == h_seq[j]
+        cidx = np.repeat(np.arange(cand.size, dtype=np.int64), nwin)
+        matched = cand[np.unique(cidx[ok])]
+        if matched.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # BM25 over the phrase bag, restricted to the matched docs
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        mscores = scores[matched]
+        kk = min(k, matched.size)
+        order = np.lexsort((matched, -mscores))[:kk]
+        return self.doc_ids[matched[order]], mscores[order]
 
     def _gather_zones(self, slices, zones: np.ndarray, qweights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(local ids, query-weighted impacts) of every posting inside
@@ -461,6 +532,8 @@ class IndexReader:
         return uniq.astype(np.int64), counts.astype(np.float64)
 
     def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        if method == "phrase":
+            return self.search_phrase(text, k)
         qtids, qw = self.encode_query(text)
         if qtids.size == 0:
             return []
@@ -468,6 +541,28 @@ class IndexReader:
         for sh in self.shards:
             fn = sh.score_wand if method == "wand" else sh.score_exhaustive
             cands.append(fn(qtids, qw, k))
+        docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
+        scores = np.concatenate([c[1] for c in cands]) if cands else np.zeros(0)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
+
+    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
+        """Exact-phrase top-k (requires a ``store_forward=True`` build):
+        docs whose token stream contains the query tokens CONSECUTIVELY,
+        ranked by the same BM25 bag score / (-score, doc) tie-break as
+        :meth:`search`.  An OOV phrase token ⇒ no match anywhere ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return []
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one phrase token is OOV
+        h_seq = md5_u64(toks)
+        cands = [sh.phrase_topk(qtids, qw, h_seq, k) for sh in self.shards]
         docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
         scores = np.concatenate([c[1] for c in cands]) if cands else np.zeros(0)
         if docs.size == 0:

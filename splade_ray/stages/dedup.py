@@ -41,6 +41,18 @@ def dedup_assign_group(group: pa.Table) -> pa.Table:
     )
 
 
+def forward_stream_column(texts, tok) -> pa.Array:
+    """Per-doc md5 token-hash stream as a binary column (u64 LE per token,
+    in token order) — the forward index rows behind phrase verification.
+    Hashing touches only the per-batch unique vocab (tokenize_md5)."""
+    from .postings import _binary_from_segments
+
+    th, _rows, dls = tok.tokenize_md5(texts)
+    offsets = np.zeros(dls.size + 1, dtype=np.int64)
+    np.cumsum(dls * 8, out=offsets[1:])
+    return _binary_from_segments(th.tobytes(), offsets)
+
+
 def dedup_encode_group(group: pa.Table, *, cfg) -> pa.Table:
     """Fused dedup + encode kernel (one bucket): the dedup groupby already
     co-locates every recrawl of a url, so tokenization rides the same
@@ -62,6 +74,8 @@ def dedup_encode_group(group: pa.Table, *, cfg) -> pa.Table:
         terms, tfs, dls = term_count_table(deduped.column("text"), tok)
         terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
         data = {"terms": terms, "tfs": tfs}
+    if cfg.store_forward:
+        data["fwd"] = forward_stream_column(deduped.column("text"), tok)
     return pa.table(
         {
             "bucket": deduped.column("bucket"),
@@ -198,6 +212,8 @@ def dedup_broadcast_batch(batch: pa.Table, *, cfg, winners_ref, verify: bool = F
         terms, tfs, dls = term_count_table(ext.column("text"), tok)
         terms, tfs = apply_top_k_cap(terms, tfs, cfg.doc_top_k)
         data = {"terms": terms, "tfs": tfs}
+    if cfg.store_forward:
+        data["fwd"] = forward_stream_column(ext.column("text"), tok)
     return pa.table(
         {
             "doc_id": pa.array(row_doc_ids),

@@ -101,16 +101,17 @@ def map_term_ids(batch: pa.Table, *, cfg: EngineConfig, vocab_terms_ref, offsets
     tids_col = pa.ListArray.from_arrays(offsets, pa.array(tids))
     doc_id = _resolve_doc_ids(batch, cfg, offsets_ref)
     shard = (doc_id // cfg.shard_size).astype(np.int32)
-    return pa.table(
-        {
-            "shard": pa.array(shard),
-            "doc_id": pa.array(doc_id),
-            "url": batch.column("url"),
-            "dl": batch.column("dl"),
-            "tids": tids_col,
-            "tfs": batch.column("tfs"),
-        }
-    )
+    cols = {
+        "shard": pa.array(shard),
+        "doc_id": pa.array(doc_id),
+        "url": batch.column("url"),
+        "dl": batch.column("dl"),
+        "tids": tids_col,
+        "tfs": batch.column("tfs"),
+    }
+    if "fwd" in batch.column_names:  # forward token-hash streams ride along
+        cols["fwd"] = batch.column("fwd")
+    return pa.table(cols)
 
 
 def assign_ids_and_shard(batch: pa.Table, *, cfg: EngineConfig, offsets_ref) -> pa.Table:
@@ -154,7 +155,8 @@ def build_shard_index(
 
     post_file = f"shard-{shard_id:05d}.postings.parquet"
     docs_file = f"shard-{shard_id:05d}.docs.parquet"
-    if shard_is_valid(postings_dir, shard_id, n_rows):
+    has_fwd = "fwd" in group.column_names
+    if shard_is_valid(postings_dir, shard_id, n_rows, expect_fwd=has_fwd):
         rec = {"part_id": shard_id, "input_rows": n_rows, "skipped": True}
         return _lineage_row(rec)
 
@@ -188,14 +190,15 @@ def build_shard_index(
     p_local = flat_local[sort]
     p_vals = flat_vals[sort]
 
-    docs_tbl = pa.table(
-        {
-            "local_id": pa.array(local),
-            "doc_id": pa.array(doc_id),
-            "url": group.column("url"),
-            "dl": pa.array(dl),
-        }
-    )
+    doc_cols = {
+        "local_id": pa.array(local),
+        "doc_id": pa.array(doc_id),
+        "url": group.column("url"),
+        "dl": pa.array(dl),
+    }
+    if has_fwd:
+        doc_cols["fwd"] = group.column("fwd")
+    docs_tbl = pa.table(doc_cols)
     return encode_shard_postings(
         postings_dir=postings_dir,
         shard_id=shard_id,
@@ -208,6 +211,7 @@ def build_shard_index(
         weight_mode=weight_mode,
         input_rows=n_rows,
         t0=t0,
+        extra_manifest={"fwd": True} if has_fwd else None,
     )
 
 

@@ -79,11 +79,16 @@ def shard_manifest_path(postings_dir: str, shard_id: int) -> str:
     return os.path.join(postings_dir, "manifest", f"shard-{shard_id:05d}.json")
 
 
-def shard_is_valid(postings_dir: str, shard_id: int, expect_rows: int) -> bool:
+def shard_is_valid(postings_dir: str, shard_id: int, expect_rows: int, expect_fwd: bool | None = None) -> bool:
     """True iff shard ``shard_id``'s files exist and its lineage record
-    matches the expected input row count (same input ⇒ same output)."""
+    matches the expected input row count (same input ⇒ same output).
+    ``expect_fwd`` additionally pins the forward-stream flag, so toggling
+    ``store_forward`` re-materializes shards instead of skipping stale
+    ones."""
     rec = read_json(shard_manifest_path(postings_dir, shard_id))
     if rec is None or rec.get("input_rows") != expect_rows:
+        return False
+    if expect_fwd is not None and bool(rec.get("fwd", False)) != expect_fwd:
         return False
     for f in rec.get("files", []):
         p = os.path.join(postings_dir, f)

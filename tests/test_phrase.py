@@ -1,0 +1,129 @@
+"""Exact-phrase retrieval: forward (md5 token-stream) index + boolean-AND
+candidates + adjacency verify + BM25 ranking, vs the numpy phrase oracle.
+
+Covers: sorted and hashed vocab modes, broadcast and shuffle dedup, the
+store_forward resume toggle (stale shards must re-materialize), and edge
+phrases (OOV, empty, repeated tokens, whole-doc prefix)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.config import EngineConfig
+from splade_ray.fixtures import write_web_pages
+from splade_ray.oracle import build_oracle_index, oracle_phrase_search
+from splade_ray.pipelines.build import build_index
+from splade_ray.pipelines.search import IndexReader
+
+N_PAGES = 800
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("phrase") / "web.parquet")
+    write_web_pages(p, N_PAGES)
+    return p
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(shard_size=200, num_buckets=4, store_forward=True)
+
+
+@pytest.fixture(scope="module")
+def built(corpus, cfg, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("phrase") / "idx")
+    build_index(corpus, out, cfg)
+    return out
+
+
+def _phrases(oidx):
+    out = []
+    for dt in oidx.tokens[:40]:
+        if len(dt) >= 4:
+            out.append(" ".join(dt[:2]))  # doc-prefix bigram
+            out.append(" ".join(dt[1:4]))  # interior trigram
+    return sorted(set(out))[:10] + ["zzznotaword here", "", "   ", "w0001"]
+
+
+def test_phrase_matches_oracle(corpus, cfg, built):
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    checked = 0
+    for p in _phrases(oidx):
+        got = [(d, round(s, 9)) for d, s, *_ in reader.search_phrase(p, 10)]
+        want = [(d, round(s, 9)) for d, s in oracle_phrase_search(oidx, p, 10)]
+        assert got == want, p
+        checked += len(got)
+    assert checked > 10  # the fixture must actually produce matches
+
+
+def test_phrase_method_routing(corpus, cfg, built):
+    reader = IndexReader(built, cfg)
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    p = next(" ".join(dt[:2]) for dt in oidx.tokens if len(dt) >= 2)
+    assert reader.search(p, 5, method="phrase") == reader.search_phrase(p, 5)
+
+
+def test_phrase_repeated_token(corpus, cfg, built):
+    """A phrase of one token repeated must require true adjacency of the
+    repeat, not just tf >= 1 (the qtf-2 bag scoring also differs)."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    tokset = [dt for dt in oidx.tokens if len(dt) >= 2]
+    reps = [" ".join([dt[i]] * 2) for dt in tokset[:60] for i in range(len(dt) - 1) if dt[i] == dt[i + 1]]
+    probe = (reps[:3] or []) + [tokset[0][0] + " " + tokset[0][0]]
+    for p in probe:
+        got = [(d, round(s, 9)) for d, s, *_ in reader.search_phrase(p, 10)]
+        want = [(d, round(s, 9)) for d, s in oracle_phrase_search(oidx, p, 10)]
+        assert got == want, p
+
+
+def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
+    """The forward stream is vocab-mode independent: hashed-vocab and
+    shuffle-dedup builds must return the same phrase top-k."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    phrases = _phrases(oidx)[:6]
+    base = IndexReader(_build(corpus, cfg, tmp_path_factory, "b0"), cfg)
+    for variant in (
+        dataclasses.replace(cfg, vocab_mode="hashed"),
+        dataclasses.replace(cfg, dedup_mode="shuffle"),
+    ):
+        rd = IndexReader(_build(corpus, variant, tmp_path_factory, f"v{variant.vocab_mode}{variant.dedup_mode}"), variant)
+        for p in phrases:
+            got = [(d, round(s, 9), u) for d, s, u in rd.search_phrase(p, 10)]
+            want = [(d, round(s, 9), u) for d, s, u in base.search_phrase(p, 10)]
+            assert got == want, p
+
+
+def _build(corpus, cfg, tmp_path_factory, tag):
+    out = str(tmp_path_factory.mktemp("phrase") / f"idx_{tag}")
+    build_index(corpus, out, cfg)
+    return out
+
+
+def test_store_forward_toggle_rematerializes(corpus, cfg, tmp_path_factory):
+    """Building WITHOUT fwd then WITH fwd into the same dir must not skip
+    the stale shards (shard manifests pin the fwd flag)."""
+    out = str(tmp_path_factory.mktemp("phrase") / "idx_toggle")
+    plain = dataclasses.replace(cfg, store_forward=False)
+    build_index(corpus, out, plain)
+    r0 = IndexReader(out, plain)
+    assert all(sh.fwd_stream is None for sh in r0.shards)
+    build_index(corpus, out, cfg)
+    r1 = IndexReader(out, cfg)
+    assert all(sh.fwd_stream is not None for sh in r1.shards)
+    # and the streams reconcile with dl exactly
+    for sh in r1.shards:
+        assert sh.fwd_stream.size == int(sh.dl.sum())
+
+
+def test_phrase_without_forward_raises(corpus, cfg, tmp_path_factory):
+    plain = dataclasses.replace(cfg, store_forward=False)
+    out = _build(corpus, plain, tmp_path_factory, "plain")
+    reader = IndexReader(out, plain)
+    with pytest.raises(ValueError, match="store_forward"):
+        reader.search_phrase("w0001 w0002", 5)
