@@ -134,6 +134,11 @@ class MergeShardStage:
             run_vals.append(vals)
             docs_tbls.append(docs)
             doc_off += docs.num_rows
+        fwd_flags = {"fwd" in t.column_names for t in docs_tbls}
+        assert len(fwd_flags) == 1, (
+            "mixed store_forward across segments: rebuild the older "
+            "segments with the same config before merging"
+        )
 
         flat_tid = np.concatenate(run_tids)
         flat_local = np.concatenate(run_local)
@@ -144,14 +149,16 @@ class MergeShardStage:
         order = np.argsort(flat_tid, kind="stable")
 
         docs_all = pa.concat_tables(docs_tbls)
-        docs_all = pa.table(
-            {
-                "local_id": pa.array(np.arange(doc_off, dtype=np.int32)),
-                "doc_id": docs_all.column("doc_id"),
-                "url": docs_all.column("url"),
-                "dl": docs_all.column("dl"),
-            }
-        )
+        doc_cols = {
+            "local_id": pa.array(np.arange(doc_off, dtype=np.int32)),
+            "doc_id": docs_all.column("doc_id"),
+            "url": docs_all.column("url"),
+            "dl": docs_all.column("dl"),
+        }
+        has_fwd = "fwd" in docs_all.column_names
+        if has_fwd:  # forward streams merge by concatenation (doc order)
+            doc_cols["fwd"] = docs_all.column("fwd")
+        docs_all = pa.table(doc_cols)
         return encode_shard_postings(
             postings_dir=self.postings_dir,
             shard_id=shard_id,
@@ -164,7 +171,7 @@ class MergeShardStage:
             weight_mode=self.weight_mode,
             input_rows=doc_off,
             t0=t0,
-            extra_manifest={"stats_key": self.stats_key},
+            extra_manifest={"stats_key": self.stats_key, **({"fwd": True} if has_fwd else {})},
         )
 
 

@@ -622,6 +622,17 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_phrase(self, qtids: np.ndarray, qw: np.ndarray, h_seq: np.ndarray, k: int):
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            d, s = sh.phrase_topk(qtids, qw, h_seq, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
 
 class ShardedSearcher:
     """Driver-side scatter-gather over per-shard scorer actors — the
@@ -650,7 +661,16 @@ class ShardedSearcher:
         qtids, qw = self.reader.encode_query(text)
         if qtids.size == 0:
             return []
-        futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
+        if method == "phrase":
+            toks = self.reader.tok.tokenize(text)
+            if int(qw.sum()) != len(toks):  # OOV phrase token
+                return []
+            from ..functions.hashing import md5_u64
+
+            h_seq = md5_u64(toks)
+            futs = [a.score_phrase.remote(qtids, qw, h_seq, k) for a in self.actors]
+        else:
+            futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
         docs, scores, urls = [], [], []
         for d, s, u in ray.get(futs):
             docs.append(d)

@@ -127,3 +127,58 @@ def test_phrase_without_forward_raises(corpus, cfg, tmp_path_factory):
     reader = IndexReader(out, plain)
     with pytest.raises(ValueError, match="store_forward"):
         reader.search_phrase("w0001 w0002", 5)
+
+
+def test_phrase_sharded_searcher(corpus, cfg, built):
+    from splade_ray.pipelines.search import ShardedSearcher
+
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    searcher = ShardedSearcher(built, cfg, num_actors=2)
+    try:
+        for p in _phrases(oidx)[:6]:
+            got = [(d, round(s, 9), u) for d, s, u in searcher.search(p, 10, method="phrase")]
+            want = [(d, round(s, 9), u) for d, s, u in reader.search_phrase(p, 10)]
+            assert got == want, p
+    finally:
+        searcher.shutdown()
+
+
+def test_phrase_survives_segment_merge(corpus, cfg, tmp_path_factory):
+    """Two forward-enabled segments merged must answer phrase queries
+    identically to the single full build.  num_buckets=1 so the url-sorted
+    segment split preserves the global doc-id order (same precondition the
+    segment_merge_topk showcase uses); with multiple buckets internal doc
+    ids legitimately differ between segmented and full builds — urls are
+    the stable identity."""
+    import pyarrow.compute as pc
+
+    from splade_ray.pipelines.merge import merge_segments
+
+    mcfg = dataclasses.replace(cfg, num_buckets=1)
+    base = str(tmp_path_factory.mktemp("phrase") / "seg")
+    tbl = pq.read_table(corpus)
+    urls = tbl.column("url")
+    split = sorted(urls.to_pylist())[tbl.num_rows // 2]
+    a, b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
+    os.makedirs(base, exist_ok=True)
+    pq.write_table(tbl.filter(pc.less(urls, split)), a)
+    pq.write_table(tbl.filter(pc.greater_equal(urls, split)), b)
+    # the fixture contains recrawls: segment B's doc ids continue from A's
+    # DISTINCT url count (ids are per-url, not per-row)
+    n_a = len(set(pq.read_table(a, columns=["url"]).column("url").to_pylist()))
+    build_index(a, os.path.join(base, "segA"), mcfg, doc_id_base=0)
+    build_index(b, os.path.join(base, "segB"), mcfg, doc_id_base=n_a)
+    merged = os.path.join(base, "merged")
+    merge_segments([os.path.join(base, "segA"), os.path.join(base, "segB")], merged, mcfg)
+
+    full = _build(corpus, mcfg, tmp_path_factory, "full_for_merge")
+    r_merged, r_full = IndexReader(merged, mcfg), IndexReader(full, mcfg)
+    oidx = build_oracle_index(tbl, mcfg)
+    matched = 0
+    for p in _phrases(oidx)[:6]:
+        got = [(d, round(s, 9), u) for d, s, u in r_merged.search_phrase(p, 10)]
+        want = [(d, round(s, 9), u) for d, s, u in r_full.search_phrase(p, 10)]
+        assert got == want, p
+        matched += len(got)
+    assert matched > 0
