@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-phrase retrieval from a forward-enabled (store_forward)
         # index: AND candidates + stream adjacency verify + BM25 ranking
         "phrase_topk": q.phrase_topk,
+        # proximity (NEAR/w) retrieval: min-gap verify over merged
+        # occurrence positions in the forward streams
+        "near_topk": q.near_topk,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
         "retrieval_metrics_at10": q.retrieval_metrics_at10,
@@ -200,9 +203,10 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
-    from splade_ray.pipelines.queries import PHRASE_QUERIES
+    from splade_ray.pipelines.queries import NEAR_QUERIES, PHRASE_QUERIES
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
+    near_values = ", ".join(f"('{qid}', '{ta}', '{tb}', {w})" for qid, ta, tb, w in NEAR_QUERIES)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -309,6 +313,45 @@ pmatch AS (
   SELECT p.query_id, j.doc_id
   FROM pnorm p JOIN (SELECT doc_id, ' ' || array_to_string(l, ' ') || ' ' AS s FROM toksl) j
     ON position(p.pat IN j.s) > 0
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+""",
+        # proximity retrieval: self-join of the positioned token table on
+        # |i - j| <= w, then the shared BM25 CTE chain restricted to matches
+        "near_topk": f"""
+WITH nset(query_id, ta, tb, w) AS (VALUES {near_values}),
+qterms AS (SELECT query_id, ta AS term FROM nset UNION ALL SELECT query_id, tb FROM nset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT n.query_id, f1.doc_id
+  FROM nset n
+  JOIN flat f1 ON f1.tok = n.ta
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = n.tb AND abs(f1.i - f2.i) <= n.w
 ),
 scores AS (
   SELECT q.query_id, tf.doc_id,

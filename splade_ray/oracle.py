@@ -193,6 +193,31 @@ def oracle_phrase_search(index: OracleIndex, phrase: str, k: int) -> list[tuple[
     return [(int(d), float(scores[d])) for d in order]
 
 
+def oracle_near_search(index: OracleIndex, term_a: str, term_b: str, window: int, k: int) -> list[tuple[int, float]]:
+    """Proximity oracle: docs where the two terms occur within ``window``
+    token positions (any order), ranked like :func:`oracle_phrase_search`."""
+    tok = Tokenizer(index.config)
+    (ta,), (tb,) = tok.tokenize(term_a), tok.tokenize(term_b)
+    if ta not in index.term_to_id or tb not in index.term_to_id:
+        return []
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    for t in (ta, tb):
+        tid = index.term_to_id[t]
+        s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+        scores[index.post_doc_ids[s:e]] += index.post_weights[s:e]
+    match = np.zeros(index.n_docs, dtype=bool)
+    for d, dt in enumerate(index.tokens):
+        pa_ = [i for i, t in enumerate(dt) if t == ta]
+        pb = [i for i, t in enumerate(dt) if t == tb]
+        match[d] = any(abs(i - j) <= window for i in pa_ for j in pb)
+    scores[~match] = 0.0
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    order = nz[np.lexsort((nz, -scores[nz]))][: min(k, nz.size)]
+    return [(int(d), float(scores[d])) for d in order]
+
+
 def oracle_search_all(index: OracleIndex, queries: pa.Table, k: int) -> pa.Table:
     rows_qid, rows_rank, rows_doc, rows_url, rows_score = [], [], [], [], []
     for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):

@@ -228,6 +228,30 @@ def phrase_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+NEAR_QUERIES: list[tuple[str, str, str, int]] = [
+    ("nq1", "order", "scan", 3),
+    ("nq2", "stream", "column", 2),
+    ("nq3", "batch", "window", 5),
+    ("nq4", "zzznotaword", "order", 2),  # OOV — empty on both sides
+]
+
+
+def near_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — proximity (NEAR/w) top-10 from
+    the forward-enabled index: two-term AND candidates, min-gap verify over
+    the merged occurrence positions, BM25 bag ranking."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, ta, tb, w in NEAR_QUERIES:
+        for rank, (_doc, score, url) in enumerate(reader.search_near(ta, tb, w, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
 

@@ -283,37 +283,52 @@ class ShardIndex:
         slices = self._term_slices(qtids)
         if len(slices) < qtids.size:  # a phrase term has no postings here
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        # AND intersection: per-term posting locals are distinct, so a doc
-        # holding every term accumulates exactly len(qtids) hits
-        cnt = np.zeros(self.n_local, dtype=np.int64)
-        for _i, s, e, _p in slices:
-            cnt[self.post_local[s:e]] += 1
-        cand = np.flatnonzero(cnt == qtids.size)
+        cand = self._and_candidates(slices, qtids.size)
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         # windows of length m over each candidate's stream, all at once
         m = h_seq.size
+        starts, cidx = self._candidate_windows(cand, m)
+        if starts.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ok = self.fwd_stream[starts] == h_seq[0]
+        for j in range(1, m):
+            if not ok.any():
+                break
+            ok &= self.fwd_stream[starts + j] == h_seq[j]
+        matched = cand[np.unique(cidx[ok])]
+        return self._restricted_bag_topk(slices, qweights, matched, k)
+
+    def _and_candidates(self, slices, n_terms: int) -> np.ndarray:
+        """Local ids of docs holding ALL ``n_terms`` query terms (per-term
+        posting locals are distinct, so a full AND hit accumulates exactly
+        n_terms)."""
+        cnt = np.zeros(self.n_local, dtype=np.int64)
+        for _i, s, e, _p in slices:
+            cnt[self.post_local[s:e]] += 1
+        return np.flatnonzero(cnt == n_terms)
+
+    def _candidate_windows(self, cand: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+        """(global stream positions of every length-``m`` window start in the
+        candidates' streams, owning candidate row) — one flat gather."""
         lens = self.fwd_ptr[cand + 1] - self.fwd_ptr[cand]
         nwin = np.maximum(lens - m + 1, 0)
         tot = int(nwin.sum())
         if tot == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         csum = np.cumsum(nwin)
         starts = (
             np.arange(tot, dtype=np.int64)
             - np.repeat(csum - nwin, nwin)
             + np.repeat(self.fwd_ptr[cand], nwin)
         )
-        ok = self.fwd_stream[starts] == h_seq[0]
-        for j in range(1, m):
-            if not ok.any():
-                break
-            ok &= self.fwd_stream[starts + j] == h_seq[j]
-        cidx = np.repeat(np.arange(cand.size, dtype=np.int64), nwin)
-        matched = cand[np.unique(cidx[ok])]
+        return starts, np.repeat(np.arange(cand.size, dtype=np.int64), nwin)
+
+    def _restricted_bag_topk(self, slices, qweights: np.ndarray, matched: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 bag score over the query terms, restricted to ``matched``
+        local docs; (-score, doc) tie-break."""
         if matched.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        # BM25 over the phrase bag, restricted to the matched docs
         ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
         w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
@@ -321,6 +336,34 @@ class ShardIndex:
         kk = min(k, matched.size)
         order = np.lexsort((matched, -mscores))[:kk]
         return self.doc_ids[matched[order]], mscores[order]
+
+    def near_topk(self, qtids: np.ndarray, qweights: np.ndarray, h_a: int, h_b: int, window: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity (NEAR) top-k: docs where tokens ``h_a`` and ``h_b``
+        (md5 hashes, distinct) occur within ``window`` token positions of
+        each other, BM25-bag-ranked.  The minimal |i-j| between two label
+        sets is always achieved by an adjacent pair in merged position
+        order, so the verify is one diff over the candidates' merged
+        occurrence lists."""
+        if self.fwd_stream is None:
+            raise ValueError("near search requires an index built with store_forward=True")
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pos, cidx = self._candidate_windows(cand, 1)  # every token position
+        tok = self.fwd_stream[pos]
+        keep = (tok == np.uint64(h_a)) | (tok == np.uint64(h_b))
+        pos, cidx, tok = pos[keep], cidx[keep], tok[keep]
+        if pos.size < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # pos ascends within each candidate by construction
+        same = cidx[1:] == cidx[:-1]
+        cross = tok[1:] != tok[:-1]
+        near = same & cross & (pos[1:] - pos[:-1] <= window)
+        matched = cand[np.unique(cidx[:-1][near])]
+        return self._restricted_bag_topk(slices, qweights, matched, k)
 
     def _gather_zones(self, slices, zones: np.ndarray, qweights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(local ids, query-weighted impacts) of every posting inside
@@ -563,6 +606,25 @@ class IndexReader:
             return []  # at least one phrase token is OOV
         h_seq = md5_u64(toks)
         cands = [sh.phrase_topk(qtids, qw, h_seq, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def search_near(self, term_a: str, term_b: str, window: int, k: int = 10) -> list[tuple[int, float, str]]:
+        """Proximity top-k (requires ``store_forward=True``): docs where
+        the two (distinct, single-token) terms occur within ``window``
+        token positions, BM25-bag-ranked with the usual tie-break."""
+        from ..functions.hashing import md5_u64
+
+        ta, tb = self.tok.tokenize(term_a), self.tok.tokenize(term_b)
+        if len(ta) != 1 or len(tb) != 1 or ta[0] == tb[0]:
+            raise ValueError("near search takes two distinct single-token terms")
+        qtids, qw = self.encode_query(f"{ta[0]} {tb[0]}")
+        if qtids.size < 2:
+            return []  # a term is OOV — no doc can satisfy the AND
+        h = md5_u64([ta[0], tb[0]])
+        cands = [sh.near_topk(qtids, qw, int(h[0]), int(h[1]), window, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def _merge_shard_topk(self, cands: list[tuple[np.ndarray, np.ndarray]], k: int) -> list[tuple[int, float, str]]:
         docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
         scores = np.concatenate([c[1] for c in cands]) if cands else np.zeros(0)
         if docs.size == 0:

@@ -182,3 +182,36 @@ def test_phrase_survives_segment_merge(corpus, cfg, tmp_path_factory):
         assert got == want, p
         matched += len(got)
     assert matched > 0
+
+
+def test_near_matches_oracle(corpus, cfg, built):
+    from splade_ray.oracle import oracle_near_search
+
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    # term pairs drawn from real docs: adjacent (gap 1), same-doc distant,
+    # and cross-doc pairs that should only match at large windows
+    probes = []
+    for dt in oidx.tokens[:30]:
+        if len(dt) >= 6 and dt[0] != dt[1]:
+            probes.append((dt[0], dt[1], 1))
+            probes.append((dt[0], dt[1], 0))  # window 0: same position only -> never
+        if len(dt) >= 6 and dt[0] != dt[5]:
+            probes.append((dt[0], dt[5], 5))
+            probes.append((dt[0], dt[5], 4))  # one short of the gap
+    probes = probes[:16] + [("zzznotaword", "w0001", 3)]
+    checked = 0
+    for ta, tb, w in probes:
+        got = [(d, round(s, 9)) for d, s, *_ in reader.search_near(ta, tb, w, 10)]
+        want = [(d, round(s, 9)) for d, s in oracle_near_search(oidx, ta, tb, w, 10)]
+        assert got == want, (ta, tb, w)
+        checked += len(got)
+    assert checked > 10
+
+
+def test_near_rejects_bad_terms(corpus, cfg, built):
+    reader = IndexReader(built, cfg)
+    with pytest.raises(ValueError):
+        reader.search_near("two words", "x", 3)
+    with pytest.raises(ValueError):
+        reader.search_near("same", "same", 3)
