@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (heuristics)
         "lang_id_preds": q.lang_id_preds,
         "doc_fingerprints": q.doc_fingerprints,
+        # per-doc top-5 tf-idf keywords (df reduce + broadcast scoring)
+        "doc_keywords": q.doc_keywords,
         # Gopher-style repetition quality signals (dup tokens, top bigram,
         # longest run)
         "repetition_scores": q.repetition_scores,
@@ -704,6 +706,25 @@ f AS (
 SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808 THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fingerprint
 FROM f ORDER BY doc_id
+""",
+        # per-doc tf-idf keywords: tfidf = tf * ln(n_docs / df), ties
+        # (tfidf desc, term asc)
+        "doc_keywords": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(s.n_docs / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
 """,
         # Gopher repetition signals: distinct-token fraction, top bigram
         # (lead-window concat; tokens are [a-z0-9]+ so ' ' can't collide),

@@ -593,6 +593,16 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def doc_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-5 keywords by tf-idf (distributed df reduce + broadcast
+    scoring) — the keyword-extraction step of a curation pipeline."""
+    from .textops import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]), k=5).to_pandas()
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.sort_values(["doc_id", "rank"], ignore_index=True)
+
+
 def repetition_scores(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filters (dup-token fraction, top-bigram
     fraction, longest token run) — the classic pre-training quality

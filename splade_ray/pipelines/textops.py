@@ -316,6 +316,109 @@ class RepetitionStage:
         )
 
 
+class TfidfTopTermsStage:
+    """(doc_id, text) → per-doc top-k keywords by tf-idf
+    (tfidf = tf · ln(n_docs / df), ties (tfidf desc, term asc)), exploded
+    to (doc_id, rank, term, tfidf) rows.
+
+    The (sorted vocab, df) pair arrives as a ray.put broadcast — the same
+    vocab-sized small side the stats stage reduces; scoring is composite
+    integer keys + one lexsort per batch, no per-token Python."""
+
+    def __init__(self, vocab_ref, n_docs: int, k: int, text_col: str = "text", id_col: str = "doc_id"):
+        from ..stages.encode import cached_ref
+
+        terms, df = cached_ref(vocab_ref) if not isinstance(vocab_ref, tuple) else vocab_ref
+        self.vocab = terms  # object ndarray, lexicographically sorted
+        self.df = df.astype(np.float64)
+        self.n_docs = float(n_docs)
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if enc is None or enc[0].size == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array(np.zeros(0, np.int64)),
+                    "rank": pa.array(np.zeros(0, np.int64)),
+                    "term": pa.array([], type=pa.string()),
+                    "tfidf": pa.array(np.zeros(0, np.float64)),
+                }
+            )
+        codes, rows, vocab, _dls = enc
+        codes = codes.astype(np.int64)
+        V = np.int64(max(len(vocab), 1))
+        ukey, tf = np.unique(rows * V + codes, return_counts=True)
+        urow, ucode = (ukey // V).astype(np.int64), (ukey % V).astype(np.int64)
+        # batch-local codes → global lexical rank (and df) via one
+        # searchsorted over the broadcast sorted vocab.  The batch
+        # dictionary may hold entries no code references (e.g. the dropped
+        # empty-split artifact) — only codes in use must resolve.
+        uniq_terms = np.asarray(vocab.to_pylist(), dtype=object)
+        vpos_of_code = np.minimum(np.searchsorted(self.vocab, uniq_terms), self.vocab.size - 1)
+        used = np.unique(ucode)
+        if (self.vocab[vpos_of_code[used]] != uniq_terms[used]).any():
+            raise ValueError("terms missing from broadcast vocab")
+        vpos = vpos_of_code[ucode]
+        tfidf = tf.astype(np.float64) * np.log(self.n_docs / self.df[vpos])
+        # per-row top-k by (tfidf desc, lexical term asc): one lexsort
+        order = np.lexsort((vpos, -tfidf, urow))
+        so_row = urow[order]
+        counts = np.bincount(so_row, minlength=n)
+        first = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=first[1:])
+        rnk = np.arange(so_row.size, dtype=np.int64) - first[so_row]
+        keep = rnk < self.k
+        sel = order[keep]
+        return pa.table(
+            {
+                self.id_col: pa.array(doc_ids[urow[sel]]),
+                "rank": pa.array(rnk[keep] + 1),
+                "term": pa.array(uniq_terms[ucode[sel]], type=pa.string()),
+                "tfidf": pa.array(tfidf[sel]),
+            }
+        )
+
+
+def tfidf_top_terms(
+    ds: Dataset, k: int = 5, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None
+) -> Dataset:
+    """Keyword extraction: per-doc top-k terms by tf-idf.
+
+    Pass 1 computes the global df table (the vocab-sized driver reduce
+    shared with the stats stage — ``compute_vocab``); pass 2 streams the
+    corpus through a broadcast-scored ``map_batches``.  No shuffle touches
+    the corpus; the only exchanged bytes are the df combiner partials."""
+    import ray
+
+    from ..stages.stats import compute_vocab
+
+    def doc_terms_shim(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import term_count_table
+
+        terms, tfs, dls = term_count_table(batch.column(text_col).to_pylist(), Tokenizer())
+        return pa.table({"terms": terms, "dl": pa.array(dls)})
+
+    vocab = compute_vocab(ds.map_batches(doc_terms_shim, batch_format="pyarrow"))
+    n_docs = ds.count()
+    terms_sorted = np.asarray(vocab["term"].to_numpy(), dtype=object)
+    df = vocab["df"].to_numpy().astype(np.int64)
+    ref = ray.put((terms_sorted, df))
+    return ds.map_batches(
+        TfidfTopTermsStage,
+        fn_constructor_kwargs={
+            "vocab_ref": ref, "n_docs": n_docs, "k": k, "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(),
+    )
+
+
 def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None) -> Dataset:
     return ds.map_batches(
         RepetitionStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},

@@ -310,3 +310,25 @@ def test_contamination_empty_benchmark():
     tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": pa.array(["a b c d"], type=pa.string())})
     row = stage(tbl).to_pylist()[0]
     assert row["n_trigrams"] == 2 and row["n_hit"] == 0 and row["contamination"] == 0.0
+
+
+def test_tfidf_top_terms_partition_invariant(ray_session):
+    """Keyword extraction must not depend on batch/partition boundaries
+    (global df broadcast + per-row selection only)."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import tfidf_top_terms
+
+    texts = [t or "" for t in TEXTS] * 10
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())}
+    )
+    outs = []
+    for nparts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        df = tfidf_top_terms(ds, k=3).to_pandas().sort_values(["doc_id", "rank"], ignore_index=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    row0 = outs[0][outs[0].doc_id == 0]
+    assert list(row0["rank"]) == [1, 2, 3]
+    assert (row0["tfidf"] > 0).all()
