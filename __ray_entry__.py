@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition quality signals (dup tokens, top bigram,
         # longest run)
         "repetition_scores": q.repetition_scores,
+        # fused one-pass curation filter (keep/drop + signals)
+        "curation_kept": q.curation_kept,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -748,6 +750,31 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN base b USING (doc_id) LEFT JOIN topbg t USING (doc_id) LEFT JOIN mr m USING (doc_id)
 ORDER BY d.doc_id
+""",
+        # fused curation filter: same signal definitions as
+        # repetition_scores/quality_scores, conjunction of thresholds
+        "curation_kept": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+base AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS nd,
+         avg(CASE WHEN tok IN ('the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','at','be','this','have') THEN 1.0 ELSE 0.0 END) AS sr
+  FROM flat GROUP BY doc_id
+),
+runs AS (SELECT doc_id, tok, i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g FROM flat),
+runc AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, tok, g),
+mr AS (SELECT doc_id, max(rl) AS max_run FROM runc GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id, b.n_tokens,
+         (b.n_tokens - b.nd) / CAST(b.n_tokens AS DOUBLE) AS dup,
+         b.sr, m.max_run
+  FROM base b JOIN mr m USING (doc_id)
+)
+SELECT doc_id, n_tokens, round(dup, 6) AS dup_token_frac,
+       round(sr, 6) AS stopword_ratio, max_run AS max_run_len
+FROM sig
+WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2
+ORDER BY doc_id
 """,
         # trigram decontamination: rolling-hash trigrams from
         # md5_number_lower token hashes (same fold as the engine, mod 2^64),

@@ -603,6 +603,18 @@ def doc_keywords(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "rank"], ignore_index=True)
 
 
+def curation_kept(sf_dir: str) -> pd.DataFrame:
+    """Docs surviving the fused one-pass curation filter (token count,
+    dup-token fraction, stopword band, repetition run), with their
+    signals."""
+    from .textops import curation_filter
+
+    out = curation_filter(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out["dup_token_frac"] = out["dup_token_frac"].round(6)
+    out["stopword_ratio"] = out["stopword_ratio"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def repetition_scores(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filters (dup-token fraction, top-bigram
     fraction, longest token run) — the classic pre-training quality

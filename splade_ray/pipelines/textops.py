@@ -426,6 +426,87 @@ def repetition_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+class CurationStage:
+    """Fused single-pass pre-training curation filter (the Gopher-style
+    keep/drop decision): ONE tokenize per batch computes n_tokens,
+    stopword_ratio, dup_token_frac and max_run_len, then applies the
+    thresholds — at 100 TB the whole keep/drop decision is one streaming
+    map_batches, not a join of per-signal passes.
+
+    Emits only the kept rows: (doc_id, n_tokens, dup_token_frac,
+    stopword_ratio, max_run_len)."""
+
+    def __init__(
+        self,
+        min_tokens: int = 25,
+        max_dup_frac: float = 0.6,
+        min_stopword: float = 0.02,
+        max_stopword: float = 0.12,
+        max_run: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.min_tokens = min_tokens
+        self.max_dup_frac = max_dup_frac
+        self.min_stopword = min_stopword
+        self.max_stopword = max_stopword
+        self.max_run = max_run
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        n_tok = np.zeros(n, dtype=np.int64)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        sw_ratio = np.zeros(n, dtype=np.float64)
+        max_run = np.zeros(n, dtype=np.int64)
+        if enc is not None and enc[0].size:
+            codes, rows, vocab, dls = enc
+            codes = codes.astype(np.int64)
+            n_tok = dls.astype(np.int64)
+            V = np.int64(max(len(vocab), 1))
+            uniq = np.unique(rows * V + codes)
+            n_distinct = np.bincount((uniq // V).astype(np.int64), minlength=n)
+            nz = n_tok > 0
+            dup_frac[nz] = (n_tok[nz] - n_distinct[nz]) / n_tok[nz]
+            vstop = np.fromiter((v in EN_STOPWORDS for v in vocab.to_pylist()), np.float64, len(vocab))
+            sw_ratio[nz] = np.bincount(rows, weights=vstop[codes], minlength=n)[nz] / n_tok[nz]
+            bound = np.empty(codes.size, dtype=bool)
+            bound[0] = True
+            bound[1:] = (codes[1:] != codes[:-1]) | (rows[1:] != rows[:-1])
+            starts = np.flatnonzero(bound)
+            run_len = np.diff(np.append(starts, codes.size))
+            np.maximum.at(max_run, rows[starts], run_len)
+        keep = (
+            (n_tok >= self.min_tokens)
+            & (dup_frac <= self.max_dup_frac)
+            & (sw_ratio >= self.min_stopword)
+            & (sw_ratio <= self.max_stopword)
+            & (max_run <= self.max_run)
+        )
+        out = pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_tokens": pa.array(n_tok),
+                "dup_token_frac": pa.array(dup_frac),
+                "stopword_ratio": pa.array(sw_ratio),
+                "max_run_len": pa.array(max_run),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+
+def curation_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None, **thresholds) -> Dataset:
+    return ds.map_batches(
+        CurationStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, **thresholds},
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(),
+    )
+
+
 # rolling-hash radix shared with FingerprintStage / the SQL oracles
 _TRIGRAM_R = np.uint64(0x100000001B3)
 

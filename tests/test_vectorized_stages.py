@@ -332,3 +332,19 @@ def test_tfidf_top_terms_partition_invariant(ray_session):
     row0 = outs[0][outs[0].doc_id == 0]
     assert list(row0["rank"]) == [1, 2, 3]
     assert (row0["tfidf"] > 0).all()
+
+
+def test_curation_stage_chunk_invariant_and_edges(batch):
+    from splade_ray.pipelines.textops import CurationStage
+
+    lax = CurationStage(min_tokens=2, max_dup_frac=0.9, min_stopword=0.0, max_stopword=1.0, max_run=3)
+    whole = lax(batch).to_pylist()
+    parts = [r for i in range(batch.num_rows) for r in lax(batch.slice(i, 1)).to_pylist()]
+    assert whole == parts
+    ids = {r["doc_id"] for r in whole}
+    assert 1 not in ids and 8 not in ids  # empty / null rows fail min_tokens
+    assert 9 in ids  # "the the the": dup 2/3, run 3 — inside the lax bounds
+    strict_run = CurationStage(min_tokens=2, max_dup_frac=0.9, min_stopword=0.0, max_stopword=1.0, max_run=2)
+    assert 9 not in {r["doc_id"] for r in strict_run(batch).to_pylist()}  # run of 3 > 2
+    strict_dup = CurationStage(min_tokens=2, max_dup_frac=0.5, min_stopword=0.0, max_stopword=1.0, max_run=3)
+    assert 9 not in {r["doc_id"] for r in strict_dup(batch).to_pylist()}  # dup 2/3 > 0.5
