@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition quality signals (dup tokens, top bigram,
         # longest run)
         "repetition_scores": q.repetition_scores,
+        # fixed token-window chunking with overlap (context-window splitter)
+        "doc_chunks": q.doc_chunks,
         # fused one-pass curation filter (keep/drop + signals)
         "curation_kept": q.curation_kept,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
@@ -727,6 +729,21 @@ ranked AS (
 )
 SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
 FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+""",
+        # token-window chunking: W=16/S=12, 1-based inclusive list slices,
+        # last window short, empty docs drop out via unnest of an empty series
+        "doc_chunks": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS ts FROM documents),
+base AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(ts) - 16, 0) / 12.0) AS INT) END AS n_chunks
+  FROM toks
+),
+idx AS (SELECT doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM base),
+cut AS (SELECT doc_id, chunk_idx, ts[chunk_idx*12 + 1 : least(chunk_idx*12 + 16, n)] AS ct FROM idx)
+SELECT doc_id, chunk_idx, len(ct) AS n_tokens, array_to_string(ct, ' ') AS chunk_text
+FROM cut ORDER BY doc_id, chunk_idx
 """,
         # Gopher repetition signals: distinct-token fraction, top bigram
         # (lead-window concat; tokens are [a-z0-9]+ so ' ' can't collide),

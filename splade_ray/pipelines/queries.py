@@ -603,6 +603,15 @@ def doc_keywords(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "rank"], ignore_index=True)
 
 
+def doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping token-window chunks (W=16, S=12) — the
+    context-window splitting step of a pre-training data pipeline."""
+    from .textops import chunk_tokens
+
+    out = chunk_tokens(_docs(sf_dir, columns=["doc_id", "text"]), window=16, stride=12).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+
 def curation_kept(sf_dir: str) -> pd.DataFrame:
     """Docs surviving the fused one-pass curation filter (token count,
     dup-token fraction, stopword band, repetition run), with their

@@ -507,6 +507,99 @@ def curation_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+class ChunkStage:
+    """(doc_id, text) → overlapping fixed-size token windows
+    (doc_id, chunk_idx, n_tokens, chunk_text) — the context-window
+    chunking step that turns variable-length documents into
+    training-example-sized pieces (window W tokens, stride S ≤ W; the
+    last window is allowed to be short, empty docs yield no chunks).
+
+    Fully vectorized: the flat token stream stays an Arrow StringArray
+    (``vocab.take(codes)``) and every chunk is materialized with ONE
+    gather + one ``binary_join`` — no per-chunk Python.  Each row chunks
+    independently, so the stage streams at any scale."""
+
+    def __init__(self, window: int = 16, stride: int = 12, text_col: str = "text", id_col: str = "doc_id"):
+        if not (0 < stride <= window):
+            raise ValueError("require 0 < stride <= window")
+        self.window = window
+        self.stride = stride
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def _empty(self, id_type: pa.DataType) -> pa.Table:
+        return pa.table(
+            {
+                self.id_col: pa.array([], type=id_type),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_arr = batch.column(self.id_col).combine_chunks()
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        if enc is None:  # non-invertible pattern: Python tokenize fallback
+            flat_list, dls32 = self.tok.tokenize_flat(batch.column(self.text_col).to_pylist())
+            flat_tokens = pa.array(flat_list, type=pa.string())
+            dls = dls32.astype(np.int64)
+        else:
+            codes, _rows, vocab, dls = enc
+            flat_tokens = vocab.take(pa.array(codes))
+        if n == 0 or int(dls.sum()) == 0:
+            return self._empty(id_arr.type)
+        W, S = self.window, self.stride
+        nch = np.where(dls > 0, 1 + np.ceil(np.maximum(dls - W, 0) / S).astype(np.int64), 0)
+        total = int(nch.sum())
+        chunk_row = np.repeat(np.arange(n, dtype=np.int64), nch)
+        excl = np.zeros(n, dtype=np.int64)
+        np.cumsum(nch[:-1], out=excl[1:])
+        chunk_idx = np.arange(total, dtype=np.int64) - excl[chunk_row]
+        start_local = chunk_idx * S
+        lengths = np.minimum(start_local + W, dls[chunk_row]) - start_local
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(dls[:-1], out=seg_starts[1:])
+        base = seg_starts[chunk_row] + start_local
+        lex = np.zeros(total, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=lex[1:])
+        gather = np.repeat(base - lex, lengths) + np.arange(int(lengths.sum()), dtype=np.int64)
+        chunk_toks = flat_tokens.take(pa.array(gather))
+        offsets = np.zeros(total + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        if isinstance(chunk_toks, pa.ChunkedArray):
+            chunk_toks = chunk_toks.combine_chunks()
+        lst = pa.ListArray.from_arrays(pa.array(offsets), chunk_toks)
+        return pa.table(
+            {
+                self.id_col: id_arr.take(pa.array(chunk_row)),
+                "chunk_idx": pa.array(chunk_idx),
+                "n_tokens": pa.array(lengths),
+                "chunk_text": pc.binary_join(lst, " "),
+            }
+        )
+
+
+def chunk_tokens(
+    ds: Dataset,
+    window: int = 16,
+    stride: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> Dataset:
+    """Fixed-size token-window chunking (the pre-training context-window
+    splitter): one streaming ``map_batches``, no exchange."""
+    return ds.map_batches(
+        ChunkStage,
+        fn_constructor_kwargs={"window": window, "stride": stride, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(),
+    )
+
+
 # rolling-hash radix shared with FingerprintStage / the SQL oracles
 _TRIGRAM_R = np.uint64(0x100000001B3)
 

@@ -348,3 +348,52 @@ def test_curation_stage_chunk_invariant_and_edges(batch):
     assert 9 not in {r["doc_id"] for r in strict_run(batch).to_pylist()}  # run of 3 > 2
     strict_dup = CurationStage(min_tokens=2, max_dup_frac=0.5, min_stopword=0.0, max_stopword=1.0, max_run=3)
     assert 9 not in {r["doc_id"] for r in strict_dup(batch).to_pylist()}  # dup 2/3 > 0.5
+
+
+def test_chunk_stage_matches_bruteforce(batch):
+    from splade_ray.pipelines.textops import ChunkStage
+
+    st = ChunkStage(window=4, stride=3)
+    out = st(batch).to_pylist()
+    tok = Tokenizer()
+    exp = []
+    for i, t in enumerate(TEXTS):
+        toks = tok.tokenize(t or "")
+        start = 0
+        ci = 0
+        while toks and start < len(toks):
+            ct = toks[start : start + 4]
+            exp.append({"doc_id": i, "chunk_idx": ci, "n_tokens": len(ct), "chunk_text": " ".join(ct)})
+            if start + 4 >= len(toks):
+                break
+            start += 3
+            ci += 1
+    assert out == exp
+
+
+def test_chunk_stage_chunk_invariant(batch):
+    """Row-independent: chunking per-row slices equals the whole batch."""
+    from splade_ray.pipelines.textops import ChunkStage
+
+    st = ChunkStage(window=5, stride=5)
+    whole = st(batch).to_pylist()
+    parts = []
+    for i in range(batch.num_rows):
+        parts.extend(st(batch.slice(i, 1)).to_pylist())
+    assert whole == parts
+
+
+def test_chunk_stage_edges():
+    from splade_ray.pipelines.textops import ChunkStage
+
+    st = ChunkStage(window=3, stride=2)
+    # exact multiple: 5 tokens, W=3,S=2 -> chunks [0:3],[2:5]
+    b = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": pa.array(["a b c d e"])})
+    out = st(b).to_pylist()
+    assert [r["chunk_text"] for r in out] == ["a b c", "c d e"]
+    # shorter than window -> one short chunk; empty -> none
+    b2 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": pa.array(["xy", ""])})
+    out2 = st(b2).to_pylist()
+    assert out2 == [{"doc_id": 1, "chunk_idx": 0, "n_tokens": 1, "chunk_text": "xy"}]
+    with pytest.raises(ValueError):
+        ChunkStage(window=2, stride=3)
