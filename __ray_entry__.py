@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": q.repetition_scores,
         # fixed token-window chunking with overlap (context-window splitter)
         "doc_chunks": q.doc_chunks,
+        # token-budget packing via distributed ordered prefix sum (scan)
+        "packed_bins": q.packed_bins,
         # fused one-pass curation filter (keep/drop + signals)
         "curation_kept": q.curation_kept,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
@@ -744,6 +746,20 @@ idx AS (SELECT doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_
 cut AS (SELECT doc_id, chunk_idx, ts[chunk_idx*12 + 1 : least(chunk_idx*12 + 16, n)] AS ct FROM idx)
 SELECT doc_id, chunk_idx, len(ct) AS n_tokens, array_to_string(ct, ' ') AS chunk_text
 FROM cut ORDER BY doc_id, chunk_idx
+""",
+        # token-budget packing: bin = floor(exclusive running token total /
+        # 256) in doc_id order (sequential-fill shard assignment)
+        "packed_bins": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+alld AS (SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens FROM documents d LEFT JOIN cnt c USING (doc_id)),
+s AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM alld
+)
+SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id
+FROM s ORDER BY doc_id
 """,
         # Gopher repetition signals: distinct-token fraction, top bigram
         # (lead-window concat; tokens are [a-z0-9]+ so ' ' can't collide),

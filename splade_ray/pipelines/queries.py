@@ -612,6 +612,17 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
 
 
+def packed_bins(sf_dir: str) -> pd.DataFrame:
+    """Token-budget packing: sequential-fill docs (doc_id order) into
+    256-token bins via the distributed ordered prefix sum."""
+    from .scan import pack_bins
+    from .textops import token_stats
+
+    counts = token_stats(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id", "n_tokens"])
+    out = pack_bins(counts, "n_tokens", "doc_id", capacity=256).to_pandas()
+    return out[["doc_id", "n_tokens", "bin_id"]].sort_values("doc_id", ignore_index=True)
+
+
 def curation_kept(sf_dir: str) -> pd.DataFrame:
     """Docs surviving the fused one-pass curation filter (token count,
     dup-token fraction, stopword band, repetition run), with their
