@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.doc_chunks,
         # token-budget packing via distributed ordered prefix sum (scan)
         "packed_bins": q.packed_bins,
+        # corpus collocations: top bigrams by PMI (coarse-bucket exchange)
+        "bigram_pmi": q.bigram_pmi,
         # fused one-pass curation filter (keep/drop + signals)
         "curation_kept": q.curation_kept,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
@@ -746,6 +748,26 @@ idx AS (SELECT doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_
 cut AS (SELECT doc_id, chunk_idx, ts[chunk_idx*12 + 1 : least(chunk_idx*12 + 16, n)] AS ct FROM idx)
 SELECT doc_id, chunk_idx, len(ct) AS n_tokens, array_to_string(ct, ' ') AS chunk_text
 FROM cut ORDER BY doc_id, chunk_idx
+""",
+        # bigram PMI: pmi = ln(c_ab·N²/(B·c_a·c_b)), same double evaluation
+        # order as the engine; rank ties (pmi desc, term_a, term_b)
+        "bigram_pmi": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+uni AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM flat)::DOUBLE AS n_tok,
+               (SELECT sum(greatest(len(l) - 1, 0)) FROM toks)::DOUBLE AS n_bg),
+bg AS (SELECT doc_id, tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM flat),
+bgc AS (SELECT a, b, count(*)::DOUBLE AS c_ab FROM bg WHERE b IS NOT NULL GROUP BY a, b),
+scored AS (
+  SELECT a AS term_a, b AS term_b, CAST(c_ab AS BIGINT) AS pair_count,
+         ln(c_ab * t.n_tok * t.n_tok / (t.n_bg * ua.c * ub.c)) AS pmi
+  FROM bgc JOIN uni ua ON ua.tok = bgc.a JOIN uni ub ON ub.tok = bgc.b CROSS JOIN tot t
+  WHERE c_ab >= 3
+),
+ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rank FROM scored)
+SELECT rank, term_a, term_b, pair_count, round(pmi, 6) AS pmi
+FROM ranked WHERE rank <= 30 ORDER BY rank
 """,
         # token-budget packing: bin = floor(exclusive running token total /
         # 256) in doc_id order (sequential-fill shard assignment)

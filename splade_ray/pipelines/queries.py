@@ -612,6 +612,16 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
 
 
+def bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-30 token-bigram collocations by PMI (pair count ≥ 3) —
+    vocabulary/phrase mining over the corpus."""
+    from .textops import bigram_pmi_top
+
+    out = bigram_pmi_top(_docs(sf_dir, columns=["doc_id", "text"]), k=30, min_count=3)
+    out["pmi"] = out["pmi"].round(6)
+    return out
+
+
 def packed_bins(sf_dir: str) -> pd.DataFrame:
     """Token-budget packing: sequential-fill docs (doc_id order) into
     256-token bins via the distributed ordered prefix sum."""

@@ -600,6 +600,177 @@ def chunk_tokens(
     )
 
 
+class UnigramPartialStage:
+    """(doc_id, text) → per-batch combined unigram counts (term, cnt) plus
+    one summary row (term=NULL, cnt=n_bigrams_in_batch) — the combiner side
+    of the corpus-frequency reduce (vocab-bounded, so the final combine is
+    a driver reduce exactly like the stats stage's df table)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        if enc is None:
+            flat, dls32 = self.tok.tokenize_flat(batch.column(self.text_col).to_pylist())
+            import pandas as pd
+
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            vocab = pa.array(uniq, type=pa.string())
+            dls = dls32.astype(np.int64)
+        else:
+            codes, _rows, vocab, dls = enc
+        n_bg = int(np.maximum(dls - 1, 0).sum())
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64) if len(vocab) else np.zeros(0, np.int64)
+        terms = pa.concat_arrays([vocab.cast(pa.string()), pa.array([None], type=pa.string())])
+        return pa.table({"term": terms, "cnt": pa.array(np.append(cnt, n_bg))})
+
+
+class BigramPartialStage:
+    """(doc_id, text) → per-batch combined bigram counts
+    (bucket, term_a, term_b, cnt).  Pairs never cross a row; the bucket is
+    a coarse hash of the pair (md5-based, ~n_buckets groups) so the final
+    exchange groups on ~100s of buckets, never on raw pair keys."""
+
+    def __init__(self, n_buckets: int = 256, text_col: str = "text"):
+        self.n_buckets = np.uint64(n_buckets)
+        self.text_col = text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64
+
+        empty = pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "term_a": pa.array([], type=pa.string()),
+                "term_b": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        if enc is None:
+            raise NotImplementedError("bigram PMI requires an invertible (char-class) token pattern")
+        codes, rows, vocab, _dls = enc
+        if codes.size < 2:
+            return empty
+        same = rows[:-1] == rows[1:]
+        if not same.any():
+            return empty
+        V = np.int64(max(len(vocab), 1))
+        key = codes[:-1][same] * V + codes[1:][same]
+        ukey, cnt = np.unique(key, return_counts=True)
+        a_codes, b_codes = (ukey // V).astype(np.int64), (ukey % V).astype(np.int64)
+        vh = md5_u64(vocab.to_pylist())
+        with np.errstate(over="ignore"):
+            bucket = ((vh[a_codes] * _TRIGRAM_R + vh[b_codes]) % self.n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "term_a": vocab.take(pa.array(a_codes)),
+                "term_b": vocab.take(pa.array(b_codes)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def bigram_pmi_top(
+    ds: Dataset,
+    k: int = 30,
+    min_count: int = 3,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    concurrency: int | None = None,
+):
+    """Corpus-level collocation mining: top-k token bigrams by PMI
+    (pmi = ln(p(ab) / (p(a)·p(b))) with p(ab)=c_ab/n_bigrams,
+    p(a)=c_a/n_tokens), pair count ≥ min_count, ties (pmi desc, term_a,
+    term_b).  Returns a pandas DataFrame (rank, term_a, term_b,
+    pair_count, pmi).
+
+    Scale shape: unigram counts are a vocab-bounded combiner + driver
+    reduce (broadcast back via ``ray.put``); bigram counts are per-batch
+    combined partials exchanged on ~n_buckets coarse hash buckets (never
+    on raw pair keys — Ray finalizes each group in Python, so pair-keyed
+    groups are a pathology); each bucket computes PMI vectorized and emits
+    its local top-k, and only n_buckets·k rows reach the driver."""
+    import pandas as pd
+
+    import ray
+
+    # pass 1: unigram counts + totals (combiner partials, driver reduce)
+    parts = [
+        b
+        for b in ds.map_batches(
+            UnigramPartialStage, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["rank", "term_a", "term_b", "pair_count", "pmi"])
+    allp = pa.concat_tables(parts)
+    isnull = pc.is_null(allp.column("term")).to_numpy(zero_copy_only=False)
+    cnts = allp.column("cnt").to_numpy(zero_copy_only=False)
+    n_bigrams = float(cnts[isnull].sum())
+    uni = (
+        pd.DataFrame({"term": allp.column("term").to_pandas(), "cnt": cnts})
+        .dropna()
+        .groupby("term", sort=True)["cnt"]
+        .sum()
+    )
+    uni_terms = np.asarray(uni.index.to_numpy(), dtype=object)
+    uni_cnt = uni.to_numpy().astype(np.float64)
+    n_tokens = float(uni_cnt.sum())
+    if n_bigrams == 0:
+        return pd.DataFrame(columns=["rank", "term_a", "term_b", "pair_count", "pmi"])
+    ref = ray.put((uni_terms, uni_cnt, n_tokens, n_bigrams))
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        uterms, ucnt, n_tok, n_bg = ray.get(ref)
+        merged = pa.TableGroupBy(g, ["term_a", "term_b"]).aggregate([("cnt", "sum")])
+        c_ab = merged.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = c_ab >= min_count
+        if not keep.any():
+            return pa.table(
+                {
+                    "term_a": pa.array([], type=pa.string()),
+                    "term_b": pa.array([], type=pa.string()),
+                    "pair_count": pa.array([], type=pa.int64()),
+                    "pmi": pa.array([], type=pa.float64()),
+                }
+            )
+        merged = merged.filter(pa.array(keep))
+        c_ab = c_ab[keep]
+        ta = np.asarray(merged.column("term_a").to_pylist(), dtype=object)
+        tb = np.asarray(merged.column("term_b").to_pylist(), dtype=object)
+        pa_idx = np.searchsorted(uterms, ta)
+        pb_idx = np.searchsorted(uterms, tb)
+        pmi = np.log(c_ab * n_tok * n_tok / (n_bg * ucnt[pa_idx] * ucnt[pb_idx]))
+        order = np.lexsort((tb, ta, -pmi))[:k]
+        return pa.table(
+            {
+                "term_a": pa.array(ta[order], type=pa.string()),
+                "term_b": pa.array(tb[order], type=pa.string()),
+                "pair_count": pa.array(c_ab[order].astype(np.int64)),
+                "pmi": pa.array(pmi[order]),
+            }
+        )
+
+    partials = ds.map_batches(
+        BigramPartialStage, fn_constructor_kwargs={"n_buckets": n_buckets, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )
+    cand = partials.groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow").to_pandas()
+    order = np.lexsort(
+        (cand["term_b"].to_numpy(dtype=object), cand["term_a"].to_numpy(dtype=object), -cand["pmi"].to_numpy())
+    )[:k]
+    out = cand.iloc[order].reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
 # rolling-hash radix shared with FingerprintStage / the SQL oracles
 _TRIGRAM_R = np.uint64(0x100000001B3)
 

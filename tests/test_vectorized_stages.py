@@ -397,3 +397,46 @@ def test_chunk_stage_edges():
     assert out2 == [{"doc_id": 1, "chunk_idx": 0, "n_tokens": 1, "chunk_text": "xy"}]
     with pytest.raises(ValueError):
         ChunkStage(window=2, stride=3)
+
+
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import bigram_pmi_top
+
+    texts = [
+        "new york is a big city",
+        "new york new york",
+        "the city of new york",
+        "big apple big apple big apple",
+        "",
+        None,
+        "apple pie and apple juice",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    out = bigram_pmi_top(rd.from_arrow(t).repartition(3), k=5, min_count=2)
+    tok = Tokenizer()
+    uni, bg = Counter(), Counter()
+    n_bg = 0
+    for txt in texts:
+        toks = tok.tokenize(txt or "")
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+        n_bg += max(len(toks) - 1, 0)
+    n_tok = sum(uni.values())
+    scored = [
+        (math.log(c * n_tok * n_tok / (n_bg * uni[a] * uni[b])), a, b, c)
+        for (a, b), c in bg.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    exp = scored[:5]
+    got = list(out.itertuples(index=False))
+    assert len(got) == len(exp)
+    for g, (pmi, a, b, c) in zip(got, exp):
+        assert (g.term_a, g.term_b, g.pair_count) == (a, b, c)
+        assert g.pmi == pytest.approx(pmi, rel=1e-12)
+    assert out["rank"].tolist() == list(range(1, len(exp) + 1))
