@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q.bigram_pmi,
         # fused one-pass curation filter (keep/drop + signals)
         "curation_kept": q.curation_kept,
+        # exact repeated-passage detection (cross-doc 5-token spans)
+        "dup_spans": q.dup_spans,
+        # per-doc perplexity under the corpus unigram LM (quality signal)
+        "doc_perplexity": q.doc_perplexity,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -859,6 +863,47 @@ SELECT d.doc_id, coalesce(t.n_tri, 0) AS n_trigrams, coalesce(t.n_hit, 0) AS n_h
 FROM documents d LEFT JOIN hits t USING (doc_id)
 WHERE (d.doc_id * 2654435761) % 4294967296 >= 171798691
 ORDER BY d.doc_id
+""",
+        # exact repeated-passage detection: 5-token window hashes via the
+        # same md5 fold mod 2^64; dup = span hash in >= 2 distinct docs
+        "dup_spans": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+h AS (SELECT doc_id, i, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+w AS (
+  SELECT doc_id,
+         (((((((th * 1099511628211 + lead(th, 1) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 2) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 3) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 4) OVER w) % 18446744073709551616 AS wh,
+         lead(th, 4) OVER w IS NOT NULL AS ok
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+ww AS (SELECT doc_id, wh FROM w WHERE ok),
+dup AS (SELECT wh FROM ww GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+agg AS (
+  SELECT ww.doc_id, count(*) AS n_windows,
+         CAST(sum(CASE WHEN d.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM ww LEFT JOIN dup d USING (wh) GROUP BY ww.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_frac
+FROM agg ORDER BY doc_id
+""",
+        # corpus unigram-LM cross-entropy / perplexity per doc
+        "doc_perplexity": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM flat)::DOUBLE AS n),
+agg AS (
+  SELECT f.doc_id, count(*) AS n_tokens, avg(-ln(c.c / t.n)) AS ce
+  FROM flat f JOIN cnt c USING (tok) CROSS JOIN tot t GROUP BY f.doc_id
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       round(coalesce(a.ce, 0), 6) AS cross_entropy,
+       round(exp(coalesce(a.ce, 0)), 6) AS ppl
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """,
         # synthetic media metadata is closed-form in media_id, so the frame
         # sampler (n = min(8, max(1, trunc(dur/1000*fps))), timestamps

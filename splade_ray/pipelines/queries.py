@@ -645,6 +645,29 @@ def curation_kept(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact repeated-passage detection (Lee et al. 2022 signal): per doc,
+    the count/fraction of its 5-token spans that also appear verbatim in
+    at least one OTHER document."""
+    from .textops import duplicate_spans
+
+    out = duplicate_spans(_docs(sf_dir, columns=["doc_id", "text"]), window=5).to_pandas()
+    out["dup_frac"] = out["dup_frac"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style quality signal: per-doc cross-entropy / perplexity under
+    the corpus's own unigram LM (combiner-reduced counts, broadcast
+    log-prob table, one streaming scoring pass)."""
+    from .textops import unigram_lm_scores
+
+    out = unigram_lm_scores(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    out["cross_entropy"] = out["cross_entropy"].round(6)
+    out["ppl"] = out["ppl"].round(6)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def repetition_scores(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filters (dup-token fraction, top-bigram
     fraction, longest token run) — the classic pre-training quality

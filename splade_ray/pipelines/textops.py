@@ -882,3 +882,256 @@ def contamination_check(
         ContaminationStage, fn_constructor_kwargs={"bench_ref": ref, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
+
+
+# ------------------------------------------------- duplicate-passage detection
+def _row_windows(th: np.ndarray, rows: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(window hashes u64, owning row) for every ``w``-token window that
+    stays inside one row — the ``w``-ary generalization of
+    :func:`_row_trigrams` (same fold, same radix, SQL-replayable)."""
+    if w < 2:
+        raise ValueError("require window >= 2")
+    if th.size < w:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    n = th.size - w + 1
+    ok = rows[:n] == rows[w - 1 :]
+    with np.errstate(over="ignore"):
+        h = th[:n].copy()
+        for k in range(1, w):
+            h *= _TRIGRAM_R
+            h += th[k : n + k]
+    return h[ok], rows[:n][ok]
+
+
+class DupSpanWindowStage:
+    """(doc_id, text) → per-batch combined window-hash counts
+    (bucket, whash, doc_id, cnt) for every ``window``-token span — the map
+    side of exact substring (repeated-passage) detection à la
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022).  The bucket is ``whash % n_buckets`` so the one big
+    exchange groups on ~n_buckets coarse keys, never on raw span hashes."""
+
+    def __init__(self, window: int = 5, n_buckets: int = 1024, text_col: str = "text", id_col: str = "doc_id"):
+        if window < 2:
+            raise ValueError("require window >= 2")
+        self.window = window
+        self.n_buckets = np.uint64(n_buckets)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        th, rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        wh, wrow = _row_windows(th, rows, self.window)
+        if wh.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "whash": pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = ids[wrow]
+        # combine per (doc, whash) within the batch: lexsort + run-length
+        order = np.lexsort((wh, doc))
+        sd, sh = doc[order], wh[order]
+        new = np.empty(sd.size, dtype=bool)
+        new[0] = True
+        new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+        idx = np.flatnonzero(new)
+        cnt = np.diff(np.append(idx, sd.size))
+        return pa.table(
+            {
+                "bucket": pa.array((sh[idx] % self.n_buckets).astype(np.int32)),
+                "whash": pa.array(sh[idx].view(np.int64)),
+                self.id_col: pa.array(sd[idx]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def duplicate_spans(
+    ds: Dataset,
+    window: int = 5,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> Dataset:
+    """Per-doc duplicated-span stats: for every ``window``-token span of
+    every doc, is the identical span present in ≥2 DISTINCT docs?  Returns
+    (doc_id, n_windows, n_dup_windows, dup_frac) for docs with ≥1 window
+    (< window tokens → no row, same as the SQL oracle's length filter).
+
+    Scale shape (the Lee-et-al. exact-substring-dedup signal without a
+    suffix array): the giant span stream is exchanged exactly ONCE, on
+    ~n_buckets coarse hash buckets of the span hash (bucket is a function
+    of whash, so each bucket sees every occurrence of its spans globally
+    — distinct-doc counts are exact).  Each bucket emits per-doc partials
+    (n_windows, n_dup) — the denominator rides the same partials since
+    every span lands in exactly one bucket — and the tiny partial table is
+    re-aggregated on doc-hash coarse buckets.  No broadcast of the dup-set
+    anywhere: at 100 TB the duplicated-span set is itself corpus-scale."""
+
+    empty_partials = pa.table(
+        {
+            "dbucket": pa.array([], type=pa.int32()),
+            id_col: pa.array([], type=pa.int64()),
+            "n_win": pa.array([], type=pa.int64()),
+            "n_dup": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def bucket_partials(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_partials
+        wh = g.column("whash").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        # combine batch partials per (whash, doc)
+        order = np.lexsort((doc, wh))
+        sh, sd, sc = wh[order], doc[order], cnt[order]
+        new = np.empty(sh.size, dtype=bool)
+        new[0] = True
+        new[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        seg = np.cumsum(new) - 1
+        n_seg = int(seg[-1]) + 1
+        seg_cnt = np.bincount(seg, weights=sc, minlength=n_seg).astype(np.int64)
+        seg_doc = sd[new]
+        seg_hash = sh[new]
+        # distinct-doc count per whash over the (now unique) (whash, doc) rows
+        hnew = np.empty(n_seg, dtype=bool)
+        hnew[0] = True
+        hnew[1:] = seg_hash[1:] != seg_hash[:-1]
+        hseg = np.cumsum(hnew) - 1
+        ndocs = np.bincount(hseg, minlength=int(hseg[-1]) + 1)
+        dup = ndocs[hseg] >= 2
+        # per-doc partials
+        udoc, dinv = np.unique(seg_doc, return_inverse=True)
+        n_win = np.bincount(dinv, weights=seg_cnt, minlength=udoc.size).astype(np.int64)
+        n_dup = np.bincount(dinv[dup], weights=seg_cnt[dup], minlength=udoc.size).astype(np.int64)
+        return pa.table(
+            {
+                "dbucket": pa.array(((udoc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(np.int32)),
+                id_col: pa.array(udoc),
+                "n_win": pa.array(n_win),
+                "n_dup": pa.array(n_dup),
+            }
+        )
+
+    def doc_final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_windows": pa.array([], type=pa.int64()),
+                    "n_dup_windows": pa.array([], type=pa.int64()),
+                    "dup_frac": pa.array([], type=pa.float64()),
+                }
+            )
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        n_win = np.bincount(dinv, weights=g.column("n_win").to_numpy(zero_copy_only=False), minlength=udoc.size).astype(np.int64)
+        n_dup = np.bincount(dinv, weights=g.column("n_dup").to_numpy(zero_copy_only=False), minlength=udoc.size).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(udoc),
+                "n_windows": pa.array(n_win),
+                "n_dup_windows": pa.array(n_dup),
+                "dup_frac": pa.array(n_dup / np.maximum(n_win, 1)),
+            }
+        )
+
+    spans = ds.map_batches(
+        DupSpanWindowStage,
+        fn_constructor_kwargs={"window": window, "n_buckets": n_buckets, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )
+    partials = spans.groupby("bucket").map_groups(bucket_partials, batch_format="pyarrow")
+    return partials.groupby("dbucket").map_groups(doc_final, batch_format="pyarrow")
+
+
+# -------------------------------------------------- unigram-LM quality scoring
+class UnigramCountStage:
+    """(text) → per-batch combined (thash, cnt) token-hash counts — the
+    combiner side of the corpus unigram-LM fit (md5 token hashes, so no
+    strings cross the wire and the SQL oracle can count by term)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, _rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        uh, cnt = np.unique(th, return_counts=True)
+        return pa.table({"thash": pa.array(uh.view(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
+
+
+class UnigramScoreStage:
+    """Streaming scorer: per-doc cross-entropy under the corpus unigram LM
+    (the CCNet-style perplexity quality signal, with the corpus itself as
+    the LM).  The (sorted token-hash → log-prob) table arrives as one
+    ``ray.put`` broadcast — vocab-bounded, small even at 100 TB."""
+
+    def __init__(self, lm_ref, text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.hashes, self.logp = ray.get(lm_ref) if not isinstance(lm_ref, tuple) else lm_ref
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        th, rows, dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        ce = np.zeros(n, dtype=np.float64)
+        if th.size:
+            pos = np.searchsorted(self.hashes, th)
+            pos = np.minimum(pos, max(self.hashes.size - 1, 0))
+            lp = np.where(self.hashes[pos] == th, self.logp[pos], 0.0)  # OOV: logp 0 (scored corpus ⊆ fit corpus)
+            tot = np.bincount(rows, weights=lp, minlength=n)
+            ce = np.where(dls > 0, -tot / np.maximum(dls, 1), 0.0)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_tokens": pa.array(dls.astype(np.int64)),
+                "cross_entropy": pa.array(ce),
+                "ppl": pa.array(np.exp(ce)),
+            }
+        )
+
+
+def unigram_lm_scores(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> Dataset:
+    """Fit a corpus unigram LM (one combiner pass + vocab-bounded driver
+    reduce) and score every doc's mean negative log-likelihood under it.
+    Returns (doc_id, n_tokens, cross_entropy, ppl); empty docs score 0/1."""
+    import ray
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            UnigramCountStage, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if parts:
+        allh = np.concatenate([p.column("thash").to_numpy(zero_copy_only=False).view(np.uint64) for p in parts])
+        allc = np.concatenate([p.column("cnt").to_numpy(zero_copy_only=False) for p in parts])
+        hashes, inv = np.unique(allh, return_inverse=True)
+        counts = np.bincount(inv, weights=allc, minlength=hashes.size)
+        logp = np.log(counts / counts.sum())
+    else:
+        hashes, logp = np.zeros(0, np.uint64), np.zeros(0, np.float64)
+    ref = ray.put((hashes, logp))
+    return ds.map_batches(
+        UnigramScoreStage, fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )

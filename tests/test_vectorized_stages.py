@@ -440,3 +440,80 @@ def test_bigram_pmi_matches_bruteforce(ray_session):
         assert (g.term_a, g.term_b, g.pair_count) == (a, b, c)
         assert g.pmi == pytest.approx(pmi, rel=1e-12)
     assert out["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_dup_spans_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import duplicate_spans
+
+    texts = [
+        "a b c d e f g h",          # shares a-b-c-d-e with doc 1
+        "x a b c d e y z",
+        "p q r s t u v w",          # unique
+        "m m m m m m",              # within-doc repeats only (not cross-doc)
+        "short one",                # < window tokens -> no row
+        None,
+        "x a b c d e y z",          # exact dup of doc 1 -> all windows dup
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    out = (
+        duplicate_spans(rd.from_arrow(t).repartition(3), window=5, n_buckets=7)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    tok = Tokenizer()
+    W = 5
+    docs = {i: tok.tokenize(x or "") for i, x in enumerate(texts)}
+    owners: dict[tuple, set] = {}
+    for i, toks in docs.items():
+        for k in range(max(len(toks) - W + 1, 0)):
+            owners.setdefault(tuple(toks[k : k + W]), set()).add(i)
+    exp = []
+    for i, toks in docs.items():
+        wins = [tuple(toks[k : k + W]) for k in range(max(len(toks) - W + 1, 0))]
+        if not wins:
+            continue
+        nd = sum(1 for w in wins if len(owners[w]) >= 2)
+        exp.append((i, len(wins), nd, nd / len(wins)))
+    exp.sort()
+    got = [(r.doc_id, r.n_windows, r.n_dup_windows, r.dup_frac) for r in out.itertuples(index=False)]
+    assert [(a, b, c) for a, b, c, _ in exp] == [(a, b, c) for a, b, c, _ in got]
+    for (_, _, _, ef), (_, _, _, gf) in zip(exp, got):
+        assert gf == pytest.approx(ef, abs=1e-12)
+    # doc 3's within-doc repeats are NOT cross-doc dups; doc 4/None emit no row
+    row3 = out[out.doc_id == 3].iloc[0]
+    assert row3.n_dup_windows == 0
+    assert set(out.doc_id) == {0, 1, 2, 3, 6}
+
+
+def test_unigram_lm_scores_matches_bruteforce(ray_session):
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import unigram_lm_scores
+
+    texts = ["a a b c", "b c d", "", None, "a d d d"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    out = (
+        unigram_lm_scores(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    tok = Tokenizer()
+    docs = [tok.tokenize(x or "") for x in texts]
+    cnt = Counter()
+    for d in docs:
+        cnt.update(d)
+    n = sum(cnt.values())
+    assert len(out) == len(texts)
+    for i, d in enumerate(docs):
+        r = out[out.doc_id == i].iloc[0]
+        assert r.n_tokens == len(d)
+        ce = -sum(math.log(cnt[w] / n) for w in d) / len(d) if d else 0.0
+        assert r.cross_entropy == pytest.approx(ce, rel=1e-12)
+        assert r.ppl == pytest.approx(math.exp(ce), rel=1e-12)
