@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
         "lineitem_agg": q.lineitem_agg,
+        # large-large co-partitioned equi-join (orders x lineitem)
+        "order_priority_revenue": q.order_priority_revenue,
         "orders_by_segment": q.orders_by_segment,
         "events_window": q.events_window,
         "events_sliding": q.events_sliding,
@@ -687,6 +689,16 @@ SELECT l_returnflag, l_linestatus,
                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 6) AS sum_revenue,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        # large-large equi-join: same exact-integer revenue units as
+        # lineitem_agg; month via date_trunc
+        "order_priority_revenue": """
+SELECT o.o_orderpriority, date_trunc('month', o.o_orderdate) AS order_month,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 6) AS revenue,
+       count(*) AS n_items, count(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "orders_by_segment": """
 SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total_price

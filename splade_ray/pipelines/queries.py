@@ -754,6 +754,133 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
 
 
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3-shaped LARGE⋈LARGE equi-join: lineitem ⋈ orders on
+    orderkey, aggregated per (o_orderpriority, order month).
+
+    Ray-Data-first fact⋈fact shape for 100 TB: both sides are projected
+    at the read, tagged into one schema, and exchanged ONCE on ~256
+    coarse orderkey-hash buckets (co-partitioning — an orderkey's order
+    row and lineitem rows always share a bucket); the per-bucket kernel
+    is one searchsorted probe + vectorized partial aggregation, so only
+    group-cardinality-bounded partials leave the buckets and the joined
+    row set is never materialized.  Revenue sums in exact integer 1e-4
+    units (accumulation-order-proof); distinct-order counts are exact
+    because each orderkey lives in exactly one bucket."""
+    from ..functions.hashing import splitmix64
+
+    nb = 256
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        month = (
+            batch.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "jkey": pa.array(k),
+                "bucket": pa.array((splitmix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int32)),
+                "side": pa.array(np.zeros(k.size, dtype=np.int8)),
+                "prio": batch.column("o_orderpriority").cast(pa.string()),
+                "month_us": pa.array(month),
+                "rev_e4": pa.array(np.zeros(k.size, dtype=np.int64)),
+            }
+        )
+
+    def tag_items(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "jkey": pa.array(k),
+                "bucket": pa.array((splitmix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int32)),
+                "side": pa.array(np.ones(k.size, dtype=np.int8)),
+                "prio": pa.nulls(k.size, pa.string()),
+                "month_us": pa.array(np.zeros(k.size, dtype=np.int64)),
+                "rev_e4": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "prio": pa.array([], type=pa.string()),
+            "month_us": pa.array([], type=pa.int64()),
+            "rev_e4": pa.array([], type=pa.int64()),
+            "n_items": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def bucket_agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        jkey = g.column("jkey").to_numpy(zero_copy_only=False)
+        o = side == 0
+        if not o.any() or o.all():
+            return empty  # bucket holds only one side — no join output
+        okeys = jkey[o]
+        sidx = np.argsort(okeys, kind="stable")
+        sorted_ok = okeys[sidx]
+        prio = g.column("prio").to_pandas().to_numpy(dtype=object)[o][sidx]
+        month = g.column("month_us").to_numpy(zero_copy_only=False)[o][sidx]
+        lk = jkey[~o]
+        rev = g.column("rev_e4").to_numpy(zero_copy_only=False)[~o]
+        pos = np.searchsorted(sorted_ok, lk)
+        pos_c = np.minimum(pos, sorted_ok.size - 1)
+        match = sorted_ok[pos_c] == lk
+        oidx = pos_c[match]
+        rev_m = rev[match]
+        pcode, pvals = pd.factorize(prio)
+        mcode, mvals = pd.factorize(month)
+        n_m = max(len(mvals), 1)
+        comp = pcode[oidx].astype(np.int64) * n_m + mcode[oidx]
+        ucomp, inv = np.unique(comp, return_inverse=True)
+        rev_sum = np.zeros(ucomp.size, dtype=np.int64)
+        np.add.at(rev_sum, inv, rev_m)
+        n_items = np.bincount(inv, minlength=ucomp.size).astype(np.int64)
+        # distinct orders per group: unique (group, order) pairs
+        pair = np.unique(inv.astype(np.int64) * sorted_ok.size + oidx)
+        n_orders = np.bincount((pair // sorted_ok.size).astype(np.int64), minlength=ucomp.size).astype(np.int64)
+        return pa.table(
+            {
+                "prio": pa.array(pvals[(ucomp // n_m).astype(np.int64)], type=pa.string()),
+                "month_us": pa.array(np.asarray(mvals)[(ucomp % n_m).astype(np.int64)]),
+                "rev_e4": pa.array(rev_sum),
+                "n_items": pa.array(n_items),
+                "n_orders": pa.array(n_orders),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+    parts = tagged.groupby("bucket").map_groups(bucket_agg, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["prio", "month_us"], sort=True)
+        .agg(rev_e4=("rev_e4", "sum"), n_items=("n_items", "sum"), n_orders=("n_orders", "sum"))
+        .reset_index()
+    )
+    out["revenue"] = (out.pop("rev_e4") / 10000.0).round(6)
+    out["order_month"] = pd.to_datetime(out.pop("month_us"), unit="us")
+    out = out.rename(columns={"prio": "o_orderpriority"})
+    out = out[["o_orderpriority", "order_month", "revenue", "n_items", "n_orders"]]
+    return out.sort_values(["o_orderpriority", "order_month"], ignore_index=True)
+
+
 def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     """Broadcast hash join (dimension side as numpy arrays via ray.put —
     no Python dict rebuilt per worker) + partial aggregate per batch +

@@ -3,6 +3,7 @@ mixed inputs (empty/None/CJK/repeat-token/digit rows) — the guard for the
 Arrow-dictionary rewrites of minhash/simhash/langid/token-stats."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -517,3 +518,41 @@ def test_unigram_lm_scores_matches_bruteforce(ray_session):
         ce = -sum(math.log(cnt[w] / n) for w in d) / len(d) if d else 0.0
         assert r.cross_entropy == pytest.approx(ce, rel=1e-12)
         assert r.ppl == pytest.approx(math.exp(ce), rel=1e-12)
+
+
+def test_order_priority_revenue_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import order_priority_revenue
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"]),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-20"), pd.Timestamp("2024-02-01")]
+            ),
+        }
+    )
+    # order 2 has no lineitems; orderkey 99 has no order (orphan, dropped)
+    items = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 3, 99], type=pa.int64()),
+            "l_extendedprice": pa.array([100.00, 50.50, 20.00, 7.00]),
+            "l_discount": pa.array([0.10, 0.00, 0.05, 0.00]),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(items, str(tmp_path / "lineitem.parquet"))
+    out = order_priority_revenue(str(tmp_path))
+    assert out["o_orderpriority"].tolist() == ["1-URGENT", "1-URGENT", "2-HIGH"][:len(out)]
+    # inner-join semantics: order 2 absent, orphan item absent
+    assert len(out) == 2
+    jan = out.iloc[0]
+    assert jan.order_month == pd.Timestamp("2024-01-01")
+    assert jan.n_items == 2 and jan.n_orders == 1
+    assert jan.revenue == pytest.approx(100.0 * 0.9 + 50.5, abs=1e-9)
+    feb = out.iloc[1]
+    assert feb.order_month == pd.Timestamp("2024-02-01")
+    assert feb.n_items == 1 and feb.n_orders == 1
+    assert feb.revenue == pytest.approx(19.0, abs=1e-9)
