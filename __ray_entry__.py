@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q.dup_spans,
         # per-doc perplexity under the corpus unigram LM (quality signal)
         "doc_perplexity": q.doc_perplexity,
+        # HyperLogLog distinct-trigram sketch (combiner-merged registers)
+        "approx_distinct_trigrams": q.approx_distinct_trigrams,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -901,6 +903,35 @@ agg AS (
 SELECT doc_id, n_windows, n_dup_windows,
        round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_frac
 FROM agg ORDER BY doc_id
+""",
+        # HyperLogLog over md5 trigram hashes: idx = top 10 bits, rho =
+        # leading zeros of the low 54 bits + 1 (bin() is minimal-width),
+        # small-range linear-counting correction
+        "approx_distinct_trigrams": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+h AS (SELECT doc_id, i, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+tri AS (
+  SELECT (((th * 1099511628211 + lead(th) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 2) OVER w) % 18446744073709551616 AS trig,
+         lead(th, 2) OVER w IS NOT NULL AS ok
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+reg AS (
+  SELECT CAST(trig // 18014398509481984 AS BIGINT) AS idx,
+         max(CASE WHEN trig % 18014398509481984 = 0 THEN 55
+                  ELSE 55 - length(bin(CAST(trig % 18014398509481984 AS BIGINT))) END) AS rho
+  FROM tri WHERE ok GROUP BY 1
+),
+agg AS (SELECT count(*) AS n_set, sum(pow(2.0, -rho)) AS s_set FROM reg),
+est AS (
+  SELECT 1024 - n_set AS v_zero,
+         (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 / (s_set + (1024 - n_set)) AS raw
+  FROM agg
+)
+SELECT CAST(1024 AS BIGINT) AS m, CAST(v_zero AS BIGINT) AS v_zero,
+       round(CASE WHEN raw <= 2560 AND v_zero > 0 THEN 1024 * ln(1024.0 / v_zero) ELSE raw END, 6) AS estimate
+FROM est
 """,
         # corpus unigram-LM cross-entropy / perplexity per doc
         "doc_perplexity": f"""

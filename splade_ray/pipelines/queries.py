@@ -668,6 +668,16 @@ def doc_perplexity(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog sketch: approximate count of distinct token trigrams in
+    the corpus (2^10 registers, md5-hash-replayable, combiner partials)."""
+    from .textops import approx_distinct_trigrams as hll
+
+    out = hll(_docs(sf_dir, columns=["doc_id", "text"]))
+    out["estimate"] = out["estimate"].round(6)
+    return out
+
+
 def repetition_scores(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition filters (dup-token fraction, top-bigram
     fraction, longest token run) — the classic pre-training quality

@@ -1135,3 +1135,71 @@ def unigram_lm_scores(
         UnigramScoreStage, fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
+
+
+# ------------------------------------------------ HyperLogLog distinct sketch
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of u64 values (no float log2 — exact at
+    all 64 bits)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl += (v == 1)
+    return bl
+
+
+_HLL_P = 10  # 2^10 = 1024 registers, ~3.25% relative error
+
+
+class HllTrigramStage:
+    """(text) → per-batch HyperLogLog register partials (idx, rho) over the
+    corpus's token-trigram multiset — the combiner side of an approximate
+    distinct count.  Registers are max-combined, so partials merge with a
+    single ``np.maximum.at``; the whole sketch is 2^p rows regardless of
+    corpus size.  md5 trigram hashes keep the sketch SQL-replayable."""
+
+    def __init__(self, p: int = _HLL_P, text_col: str = "text"):
+        self.p = p
+        self.text_col = text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        trig, _trow = _row_trigrams(th, rows)
+        m = 1 << self.p
+        regs = np.zeros(m, dtype=np.int64)
+        if trig.size:
+            idx = (trig >> np.uint64(64 - self.p)).astype(np.int64)
+            w = trig & ((np.uint64(1) << np.uint64(64 - self.p)) - np.uint64(1))
+            rho = (64 - self.p + 1) - _bitlen_u64(w)  # w=0 → bitlen 0 → max rho
+            np.maximum.at(regs, idx, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({"idx": pa.array(nz), "rho": pa.array(regs[nz])})
+
+
+def approx_distinct_trigrams(ds: Dataset, p: int = _HLL_P, text_col: str = "text", concurrency: int | None = None):
+    """HyperLogLog estimate of the number of DISTINCT token trigrams in the
+    corpus (Flajolet et al. 2007, with the standard small-range linear
+    counting correction).  One streaming combiner pass; the driver reduce
+    merges ≤ 2^p-row partials — nothing corpus-sized ever moves.
+
+    Returns a one-row pandas DataFrame (m, v_zero, estimate)."""
+    import pandas as pd
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    for b in ds.map_batches(
+        HllTrigramStage, fn_constructor_kwargs={"p": p, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            np.maximum.at(regs, b.column("idx").to_numpy(zero_copy_only=False), b.column("rho").to_numpy(zero_copy_only=False))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    raw = alpha * m * m / s
+    v_zero = int(np.count_nonzero(regs == 0))
+    est = m * np.log(m / v_zero) if (raw <= 2.5 * m and v_zero > 0) else raw
+    return pd.DataFrame({"m": [np.int64(m)], "v_zero": [np.int64(v_zero)], "estimate": [float(est)]})

@@ -556,3 +556,40 @@ def test_order_priority_revenue_edges(ray_session, tmp_path):
     assert feb.order_month == pd.Timestamp("2024-02-01")
     assert feb.n_items == 1 and feb.n_orders == 1
     assert feb.revenue == pytest.approx(19.0, abs=1e-9)
+
+
+def test_hll_sketch_accuracy_and_exactness(ray_session):
+    import ray.data as rd
+
+    from splade_ray.functions.hashing import md5_u64
+    from splade_ray.pipelines.textops import _bitlen_u64, _row_trigrams, approx_distinct_trigrams
+
+    # exact bit length on edge values
+    vals = np.array([0, 1, 2, 3, 4, 2**53 - 1, 2**53, 2**54 - 1], dtype=np.uint64)
+    assert _bitlen_u64(vals).tolist() == [0, 1, 2, 2, 3, 53, 54, 54]
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i:04d}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    out = approx_distinct_trigrams(rd.from_arrow(t).repartition(4))
+
+    # brute-force HLL over the same trigram hashes must agree EXACTLY
+    tok = Tokenizer()
+    th, rows, _ = tok.tokenize_md5(t.column("text").combine_chunks())
+    trig, _tr = _row_trigrams(th, rows)
+    regs = np.zeros(1024, dtype=np.int64)
+    idx = (trig >> np.uint64(54)).astype(np.int64)
+    w = trig & np.uint64(2**54 - 1)
+    np.maximum.at(regs, idx, 55 - _bitlen_u64(w))
+    alpha = 0.7213 / (1.0 + 1.079 / 1024)
+    s = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    raw = alpha * 1024 * 1024 / s
+    v0 = int(np.count_nonzero(regs == 0))
+    exp = 1024 * np.log(1024 / v0) if (raw <= 2560 and v0 > 0) else raw
+    assert out["v_zero"].iloc[0] == v0
+    assert out["estimate"].iloc[0] == pytest.approx(exp, rel=1e-12)
+
+    # and the estimate lands within ~5 sigma of the true distinct count
+    n_true = len(np.unique(trig))
+    assert abs(out["estimate"].iloc[0] - n_true) / n_true < 5 * 1.04 / np.sqrt(1024)
