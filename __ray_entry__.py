@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": q.doc_perplexity,
         # HyperLogLog distinct-trigram sketch (combiner-merged registers)
         "approx_distinct_trigrams": q.approx_distinct_trigrams,
+        # pivot/crosstab: source rows x language count columns
+        "source_lang_pivot": q.source_lang_pivot,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -903,6 +905,17 @@ agg AS (
 SELECT doc_id, n_windows, n_dup_windows,
        round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_frac
 FROM agg ORDER BY doc_id
+""",
+        # pivot: fixed column set (conditional aggregation)
+        "source_lang_pivot": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+       count(*) AS n_total
+FROM documents GROUP BY source ORDER BY source
 """,
         # HyperLogLog over md5 trigram hashes: idx = top 10 bits, rho =
         # leading zeros of the low 54 bits + 1 (bin() is minimal-width),

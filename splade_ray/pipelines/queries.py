@@ -430,6 +430,30 @@ def chars_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
 
 
+def source_lang_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab: one row per source, one count column per language
+    (fixed column set — pivots at scale are a bounded-cardinality reduce).
+
+    Engine shape: per-batch pandas crosstab partials (the combiner — each
+    batch emits at most |sources|×|langs| cells) summed on the driver; the
+    corpus streams through one map_batches, nothing is shuffled."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    ds = _docs(sf_dir, columns=["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["source"], batch["lang"])
+        ct["__total"] = ct.sum(axis=1)
+        return ct.reset_index().melt(id_vars="source", var_name="lang", value_name="cnt")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby(["source", "lang"], sort=True)["cnt"].sum().unstack(fill_value=0)
+    out = pd.DataFrame({"source": merged.index})
+    for lang in langs:
+        out[f"n_{lang}"] = merged[lang].to_numpy() if lang in merged else 0
+    out["n_total"] = merged["__total"].to_numpy()
+    return out.sort_values("source", ignore_index=True)
+
+
 # ------------------------------------------------------------------ dedup
 def dedup_exact_kept(sf_dir: str) -> pd.DataFrame:
     from .dedup import exact_dedup
@@ -649,9 +673,16 @@ def dup_spans(sf_dir: str) -> pd.DataFrame:
     """Exact repeated-passage detection (Lee et al. 2022 signal): per doc,
     the count/fraction of its 5-token spans that also appear verbatim in
     at least one OTHER document."""
+    import pyarrow.parquet as pq
+
     from .textops import duplicate_spans
 
-    out = duplicate_spans(_docs(sf_dir, columns=["doc_id", "text"]), window=5).to_pandas()
+    # data-proportional sort-exchange width (footer row count — the
+    # all-to-all costs O(width²) tasks, pure overhead at small inputs);
+    # past ~100k docs the natural block count is already right
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    width = None if n_docs > 100_000 else max(8, n_docs // 10_000)
+    out = duplicate_spans(_docs(sf_dir, columns=["doc_id", "text"]), window=5, shuffle_width=width).to_pandas()
     out["dup_frac"] = out["dup_frac"].round(6)
     return out.sort_values("doc_id", ignore_index=True)
 

@@ -959,6 +959,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    shuffle_width: int | None = None,
 ) -> Dataset:
     """Per-doc duplicated-span stats: for every ``window``-token span of
     every doc, is the identical span present in ≥2 DISTINCT docs?  Returns
@@ -1049,7 +1050,13 @@ def duplicate_spans(
         fn_constructor_kwargs={"window": window, "n_buckets": n_buckets, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
+    # shuffle_width bounds the sort-exchange fan-out (the all-to-all costs
+    # O(partitions²) tiny tasks; at small inputs 64×64 is pure overhead)
+    if shuffle_width:
+        spans = spans.repartition(shuffle_width)
     partials = spans.groupby("bucket").map_groups(bucket_partials, batch_format="pyarrow")
+    if shuffle_width:
+        partials = partials.repartition(shuffle_width)
     return partials.groupby("dbucket").map_groups(doc_final, batch_format="pyarrow")
 
 
