@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_trigrams": q.approx_distinct_trigrams,
         # pivot/crosstab: source rows x language count columns
         "source_lang_pivot": q.source_lang_pivot,
+        # resumable partitioned curated-corpus write (read-back verified)
+        "curated_corpus": q.curated_corpus,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -846,6 +848,31 @@ sig AS (
   FROM base b JOIN mr m USING (doc_id)
 )
 SELECT doc_id, n_tokens, round(dup, 6) AS dup_token_frac,
+       round(sr, 6) AS stopword_ratio, max_run AS max_run_len
+FROM sig
+WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2
+ORDER BY doc_id
+""",
+        # the curated WRITE read back: same signal CTEs as curation_kept
+        # plus the partition id (doc_id % 16)
+        "curated_corpus": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+base AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS nd,
+         avg(CASE WHEN tok IN ('the','a','and','of','to','in','is','that','it','for','on','with','as','are','was','at','be','this','have') THEN 1.0 ELSE 0.0 END) AS sr
+  FROM flat GROUP BY doc_id
+),
+runs AS (SELECT doc_id, tok, i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g FROM flat),
+runc AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, tok, g),
+mr AS (SELECT doc_id, max(rl) AS max_run FROM runc GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id, b.n_tokens,
+         (b.n_tokens - b.nd) / CAST(b.n_tokens AS DOUBLE) AS dup,
+         b.sr, m.max_run
+  FROM base b JOIN mr m USING (doc_id)
+)
+SELECT doc_id, doc_id % 16 AS part_id, n_tokens, round(dup, 6) AS dup_token_frac,
        round(sr, 6) AS stopword_ratio, max_run AS max_run_len
 FROM sig
 WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2

@@ -639,9 +639,13 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
 def bigram_pmi(sf_dir: str) -> pd.DataFrame:
     """Top-30 token-bigram collocations by PMI (pair count ≥ 3) —
     vocabulary/phrase mining over the corpus."""
+    import pyarrow.parquet as pq
+
     from .textops import bigram_pmi_top
 
-    out = bigram_pmi_top(_docs(sf_dir, columns=["doc_id", "text"]), k=30, min_count=3)
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    width = None if n_docs > 100_000 else max(8, n_docs // 10_000)
+    out = bigram_pmi_top(_docs(sf_dir, columns=["doc_id", "text"]), k=30, min_count=3, shuffle_width=width)
     out["pmi"] = out["pmi"].round(6)
     return out
 
@@ -649,10 +653,16 @@ def bigram_pmi(sf_dir: str) -> pd.DataFrame:
 def packed_bins(sf_dir: str) -> pd.DataFrame:
     """Token-budget packing: sequential-fill docs (doc_id order) into
     256-token bins via the distributed ordered prefix sum."""
+    import pyarrow.parquet as pq
+
     from .scan import pack_bins
     from .textops import token_stats
 
     counts = token_stats(_docs(sf_dir, columns=["doc_id", "text"])).select_columns(["doc_id", "n_tokens"])
+    # data-proportional sort width (the scan's one all-to-all)
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    if n_docs <= 100_000:
+        counts = counts.repartition(max(8, n_docs // 10_000))
     out = pack_bins(counts, "n_tokens", "doc_id", capacity=256).to_pandas()
     return out[["doc_id", "n_tokens", "bin_id"]].sort_values("doc_id", ignore_index=True)
 
@@ -707,6 +717,26 @@ def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:
     out = hll(_docs(sf_dir, columns=["doc_id", "text"]))
     out["estimate"] = out["estimate"].round(6)
     return out
+
+
+def curated_corpus(sf_dir: str) -> pd.DataFrame:
+    """Resumable partitioned curated-corpus WRITE (per-partition lineage +
+    resume pushdown into the scan), verified by reading the written
+    partitions back."""
+    from .curate import curate_corpus, read_curated
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/splade_ray_cache", f"curated_{key}")
+    curate_corpus(os.path.join(sf_dir, "documents.parquet"), out_dir, n_partitions=16)
+    t = read_curated(
+        out_dir, columns=["doc_id", "n_tokens", "dup_token_frac", "stopword_ratio", "max_run_len"]
+    ).to_pandas()
+    t["part_id"] = (t["doc_id"] % 16).astype("int64")
+    t["dup_token_frac"] = t["dup_token_frac"].round(6)
+    t["stopword_ratio"] = t["stopword_ratio"].round(6)
+    return t[["doc_id", "part_id", "n_tokens", "dup_token_frac", "stopword_ratio", "max_run_len"]].sort_values(
+        "doc_id", ignore_index=True
+    )
 
 
 def repetition_scores(sf_dir: str) -> pd.DataFrame:

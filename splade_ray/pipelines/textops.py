@@ -445,6 +445,7 @@ class CurationStage:
         max_run: int = 2,
         text_col: str = "text",
         id_col: str = "doc_id",
+        passthrough: tuple[str, ...] = (),
     ):
         self.min_tokens = min_tokens
         self.max_dup_frac = max_dup_frac
@@ -453,6 +454,7 @@ class CurationStage:
         self.max_run = max_run
         self.text_col = text_col
         self.id_col = id_col
+        self.passthrough = tuple(passthrough)
         self.tok = Tokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -486,16 +488,16 @@ class CurationStage:
             & (sw_ratio <= self.max_stopword)
             & (max_run <= self.max_run)
         )
-        out = pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "n_tokens": pa.array(n_tok),
-                "dup_token_frac": pa.array(dup_frac),
-                "stopword_ratio": pa.array(sw_ratio),
-                "max_run_len": pa.array(max_run),
-            }
-        )
-        return out.filter(pa.array(keep))
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array(n_tok),
+            "dup_token_frac": pa.array(dup_frac),
+            "stopword_ratio": pa.array(sw_ratio),
+            "max_run_len": pa.array(max_run),
+        }
+        for c in self.passthrough:  # carry original columns (curated-corpus write path)
+            cols[c] = batch.column(c)
+        return pa.table(cols).filter(pa.array(keep))
 
 
 def curation_filter(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None, **thresholds) -> Dataset:
@@ -644,8 +646,8 @@ class BigramPartialStage:
         empty = pa.table(
             {
                 "bucket": pa.array([], type=pa.int64()),
-                "term_a": pa.array([], type=pa.string()),
-                "term_b": pa.array([], type=pa.string()),
+                "ha": pa.array([], type=pa.int64()),
+                "hb": pa.array([], type=pa.int64()),
                 "cnt": pa.array([], type=pa.int64()),
             }
         )
@@ -662,14 +664,17 @@ class BigramPartialStage:
         key = codes[:-1][same] * V + codes[1:][same]
         ukey, cnt = np.unique(key, return_counts=True)
         a_codes, b_codes = (ukey // V).astype(np.int64), (ukey % V).astype(np.int64)
+        # ship md5 term HASHES, not strings — the exchange carries 8 B/term
+        # and the bucket kernel recovers strings from the broadcast unigram
+        # table (term↔hash is collision-free at vocab scale by md5)
         vh = md5_u64(vocab.to_pylist())
         with np.errstate(over="ignore"):
             bucket = ((vh[a_codes] * _TRIGRAM_R + vh[b_codes]) % self.n_buckets).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
-                "term_a": vocab.take(pa.array(a_codes)),
-                "term_b": vocab.take(pa.array(b_codes)),
+                "ha": pa.array(vh[a_codes].view(np.int64)),
+                "hb": pa.array(vh[b_codes].view(np.int64)),
                 "cnt": pa.array(cnt.astype(np.int64)),
             }
         )
@@ -682,6 +687,7 @@ def bigram_pmi_top(
     n_buckets: int = 256,
     text_col: str = "text",
     concurrency: int | None = None,
+    shuffle_width: int | None = None,
 ):
     """Corpus-level collocation mining: top-k token bigrams by PMI
     (pmi = ln(p(ab) / (p(a)·p(b))) with p(ab)=c_ab/n_bigrams,
@@ -725,29 +731,47 @@ def bigram_pmi_top(
     n_tokens = float(uni_cnt.sum())
     if n_bigrams == 0:
         return pd.DataFrame(columns=["rank", "term_a", "term_b", "pair_count", "pmi"])
-    ref = ray.put((uni_terms, uni_cnt, n_tokens, n_bigrams))
+    # broadcast the hash-sorted unigram table — the bucket kernel maps the
+    # exchanged md5 hashes back to (term string, count) by searchsorted
+    from ..functions.hashing import md5_u64
+
+    uh = md5_u64(list(uni_terms))
+    horder = np.argsort(uh)
+    ref = ray.put((uh[horder], uni_terms[horder], uni_cnt[horder], n_tokens, n_bigrams))
+
+    empty_topk = pa.table(
+        {
+            "term_a": pa.array([], type=pa.string()),
+            "term_b": pa.array([], type=pa.string()),
+            "pair_count": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64()),
+        }
+    )
 
     def bucket_topk(g: pa.Table) -> pa.Table:
-        uterms, ucnt, n_tok, n_bg = ray.get(ref)
-        merged = pa.TableGroupBy(g, ["term_a", "term_b"]).aggregate([("cnt", "sum")])
-        c_ab = merged.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        if g.num_rows == 0:
+            return empty_topk
+        hsort, uterms, ucnt, n_tok, n_bg = ray.get(ref)
+        ha = g.column("ha").to_numpy(zero_copy_only=False)
+        hb = g.column("hb").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        # combine batch partials per (ha, hb): lexsort + run-length sum
+        order = np.lexsort((hb, ha))
+        sa, sb, sc = ha[order], hb[order], cnt[order]
+        new = np.empty(sa.size, dtype=bool)
+        new[0] = True
+        new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        seg = np.cumsum(new) - 1
+        c_ab = np.bincount(seg, weights=sc, minlength=int(seg[-1]) + 1)
+        sa, sb = sa[new], sb[new]
         keep = c_ab >= min_count
         if not keep.any():
-            return pa.table(
-                {
-                    "term_a": pa.array([], type=pa.string()),
-                    "term_b": pa.array([], type=pa.string()),
-                    "pair_count": pa.array([], type=pa.int64()),
-                    "pmi": pa.array([], type=pa.float64()),
-                }
-            )
-        merged = merged.filter(pa.array(keep))
-        c_ab = c_ab[keep]
-        ta = np.asarray(merged.column("term_a").to_pylist(), dtype=object)
-        tb = np.asarray(merged.column("term_b").to_pylist(), dtype=object)
-        pa_idx = np.searchsorted(uterms, ta)
-        pb_idx = np.searchsorted(uterms, tb)
-        pmi = np.log(c_ab * n_tok * n_tok / (n_bg * ucnt[pa_idx] * ucnt[pb_idx]))
+            return empty_topk
+        sa, sb, c_ab = sa[keep], sb[keep], c_ab[keep]
+        ia = np.searchsorted(hsort, sa.view(np.uint64))
+        ib = np.searchsorted(hsort, sb.view(np.uint64))
+        ta, tb = uterms[ia], uterms[ib]
+        pmi = np.log(c_ab * n_tok * n_tok / (n_bg * ucnt[ia] * ucnt[ib]))
         order = np.lexsort((tb, ta, -pmi))[:k]
         return pa.table(
             {
@@ -762,6 +786,8 @@ def bigram_pmi_top(
         BigramPartialStage, fn_constructor_kwargs={"n_buckets": n_buckets, "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
+    if shuffle_width:
+        partials = partials.repartition(shuffle_width)
     cand = partials.groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow").to_pandas()
     order = np.lexsort(
         (cand["term_b"].to_numpy(dtype=object), cand["term_a"].to_numpy(dtype=object), -cand["pmi"].to_numpy())
