@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pivot": q.source_lang_pivot,
         # resumable partitioned curated-corpus write (read-back verified)
         "curated_corpus": q.curated_corpus,
+        # deterministic 80/10/10 train/val/test assignment
+        "dataset_splits": q.dataset_splits,
+        # count-min-sketch term counts (additive-combiner sketch)
+        "cms_counts": q.cms_counts,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -852,6 +856,46 @@ SELECT doc_id, n_tokens, round(dup, 6) AS dup_token_frac,
 FROM sig
 WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2
 ORDER BY doc_id
+""",
+        # split thresholds in lockstep with queries.dataset_splits
+        "dataset_splits": """
+SELECT doc_id,
+       CASE WHEN (doc_id * 1597334677) % 4294967296 * 10 < 4294967296 * 8 THEN 'train'
+            WHEN (doc_id * 1597334677) % 4294967296 * 10 < 4294967296 * 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+""",
+        # count-min sketch replay: same 4 odd mix constants, w=64; one
+        # UNION-ALL branch per sketch row, probe = distinct terms, est =
+        # least over the 4 probed cells (always >= exact)
+        "cms_counts": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT unnest(l) AS tok FROM toks),
+h AS (SELECT tok, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+cells AS (
+  SELECT 0 AS r, (th * 2685821657736338717) % 18446744073709551616 % 64 AS col, count(*) AS c FROM h GROUP BY 2
+  UNION ALL SELECT 1, (th * 1181783497276652981) % 18446744073709551616 % 64, count(*) FROM h GROUP BY 2
+  UNION ALL SELECT 2, (th * 2862933555777941757) % 18446744073709551616 % 64, count(*) FROM h GROUP BY 2
+  UNION ALL SELECT 3, (th * 3202034522624059733) % 18446744073709551616 % 64, count(*) FROM h GROUP BY 2
+),
+ex AS (SELECT tok, count(*) AS exact_count, any_value(th) AS th FROM h GROUP BY tok),
+pc AS (
+  SELECT tok, exact_count,
+         (th * 2685821657736338717) % 18446744073709551616 % 64 AS c0,
+         (th * 1181783497276652981) % 18446744073709551616 % 64 AS c1,
+         (th * 2862933555777941757) % 18446744073709551616 % 64 AS c2,
+         (th * 3202034522624059733) % 18446744073709551616 % 64 AS c3
+  FROM ex
+)
+SELECT pc.tok AS term, CAST(least(a.c, b.c, c.c, d.c) AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(least(a.c, b.c, c.c, d.c) - exact_count AS BIGINT) AS overestimate
+FROM pc
+JOIN cells a ON a.r = 0 AND a.col = pc.c0
+JOIN cells b ON b.r = 1 AND b.col = pc.c1
+JOIN cells c ON c.r = 2 AND c.col = pc.c2
+JOIN cells d ON d.r = 3 AND d.col = pc.c3
+ORDER BY term
 """,
         # the curated WRITE read back: same signal CTEs as curation_kept
         # plus the partition id (doc_id % 16)

@@ -719,6 +719,34 @@ def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def dataset_splits(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10): one
+    multiplicative-hash comparison per row, partition-invariant, no
+    shuffle — the standard dataset-split op of a training-data pipeline."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+    hi = np.uint64(4294967296)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(1597334677)) % hi
+        split = np.where(h * np.uint64(10) < hi * np.uint64(8), "train",
+                         np.where(h * np.uint64(10) < hi * np.uint64(9), "val", "test"))
+        return pa.table({"doc_id": batch.column("doc_id"), "split": pa.array(split, type=pa.string())})
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def cms_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch term-frequency estimates (w=64 so collisions are
+    visible) probed for every distinct term, with the exact counts and
+    the sketch's one-sided overestimate."""
+    from .textops import cms_term_counts
+
+    return cms_term_counts(_docs(sf_dir, columns=["doc_id", "text"]), d=4, w=64)
+
+
 def curated_corpus(sf_dir: str) -> pd.DataFrame:
     """Resumable partitioned curated-corpus WRITE (per-partition lineage +
     resume pushdown into the scan), verified by reading the written

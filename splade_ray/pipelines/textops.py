@@ -1236,3 +1236,112 @@ def approx_distinct_trigrams(ds: Dataset, p: int = _HLL_P, text_col: str = "text
     v_zero = int(np.count_nonzero(regs == 0))
     est = m * np.log(m / v_zero) if (raw <= 2.5 * m and v_zero > 0) else raw
     return pd.DataFrame({"m": [np.int64(m)], "v_zero": [np.int64(v_zero)], "estimate": [float(est)]})
+
+
+# ------------------------------------------------- count-min frequency sketch
+_CMS_RS = np.array(
+    [2685821657736338717, 1181783497276652981, 2862933555777941757, 3202034522624059733],
+    dtype=np.uint64,
+)  # odd mix constants < 2^62, one per sketch row (keeps th·R inside
+#    HUGEINT so the SQL oracle can replay the cells without overflow)
+
+
+class CmsPartialStage:
+    """(text) → per-batch count-min-sketch partial as nonzero cells
+    (r, col, cnt).  CMS partials are ADDITIVE, so the combiner is the
+    sketch itself — each batch ships ≤ d·w cells no matter how many
+    tokens it saw.  md5 token hashes keep the sketch SQL-replayable."""
+
+    def __init__(self, d: int = 4, w: int = 1024, text_col: str = "text"):
+        if d > _CMS_RS.size:
+            raise ValueError(f"d <= {_CMS_RS.size}")
+        self.d = d
+        self.w = np.uint64(w)
+        self.text_col = text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, _rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        w = int(self.w)
+        cells_r, cells_c, cells_n = [], [], []
+        if th.size:
+            for i in range(self.d):
+                with np.errstate(over="ignore"):
+                    col = ((th * _CMS_RS[i]) % self.w).astype(np.int64)
+                cnt = np.bincount(col, minlength=w)
+                nz = np.flatnonzero(cnt)
+                cells_r.append(np.full(nz.size, i, dtype=np.int64))
+                cells_c.append(nz)
+                cells_n.append(cnt[nz].astype(np.int64))
+        r = np.concatenate(cells_r) if cells_r else np.zeros(0, np.int64)
+        c = np.concatenate(cells_c) if cells_c else np.zeros(0, np.int64)
+        n = np.concatenate(cells_n) if cells_n else np.zeros(0, np.int64)
+        return pa.table({"r": pa.array(r), "col": pa.array(c), "cnt": pa.array(n)})
+
+
+def cms_term_counts(
+    ds: Dataset,
+    d: int = 4,
+    w: int = 1024,
+    text_col: str = "text",
+    concurrency: int | None = None,
+):
+    """Count-min-sketch term-frequency estimates (Cormode & Muthukrishnan
+    2005): fit the d×w sketch in one streaming combiner pass (driver sums
+    ≤ d·w-cell partials), then probe every distinct corpus term —
+    est = min_i sketch[i, h_i(term)], always ≥ the true count.
+
+    Returns pandas (term, est_count, exact_count, overestimate) sorted by
+    term.  The exact side rides the same vocab-bounded unigram reduce the
+    PMI/perplexity operators use, so the output doubles as a verification
+    of the sketch's one-sided error."""
+    import pandas as pd
+
+    import ray
+
+    from ..functions.hashing import md5_u64
+
+    cms = np.zeros((d, w), dtype=np.int64)
+    uni: dict = {}
+    # one pass for the sketch, one vocab-bounded pass for the probe set
+    for b in ds.map_batches(
+        CmsPartialStage, fn_constructor_kwargs={"d": d, "w": w, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(
+                cms,
+                (b.column("r").to_numpy(zero_copy_only=False), b.column("col").to_numpy(zero_copy_only=False)),
+                b.column("cnt").to_numpy(zero_copy_only=False),
+            )
+    parts = [
+        b
+        for b in ds.map_batches(
+            UnigramPartialStage, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return pd.DataFrame(columns=["term", "est_count", "exact_count", "overestimate"])
+    allp = pa.concat_tables(parts)
+    dfp = pd.DataFrame(
+        {"term": allp.column("term").to_pandas(), "cnt": allp.column("cnt").to_numpy(zero_copy_only=False)}
+    ).dropna()
+    exact = dfp.groupby("term", sort=True)["cnt"].sum()
+    terms = list(exact.index)
+    th = md5_u64(terms)
+    est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        with np.errstate(over="ignore"):
+            col = ((th * _CMS_RS[i]) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[i, col])
+    out = pd.DataFrame(
+        {
+            "term": terms,
+            "est_count": est,
+            "exact_count": exact.to_numpy().astype(np.int64),
+        }
+    )
+    out["overestimate"] = out["est_count"] - out["exact_count"]
+    return out

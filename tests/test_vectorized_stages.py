@@ -593,3 +593,28 @@ def test_hll_sketch_accuracy_and_exactness(ray_session):
     # and the estimate lands within ~5 sigma of the true distinct count
     n_true = len(np.unique(trig))
     assert abs(out["estimate"].iloc[0] - n_true) / n_true < 5 * 1.04 / np.sqrt(1024)
+
+
+def test_cms_sketch_onesided_and_exact(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import cms_term_counts
+
+    rng = np.random.default_rng(5)
+    words = [f"t{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    out = cms_term_counts(rd.from_arrow(t).repartition(3), d=4, w=32)
+    tok = Tokenizer()
+    exact = Counter()
+    for x in texts:
+        exact.update(tok.tokenize(x))
+    assert set(out["term"]) == set(exact)
+    for r in out.itertuples(index=False):
+        assert r.exact_count == exact[r.term]
+        assert r.est_count >= r.exact_count  # CMS is one-sided
+        assert r.overestimate == r.est_count - r.exact_count
+    # with w=32 and 120 terms there MUST be visible collisions
+    assert (out["overestimate"] > 0).any()
