@@ -8,6 +8,7 @@ Usage (each subcommand is a complete job):
     python -m splade_ray search --index /data/index --query "hello world" -k 10
     python -m splade_ray merge  --segments segA segB --out merged
     python -m splade_ray bench  --input /data/web_pages --out /tmp/idx
+    python -m splade_ray curate --input /data/docs.parquet --out /data/curated
 
     # on a cluster (Ray auto-connects via RAY_ADDRESS inside the job)
     ray job submit --working-dir . -- python -m splade_ray build \\
@@ -70,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--input", required=True)
     be.add_argument("--out", required=True)
 
+    cu = sub.add_parser("curate", help="resumable partitioned curated-corpus write")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--partitions", type=int, default=64)
+
     op = sub.add_parser("op", help="run a registered operator by name (registry surface)")
     op.add_argument("name", nargs="?", help="operator name; omit to list all")
     op.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -101,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.merge import merge_segments
 
             print(json.dumps(merge_segments(args.segments, args.out, cfg)))
+        elif args.cmd == "curate":
+            from .pipelines.curate import curate_corpus
+
+            print(json.dumps(curate_corpus(args.input, args.out, n_partitions=args.partitions)))
         elif args.cmd == "op":
             import importlib.util as _ilu
 

@@ -967,6 +967,15 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         items.map_batches(tag_items, batch_format="pyarrow")
     )
+    # data-proportional exchange width (footer row counts): the union of
+    # two reads carries 80+ small blocks into the sort otherwise
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows for t in ("orders", "lineitem")
+    )
+    if n_rows <= 1_000_000:
+        tagged = tagged.repartition(max(8, n_rows // 100_000))
     parts = tagged.groupby("bucket").map_groups(bucket_agg, batch_format="pyarrow").to_pandas()
     out = (
         parts.groupby(["prio", "month_us"], sort=True)

@@ -70,3 +70,26 @@ def test_real_decoder_importable_without_pil():
         )
         assert out.column("width")[0].as_py() == 48
         assert out.column("height")[0].as_py() == 32
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_curate_resume(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = "quick brown fox jumps over lazy dog near old stone bridge the town square today market river garden " * 2
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "text": pa.array([good + f"suffix {i}" for i in range(12)]),
+            }
+        ),
+        docs,
+    )
+    out = str(tmp_path / "curated")
+    (s1,) = _run("curate", "--input", docs, "--out", out, "--partitions", "4")
+    assert s1["rows_kept"] > 0 and s1["skipped"] == 0
+    (s2,) = _run("curate", "--input", docs, "--out", out, "--partitions", "4")
+    assert s2["built"] == 0 and s2["skipped"] == 4
