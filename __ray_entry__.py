@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_topk": q.near_topk,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
+        # best-window snippet extraction over the BM25 top-5
+        "search_snippets": q.search_snippets,
         "retrieval_metrics_at10": q.retrieval_metrics_at10,
         # cross-encoder-style rerank + hard-negative mining (T7, J3/M14)
         "rerank_overlap": q.rerank_overlap,
@@ -282,6 +284,41 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    # snippet extraction over the BM25 top-5: best 12-token window by
+    # query-term occurrence positions, earliest start on ties
+    snippets = (
+        bm25_ctes
+        + f"""
+, topk AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5),
+qdist AS (SELECT DISTINCT query_id, term FROM qterms),
+dtoks AS (SELECT doc_id, {doc_toks} AS l FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)),
+flat2 AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM dtoks),
+wl AS (SELECT doc_id, len(l) AS n FROM dtoks),
+starts AS (
+  SELECT t.query_id, t.rank, t.doc_id, unnest(range(greatest(w.n - 12 + 1, 1))) AS s
+  FROM topk t JOIN wl w USING (doc_id)
+),
+hits2 AS (
+  SELECT q.query_id, f.doc_id, f.i
+  FROM flat2 f JOIN qdist q ON q.term = f.tok
+),
+sc AS (
+  SELECT st.query_id, st.rank, st.doc_id, st.s, count(h.i) AS n_hits
+  FROM starts st
+  LEFT JOIN hits2 h ON h.query_id = st.query_id AND h.doc_id = st.doc_id
+                   AND h.i >= st.s AND h.i < st.s + 12
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id ORDER BY n_hits DESC, s ASC) AS rn
+  FROM sc
+)
+SELECT b.query_id, b.rank, b.doc_id, b.s AS start_tok, CAST(b.n_hits AS BIGINT) AS n_hits,
+       array_to_string(d.l[b.s + 1 : least(b.s + 12, len(d.l))], ' ') AS snippet
+FROM best b JOIN dtoks d USING (doc_id)
+WHERE b.rn = 1 ORDER BY b.query_id, b.rank
+"""
+    )
     metrics_at10 = (
         bm25_ctes
         + """
@@ -313,6 +350,7 @@ ORDER BY p.query_id
     )
     oracles = {
         "bm25_topk": bm25,
+        "search_snippets": snippets,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
         # so must the hashed-vocab build (same df/idf per term)

@@ -110,6 +110,85 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def search_snippets(sf_dir: str) -> pd.DataFrame:
+    """Query-time snippet extraction over the BM25 top-5: per (query,
+    hit) the best 12-token window — most query-term occurrence positions
+    inside the window, earliest start on ties — plus the window's text.
+
+    Scale shape: the hit set is k-bounded, so extraction is ONE
+    broadcast-filtered ``map_batches`` over the docs table (candidate ids
+    + per-query md5 term sets ride a single ``ray.put``); the corpus is
+    never re-shuffled and non-candidate rows are dropped at the scan."""
+    from ..functions.hashing import md5_u64
+    from ..tokenizer import Tokenizer
+
+    W = 12
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    tok = Tokenizer()
+    hits: list[tuple[str, int, int]] = []
+    qhash: dict[str, np.ndarray] = {}
+    for qid, text in BM25_QUERIES:
+        qhash[qid] = np.unique(md5_u64(tok.tokenize(text)))
+        for rank, (_d, _s, url) in enumerate(reader.search(text, 5), 1):
+            hits.append((qid, rank, int(url.removeprefix("doc://"))))
+    pair_docs: dict[str, set[int]] = {}
+    for qid, _r, doc in hits:
+        pair_docs.setdefault(qid, set()).add(doc)
+    cand = np.unique(np.array([h[2] for h in hits], dtype=np.int64))
+    ref = ray.put((cand, {q: (np.sort(np.array(sorted(d), dtype=np.int64)), qhash[q]) for q, d in pair_docs.items()}))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        cand_ids, per_q = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cand_ids, ids)
+        keep = (np.minimum(pos, cand_ids.size - 1) >= 0) & (cand_ids[np.minimum(pos, cand_ids.size - 1)] == ids)
+        out_q, out_d, out_s, out_h, out_t = [], [], [], [], []
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            sids = sub.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = Tokenizer().tokenize_codes(sub.column("text").combine_chunks())
+            codes, rows, vocab, dls = enc
+            vh = md5_u64(vocab.to_pylist())
+            th = vh[codes] if codes.size else np.zeros(0, np.uint64)
+            offs = np.zeros(dls.size + 1, dtype=np.int64)
+            np.cumsum(dls, out=offs[1:])
+            toks = vocab.take(pa.array(codes)) if codes.size else None
+            for qid, (docs_sorted, qh) in per_q.items():
+                p = np.searchsorted(docs_sorted, sids)
+                inq = (np.minimum(p, docs_sorted.size - 1) >= 0) & (docs_sorted[np.minimum(p, docs_sorted.size - 1)] == sids)
+                for ri in np.flatnonzero(inq):
+                    lo, hi = offs[ri], offs[ri + 1]
+                    n = int(hi - lo)
+                    row_h = th[lo:hi]
+                    ins = np.searchsorted(qh, row_h)
+                    ishit = (qh[np.minimum(ins, qh.size - 1)] == row_h).astype(np.int64) if qh.size else np.zeros(n, np.int64)
+                    csum = np.concatenate(([0], np.cumsum(ishit)))
+                    n_starts = max(n - W + 1, 1)
+                    wsum = csum[np.minimum(np.arange(n_starts) + W, n)] - csum[:n_starts]
+                    s = int(np.argmax(wsum))  # argmax takes the FIRST max → earliest tie
+                    end = min(s + W, n)
+                    snippet = " ".join(toks.slice(lo + s, end - s).to_pylist()) if n else ""
+                    out_q.append(qid); out_d.append(int(sids[ri])); out_s.append(s)
+                    out_h.append(int(wsum[s])); out_t.append(snippet)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.string()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "start_tok": pa.array(out_s, type=pa.int64()),
+                "n_hits": pa.array(out_h, type=pa.int64()),
+                "snippet": pa.array(out_t, type=pa.string()),
+            }
+        )
+
+    snips = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(extract, batch_format="pyarrow").to_pandas()
+    ranks = pd.DataFrame(hits, columns=["query_id", "rank", "doc_id"])
+    out = ranks.merge(snips, on=["query_id", "doc_id"], how="inner")
+    return out[["query_id", "rank", "doc_id", "start_tok", "n_hits", "snippet"]].sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+
+
 def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
     """Incremental build: split the corpus into two segments, build each
     with continued doc numbering, merge the term runs
