@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_splits": q.dataset_splits,
         # count-min-sketch term counts (additive-combiner sketch)
         "cms_counts": q.cms_counts,
+        # per-label embedding centroids (vector aggregate, long format)
+        "label_centroids": q.label_centroids,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -894,6 +896,15 @@ SELECT doc_id, n_tokens, round(dup, 6) AS dup_token_frac,
 FROM sig
 WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2
 ORDER BY doc_id
+""",
+        # vector aggregate: element-wise mean per label, long format
+        "label_centroids": """
+SELECT label::BIGINT AS label, dim, round(avg(v), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # split thresholds in lockstep with queries.dataset_splits
         "dataset_splits": """

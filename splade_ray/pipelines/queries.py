@@ -798,6 +798,51 @@ def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Vector aggregate: per-label element-wise centroid of the embedding
+    column, long format (label, dim, centroid, n_vecs).
+
+    List-typed columns can't ride Ray groupbys (Acero rejects them), so
+    the shape is combiner partials: each batch reshapes the list array
+    ZERO-COPY (flat values → (n, d) view), accumulates per-label sum
+    matrices, and ships label×dim-bounded partials to a driver combine."""
+    ds = _emb(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.float64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        d = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((ulab.size, d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=ulab.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), ulab.size)),
+                "vsum": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["label", "dim"], sort=True).agg(vsum=("vsum", "sum"), cnt=("cnt", "sum")).reset_index()
+    g["centroid"] = (g["vsum"] / g["cnt"]).round(6)
+    g["n_vecs"] = g.pop("cnt").astype("int64")
+    return g[["label", "dim", "centroid", "n_vecs"]]
+
+
 def dataset_splits(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test split assignment (80/10/10): one
     multiplicative-hash comparison per row, partition-invariant, no
