@@ -105,3 +105,49 @@ def test_sparsify_invariants(triples, k):
             all_w = w[row_mask][w[row_mask] > 0]
             if all_w.size > k:
                 assert kept_min >= np.partition(all_w, -k)[-k] - 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts_strategy, st.integers(min_value=2, max_value=7))
+def test_row_windows_equal_python(texts, w):
+    from splade_ray.pipelines.textops import _row_windows
+
+    th, rows, _dls = TOK.tokenize_md5(pa.array(texts, type=pa.string()))
+    wh, wrow = _row_windows(th, rows, w)
+    R = np.uint64(0x100000001B3)
+    exp_h, exp_r = [], []
+    pos = 0
+    for i, t in enumerate(texts):
+        toks = TOK.tokenize(t)
+        hs = th[pos : pos + len(toks)]
+        pos += len(toks)
+        for s in range(max(len(toks) - w + 1, 0)):
+            h = hs[s]
+            for k in range(1, w):
+                with np.errstate(over="ignore"):
+                    h = h * R + hs[s + k]
+            exp_h.append(int(h))
+            exp_r.append(i)
+    assert wh.tolist() == exp_h
+    assert wrow.tolist() == exp_r
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=64),
+)
+def test_bitlen_and_pack_properties(vals, cap):
+    from splade_ray.pipelines.textops import _bitlen_u64
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert _bitlen_u64(arr).tolist() == [v.bit_length() for v in vals]
+    # pack-bins arithmetic: bin ids are nondecreasing in scan order and no
+    # bin's token total exceeds capacity unless a single row does
+    cum = np.cumsum(np.array(vals, dtype=np.int64))
+    bins = np.floor((cum - np.array(vals, dtype=np.int64)) / float(cap)).astype(np.int64)
+    assert (np.diff(bins) >= 0).all() if len(vals) > 1 else True
+    for b in np.unique(bins):
+        tot = int(np.array(vals, dtype=np.int64)[bins == b].sum())
+        members = np.array(vals, dtype=np.int64)[bins == b]
+        assert tot <= cap + int(members.max() if members.size else 0)
