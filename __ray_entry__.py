@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q.cms_counts,
         # per-label embedding centroids (vector aggregate, long format)
         "label_centroids": q.label_centroids,
+        # regex PII scrubbing (emails/phones), counts + redacted text
+        "pii_redacted": q.pii_redacted,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
         "contamination_overlap": q.contamination_overlap,
         # relational / streaming-shaped
@@ -896,6 +898,22 @@ SELECT doc_id, n_tokens, round(dup, 6) AS dup_token_frac,
 FROM sig
 WHERE n_tokens >= 25 AND dup <= 0.6 AND sr >= 0.02 AND sr <= 0.12 AND max_run <= 2
 ORDER BY doc_id
+""",
+        # PII scrubbing replay: identical synthetic contact line + the same
+        # RE2 patterns (DuckDB's regex engine is also RE2)
+        "pii_redacted": r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id || '@example.com or +1-555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id
 """,
         # vector aggregate: element-wise mean per label, long format
         "label_centroids": """

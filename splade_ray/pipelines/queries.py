@@ -843,6 +843,43 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
     return g[["label", "dim", "centroid", "n_vecs"]]
 
 
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_PAT = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redacted(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (C4-style cleanup): vectorized RE2 redaction of
+    email/phone patterns in one streaming map_batches — counts plus the
+    redacted text.  The synthetic corpus carries no PII, so each doc gets
+    a deterministic contact line appended first (doc_id-derived, so the
+    SQL oracle reconstructs the identical input)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        contact = pa.array(
+            [f" contact user{i}@example.com or +1-555-{i % 10000:04d}" for i in ids], type=pa.string()
+        )
+        txt = pc.binary_join_element_wise(pc.fill_null(batch.column("text"), ""), contact, "")
+        n_emails = pc.count_substring_regex(txt, _EMAIL_PAT)
+        n_phones = pc.count_substring_regex(txt, _PHONE_PAT)
+        red = pc.replace_substring_regex(txt, _EMAIL_PAT, "<EMAIL>")
+        red = pc.replace_substring_regex(red, _PHONE_PAT, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": n_emails.cast(pa.int64()),
+                "n_phones": n_phones.cast(pa.int64()),
+                "redacted": red,
+            }
+        )
+
+    out = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def dataset_splits(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test split assignment (80/10/10): one
     multiplicative-hash comparison per row, partition-invariant, no
