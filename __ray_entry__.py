@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_kept": q.curation_kept,
         # exact repeated-passage detection (cross-doc 5-token spans)
         "dup_spans": q.dup_spans,
+        # exact substring dedup, cut variant (min-owner keeps its copy)
+        "dedup_cut_spans": q.dedup_cut_spans,
         # per-doc perplexity under the corpus unigram LM (quality signal)
         "doc_perplexity": q.doc_perplexity,
         # HyperLogLog distinct-trigram sketch (combiner-merged registers)
@@ -1083,6 +1085,47 @@ est AS (
 SELECT CAST(1024 AS BIGINT) AS m, CAST(v_zero AS BIGINT) AS v_zero,
        round(CASE WHEN raw <= 2560 AND v_zero > 0 THEN 1024 * ln(1024.0 / v_zero) ELSE raw END, 6) AS estimate
 FROM est
+""",
+        # exact substring dedup, cut variant: same window fold; covered =
+        # any dup-span start within the trailing W-1 positions; canonical
+        # owner (min doc_id per span hash) keeps its copy
+        "dedup_cut_spans": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+h AS (SELECT doc_id, i, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+w AS (
+  SELECT doc_id, i AS s,
+         (((((((th * 1099511628211 + lead(th, 1) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 2) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 3) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 4) OVER w) % 18446744073709551616 AS wh,
+         lead(th, 4) OVER w IS NOT NULL AS ok
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+ww AS (SELECT doc_id, s, wh FROM w WHERE ok),
+own AS (SELECT wh, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper FROM ww GROUP BY wh),
+cuts AS (
+  SELECT ww.doc_id, ww.s FROM ww JOIN own ON own.wh = ww.wh
+  WHERE own.nd >= 2 AND ww.doc_id != own.keeper
+),
+cov AS (
+  SELECT DISTINCT f.doc_id, f.i
+  FROM flat f JOIN cuts c ON c.doc_id = f.doc_id AND f.i >= c.s AND f.i < c.s + 5
+),
+kept AS (
+  SELECT f.doc_id, f.i, f.tok FROM flat f
+  LEFT JOIN cov ON cov.doc_id = f.doc_id AND cov.i = f.i
+  WHERE cov.i IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.l) AS n_tokens,
+       len(t.l) - coalesce(a.n_kept, 0) AS n_cut,
+       coalesce(a.cleaned, '') AS cleaned_text
+FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
 """,
         # corpus unigram-LM cross-entropy / perplexity per doc
         "doc_perplexity": f"""

@@ -776,6 +776,23 @@ def dup_spans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def dedup_cut_spans(sf_dir: str) -> pd.DataFrame:
+    """Exact substring dedup, CUT variant: tokens covered by a cross-doc
+    duplicated 5-token span are removed everywhere except the span's
+    canonical (min-doc_id) owner; returns per-doc kept/cut counts and the
+    cleaned token stream."""
+    import pyarrow.parquet as pq
+
+    from .textops import cut_duplicate_spans
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    width = None if n_docs > 100_000 else max(8, n_docs // 10_000)
+    out = cut_duplicate_spans(
+        _docs(sf_dir, columns=["doc_id", "text"]), window=5, shuffle_width=width
+    ).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def doc_perplexity(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality signal: per-doc cross-entropy / perplexity under
     the corpus's own unigram LM (combiner-reduced counts, broadcast

@@ -1345,3 +1345,206 @@ def cms_term_counts(
     )
     out["overestimate"] = out["est_count"] - out["exact_count"]
     return out
+
+
+# ---------------------------------------------- exact substring dedup (cut)
+class DupSpanPositionStage:
+    """(doc_id, text) → one row per ``window``-token span OCCURRENCE
+    (bucket, whash, doc_id, pos) — the position-preserving map side of
+    exact substring dedup (the cut variant needs positions, so no
+    per-batch combine; the span stream is exchanged once, same as the
+    counting variant)."""
+
+    def __init__(self, window: int = 5, n_buckets: int = 1024, text_col: str = "text", id_col: str = "doc_id"):
+        if window < 2:
+            raise ValueError("require window >= 2")
+        self.window = window
+        self.n_buckets = np.uint64(n_buckets)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        th, rows, dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        wh, wrow = _row_windows(th, rows, self.window)
+        if wh.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "whash": pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        # position of each window inside its own row = global index minus
+        # the row's first-window global index
+        offs = np.zeros(dls.size + 1, dtype=np.int64)
+        np.cumsum(dls, out=offs[1:])
+        # windows are emitted in stream order; recompute per-row window
+        # starts: global window j at stream index i has pos = i - offs[row]
+        n = th.size - self.window + 1
+        idx = np.arange(n, dtype=np.int64)[rows[: n] == rows[self.window - 1 :]] if n > 0 else np.zeros(0, np.int64)
+        pos = idx - offs[wrow]
+        return pa.table(
+            {
+                "bucket": pa.array((wh % self.n_buckets).astype(np.int32)),
+                "whash": pa.array(wh.view(np.int64)),
+                self.id_col: pa.array(ids[wrow]),
+                "pos": pa.array(pos),
+            }
+        )
+
+
+def cut_duplicate_spans(
+    ds: Dataset,
+    window: int = 5,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+    shuffle_width: int | None = None,
+) -> Dataset:
+    """Exact substring dedup, cut variant (Lee et al. 2022): every token
+    covered by a ``window``-token span that appears verbatim in ≥2 docs is
+    REMOVED from every doc except the span's canonical owner (the min
+    doc_id that contains it).  Returns (doc_id, n_tokens, n_cut,
+    cleaned_text) for every doc; ``cleaned_text`` is the kept tokens
+    space-joined (the operator's contract is over the token stream).
+
+    Scale shape: exchange 1 ships the span-occurrence stream once on
+    whash coarse buckets (each bucket sees every occurrence of its spans
+    globally, so dup/owner election is exact); only the CUT occurrences
+    (doc, pos) leave — at 100 TB that is the duplicated fraction, not the
+    corpus.  Exchange 2 co-partitions those cut positions with the docs
+    table itself on doc-hash buckets (tag+union — the text is never
+    broadcast), and the per-bucket kernel is one tokenize + one
+    diff-array coverage cumsum + one vectorized list rebuild."""
+
+    def bucket_cuts(g: pa.Table) -> pa.Table:
+        # schema matches tag_docs so the two streams union cleanly
+        empty = pa.table(
+            {
+                "dbucket": pa.array([], type=pa.int32()),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        wh = g.column("whash").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, wh))
+        wh, doc, pos = wh[order], doc[order], pos[order]
+        hnew = np.empty(wh.size, dtype=bool)
+        hnew[0] = True
+        hnew[1:] = wh[1:] != wh[:-1]
+        seg = np.cumsum(hnew) - 1
+        n_seg = int(seg[-1]) + 1
+        # distinct docs per hash: doc changes within a segment
+        dnew = hnew.copy()
+        dnew[1:] |= doc[1:] != doc[:-1]
+        ndocs = np.bincount(seg[dnew], minlength=n_seg)
+        # canonical owner = min doc id; rows are doc-sorted within segment
+        keeper = doc[np.flatnonzero(hnew)]
+        cut = (ndocs[seg] >= 2) & (doc != keeper[seg])
+        if not cut.any():
+            return empty
+        cdoc, cpos = doc[cut], pos[cut]
+        dbucket = ((cdoc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "dbucket": pa.array(dbucket),
+                id_col: pa.array(cdoc),
+                "pos": pa.array(cpos),
+                "text": pa.nulls(cdoc.size, pa.string()),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dbucket = ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(np.int32)
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "dbucket": pa.array(dbucket),
+                id_col: pa.array(ids),
+                "pos": pa.array(np.full(ids.size, -1, dtype=np.int64)),
+                "text": _pc.fill_null(batch.column(text_col).cast(pa.string()), ""),
+            }
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_cut": pa.array([], type=pa.int64()),
+                "cleaned_text": pa.array([], type=pa.string()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        is_text = pos < 0
+        if not is_text.any():
+            return empty  # cuts without text rows cannot happen on real input
+        tg = g.filter(pa.array(is_text))
+        ids = tg.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = tg.column("text").take(pa.array(order)).combine_chunks()
+        tok = Tokenizer()
+        enc = tok.tokenize_codes(texts)
+        codes, rows, vocab, dls = enc
+        offs = np.zeros(dls.size + 1, dtype=np.int64)
+        np.cumsum(dls, out=offs[1:])
+        total = int(offs[-1])
+        diff = np.zeros(total + 1, dtype=np.int64)
+        cg = g.filter(pa.array(~is_text))
+        n_cut_rows = cg.num_rows
+        if n_cut_rows:
+            cdoc = cg.column(id_col).to_numpy(zero_copy_only=False)
+            cpos = cg.column("pos").to_numpy(zero_copy_only=False)
+            r = np.searchsorted(ids, cdoc)
+            # cut rows always reference docs present in this bucket
+            start = offs[r] + cpos
+            end = offs[r] + np.minimum(cpos + window, dls[r])
+            np.add.at(diff, start, 1)
+            np.add.at(diff, end, -1)
+        covered = np.cumsum(diff[:-1]) > 0 if total else np.zeros(0, dtype=bool)
+        n_cut = np.bincount(rows[covered], minlength=dls.size).astype(np.int64) if total else np.zeros(dls.size, np.int64)
+        keep = ~covered
+        kept_rows = rows[keep]
+        kept_counts = np.bincount(kept_rows, minlength=dls.size).astype(np.int64)
+        koffs = np.zeros(dls.size + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=koffs[1:])
+        kept_tokens = vocab.take(pa.array(codes[keep])) if total else pa.array([], type=pa.string())
+        lst = pa.LargeListArray.from_arrays(pa.array(koffs, type=pa.int64()), kept_tokens.cast(pa.string()))
+        import pyarrow.compute as _pc
+
+        cleaned = _pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n_tokens": pa.array(dls.astype(np.int64)),
+                "n_cut": pa.array(n_cut),
+                "cleaned_text": cleaned,
+            }
+        )
+
+    spans = ds.map_batches(
+        DupSpanPositionStage,
+        fn_constructor_kwargs={"window": window, "n_buckets": n_buckets, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )
+    if shuffle_width:
+        spans = spans.repartition(shuffle_width)
+    cuts = spans.groupby("bucket").map_groups(bucket_cuts, batch_format="pyarrow")
+    tagged = ds.map_batches(tag_docs, batch_format="pyarrow").union(cuts)
+    if shuffle_width:
+        tagged = tagged.repartition(shuffle_width)
+    return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pyarrow")

@@ -618,3 +618,50 @@ def test_cms_sketch_onesided_and_exact(ray_session):
         assert r.overestimate == r.est_count - r.exact_count
     # with w=32 and 120 terms there MUST be visible collisions
     assert (out["overestimate"] > 0).any()
+
+
+def test_cut_duplicate_spans_bruteforce(ray_session):
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import cut_duplicate_spans
+
+    texts = [
+        "a b c d e f g h",            # owner of a-b-c-d-e (min doc) — keeps it
+        "x a b c d e y z",            # non-owner: positions 1..5 covered
+        "p q r s t u v w",            # untouched
+        "short",                      # < window: untouched, 1 token
+        None,                         # empty
+        "x a b c d e y z",            # exact dup of doc 1 (non-owner of all its spans)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    out = (
+        cut_duplicate_spans(rd.from_arrow(t).repartition(3), window=5, n_buckets=7)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    W = 5
+    tok = Tokenizer()
+    docs = {i: tok.tokenize(x or "") for i, x in enumerate(texts)}
+    owners: dict[tuple, list] = {}
+    for i, toks in docs.items():
+        for k in range(max(len(toks) - W + 1, 0)):
+            owners.setdefault(tuple(toks[k : k + W]), []).append(i)
+    exp = {}
+    for i, toks in docs.items():
+        covered = [False] * len(toks)
+        for k in range(max(len(toks) - W + 1, 0)):
+            o = owners[tuple(toks[k : k + W])]
+            if len(set(o)) >= 2 and i != min(o):
+                for j in range(k, min(k + W, len(toks))):
+                    covered[j] = True
+        kept = [tk for tk, c in zip(toks, covered) if not c]
+        exp[i] = (len(toks), sum(covered), " ".join(kept))
+    assert len(out) == len(texts)
+    for r in out.itertuples(index=False):
+        n, cut, txt = exp[r.doc_id]
+        assert (r.n_tokens, r.n_cut, r.cleaned_text) == (n, cut, txt), r.doc_id
+    # doc 0 is the min owner → untouched; doc 1 loses its shared run; doc 5 loses everything
+    assert out.loc[0, "n_cut"] == 0
+    assert out.loc[1, "n_cut"] > 0
+    assert out.loc[5, "n_cut"] == len(docs[5])
+    assert out.loc[5, "cleaned_text"] == ""
