@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_trigrams": q.approx_distinct_trigrams,
         # pivot/crosstab: source rows x language count columns
         "source_lang_pivot": q.source_lang_pivot,
+        # ROLLUP: (lang, source) / (lang) / () levels from one pass
+        "docs_rollup": q.docs_rollup,
         # resumable partitioned curated-corpus write (read-back verified)
         "curated_corpus": q.curated_corpus,
         # deterministic 80/10/10 train/val/test assignment
@@ -1045,6 +1047,12 @@ agg AS (
 SELECT doc_id, n_windows, n_dup_windows,
        round(n_dup_windows / CAST(n_windows AS DOUBLE), 6) AS dup_frac
 FROM agg ORDER BY doc_id
+""",
+        # rollup levels with NULL markers, exactly as SQL ROLLUP emits them
+        "docs_rollup": """
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
 """,
         # pivot: fixed column set (conditional aggregation)
         "source_lang_pivot": """

@@ -509,6 +509,35 @@ def chars_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"])
 
 
+def docs_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate — (lang, source), (lang), () levels in ONE pass:
+    the finest-grain cells are combiner partials (bounded by
+    |langs|×|sources| per batch) and the coarser levels are derived from
+    the merged cells driver-side, since the measures are additive.  NULL
+    group keys mark rolled-up levels, as in SQL ROLLUP."""
+    ds = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["lang", "source"], sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fine = parts.groupby(["lang", "source"], sort=True).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")
+    ).reset_index()
+    by_lang = fine.groupby("lang", sort=True).agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum")).reset_index()
+    by_lang["source"] = None
+    total = pd.DataFrame(
+        {"lang": [None], "source": [None], "n_docs": [fine["n_docs"].sum()], "sum_chars": [fine["sum_chars"].sum()]}
+    )
+    out = pd.concat([fine, by_lang, total], ignore_index=True)[["lang", "source", "n_docs", "sum_chars"]]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out.sort_values(["lang", "source"], ignore_index=True, na_position="first")
+
+
 def source_lang_pivot(sf_dir: str) -> pd.DataFrame:
     """Pivot / crosstab: one row per source, one count column per language
     (fixed column set — pivots at scale are a bounded-cardinality reduce).
