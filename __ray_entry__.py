@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q.cms_counts,
         # per-label embedding centroids (vector aggregate, long format)
         "label_centroids": q.label_centroids,
+        # distributed Lloyd k-means (iterative algorithm, unrolled oracle)
+        "kmeans_clusters": q.kmeans_clusters,
         # regex PII scrubbing (emails/phones), counts + redacted text
         "pii_redacted": q.pii_redacted,
         # benchmark n-gram decontamination (broadcast trigram-set membership)
@@ -918,6 +920,36 @@ SELECT doc_id,
        regexp_replace(regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                       '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
 FROM aug ORDER BY doc_id
+""",
+        # Lloyd k-means unrolled: init = 4 smallest vec_ids, 3 centroid
+        # updates (empty clusters carry the previous centroid), final
+        # assignment; squared euclidean, min-cluster ties
+        "kmeans_clusters": """
+WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   unnest(range(len(embedding))) AS dim FROM embeddings),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT 4),
+c0 AS (SELECT i.cl, e.dim, e.x AS c FROM ids i JOIN ev e USING (vec_id)),
+d1 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c0 c USING (dim) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
+c1 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a1 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c1f AS (SELECT c0.cl, c0.dim, coalesce(c1.c, c0.c) AS c FROM c0 LEFT JOIN c1 USING (cl, dim)),
+d2 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c1f c USING (dim) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2),
+c2 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a2 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c2f AS (SELECT c1f.cl, c1f.dim, coalesce(c2.c, c1f.c) AS c FROM c1f LEFT JOIN c2 USING (cl, dim)),
+d3 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c2f c USING (dim) GROUP BY 1, 2),
+a3 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d3),
+c3 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a3 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c3f AS (SELECT c2f.cl, c2f.dim, coalesce(c3.c, c2f.c) AS c FROM c2f LEFT JOIN c3 USING (cl, dim)),
+d4 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c3f c USING (dim) GROUP BY 1, 2),
+a4 AS (SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d4)
+SELECT vec_id, cl AS cluster, round(dist, 6) AS dist
+FROM a4 WHERE rn = 1 ORDER BY vec_id
 """,
         # vector aggregate: element-wise mean per label, long format
         "label_centroids": """

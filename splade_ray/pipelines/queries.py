@@ -844,6 +844,18 @@ def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means (k=4, 3 iterations, deterministic init =
+    the 4 smallest vec_ids): per-vector final assignment + squared
+    distance — the iterative-algorithm showcase, SQL-replayable by
+    unrolling the iterations."""
+    from .ann import kmeans_assign
+
+    out = kmeans_assign(_emb(sf_dir), k=4, iters=3).to_pandas()
+    out["dist"] = out["dist"].round(6)
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     """Vector aggregate: per-label element-wise centroid of the embedding
     column, long format (label, dim, centroid, n_vecs).
