@@ -208,61 +208,52 @@ class IVFIndex:
 
 
 # ------------------------------------------------ distributed Lloyd k-means
-class _KmeansAssignStage:
-    """One Lloyd half-step: assign each vector to its nearest centroid
-    (squared euclidean, min-index ties) against a ``ray.put`` broadcast,
-    and emit either the per-batch (cluster, dim) partial sums + counts
-    (fit mode — ≤ k·d rows per batch regardless of batch size) or the
-    per-vector assignments (output mode)."""
+def _kmeans_dists(x: np.ndarray, cent: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Squared-euclidean assignment (min-cluster-index ties).  Per-cluster
+    sequential dim reduction — matches the SQL oracle's per-dim sum fold
+    more closely than a matmul identity."""
+    k = cent.shape[0]
+    dists = np.empty((x.shape[0], k), dtype=np.float64)
+    for c in range(k):
+        d = x - cent[c]
+        dists[:, c] = np.sum(d * d, axis=1)
+    assign = np.argmin(dists, axis=1)  # argmin takes the FIRST min
+    return assign, dists[np.arange(x.shape[0]), assign]
 
-    def __init__(self, cent_ref, emit: str, id_col: str = "vec_id", emb_col: str = "embedding"):
-        import ray
 
-        self.cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
-        self.emit = emit
-        self.id_col = id_col
-        self.emb_col = emb_col
-
-    def _assign(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        x = _as_matrix(batch.column(self.emb_col))
-        k = self.cent.shape[0]
-        # per-cluster sequential dim reduction — matches the SQL oracle's
-        # per-dim sum fold bit-for-bit more closely than a matmul identity
-        dists = np.empty((x.shape[0], k), dtype=np.float64)
-        for c in range(k):
-            d = x - self.cent[c]
-            dists[:, c] = np.sum(d * d, axis=1)
-        assign = np.argmin(dists, axis=1)  # argmin takes the FIRST min → min-index ties
-        return x, assign, dists[np.arange(x.shape[0]), assign]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            if self.emit == "fit":
-                return pa.table({"cl": pa.array([], type=pa.int64()), "dim": pa.array([], type=pa.int64()),
-                                 "s": pa.array([], type=pa.float64()), "cnt": pa.array([], type=pa.int64())})
-            return pa.table({self.id_col: pa.array([], type=pa.int64()), "cluster": pa.array([], type=pa.int64()),
-                             "dist": pa.array([], type=pa.float64())})
-        x, assign, best = self._assign(batch)
-        if self.emit == "fit":
-            k, d = self.cent.shape
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, assign, x)
-            cnt = np.bincount(assign, minlength=k).astype(np.int64)
-            return pa.table(
-                {
-                    "cl": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
-                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
-                    "s": pa.array(sums.ravel()),
-                    "cnt": pa.array(np.repeat(cnt, d)),
-                }
-            )
+def _kmeans_batch(batch: pa.Table, cent_ref, emit: str, id_col: str, emb_col: str) -> pa.Table:
+    """One Lloyd half-step as a stateless TASK (no actor-pool startup):
+    fit mode emits the per-batch (cluster, dim) partial sums + counts
+    (≤ k·d rows per batch), output mode the per-vector assignments."""
+    cent = ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+    if batch.num_rows == 0:
+        if emit == "fit":
+            return pa.table({"cl": pa.array([], type=pa.int64()), "dim": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64()), "cnt": pa.array([], type=pa.int64())})
+        return pa.table({id_col: pa.array([], type=pa.int64()), "cluster": pa.array([], type=pa.int64()),
+                         "dist": pa.array([], type=pa.float64())})
+    x = _as_matrix(batch.column(emb_col))
+    assign, best = _kmeans_dists(x, cent)
+    if emit == "fit":
+        k, d = cent.shape
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
         return pa.table(
             {
-                self.id_col: batch.column(self.id_col),
-                "cluster": pa.array(assign.astype(np.int64)),
-                "dist": pa.array(best),
+                "cl": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnt, d)),
             }
         )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "dist": pa.array(best),
+        }
+    )
 
 
 def kmeans_assign(
@@ -276,28 +267,38 @@ def kmeans_assign(
     """Distributed Lloyd k-means with a DETERMINISTIC spec so the whole
     algorithm is SQL-replayable (the classic iterative-algorithm shape):
 
-    - init: the ``k`` vectors with the smallest ids, in id order;
+    - init: the ``k`` vectors with the smallest ids, in id order (found
+      via a per-batch partial min-k + driver merge — no sort exchange);
     - ``iters`` full Lloyd iterations; squared-euclidean assignment with
       min-cluster-index ties; empty clusters keep their previous centroid;
     - returns the final per-vector assignment (id, cluster, dist).
 
-    Scale shape: each iteration is ONE streaming ``map_batches`` pass —
+    Scale shape: each iteration is ONE streaming stateless-task pass —
     centroids broadcast via ``ray.put``, per-batch partials are k·d rows
     (the combiner), the reduce is a driver sum over k·d cells.  No
     all-to-all anywhere; the corpus is read ``iters``+1 times (at 100 TB
     cache the upcast matrix columnar once and iterate over that)."""
-    import ray
 
-    init = ds.sort(id_col).limit(k).take_all()
-    cent = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in init])
+    def min_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch.select([id_col, emb_col])
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, emb_col]).take(pa.array(take))
+
+    seed = pa.concat_tables(
+        [b for b in ds.map_batches(min_k, batch_format="pyarrow").iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+    order = np.argsort(seed.column(id_col).to_numpy(zero_copy_only=False), kind="stable")[:k]
+    cent = _as_matrix(seed.column(emb_col).take(pa.array(order)))
     for _ in range(iters):
         ref = ray.put(cent)
         sums = np.zeros_like(cent)
         cnt = np.zeros(k, dtype=np.int64)
         for b in ds.map_batches(
-            _KmeansAssignStage,
-            fn_constructor_kwargs={"cent_ref": ref, "emit": "fit", "id_col": id_col, "emb_col": emb_col},
-            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+            _kmeans_batch,
+            fn_kwargs={"cent_ref": ref, "emit": "fit", "id_col": id_col, "emb_col": emb_col},
+            batch_format="pyarrow",
         ).iter_batches(batch_format="pyarrow"):
             if b.num_rows:
                 cl = b.column("cl").to_numpy(zero_copy_only=False)
@@ -309,7 +310,7 @@ def kmeans_assign(
         cent = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], cent)
     ref = ray.put(cent)
     return ds.map_batches(
-        _KmeansAssignStage,
-        fn_constructor_kwargs={"cent_ref": ref, "emit": "out", "id_col": id_col, "emb_col": emb_col},
-        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        _kmeans_batch,
+        fn_kwargs={"cent_ref": ref, "emit": "out", "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
     )
