@@ -665,3 +665,60 @@ def test_cut_duplicate_spans_bruteforce(ray_session):
     assert out.loc[1, "n_cut"] > 0
     assert out.loc[5, "n_cut"] == len(docs[5])
     assert out.loc[5, "cleaned_text"] == ""
+
+
+def test_kmeans_assign_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import kmeans_assign
+
+    rng = np.random.default_rng(19)
+    n, d, k, iters = 120, 8, 3, 3
+    X = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array([r.astype(np.float32) for r in X], type=pa.list_(pa.float32()))})
+    out = (
+        kmeans_assign(rd.from_arrow(t).repartition(4), k=k, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    # pure-numpy reference with the exact deterministic spec
+    Xd = X.astype(np.float32).astype(np.float64)
+    cent = Xd[:k].copy()
+    for _ in range(iters):
+        dist = ((Xd[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = Xd[a == c].mean(axis=0)
+    dist = ((Xd[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(dist, axis=1)
+    best = dist[np.arange(n), a]
+    assert out["cluster"].tolist() == a.tolist()
+    np.testing.assert_allclose(out["dist"].to_numpy(), best, rtol=1e-9)
+    assert len(set(out["cluster"])) == k
+
+
+def test_label_centroids_partition_invariant(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import label_centroids
+
+    rng = np.random.default_rng(23)
+    n, d = 60, 4
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    labels = rng.integers(0, 3, n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([r for r in X], type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = label_centroids(str(tmp_path))
+    for lab in np.unique(labels):
+        exp = X[labels == lab].astype(np.float64).mean(axis=0)
+        got = out[out.label == lab].sort_values("dim")["centroid"].to_numpy()
+        np.testing.assert_allclose(got, np.round(exp, 6), atol=1e-6)
+        assert (out[out.label == lab]["n_vecs"] == int((labels == lab).sum())).all()
