@@ -146,13 +146,37 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
         self.assigned: Dataset | None = None
 
-    def fit_assign(self, ds: Dataset, sample_fraction: float = 1.0, seed: int = 11) -> "IVFIndex":
+    def fit_assign(
+        self,
+        ds: Dataset,
+        sample_fraction: float | None = None,
+        seed: int = 11,
+        max_fit_vectors: int = 1 << 18,
+    ) -> "IVFIndex":
+        """Fit centroids on a BOUNDED sample, then assign the full dataset.
+
+        ``sample_fraction=None`` (default) derives the fraction from the
+        dataset row count so at most ~``max_fit_vectors`` rows ever reach
+        the driver — the centroid fit never concatenates the full corpus
+        embedding matrix (at 100 TB that matrix is the corpus).  Pass an
+        explicit fraction to override (tests use 1.0 for exactness)."""
+        if sample_fraction is None:
+            n = ds.count()
+            sample_fraction = min(1.0, max_fit_vectors / max(n, 1))
         sample_ds = ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=seed)
         chunks = [
             _as_matrix(b.column(self.emb_col))
             for b in sample_ds.select_columns([self.emb_col]).iter_batches(batch_format="pyarrow")
+            if b.num_rows
         ]
+        if not chunks:
+            raise ValueError("IVFIndex.fit_assign: dataset has no vectors")
         sample = _normalize(np.concatenate(chunks))
+        if sample.shape[0] > max_fit_vectors:
+            # explicit large fraction on a large corpus: keep the driver
+            # bounded anyway via a deterministic stride subsample
+            stride = int(np.ceil(sample.shape[0] / max_fit_vectors))
+            sample = sample[::stride]
         self.centroids = _kmeans_fit(sample, self.n_clusters, seed=seed)
         c_ref = ray.put(self.centroids)
         emb_col, id_col = self.emb_col, self.id_col
@@ -286,11 +310,17 @@ def kmeans_assign(
         take = np.argsort(ids, kind="stable")[:k]
         return batch.select([id_col, emb_col]).take(pa.array(take))
 
-    seed = pa.concat_tables(
-        [b for b in ds.map_batches(min_k, batch_format="pyarrow").iter_batches(batch_format="pyarrow") if b.num_rows]
-    )
+    seed_tabs = [
+        b for b in ds.map_batches(min_k, batch_format="pyarrow").iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not seed_tabs:
+        raise ValueError("kmeans_assign: dataset has no vectors")
+    seed = pa.concat_tables(seed_tabs)
     order = np.argsort(seed.column(id_col).to_numpy(zero_copy_only=False), kind="stable")[:k]
     cent = _as_matrix(seed.column(emb_col).take(pa.array(order)))
+    # fewer vectors than requested clusters: every vector seeds its own
+    # centroid — clamp k so the combiner/reduce arrays match cent's shape
+    k = cent.shape[0]
     for _ in range(iters):
         ref = ray.put(cent)
         sums = np.zeros_like(cent)

@@ -14,6 +14,15 @@ missing partitions' key ranges instead of re-shuffling the corpus.
 
 Partition key is ``doc_id % n_partitions`` (SQL-trivial, so the driver
 oracle can replay the full written output including partition ids).
+
+Storage contract: ``out_dir`` must be visible to every worker under the
+same path — a shared filesystem (NFS/FUSE-mounted object store) on a
+multi-node cluster, or any local path single-node.  The parquet + lineage
+writes happen INSIDE Ray tasks on whichever node runs the partition's
+group; without a shared mount, partitions land on different nodes' local
+disks and ``read_curated`` / crash-resume silently miss them.  (On object
+stores without atomic rename, route the data files through
+``Dataset.write_parquet`` and keep only the lineage JSONs here.)
 """
 
 from __future__ import annotations

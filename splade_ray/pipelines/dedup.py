@@ -461,22 +461,58 @@ def minhash_lsh_pairs(
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
-def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+def connected_components(
+    pairs,
+    *,
+    mode: str = "auto",
+    driver_pair_limit: int = 5_000_000,
+    nbuckets: int | None = None,
+):
     """Near-dup CLUSTER assignment from a verified pair list: one row per
     clustered doc — (doc_id, cluster_id = min doc id reachable over the
     pair graph, cluster_size).  ``doc_id == cluster_id`` marks the
     canonical representative a dedup pipeline would keep.
 
-    Runs as vectorized min-label propagation + pointer doubling over the
-    edge arrays on the driver: the pair list is PAIR-scale (the output of
-    the near-dup joins), the same size class those pipelines already
-    return as driver DataFrames.  Each sweep is two ``np.minimum.at``
-    scatters and a gather; pointer doubling keeps the sweep count
-    logarithmic in component diameter.  At 10^12-doc scale the identical
-    update rule runs distributed as alternating large-star/small-star
-    rounds over the coarse pair buckets (groupby-min per round, see
-    ``_pair_bucket``); this function is that seam.
+    Two execution paths, auto-selected on the edge count (same pattern as
+    ``resolve_dedup_mode``):
+
+    - **driver** (pair list ≤ ``driver_pair_limit``): vectorized min-label
+      propagation + pointer doubling over the edge arrays — the pair list
+      is the output of the near-dup joins, usually the same size class
+      those pipelines already return as driver DataFrames;
+    - **distributed** (anything larger, or any :class:`Dataset` input):
+      alternating large-star/small-star rounds (Kiveris et al. 2014) over
+      coarse node-hash buckets — each round is ONE sort exchange +
+      a lexsort-segmented numpy kernel per bucket (never a groupby on raw
+      node ids; see ``_pair_bucket`` for why), converging in
+      O(log² diameter) rounds to per-component stars rooted at the
+      component-min id.  No driver-side edge list anywhere, so a
+      boilerplate-heavy corpus whose pair graph is corpus-scale still
+      clusters.
+
+    DataFrame in → DataFrame out (sorted by doc_id); Dataset in → Dataset
+    out (unsorted, stream it onward).
     """
+    if isinstance(pairs, Dataset):
+        return connected_components_distributed(pairs, nbuckets=nbuckets)
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if len(pairs) == 0:
+        return _connected_components_driver(pairs)  # typed empty frame
+    if mode == "distributed" or (mode == "auto" and len(pairs) > driver_pair_limit):
+        import ray.data as _rd
+
+        edges = _rd.from_pandas(pairs[["id_a", "id_b"]]).repartition(
+            max(8, min(256, len(pairs) // 100_000 + 1))
+        )
+        out = connected_components_distributed(edges, nbuckets=nbuckets).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)[["doc_id", "cluster_id", "cluster_size"]]
+    return _connected_components_driver(pairs)
+
+
+def _connected_components_driver(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver path: two ``np.minimum.at`` scatters and a gather per sweep;
+    pointer doubling keeps the sweep count logarithmic in diameter."""
     cols = {
         "doc_id": pd.Series(dtype=np.int64),
         "cluster_id": pd.Series(dtype=np.int64),
@@ -506,6 +542,219 @@ def connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     _uniq, inv, cnt = np.unique(cluster, return_inverse=True, return_counts=True)
     out = pd.DataFrame({"doc_id": nodes, "cluster_id": cluster, "cluster_size": cnt[inv].astype(np.int64)})
     return out.sort_values("doc_id", ignore_index=True)
+
+
+# --------------------------------------- distributed connected components
+# Large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+# and Beyond", 2014): edges-only iteration, no node-state table.  Each phase
+# groups the (directed) edge list by a node key — through the COARSE bucket
+# exchange, like every other per-key reduce in this module — and emits
+# relabeled edges; the fixed point is one star per component, rooted at the
+# component-min id (identical semantics to the driver path).
+_CC_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _cc_orient(batch: pa.Table) -> pa.Table:
+    """(u, v) → (max, min), self-loops dropped — the canonical child→parent
+    orientation both phases emit.  Accepts (id_a, id_b) input columns so
+    near-dup pair Datasets feed in directly (rename_columns chokes on
+    pandas-block datasets).  Self-loops are KEPT: they mark singleton
+    clusters (driver-path parity) and ride the iteration unchanged until
+    the node gains a real neighbor, which drops them."""
+    ucol, vcol = ("id_a", "id_b") if "id_a" in batch.column_names else ("u", "v")
+    u = batch.column(ucol).to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch.column(vcol).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"u": pa.array(np.maximum(u, v)), "v": pa.array(np.minimum(u, v))})
+
+
+def _cc_both_directions(batch: pa.Table) -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    return pa.table({"u": pa.array(np.concatenate([u, v])), "v": pa.array(np.concatenate([v, u]))})
+
+
+def _cc_node_bucket(batch: pa.Table, nbuckets: int) -> pa.Table:
+    u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bucket = (splitmix64(u) % np.uint64(nbuckets)).astype(np.int32)
+    return batch.append_column("cc_bucket", pa.array(bucket))
+
+
+def _cc_segments(g: pa.Table):
+    """lexsort the bucket's (u, v) rows, collapse duplicate edges (copies
+    emitted by different source groups always share their key node → one
+    bucket → consecutive after the sort), and return per-u segment starts."""
+    u = g.column("u").to_numpy(zero_copy_only=False)
+    v = g.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (np.diff(u) != 0) | (np.diff(v) != 0)]
+    u, v = u[keep], v[keep]
+    bounds = np.r_[0, np.nonzero(np.diff(u))[0] + 1]
+    seglen = np.diff(np.r_[bounds, u.size])
+    return u, v, bounds, seglen
+
+
+def _cc_large_star(g: pa.Table) -> pa.Table:
+    """Group = all neighbors of each node u in the bucket (both directions
+    were emitted).  m = min(Γ(u) ∪ {u}); emit (v, m) for v > u."""
+    if g.num_rows == 0:
+        return _CC_EDGE_SCHEMA.empty_table()
+    u, v, bounds, seglen = _cc_segments(g)
+    m = np.minimum(u[bounds], v[bounds])  # v sorted within segment → v[bounds] = min neighbor
+    mm = np.repeat(m, seglen)
+    mask = v > u  # parent m <= u < v, so never a self-loop
+    out_u, out_v = v[mask], mm[mask]
+    # isolated self-loop nodes (their COMPLETE neighbor set — both edge
+    # directions land in this group — is just themselves) re-emit (u, u)
+    # so the singleton survives the round; any real neighbor removes it
+    solo = (seglen == 1) & (v[bounds] == u[bounds])
+    if solo.any():
+        s = u[bounds][solo]
+        out_u, out_v = np.concatenate([out_u, s]), np.concatenate([out_v, s])
+    return pa.table({"u": pa.array(out_u), "v": pa.array(out_v)})
+
+
+def _cc_small_star(g: pa.Table) -> pa.Table:
+    """Group = each node u with its SMALLER neighbors (edges oriented
+    max→min).  m = min neighbor; emit (u, m) plus (v, m) for v ≠ m."""
+    if g.num_rows == 0:
+        return _CC_EDGE_SCHEMA.empty_table()
+    u, v, bounds, seglen = _cc_segments(g)
+    m = v[bounds]
+    mm = np.repeat(m, seglen)
+    mask = v != mm
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([u[bounds], v[mask]])),
+            "v": pa.array(np.concatenate([m, mm[mask]])),
+        }
+    )
+
+
+def _cc_phase(edges: Dataset, kind: str, nbuckets: int) -> Dataset:
+    mapped = edges.map_batches(
+        _cc_both_directions if kind == "large" else _cc_orient, batch_format="pyarrow"
+    )
+    kernel = _cc_large_star if kind == "large" else _cc_small_star
+    return (
+        mapped.map_batches(_cc_node_bucket, fn_kwargs={"nbuckets": nbuckets}, batch_format="pyarrow")
+        .groupby("cc_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def _cc_stats(edges: Dataset) -> tuple[int, int]:
+    """(row count, order-free 64-bit multiset checksum) in one streaming
+    pass — equality across consecutive iterations certifies the fixed point
+    (the iteration is a deterministic function of the edge multiset, and
+    labels only decrease, so a repeat can never be a cycle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(splitmix64(u) ^ v)
+        return pa.table(
+            {
+                "cnt": pa.array([batch.num_rows], type=pa.int64()),
+                "hsum": pa.array([int(h.sum(dtype=np.uint64))], type=pa.uint64()),
+            }
+        )
+
+    cnt, hsum = 0, 0
+    for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            cnt += int(pa.compute.sum(b.column("cnt")).as_py() or 0)
+            for x in b.column("hsum").to_pylist():
+                hsum = (hsum + x) & 0xFFFFFFFFFFFFFFFF
+    return cnt, hsum
+
+
+def _cc_extract(edges: Dataset, nbuckets: int) -> Dataset:
+    """Fixed-point star edges (child, root) → (doc_id, cluster_id,
+    cluster_size) rows, including the root's own row.  Exchange keys on the
+    ROOT hash so every member of a cluster lands in one bucket segment."""
+
+    def bucket_root(batch: pa.Table) -> pa.Table:
+        r = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (splitmix64(r) % np.uint64(nbuckets)).astype(np.int32)
+        return batch.append_column("cc_bucket", pa.array(bucket))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    "cluster_size": pa.array([], type=pa.int64()),
+                }
+            )
+        child = g.column("u").to_numpy(zero_copy_only=False)
+        root = g.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((child, root))
+        child, root = child[order], root[order]
+        keep = np.r_[True, (np.diff(root) != 0) | (np.diff(child) != 0)]
+        child, root = child[keep], root[keep]
+        bounds = np.r_[0, np.nonzero(np.diff(root))[0] + 1]
+        seglen = np.diff(np.r_[bounds, root.size])
+        nonself = child != root  # self-loop star edge = singleton marker, not a member
+        real_cnt = np.add.reduceat(nonself.astype(np.int64), bounds)
+        sizes = real_cnt + 1  # + the root itself
+        csizes = np.repeat(sizes, seglen)[nonself]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([child[nonself], root[bounds]])),
+                "cluster_id": pa.array(np.concatenate([root[nonself], root[bounds]])),
+                "cluster_size": pa.array(np.concatenate([csizes, sizes]).astype(np.int64)),
+            }
+        )
+
+    return (
+        edges.map_batches(bucket_root, batch_format="pyarrow")
+        .groupby("cc_bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def connected_components_distributed(
+    edges: Dataset, *, nbuckets: int | None = None, max_rounds: int = 64
+) -> Dataset:
+    """Large-star/small-star connected components over an edge Dataset with
+    columns (id_a, id_b) or (u, v).  Returns a Dataset of
+    (doc_id, cluster_id, cluster_size) — cluster_id = component-min id,
+    exactly the driver path's labeling.  Per iteration: two coarse-bucket
+    sort exchanges + one streaming checksum pass, each over the
+    (monotonically shrinking-label) edge list; nothing edge-scale ever
+    reaches the driver."""
+    cols = edges.columns() or []  # None on schema-less (all-empty) datasets
+    if "id_a" in cols:
+        edges = edges.select_columns(["id_a", "id_b"])
+    edges = edges.map_batches(_cc_orient, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    "cluster_size": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    if nbuckets is None:
+        nbuckets = int(max(32, min(_PAIR_BUCKETS, n_edges // 50_000)))
+    prev: tuple[int, int] | None = None
+    for _ in range(max_rounds):
+        edges = _cc_phase(edges, "large", nbuckets)
+        edges = _cc_phase(edges, "small", nbuckets).materialize()
+        cur = _cc_stats(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components_distributed: no fixed point in {max_rounds} rounds")
+    return _cc_extract(edges, nbuckets)
 
 
 def ngram_jaccard_pairs(

@@ -1499,6 +1499,8 @@ def cut_duplicate_spans(
         texts = tg.column("text").take(pa.array(order)).combine_chunks()
         tok = Tokenizer()
         enc = tok.tokenize_codes(texts)
+        if enc is None:
+            raise NotImplementedError("cut_duplicate_spans requires an invertible (char-class) token pattern")
         codes, rows, vocab, dls = enc
         offs = np.zeros(dls.size + 1, dtype=np.int64)
         np.cumsum(dls, out=offs[1:])

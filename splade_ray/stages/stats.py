@@ -115,6 +115,11 @@ def compute_stats_fused(
         if len(flat):
             vc = pa.compute.value_counts(flat)
             keys, dfs = vc.field("values"), vc.field("counts").cast(pa.int64())
+            if id_mode == "ids":
+                # int64 key on EVERY partial: value_counts of list<int32>
+                # yields int32 keys, while the all-empty-batch fallback below
+                # is int64 — mixed partial schemas abort pa.concat_tables
+                keys = keys.cast(pa.int64())
         else:
             keys = pa.array([], type=pa.int64() if id_mode == "ids" else pa.string())
             dfs = pa.array([], type=pa.int64())

@@ -699,6 +699,78 @@ def test_kmeans_assign_matches_numpy(ray_session):
     assert len(set(out["cluster"])) == k
 
 
+def test_kmeans_assign_fewer_vectors_than_k(ray_session):
+    """n < k clamps to n singleton clusters instead of a broadcast crash
+    (ADVICE r2): every vector seeds (and keeps) its own centroid."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((3, 4))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+            "embedding": pa.array([r.astype(np.float32) for r in X], type=pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_assign(rd.from_arrow(t), k=8, iters=2).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert out["cluster"].tolist() == [0, 1, 2]
+    np.testing.assert_allclose(out["dist"].to_numpy(), 0.0, atol=1e-12)
+
+
+def test_ivf_fit_default_is_bounded(ray_session):
+    """Default fit_assign derives a bounded sample fraction (never the
+    full corpus on the driver) and search still returns exact top-k at
+    nprobe == n_clusters (probes every list)."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import IVFIndex, brute_force_topk
+
+    rng = np.random.default_rng(9)
+    n, d = 400, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    Q = rng.standard_normal((3, d))
+    idx = IVFIndex(n_clusters=4, nprobe=4).fit_assign(ds, max_fit_vectors=64)
+    got = idx.search(Q, k=5)
+    want = brute_force_topk(ds, Q, k=5)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stats_fused_all_empty_batch_ids_mode(ray_session):
+    """A batch whose tid lists are ALL empty must emit the same int64 key
+    schema as non-empty batches (ADVICE r2: mixed int32/int64 partials
+    abort pa.concat_tables)."""
+    import ray.data as rd
+
+    from splade_ray.stages.stats import compute_stats_fused
+
+    empty_tids = pa.table(
+        {
+            "tids": pa.array([[], []], type=pa.list_(pa.int32())),
+            "dl": pa.array([0, 0], type=pa.int64()),
+        }
+    )
+    full_tids = pa.table(
+        {
+            "tids": pa.array([[1, 2, 2], [3]], type=pa.list_(pa.int32())),
+            "dl": pa.array([3, 1], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow([empty_tids, full_tids])
+    vocab, buckets, sum_dl = compute_stats_fused(ds, id_mode="ids", with_buckets=False, num_buckets=1)
+    assert vocab["term_id"].tolist() == [1, 2, 3]
+    assert vocab["df"].tolist() == [1, 2, 1]
+    assert sum_dl == 4 and buckets.tolist() == [4]
+
+
 def test_label_centroids_partition_invariant(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
