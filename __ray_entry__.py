@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_match": q.boolean_and_match,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
+        "search_snippets_sharded": q.search_snippets_sharded,
         "retrieval_metrics_at10": q.retrieval_metrics_at10,
         # cross-encoder-style rerank + hard-negative mining (T7, J3/M14)
         "rerank_overlap": q.rerank_overlap,
@@ -361,6 +362,9 @@ ORDER BY p.query_id
     oracles = {
         "bm25_topk": bm25,
         "search_snippets": snippets,
+        # the sharded serving path (actor-held shards + k-bounded text
+        # fetches) must reproduce the identical snippet output
+        "search_snippets_sharded": snippets,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
         # so must the hashed-vocab build (same df/idf per term)

@@ -189,6 +189,32 @@ def search_snippets(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def search_snippets_sharded(sf_dir: str) -> pd.DataFrame:
+    """`search_snippets` routed ENTIRELY through the sharded serving path
+    (:meth:`ShardedSearcher.snippets`): shard actors score their own
+    partitions and fetch only their local top-k candidates' texts via
+    k-bounded url-predicate parquet reads — no IndexReader over the whole
+    index, no corpus scan.  Output (and SQL oracle) identical to
+    `search_snippets`."""
+    from .search import ShardedSearcher
+
+    W = 12
+    index_dir = build_documents_index(sf_dir)
+    searcher = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        rows = []
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, _s, url, start, n_hits, snippet) in enumerate(
+                searcher.snippets(text, k=5, W=W), 1
+            ):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), start, n_hits, snippet))
+    finally:
+        searcher.shutdown()
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "start_tok", "n_hits", "snippet"]
+    ).sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
     """Incremental build: split the corpus into two segments, build each
     with continued doc numbering, merge the term runs

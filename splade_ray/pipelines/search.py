@@ -663,14 +663,47 @@ class SearcherStage:
         )
 
 
+def best_snippet_window(th: np.ndarray, qh: np.ndarray, W: int) -> tuple[int, int, int]:
+    """Best W-token window over one doc's md5 token stream: (start, end,
+    n_hits) with the most query-term occurrence positions inside the
+    window, earliest start on ties — the exact rule of the
+    ``search_snippets`` pipeline (queries.py), shared by the sharded
+    serving path so both produce identical windows."""
+    n = th.size
+    if qh.size:
+        ins = np.searchsorted(qh, th)
+        ishit = (qh[np.minimum(ins, qh.size - 1)] == th).astype(np.int64)
+    else:
+        ishit = np.zeros(n, np.int64)
+    csum = np.concatenate(([0], np.cumsum(ishit)))
+    n_starts = max(n - W + 1, 1)
+    wsum = csum[np.minimum(np.arange(n_starts) + W, n)] - csum[:n_starts]
+    s = int(np.argmax(wsum)) if n else 0  # first max → earliest tie
+    return s, min(s + W, n), int(wsum[s]) if n else 0
+
+
 @ray.remote
 class ShardScorerActor:
     """Pins one (or a few) shard partitions; serves scatter-gather scoring.
-    Reference T5 pattern (pinned postings + reusable buffers)."""
+    Reference T5 pattern (pinned postings + reusable buffers).
 
-    def __init__(self, index_dir: str, shard_ids: list[int], cfg_kwargs: dict | None = None):
+    ``corpus_path`` (optional) points at the corpus parquet the index was
+    built from (url, text, ...): snippet requests then fetch ONLY the
+    local top-k candidates' rows via a url-predicate parquet read — the
+    k-bounded point lookup a doc-partitioned serving node does against
+    its own document store."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        shard_ids: list[int],
+        cfg_kwargs: dict | None = None,
+        corpus_path: str | None = None,
+    ):
         cfg = EngineConfig(**(cfg_kwargs or {}))
         self.reader = IndexReader(index_dir, cfg, shard_ids=shard_ids)
+        self.corpus_path = corpus_path
+        self.tok = Tokenizer(cfg)
 
     def score(self, qtids: np.ndarray, qw: np.ndarray, k: int, method: str = "exhaustive"):
         cands_d, cands_s, cands_u = [], [], []
@@ -695,13 +728,51 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_snippets(self, qtids: np.ndarray, qw: np.ndarray, qh: np.ndarray, k: int, W: int, method: str = "exhaustive"):
+        """Local top-k + best-window snippets for THIS actor's shards.
+        Texts come from a url-IN-candidates parquet read (k-bounded rows;
+        row groups without matches are pruned by column statistics)."""
+        if self.corpus_path is None:
+            raise ValueError("ShardScorerActor needs corpus_path for snippet serving")
+        from ..functions.hashing import md5_u64
+
+        d, s, urls = self.score(qtids, qw, k, method)
+        if d.size == 0:
+            return d, s, [], [], [], []
+        # keep only the local top-k — snippets for docs that cannot reach
+        # the global top-k are wasted fetches
+        order = np.lexsort((d, -s))[:k]
+        d, s = d[order], s[order]
+        urls = [urls[i] for i in order]
+        import pyarrow.dataset as pads
+
+        tbl = pq.read_table(
+            self.corpus_path, columns=["url", "text"], filters=pads.field("url").isin(urls)
+        )
+        text_of = dict(zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()))
+        starts, hits, snips = [], [], []
+        for u in urls:
+            toks = self.tok.tokenize(text_of.get(u, "") or "")
+            th = md5_u64(toks) if toks else np.zeros(0, np.uint64)
+            st, en, nh = best_snippet_window(th, qh, W)
+            starts.append(st)
+            hits.append(nh)
+            snips.append(" ".join(toks[st:en]))
+        return d, s, urls, starts, hits, snips
+
 
 class ShardedSearcher:
     """Driver-side scatter-gather over per-shard scorer actors — the
     multi-node deployment shape (each actor would be scheduled on the node
     owning its partition)."""
 
-    def __init__(self, index_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, num_actors: int | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        num_actors: int | None = None,
+        corpus_path: str | None = None,
+    ):
         self.cfg = cfg
         pdir = os.path.join(index_dir, "postings")
         shard_ids = sorted(
@@ -715,7 +786,11 @@ class ShardedSearcher:
         # (k1/b/zone_docs) — a default-config actor would misread zone ids
         # and diverge from the local reader
         cfg_kwargs = dataclasses.asdict(cfg)
-        self.actors = [ShardScorerActor.remote(index_dir, g, cfg_kwargs) for g in groups]
+        if corpus_path is None:
+            # the documents-index adapter caches its corpus inside index_dir
+            cand = os.path.join(index_dir, "corpus_input.parquet")
+            corpus_path = cand if os.path.exists(cand) else None
+        self.actors = [ShardScorerActor.remote(index_dir, g, cfg_kwargs, corpus_path) for g in groups]
         # query-side state (vocab) loaded once locally, no shards
         self.reader = IndexReader(index_dir, cfg, shard_ids=[])
 
@@ -747,6 +822,44 @@ class ShardedSearcher:
         order = np.lexsort((d, -s))[:k]
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def snippets(self, text: str, k: int = 5, W: int = 12, method: str = "exhaustive"):
+        """Top-k + best-W-token-window snippets, served ENTIRELY by the
+        shard actors: each owner scores its shards and fetches only its
+        own local-top-k candidates' texts (k-bounded point reads), the
+        driver merges per-shard results — no :class:`IndexReader` over the
+        whole index, no corpus scan.  Window rule identical to the
+        ``search_snippets`` pipeline (shared ``best_snippet_window``).
+
+        Returns [(doc_id, score, url, start_tok, n_hits, snippet)] in
+        (-score, doc_id) order."""
+        from ..functions.hashing import md5_u64
+
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        toks = self.reader.tok.tokenize(text)
+        qh = np.unique(md5_u64(toks)) if toks else np.zeros(0, np.uint64)
+        futs = [a.score_snippets.remote(qtids, qw, qh, k, W, method) for a in self.actors]
+        docs, scores, urls, starts, hits, snips = [], [], [], [], [], []
+        for d, s, u, st, nh, sn in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+            starts.extend(st)
+            hits.extend(nh)
+            snips.extend(sn)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        if d.size == 0:
+            return []
+        s = np.concatenate(scores)
+        order = np.lexsort((d, -s))[:k]
+        return [
+            (int(d[i]), float(s[i]), str(urls[i]), int(starts[i]), int(hits[i]), str(snips[i]))
+            for i in order
+        ]
 
     def shutdown(self):
         for a in self.actors:

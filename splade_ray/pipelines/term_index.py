@@ -260,14 +260,114 @@ class TermIndexReader:
 
     def set_doc_lengths(self, dl: np.ndarray):
         """Precompute float64 BM25 weights per posting (identical formula
-        to ShardIndex/oracle) — queries then only gather and accumulate."""
+        to ShardIndex/oracle) — queries then only gather and accumulate.
+
+        Also sorts each term's postings by GLOBAL doc id (a term's salted
+        runs interleave doc ranges, so the raw concatenation isn't sorted)
+        and builds per-(term, zone) block maxima over the final weights —
+        the block-max WAND structures of the doc-sharded ShardIndex, on
+        the term-major layout.  Zones are aligned ``doc_id // zone_docs``
+        ranges, identical across readers, so a term-PARTITIONED deployment
+        can sum per-reader zone bounds into exact global upper bounds."""
         cfg = self.cfg
+        tidx = np.repeat(np.arange(self.term_ids.size, dtype=np.int64), np.diff(self.term_ptr))
+        order = np.lexsort((self.post_doc, tidx))
+        self.post_doc = self.post_doc[order]
+        self._tf = self._tf[order]
+        self._post_df = self._post_df[order]
         dlf = dl.astype(np.float64)
         idf = bm25_idf(self._post_df.astype(np.float64), self.n_docs)
         tf = self._tf
         self.post_w = idf * tf * (cfg.k1 + 1.0) / (
             tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dlf[self.post_doc] / self.avgdl)
         )
+        # per-(term, zone) maxima: postings now sorted by (term, doc), so
+        # zone segments are contiguous — one diff + maximum.reduceat
+        self.zone_docs = int(cfg.zone_docs)
+        z = self.post_doc // self.zone_docs
+        if z.size:
+            change = np.r_[True, (np.diff(tidx) != 0) | (np.diff(z) != 0)]
+            bounds = np.flatnonzero(change)
+            self.zone_zid = z[bounds]
+            self.zone_max = np.maximum.reduceat(self.post_w, bounds)
+            ztidx = tidx[bounds]
+            self.zone_ptr = np.searchsorted(ztidx, np.arange(self.term_ids.size + 1))
+        else:
+            self.zone_zid = np.zeros(0, np.int64)
+            self.zone_max = np.zeros(0, np.float64)
+            self.zone_ptr = np.zeros(self.term_ids.size + 1, np.int64)
+
+    def _query_terms(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        tids = self.vocab_index.get_indexer(uniq)
+        known = tids >= 0
+        return tids[known].astype(np.int64), counts[known].astype(np.float64)
+
+    def _term_slices(self, tids: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """(query-term idx, posting start, posting end, local term pos) for
+        each query term this reader holds."""
+        pos = np.searchsorted(self.term_ids, tids)
+        out = []
+        for i in range(tids.size):
+            p = pos[i]
+            if p < self.term_ids.size and self.term_ids[p] == tids[i]:
+                out.append((i, int(self.term_ptr[p]), int(self.term_ptr[p + 1]), int(p)))
+        return out
+
+    def zone_bounds(self, tids: np.ndarray, qw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """This reader's contribution to the per-zone score upper bound:
+        Σ over its query terms of qw_t · zone_max_t[z].  Bounds from
+        disjoint term ranges SUM to the exact global block-max bound."""
+        assert self.post_w is not None, "call set_doc_lengths first"
+        slices = self._term_slices(tids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        z_parts, ub_parts = [], []
+        for i, _s, _e, p in slices:
+            zs, ze = self.zone_ptr[p], self.zone_ptr[p + 1]
+            z_parts.append(self.zone_zid[zs:ze])
+            ub_parts.append(self.zone_max[zs:ze] * qw[i])
+        allz = np.concatenate(z_parts)
+        uz, inv = np.unique(allz, return_inverse=True)
+        return uz, np.bincount(inv, weights=np.concatenate(ub_parts))
+
+    def _gather_zones(self, slices, zones: np.ndarray, qw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(global doc ids, query-weighted impacts) of every posting inside
+        ``zones`` — searchsorted + one flat gather per query term (postings
+        per term are doc-sorted after set_doc_lengths)."""
+        zd = self.zone_docs
+        lo_doc, hi_doc = zones * zd, (zones + 1) * zd
+        ids_parts, w_parts = [], []
+        for i, s, e, _p in slices:
+            seg = self.post_doc[s:e]
+            lo = np.searchsorted(seg, lo_doc) + s
+            hi = np.searchsorted(seg, hi_doc) + s
+            lens = hi - lo
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            csum = np.cumsum(lens)
+            idx = np.arange(tot, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(lo, lens)
+            ids_parts.append(self.post_doc[idx])
+            w_parts.append(self.post_w[idx] * qw[i])
+        if not ids_parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return np.concatenate(ids_parts), np.concatenate(w_parts)
+
+    def score_zones(self, tids: np.ndarray, qw: np.ndarray, zones: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Zone-restricted partial scores (candidate-scoped unique+bincount
+        — never a dense corpus vector)."""
+        slices = self._term_slices(tids)
+        if not slices or zones.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids, w = self._gather_zones(slices, zones, qw)
+        if ids.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand, inv = np.unique(ids, return_inverse=True)
+        return cand, np.bincount(inv, weights=w)
 
     def score_partial(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """(candidate doc ids, PARTIAL scores) from the runs THIS reader
@@ -275,30 +375,25 @@ class TermIndexReader:
         deployment.  Score order is irrelevant for Σ qw·w, so partials from
         disjoint term ranges sum exactly to the full score."""
         assert self.post_w is not None, "call set_doc_lengths first"
-        toks = self.tok.tokenize(text)
-        if not toks:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        tids = self.vocab_index.get_indexer(uniq)
-        known = tids >= 0
-        tids, qw = tids[known].astype(np.int64), counts[known].astype(np.float64)
+        tids, qw = self._query_terms(text)
         if tids.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        pos = np.searchsorted(self.term_ids, tids)
-        ids_parts, w_parts = [], []
-        for i in range(tids.size):
-            p = pos[i]
-            if p < self.term_ids.size and self.term_ids[p] == tids[i]:
-                s, e = self.term_ptr[p], self.term_ptr[p + 1]
-                ids_parts.append(self.post_doc[s:e])
-                w_parts.append(self.post_w[s:e] * qw[i])
-        if not ids_parts:
+        slices = self._term_slices(tids)
+        if not slices:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        ids = np.concatenate(ids_parts)
+        ids = np.concatenate([self.post_doc[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qw[i] for i, s, e, _ in slices])
         cand, inv = np.unique(ids, return_inverse=True)
-        return cand, np.bincount(inv, weights=np.concatenate(w_parts))
+        return cand, np.bincount(inv, weights=w)
 
-    def search(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float]]:
+        """Top-k over this reader's runs.  ``method="wand"`` uses the
+        two-phase block-max pruning (rank-identical to exhaustive, tested);
+        note it is exact only when this reader holds EVERY query term's
+        runs (full term range) — a term-range reader must prune through
+        :func:`search_term_partitioned`, which sums bounds across readers."""
+        if method == "wand":
+            return search_term_partitioned([self], text, k, method="wand")
         cand, scores = self.score_partial(text)
         if cand.size == 0:
             return []
@@ -307,19 +402,71 @@ class TermIndexReader:
         return [(int(cand[i]), float(scores[i])) for i in order]
 
 
-def search_term_partitioned(readers: list[TermIndexReader], text: str, k: int = 10) -> list[tuple[int, float]]:
+def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    if ids.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    sc = np.concatenate([p[1] for p in parts])
+    cand, inv = np.unique(ids, return_inverse=True)
+    return cand, np.bincount(inv, weights=sc)
+
+
+def _topk_list(cand: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    if cand.size == 0:
+        return []
+    kk = min(k, cand.size)
+    order = np.lexsort((cand, -scores))[:kk]
+    return [(int(cand[i]), float(scores[i])) for i in order]
+
+
+def search_term_partitioned(
+    readers: list[TermIndexReader],
+    text: str,
+    k: int = 10,
+    method: str = "exhaustive",
+    top_zones: int = 32,
+    fallback_frac: float = 0.5,
+) -> list[tuple[int, float]]:
     """Scatter-gather over TERM-partitioned readers (each holding a
     disjoint term-id range): per-partition partial scores sum exactly —
     unlike doc-sharded top-k merge, the gather must ADD contributions for
     the same doc before ranking.  This is the query model of the
-    term-major layout on a cluster where each node owns a term range."""
-    parts = [r.score_partial(text) for r in readers]
-    ids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
-    if ids.size == 0:
-        return []
-    sc = np.concatenate([p[1] for p in parts])
-    cand, inv = np.unique(ids, return_inverse=True)
-    scores = np.bincount(inv, weights=sc)
-    kk = min(k, cand.size)
-    order = np.lexsort((cand, -scores))[:kk]
-    return [(int(cand[i]), float(scores[i])) for i in order]
+    term-major layout on a cluster where each node owns a term range.
+
+    ``method="wand"`` runs the two-phase block-max pruning DISTRIBUTED:
+    zones are global aligned doc-id ranges identical across readers, so
+    per-reader zone bounds (each reader's Σ qw·zone_max over ITS terms)
+    sum to the exact global upper bound, and a doc's full score is the sum
+    of the per-reader partials for its one zone.  Phase 1 exact-scores the
+    ``top_zones`` best-bounded zones on every reader to establish the kth
+    threshold; phase 2 scores only zones whose summed bound can still
+    beat it.  Falls back to exhaustive when the bound distribution is flat
+    (same rule as ShardIndex.score_wand).  Rank-identical to exhaustive."""
+    if method == "wand":
+        qterms = [r._query_terms(text) for r in readers]
+        bounds = [r.zone_bounds(t, w) for r, (t, w) in zip(readers, qterms)]
+        allz = np.concatenate([b[0] for b in bounds]) if bounds else np.zeros(0, np.int64)
+        if allz.size == 0:
+            return []
+        uz, inv = np.unique(allz, return_inverse=True)
+        ub = np.bincount(inv, weights=np.concatenate([b[1] for b in bounds]))
+        order = np.argsort(-ub, kind="stable")
+        uz, ub = uz[order], ub[order]
+        if uz.size <= top_zones or ub[uz.size // 2] >= 0.85 * ub[0]:
+            return search_term_partitioned(readers, text, k, method="exhaustive")
+        z1 = uz[:top_zones]
+        cand1, sc1 = _merge_partials([r.score_zones(t, w, z1) for r, (t, w) in zip(readers, qterms)])
+        sel = None
+        if cand1.size >= k:
+            t_kth = sc1[np.argpartition(-sc1, k - 1)[:k]].min()
+            # ub >= t keeps boundary ties exact under the (-score, doc_id) rule
+            sel = ub[top_zones:] >= t_kth
+        if sel is None or int(sel.sum()) > fallback_frac * (uz.size - top_zones):
+            return search_term_partitioned(readers, text, k, method="exhaustive")
+        z2 = uz[top_zones:][sel]
+        cand2, sc2 = _merge_partials([r.score_zones(t, w, z2) for r, (t, w) in zip(readers, qterms)])
+        # a doc lives in exactly one zone → phase sets are disjoint
+        cand = np.concatenate([cand1, cand2])
+        return _topk_list(cand, np.concatenate([sc1, sc2]), k)
+    cand, scores = _merge_partials([r.score_partial(text) for r in readers])
+    return _topk_list(cand, scores, k)

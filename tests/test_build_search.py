@@ -82,6 +82,33 @@ def test_sharded_equals_local(built_index, reader):
         ss.shutdown()
 
 
+def test_sharded_snippets(built_index, reader, web_pages_path):
+    """Snippets on the sharded serving path: ranking identical to the
+    local reader; windows follow the shared best-window rule (most query
+    hits, earliest start) over the corpus text."""
+    from splade_ray.functions.hashing import md5_u64
+    from splade_ray.pipelines.search import best_snippet_window
+
+    index_dir, cfg = built_index
+    corpus = pq.read_table(web_pages_path, columns=["url", "text"])
+    text_of = dict(zip(corpus.column("url").to_pylist(), corpus.column("text").to_pylist()))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=web_pages_path)
+    try:
+        for text in generate_queries(12)["text"].to_pylist():
+            got = ss.snippets(text, k=5, W=12)
+            want = reader.search(text, 5)
+            assert [(d, s, u) for d, s, u, *_ in got] == want, text
+            toks_q = reader.tok.tokenize(text)
+            qh = np.unique(md5_u64(toks_q))
+            for d, s, u, start, n_hits, snip in got:
+                toks = reader.tok.tokenize(text_of[u])
+                st, en, nh = best_snippet_window(md5_u64(toks), qh, 12)
+                assert (start, n_hits, snip) == (st, nh, " ".join(toks[st:en])), u
+                assert n_hits >= 1  # a top-5 BM25 hit contains a query term
+    finally:
+        ss.shutdown()
+
+
 def test_empty_and_oov_queries(reader):
     assert reader.search("", 10) == []
     assert reader.search("zzznotaword", 10) == []
