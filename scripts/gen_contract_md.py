@@ -11,8 +11,11 @@ text (view names referenced); no-oracle queries get a documented fallback.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -48,7 +51,9 @@ query's oracle references (`/root/testdata/sf*/{table}.parquet`).
 
 
 def tables_of(sql: str) -> str:
-    found = [t for t in TABLES if re.search(rf"\b{t}\b", sql)]
+    # only FROM/JOIN references count — a query-string literal containing
+    # the word "customer" is not a table dependency
+    found = [t for t in TABLES if re.search(rf"(?:from|join)\s+{t}\b", sql, re.I)]
     return ", ".join(found) if found else "(inline fixture)"
 
 
@@ -58,7 +63,7 @@ def main(p001: str, p01: str):
     oracles = entrymod.oracle_sql()
     r1 = json.load(open(p001))["queries"]
     r2 = json.load(open(p01))["queries"]
-    lines = [HEADER]
+    lines = [HEADER.rstrip("\n")]
     for name in sorted(set(r1) | set(r2)):
         if name in oracles:
             okind = "SQL"

@@ -212,7 +212,30 @@ class TorchSpladeBackend:
         self.model = AutoModelForMaskedLM.from_pretrained(model_name)
         if checkpoint_path:
             state = torch.load(checkpoint_path, map_location="cpu")
-            self.model.load_state_dict(state.get("state_dict", state), strict=False)
+            state = state.get("state_dict", state)
+            # Lightning-style checkpoints prefix keys with the module
+            # attribute path (reference encode.py loads `model.model.*`);
+            # strip whichever prefix maximizes key overlap, and fail LOUDLY
+            # on zero overlap — strict=False alone would silently load
+            # nothing and serve the base weights
+            own = set(self.model.state_dict().keys())
+
+            def _strip(prefix: str) -> dict:
+                return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+            best = state
+            best_hits = len(own & set(state.keys()))
+            for prefix in ("model.", "module.", "model.model."):
+                cand = _strip(prefix)
+                hits = len(own & set(cand.keys()))
+                if hits > best_hits:
+                    best, best_hits = cand, hits
+            if best_hits == 0:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} shares no parameter names with "
+                    f"{model_name!r} (tried raw keys and model./module. prefixes)"
+                )
+            self.model.load_state_dict(best, strict=False)
         self.model.eval().to(device)
         if torch_compile and hasattr(torch, "compile"):
             self.model = torch.compile(self.model)

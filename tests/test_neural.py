@@ -170,3 +170,42 @@ def test_torch_backend_end_to_end():
     assert out.num_rows == 2
     assert out.column("tids").type == pa_.list_(pa_.int32())
     assert all(len(r) > 0 for r in out.column("tids").to_pylist())
+
+
+def test_torch_backend_checkpoint_roundtrip(tmp_path):
+    """Checkpoint load must round-trip a state dict in BOTH the raw and
+    the Lightning-style `{"state_dict": {"model.<k>": v}}` shapes (the
+    reference's encode.py loads the latter), and fail LOUDLY on a
+    checkpoint sharing no parameter names.  Runs wherever torch +
+    transformers exist; skipped in this container."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("torch") is None or importlib.util.find_spec("transformers") is None:
+        pytest.skip("torch/transformers not installed in this container")
+    import torch
+
+    from splade_ray.stages.neural import TorchSpladeBackend
+
+    name = "distilbert-base-uncased"
+    base = TorchSpladeBackend(model_name=name)
+    # perturb one weight so a successful load is observable
+    sd = {k: v.clone() for k, v in base.model.state_dict().items()}
+    probe = next(k for k, v in sd.items() if v.dtype.is_floating_point)
+    sd[probe] = sd[probe] + 1.0
+
+    raw_path = str(tmp_path / "raw.pt")
+    torch.save(sd, raw_path)
+    b1 = TorchSpladeBackend(model_name=name, checkpoint_path=raw_path)
+    assert torch.allclose(b1.model.state_dict()[probe], sd[probe])
+
+    pl_path = str(tmp_path / "lightning.ckpt")
+    torch.save({"state_dict": {f"model.{k}": v for k, v in sd.items()}}, pl_path)
+    b2 = TorchSpladeBackend(model_name=name, checkpoint_path=pl_path)
+    assert torch.allclose(b2.model.state_dict()[probe], sd[probe])
+
+    bad_path = str(tmp_path / "bad.pt")
+    torch.save({"not_a_param": torch.zeros(3)}, bad_path)
+    with pytest.raises(ValueError, match="shares no parameter names"):
+        TorchSpladeBackend(model_name=name, checkpoint_path=bad_path)
