@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity (NEAR/w) retrieval: min-gap verify over merged
         # occurrence positions in the forward streams
         "near_topk": q.near_topk,
+        # multi-field BM25 with field boosts (per-field term-major indexes,
+        # additive scatter-gather)
+        "bm25_fields_topk": q.bm25_fields_topk,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
         # best-window snippet extraction over the BM25 top-5
@@ -117,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components + canonical-doc election over the verified
         # near-dup pair graph
         "dedup_clusters": q.dedup_clusters,
+        # same clustering forced through the distributed large-star/
+        # small-star rounds (no driver edge list) — same oracle
+        "dedup_clusters_dist": q.dedup_clusters_dist,
         "simhash_pairs": q.simhash_pairs,
         "embedding_near_dups": q.embedding_near_dups,
         # similarity search
@@ -243,6 +249,7 @@ FROM s ORDER BY doc_id
 """
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
     from splade_ray.pipelines.queries import NEAR_QUERIES, PHRASE_QUERIES
+    from splade_ray.pipelines.queries import _FIELD_TITLE_TOKS as queries_mod_title_toks
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
     near_values = ", ".join(f"('{qid}', '{ta}', '{tb}', {w})" for qid, ta, tb, w in NEAR_QUERIES)
@@ -1276,7 +1283,48 @@ comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
 SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp ORDER BY doc_id
 """
+    # the distributed large-star/small-star path must produce the
+    # identical clustering
+    oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
+    # multi-field BM25 with boosts: title = first 8 tokens, body = rest,
+    # each field its own df/avgdl/n_docs statistics (dl from the list
+    # length so zero-token fields still count toward n_docs/avgdl),
+    # score = 2.0·BM25_title + 1.0·BM25_body
+    oracles["bm25_fields_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+base AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+f AS (
+  SELECT doc_id, 'title' AS field, l[1:{queries_mod_title_toks}] AS fl FROM base
+  UNION ALL
+  SELECT doc_id, 'body', l[{queries_mod_title_toks + 1}:] FROM base
+),
+ftoks AS (SELECT doc_id, field, unnest(fl) AS term FROM f),
+ftf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT field, doc_id, len(fl)::DOUBLE AS dl FROM f),
+fstats AS (SELECT field, avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM fdl GROUP BY field),
+fdf AS (SELECT field, term, count(*)::DOUBLE AS df FROM ftf GROUP BY 1, 2),
+scores AS (
+  SELECT q.query_id, t.doc_id,
+         sum((CASE WHEN t.field = 'title' THEN 2.0 ELSE 1.0 END)
+             * q.qtf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN ftf t ON t.term = q.term
+  JOIN fdf d ON d.term = q.term AND d.field = t.field
+  JOIN fdl l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN fstats s ON s.field = t.field
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
     # fake-decoder media features: per-256-byte-chunk means of the
     # closed-form payload bytes ((id*131 + j*31 + 7) mod 256), metadata
     # closed-form in media_id — pure SQL arithmetic

@@ -284,6 +284,101 @@ def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+_FIELD_TITLE_TOKS = 8
+_FIELD_BOOSTS = {"title": 2.0, "body": 1.0}
+
+
+def _field_text(batch: pa.Table, field: str) -> pa.Table:
+    """Deterministic multi-field projection of the documents corpus:
+    title = the first 8 tokens, body = the rest — rebuilt as
+    space-joined token strings so re-tokenizing a field yields exactly
+    the SQL oracle's list-slice of the full token array.  All Arrow/numpy
+    (token gather by flat index, binary_join); no per-token Python."""
+    from ..tokenizer import Tokenizer
+
+    import pyarrow.compute as pc
+
+    enc = Tokenizer().tokenize_codes(batch.column("text").combine_chunks())
+    if enc is None:
+        raise NotImplementedError("field projection requires an invertible (char-class) token pattern")
+    codes, _rows, vocab, dls = enc
+    offs = np.zeros(dls.size + 1, dtype=np.int64)
+    np.cumsum(dls, out=offs[1:])
+    cut = np.minimum(offs[:-1] + _FIELD_TITLE_TOKS, offs[1:])
+    starts, ends = (offs[:-1], cut) if field == "title" else (cut, offs[1:])
+    lens = ends - starts
+    total = int(lens.sum())
+    if total:
+        csum = np.cumsum(lens)
+        idx = np.arange(total, dtype=np.int64) - np.repeat(csum - lens, lens) + np.repeat(starts, lens)
+        toks = vocab.take(pa.array(codes[idx])).cast(pa.string())
+    else:
+        toks = pa.array([], type=pa.string())
+    loff = np.zeros(dls.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=loff[1:])
+    lst = pa.LargeListArray.from_arrays(pa.array(loff, type=pa.int64()), toks)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "url": pa.array([f"doc://{i:010d}" for i in ids], type=pa.string()),
+            "warc_ts": pa.array(np.zeros(len(batch), dtype=np.int64), type=pa.timestamp("us")),
+            "text": pc.binary_join(lst, " "),
+            "lang": batch.column("lang"),
+        }
+    )
+
+
+def _field_reader(sf_dir: str, field: str):
+    """Per-field term-major index over the field projection of the
+    documents corpus (built once, config-hash stage guards make repeat
+    calls ~free; num_buckets=1 keeps internal id == doc_id like the main
+    documents index)."""
+    from .build import build_index
+    from .term_index import TermIndexReader, build_term_index
+    from ..state.lineage import read_json as _read_json
+
+    base = build_documents_index(sf_dir)
+    fdir = os.path.join(base, f"field_{field}")
+    corpus_path = os.path.join(fdir, "corpus_input.parquet")
+    if not os.path.exists(corpus_path):
+        os.makedirs(fdir, exist_ok=True)
+        tmp = corpus_path + ".tmp"
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+            _field_text, fn_kwargs={"field": field}, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_path)
+    build_index(corpus_path, fdir, DOCS_CFG)
+    tdir = os.path.join(fdir, "term_index")
+    man = _read_json(os.path.join(tdir, "_MANIFEST.json"))
+    if man is None or man.get("format") != 2:
+        build_term_index(
+            os.path.join(fdir, "doc_terms"), os.path.join(fdir, "stats"), tdir, DOCS_CFG,
+            salt_block_postings=512, max_salts=8,
+        )
+    reader = TermIndexReader(tdir, os.path.join(fdir, "stats"), DOCS_CFG)
+    dt = rd.read_parquet(os.path.join(fdir, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
+    dl = np.zeros(reader.n_docs, dtype=np.int64)
+    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
+    reader.set_doc_lengths(dl)
+    return reader
+
+
+def bm25_fields_topk(sf_dir: str) -> pd.DataFrame:
+    """Multi-field BM25 with field boosts (title×2.0 + body×1.0; title =
+    first 8 tokens, body = the rest): one term-major index PER FIELD with
+    its own df/avgdl statistics, combined by the exact additive
+    scatter-gather (`term_index.search_fields`).  Rank- and score-
+    identical to the per-field SQL BM25 oracle."""
+    from .term_index import search_fields
+
+    readers = {f: _field_reader(sf_dir, f) for f in _FIELD_BOOSTS}
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (doc, score) in enumerate(search_fields(readers, _FIELD_BOOSTS, text, BM25_K), 1):
+            rows.append((qid, rank, doc, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_hashed(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 from a HASHED-VOCAB build (vocab_mode="hashed": term ids
     are 63-bit hashes, no term strings past the tokenizer — the 10^12-doc
@@ -677,6 +772,17 @@ def dedup_clusters(sf_dir: str) -> pd.DataFrame:
     from .dedup import connected_components
 
     return connected_components(_minhash_pairs_for(sf_dir))
+
+
+def dedup_clusters_dist(sf_dir: str) -> pd.DataFrame:
+    """`dedup_clusters` FORCED through the distributed large-star/
+    small-star path (coarse node-bucket exchanges, no driver edge list) —
+    same pair set, same SQL oracle, so the driver gate certifies the
+    distributed rounds produce the identical clustering the recursive-CTE
+    transitive closure does."""
+    from .dedup import connected_components
+
+    return connected_components(_minhash_pairs_for(sf_dir), mode="distributed", nbuckets=32)
 
 
 def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
