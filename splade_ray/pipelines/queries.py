@@ -110,6 +110,23 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 AFTER tombstone-deleting each query's unfiltered top-1
+    doc (Lucene delete semantics: deleted docs excluded from every result,
+    global df/idf/avgdl stats unchanged until a segment merge).  The SQL
+    oracle filters the same doc set out of the shared BM25 scores CTE and
+    re-ranks — remaining scores must be IDENTICAL to the unfiltered ones."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    del_urls = sorted({hits[0][2] for _, text in BM25_QUERIES if (hits := reader.search(text, 1))})
+    deleted = IndexReader(index_dir, DOCS_CFG, deletes=del_urls)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(deleted.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def search_snippets(sf_dir: str) -> pd.DataFrame:
     """Query-time snippet extraction over the BM25 top-5: per (query,
     hit) the best 12-token window — most query-term occurrence positions

@@ -129,6 +129,35 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
+        self.deleted_local = np.zeros(0, np.int64)
+
+    def mask_deletes(self, del_urls: pa.Array) -> int:
+        """Tombstone semantics (Lucene-style): zero the deleted docs'
+        posting weights — they can never score, so every path (exhaustive's
+        nonzero filter, WAND's recomputed zone bounds, phrase/near's
+        candidate AND) excludes them exactly — while the GLOBAL statistics
+        (df/idf/avgdl/n_docs) stay those of the build until a segment merge
+        rewrites the index.  Returns the number of local docs deleted."""
+        mask = pa.compute.is_in(self.urls, value_set=del_urls)
+        local = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        if local.size == 0:
+            return 0
+        self.deleted_local = np.union1d(self.deleted_local, local.astype(np.int64))
+        hit = np.isin(self.post_local, self.deleted_local)
+        self.post_w[hit] = 0.0
+        nnz = self.post_w.size
+        if nnz:
+            # recompute zone maxima over the zeroed weights (same kernel as
+            # the consolidated recompute path) so WAND bounds stay tight
+            zone = self.post_local // self.zone_docs
+            change = np.zeros(nnz, dtype=bool)
+            change[self.term_ptr[:-1][np.diff(self.term_ptr) > 0]] = True
+            change[1:] |= np.diff(zone) != 0
+            zstarts = np.nonzero(change)[0]
+            self.zone_max = np.maximum.reduceat(self.post_w, zstarts)
+            self.zone_zid = zone[zstarts]
+            self.zone_ptr = np.searchsorted(zstarts, self.term_ptr).astype(np.int64)
+        return int(local.size)
 
     @classmethod
     def consolidated(cls, shards: list["ShardIndex"], cfg: EngineConfig) -> "ShardIndex":
@@ -153,6 +182,9 @@ class ShardIndex:
             self.fwd_stream = None
             self.fwd_ptr = None
         doc_offs = np.cumsum([0] + [s.n_local for s in shards][:-1])
+        self.deleted_local = np.concatenate(
+            [s.deleted_local + off for s, off in zip(shards, doc_offs)]
+        ).astype(np.int64)
 
         # merged vocab rows + per-(shard, term) run lengths — all O(nnz
         # posting runs), never a dense (n_shards x n_terms) matrix, so
@@ -306,6 +338,8 @@ class ShardIndex:
         cnt = np.zeros(self.n_local, dtype=np.int64)
         for _i, s, e, _p in slices:
             cnt[self.post_local[s:e]] += 1
+        if self.deleted_local.size:
+            cnt[self.deleted_local] = 0  # tombstoned docs never match
         return np.flatnonzero(cnt == n_terms)
 
     def _candidate_windows(self, cand: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
@@ -468,7 +502,12 @@ class IndexReader:
         shard_ids: list[int] | None = None,
         consolidate: bool = True,
         consolidate_budget_bytes: int = 8 << 30,
+        deletes: list[str] | None = None,
     ):
+        """``deletes``: urls to tombstone at load (Lucene semantics — docs
+        excluded from every result, global stats unchanged until merge).
+        When None, the index's ``deletes.json`` (written by
+        :func:`apply_deletes`) is honored if present."""
         stats_dir = os.path.join(index_dir, "stats")
         meta = read_json(os.path.join(stats_dir, "meta.json"))
         self.n_docs = meta["n_docs"]
@@ -518,6 +557,12 @@ class IndexReader:
                 self.shards = list(ex.map(_load, all_ids))
         else:
             self.shards = [_load(s) for s in all_ids]
+        if deletes is None:
+            deletes = (read_json(os.path.join(index_dir, "deletes.json")) or {}).get("urls")
+        if deletes:
+            del_arr = pa.array(sorted(set(deletes)), type=pa.string())
+            for sh in self.shards:
+                sh.mask_deletes(del_arr)
         if consolidate and len(self.shards) > 1:
             # ~24 B per posting (local id int64 + weight f64 + zone slack),
             # x2 for the transient original+merged views during the merge
@@ -661,6 +706,22 @@ class SearcherStage:
                 "score": pa.array(scores, type=pa.float64()),
             }
         )
+
+
+def apply_deletes(index_dir: str, urls: list[str]) -> int:
+    """Record tombstone deletes for an index: merges ``urls`` into the
+    index's ``deletes.json`` (atomic write).  Every subsequent
+    :class:`IndexReader` / :class:`ShardedSearcher` load excludes them from
+    all results; global statistics stay those of the build until a segment
+    merge rewrites the index (standard tombstone semantics).  Returns the
+    total tombstone count."""
+    from ..state.lineage import atomic_write_json
+
+    path = os.path.join(index_dir, "deletes.json")
+    cur = (read_json(path) or {}).get("urls", [])
+    merged = sorted(set(cur) | set(urls))
+    atomic_write_json(path, {"urls": merged})
+    return len(merged)
 
 
 def best_snippet_window(th: np.ndarray, qh: np.ndarray, W: int) -> tuple[int, int, int]:

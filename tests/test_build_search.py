@@ -82,6 +82,46 @@ def test_sharded_equals_local(built_index, reader):
         ss.shutdown()
 
 
+def test_tombstone_deletes(built_index, reader, tmp_path):
+    """Tombstoned docs vanish from every path (exhaustive, WAND, sharded)
+    while surviving docs keep their EXACT pre-delete scores (stats
+    unchanged until merge — Lucene semantics); deletes.json written by
+    apply_deletes is honored automatically at load."""
+    import shutil
+
+    from splade_ray.pipelines.search import apply_deletes
+
+    index_dir, cfg = built_index
+    queries = generate_queries(10)["text"].to_pylist()
+    # delete each query's top-1 url
+    del_urls = sorted({hits[0][2] for text in queries if (hits := reader.search(text, 3))})
+    assert del_urls
+    # param path
+    deleted = IndexReader(index_dir, cfg, deletes=del_urls)
+    for text in queries:
+        before = {u: s for _d, s, u in reader.search(text, 20)}
+        got = deleted.search(text, 10)
+        wand = deleted.search(text, 10, method="wand")
+        assert got == wand, text
+        for _d, s, u in got:
+            assert u not in del_urls, (text, u)
+            assert s == pytest.approx(before[u], rel=1e-12)  # scores unchanged
+    # file path: a copied index with deletes.json behaves identically
+    idx2 = str(tmp_path / "idx_del")
+    shutil.copytree(index_dir, idx2)
+    assert apply_deletes(idx2, del_urls) == len(del_urls)
+    auto = IndexReader(idx2, cfg)
+    for text in queries[:4]:
+        assert auto.search(text, 10) == deleted.search(text, 10), text
+    # sharded serving path honors deletes.json too
+    ss = ShardedSearcher(idx2, cfg, num_actors=2)
+    try:
+        for text in queries[:4]:
+            assert ss.search(text, 10) == deleted.search(text, 10), text
+    finally:
+        ss.shutdown()
+
+
 def test_sharded_snippets(built_index, reader, web_pages_path):
     """Snippets on the sharded serving path: ranking identical to the
     local reader; windows follow the shared best-window rule (most query
