@@ -78,17 +78,98 @@ def _segment_shards(seg_dir: str) -> dict[int, str]:
     }
 
 
+class PurgeStatsStage:
+    """Pass-1 kernel for a tombstone-purging merge: per shard descriptor,
+    the SURVIVING corpus statistics — per-merged-term df partials (df =
+    surviving posting count per term: one posting per (doc, term)) plus a
+    summary row (surviving doc count, Σ dl).  Partials are vocab-bounded;
+    the driver reduce is one np.add.at.  Same nullable-column fusion trick
+    as stages/stats.compute_stats_fused."""
+
+    def __init__(self, remaps_ref, del_ref):
+        self.remaps = ray.get(remaps_ref) if isinstance(remaps_ref, ray.ObjectRef) else remaps_ref
+        self.dels = ray.get(del_ref) if isinstance(del_ref, ray.ObjectRef) else del_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            sid = int(row["shard"])
+            tid_parts, n_docs, sum_dl = [], 0, 0
+            for si, pdir in zip(row["seg_idx"], row["pdirs"]):
+                docs = pq.read_table(
+                    os.path.join(pdir, f"shard-{sid:05d}.docs.parquet"), columns=["url", "dl"]
+                )
+                delmask = pa.compute.is_in(
+                    docs.column("url").combine_chunks(), value_set=self.dels
+                ).to_numpy(zero_copy_only=False)
+                keep_doc = ~delmask
+                n_docs += int(keep_doc.sum())
+                sum_dl += int(docs.column("dl").to_numpy(zero_copy_only=False)[keep_doc].sum())
+                post = pq.read_table(
+                    os.path.join(pdir, f"shard-{sid:05d}.postings.parquet"),
+                    columns=["term_id", "df", "docs"],
+                )
+                # doc-id-only decode (no tf/weight column read)
+                tids = post.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+                nnz = int(lens.sum())
+                deltas = varint_decode(binary_concat(post.column("docs").combine_chunks()), nnz).astype(np.int64)
+                csum = np.cumsum(deltas)
+                seg_starts = np.zeros(lens.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=seg_starts[1:])
+                if nnz:
+                    prior = np.where(seg_starts > 0, csum[np.maximum(seg_starts - 1, 0)], 0)
+                    local = csum - np.repeat(prior, lens)
+                else:
+                    local = np.zeros(0, np.int64)
+                remap = self.remaps[si]
+                if remap is not None:
+                    tids = remap[tids]
+                flat_tid = np.repeat(tids, lens)
+                kept = flat_tid[keep_doc[local]]
+                tid_parts.append(kept)
+            all_kept = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int64)
+            uniq, cnt = np.unique(all_kept, return_counts=True)
+            n = uniq.size
+            out.append(
+                pa.table(
+                    {
+                        "tid": pa.concat_arrays([pa.array(uniq, type=pa.int64()), pa.nulls(1, pa.int64())]),
+                        "df": pa.concat_arrays([pa.array(cnt.astype(np.int64)), pa.nulls(1, pa.int64())]),
+                        "n_docs": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([n_docs], type=pa.int64())]),
+                        "sum_dl": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([sum_dl], type=pa.int64())]),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+
 class MergeShardStage:
     """map_batches kernel over shard descriptors: merge one shard's posting
-    runs from every segment that touches it."""
+    runs from every segment that touches it.  With a non-empty delete set
+    the merge PURGES tombstones: deleted docs' rows and postings are
+    dropped, local ids compact, and the impacts/zone bounds are recomputed
+    under the SURVIVING corpus statistics computed by
+    :class:`PurgeStatsStage` — exactly what a fresh build of the surviving
+    corpus would store."""
 
-    def __init__(self, postings_dir: str, cfg: EngineConfig, stats_ref, remaps_ref, weight_mode: str, stats_key: str = ""):
+    def __init__(
+        self,
+        postings_dir: str,
+        cfg: EngineConfig,
+        stats_ref,
+        remaps_ref,
+        weight_mode: str,
+        stats_key: str = "",
+        del_ref=None,
+    ):
         self.postings_dir = postings_dir
         self.cfg = cfg
         self.stats = ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
         self.remaps = ray.get(remaps_ref) if isinstance(remaps_ref, ray.ObjectRef) else remaps_ref
         self.weight_mode = weight_mode
         self.stats_key = stats_key
+        self.dels = ray.get(del_ref) if isinstance(del_ref, ray.ObjectRef) else del_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -99,12 +180,14 @@ class MergeShardStage:
     def _merge_one(self, shard_id: int, seg_idx: list[int], pdirs: list[str]) -> pa.Table:
         t0 = time.perf_counter()
         # resume check from parquet METADATA only — a valid merged shard
-        # must not pay for reading/decoding every segment again
+        # must not pay for reading/decoding every segment again.  (Purging
+        # merges skip this fast path: the expected row count is the
+        # SURVIVOR count, unknown without reading the url columns.)
         total_rows = sum(
             pq.read_metadata(os.path.join(pdir, f"shard-{shard_id:05d}.docs.parquet")).num_rows
             for pdir in pdirs
         )
-        if shard_is_valid(self.postings_dir, shard_id, total_rows):
+        if (self.dels is None or not len(self.dels)) and shard_is_valid(self.postings_dir, shard_id, total_rows):
             # row count alone is not enough for merges: BM25 impacts/zone
             # bounds depend on the MERGED stats (df, N, avgdl), which change
             # when the segment set changes even if this shard's rows don't
@@ -129,7 +212,22 @@ class MergeShardStage:
             remap = self.remaps[si]
             if remap is not None:
                 tids = remap[tids]
-            run_tids.append(np.repeat(tids, lens))
+            flat_tid_seg = np.repeat(tids, lens)
+            if self.dels is not None and len(self.dels):
+                # purge tombstones: drop deleted docs' rows + postings and
+                # compact local ids so the merged shard is dense again
+                delmask = pa.compute.is_in(
+                    docs.column("url").combine_chunks(), value_set=self.dels
+                ).to_numpy(zero_copy_only=False)
+                if delmask.any():
+                    keep_doc = ~delmask
+                    newpos = np.cumsum(keep_doc) - 1
+                    keep_post = keep_doc[local]
+                    flat_tid_seg = flat_tid_seg[keep_post]
+                    local = newpos[local[keep_post]]
+                    vals = vals[keep_post]
+                    docs = docs.filter(pa.array(keep_doc))
+            run_tids.append(flat_tid_seg)
             run_local.append(local + doc_off)
             run_vals.append(vals)
             docs_tbls.append(docs)
@@ -175,10 +273,27 @@ class MergeShardStage:
         )
 
 
-def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
+def merge_segments(
+    segment_dirs: list[str],
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    deletes: list[str] | None = None,
+) -> dict:
     """Merge segment index dirs (disjoint ascending doc ranges, same
-    config) into one index dir with merged stats + per-shard lineage."""
+    config) into one index dir with merged stats + per-shard lineage.
+
+    Tombstone purge: every segment's ``deletes.json`` (written by
+    :func:`..search.apply_deletes`) plus the explicit ``deletes`` list is
+    PURGED during the merge — deleted docs' rows and postings dropped and
+    the merged df/N/avgdl recomputed over the SURVIVORS (one extra
+    vocab-bounded stats pass, :class:`PurgeStatsStage`), so the output
+    equals a fresh build of the surviving corpus (same urls, scores, and
+    relative tie-break order; tested) and carries no ``deletes.json``."""
     cfg = cfg.validate()
+    del_set: set[str] = set(deletes or [])
+    for d in segment_dirs:
+        del_set |= set((read_json(os.path.join(d, "deletes.json")) or {}).get("urls", []))
+    del_arr = pa.array(sorted(del_set), type=pa.string()) if del_set else None
     metas = [read_json(os.path.join(d, "stats", "meta.json")) for d in segment_dirs]
     encoders = {m.get("encoder", "bm25") for m in metas}
     assert len(encoders) == 1, f"mixed segment encoders: {encoders}"
@@ -250,6 +365,51 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
             rec["seg_idx"].append(si)
             rec["pdirs"].append(pdir)
 
+    # ---- tombstone purge, pass 1: surviving-corpus statistics ----
+    if del_arr is not None and items:
+        remaps_ref = ray.put(remaps)
+        del_ref = ray.put(del_arr)
+        V = len(merged)
+        df_new = np.zeros(V, dtype=np.int64)
+        n_docs, sum_dl = 0, 0
+        int_id_vocab = "term" not in merged.columns
+        tid_index_sorted = merged["term_id"].to_numpy().astype(np.int64) if int_id_vocab else None
+        parts = ray.data.from_items(list(items.values())).map_batches(
+            PurgeStatsStage,
+            fn_constructor_args=(remaps_ref, del_ref),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=pool_size(),
+        )
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            valid = pa.compute.is_valid(b.column("df"))
+            vt = b.filter(valid)
+            if vt.num_rows:
+                pos = vt.column("tid").to_numpy(zero_copy_only=False)
+                if int_id_vocab:
+                    pos = np.searchsorted(tid_index_sorted, pos)
+                np.add.at(df_new, pos, vt.column("df").to_numpy(zero_copy_only=False))
+            st = b.filter(pa.compute.invert(valid))
+            n_docs += int(sum(st.column("n_docs").to_pylist()))
+            sum_dl += int(sum(st.column("sum_dl").to_pylist()))
+        merged["df"] = df_new
+        meta["n_docs"] = n_docs
+        meta["avgdl"] = (sum_dl / n_docs) if n_docs else 0.0
+        meta["nnz"] = int(df_new.sum())
+        meta["purged_deletes"] = len(del_set)
+        pq.write_table(
+            pa.Table.from_pandas(merged, preserve_index=False), os.path.join(stats_dir, "vocab.parquet")
+        )
+        atomic_write_json(os.path.join(stats_dir, "meta.json"), meta)
+        if "df" in stats:
+            stats["df"] = df_new
+        if "n_docs" in stats:
+            stats["n_docs"] = n_docs
+        if "avgdl" in stats:
+            stats["avgdl"] = meta["avgdl"]
+
     postings_dir = os.path.join(out_dir, "postings")
     os.makedirs(postings_dir, exist_ok=True)
     # fingerprint of the merged corpus stats: a resumed shard is only valid
@@ -259,15 +419,18 @@ def merge_segments(segment_dirs: list[str], out_dir: str, cfg: EngineConfig = DE
     import zlib as _zlib
 
     df_crc = _zlib.crc32(stats["df"].tobytes()) if "df" in stats else 0
+    del_hash = _hashlib.sha256("|".join(sorted(del_set)).encode()).hexdigest()[:8] if del_set else "0"
     stats_key = _hashlib.sha256(
-        f"{n_docs}|{meta['avgdl']:.9f}|{df_crc}|{weight_mode}|{config_hash(cfg)}".encode()
+        f"{meta['n_docs']}|{meta['avgdl']:.9f}|{df_crc}|{del_hash}|{weight_mode}|{config_hash(cfg)}".encode()
     ).hexdigest()[:16]
     if items:
         lineage = (
             ray.data.from_items(list(items.values()))
             .map_batches(
                 MergeShardStage,
-                fn_constructor_args=(postings_dir, cfg, ray.put(stats), ray.put(remaps), weight_mode, stats_key),
+                fn_constructor_args=(
+                    postings_dir, cfg, ray.put(stats), ray.put(remaps), weight_mode, stats_key, del_arr
+                ),
                 batch_format="pyarrow",
                 batch_size=1,
                 concurrency=pool_size(),

@@ -143,3 +143,56 @@ def test_merge_of_empty_segments(ray_session, tmp_path):
     summary = merge_segments([str(tmp_path / "segA"), str(tmp_path / "segB")], str(tmp_path / "m"), cfg)
     assert summary["n_docs"] == 0
     assert IndexReader(str(tmp_path / "m"), cfg).search("anything", 5) == []
+
+
+def test_merge_purges_tombstones(ray_session, tmp_path_factory):
+    """A merge with tombstones must equal a FRESH build of the surviving
+    corpus: same urls+scores per query (survivor tie-break order is
+    preserved), same n_docs/avgdl/nnz stats, deleted urls gone from every
+    result, and no deletes.json carried into the merged dir."""
+    import pyarrow.parquet as pq_
+
+    from splade_ray.fixtures import generate_queries
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.merge import merge_segments
+    from splade_ray.pipelines.search import IndexReader, apply_deletes
+    from splade_ray.state.lineage import read_json
+
+    cfg = EngineConfig(shard_size=800, num_buckets=1).validate()
+    tmp = tmp_path_factory.mktemp("merge_purge")
+    corpus = _synth_corpus(N)
+    for name, tbl in (("a", corpus.slice(0, SPLIT)), ("b", corpus.slice(SPLIT))):
+        pq_.write_table(tbl, str(tmp / f"{name}.parquet"))
+    build_index(str(tmp / "a.parquet"), str(tmp / "segA"), cfg, doc_id_base=0)
+    build_index(str(tmp / "b.parquet"), str(tmp / "segB"), cfg, doc_id_base=SPLIT)
+
+    urls = corpus.column("url").to_pylist()
+    deleted = [u for i, u in enumerate(urls) if i % 7 == 0]  # both segments, shard boundaries
+    # half via each segment's deletes.json, half via the explicit param
+    apply_deletes(str(tmp / "segA"), [u for u in deleted if u < urls[SPLIT]][: len(deleted) // 2])
+    summary = merge_segments(
+        [str(tmp / "segA"), str(tmp / "segB")], str(tmp / "merged"), cfg, deletes=deleted
+    )
+
+    survivors = corpus.filter(pa.array([i % 7 != 0 for i in range(N)]))
+    pq_.write_table(survivors, str(tmp / "surv.parquet"))
+    build_index(str(tmp / "surv.parquet"), str(tmp / "fresh"), cfg)
+
+    fresh_meta = read_json(str(tmp / "fresh" / "stats" / "meta.json"))
+    merged_meta = read_json(str(tmp / "merged" / "stats" / "meta.json"))
+    assert merged_meta["n_docs"] == fresh_meta["n_docs"] == survivors.num_rows
+    assert merged_meta["avgdl"] == pytest.approx(fresh_meta["avgdl"], rel=1e-12)
+    assert merged_meta["nnz"] == fresh_meta["nnz"]
+    assert summary["purged_deletes"] == len(deleted)
+    assert not os.path.exists(str(tmp / "merged" / "deletes.json"))
+
+    rm = IndexReader(str(tmp / "merged"), cfg)
+    rf = IndexReader(str(tmp / "fresh"), cfg)
+    dset = set(deleted)
+    for q in generate_queries(30)["text"].to_pylist():
+        got = [(u, round(s, 9)) for _d, s, u in rm.search(q, 10)]
+        want = [(u, round(s, 9)) for _d, s, u in rf.search(q, 10)]
+        assert got == want, q
+        wand = [(u, round(s, 9)) for _d, s, u in rm.search(q, 10, method="wand")]
+        assert wand == got, q
+        assert not (dset & {u for u, _ in got}), q
