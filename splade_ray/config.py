@@ -166,6 +166,11 @@ class EngineConfig:
             "store_forward requires the bm25 encoder"
         )
         assert self.neural_vocab_size > 0 and self.neural_expansions >= 1
+        # M3 optional-str normalization (reference dataset/utils.py:7-14):
+        # "", "none", "null" (any case/whitespace) mean "no checkpoint"
+        from .functions.normalize import normalize_optional_str
+
+        object.__setattr__(self, "neural_checkpoint", normalize_optional_str(self.neural_checkpoint) or "")
         return self
 
 

@@ -74,3 +74,26 @@ def test_zipf_skew():
             counts[w] = counts.get(w, 0) + 1
     freqs = sorted(counts.values(), reverse=True)
     assert freqs[0] > 20 * freqs[len(freqs) // 2]
+
+
+def test_normalize_optional_str_scalar_and_array():
+    """M3 optional-str normalization: '', 'none', 'null' (any case,
+    surrounding whitespace) mean absent — reference dataset/utils.py:7-14
+    semantics, scalar-identical; plus the vectorized Arrow form."""
+    import pyarrow as pa
+
+    from splade_ray.functions.normalize import normalize_optional_str, normalize_optional_str_array
+
+    assert normalize_optional_str(None) is None
+    assert normalize_optional_str("") is None
+    assert normalize_optional_str("  NoNe ") is None
+    assert normalize_optional_str("NULL") is None
+    assert normalize_optional_str(" keep me ") == " keep me "
+    assert normalize_optional_str(42) == "42"
+    arr = pa.array(["", "none", " NULL ", "en", None, "None"], type=pa.string())
+    out = normalize_optional_str_array(arr)
+    assert out.to_pylist() == [None, None, None, "en", None, None]
+    # config integration: an "absent" checkpoint string never reaches torch
+    from splade_ray.config import EngineConfig
+
+    assert EngineConfig(neural_checkpoint="  None ").validate().neural_checkpoint == ""
