@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q.knn_cosine,
         # IVF with nprobe == n_clusters: exhaustive, same oracle
         "knn_cosine_ivf": q.knn_cosine_ivf,
+        # IVF from the on-disk per-cluster partition layout (save/load,
+        # probe pruning = directory pruning) — same oracle again
+        "knn_cosine_ivf_disk": q.knn_cosine_ivf_disk,
         # text analysis (heuristics)
         "lang_id_preds": q.lang_id_preds,
         "doc_fingerprints": q.doc_fingerprints,
@@ -1306,6 +1309,7 @@ FROM comp ORDER BY doc_id
     # identical clustering
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
+    oracles["knn_cosine_ivf_disk"] = oracles["knn_cosine"]
     # multi-field BM25 with boosts: title = first 8 tokens, body = rest,
     # each field its own df/avgdl/n_docs statistics (dl from the list
     # length so zero-token fields still count toward n_docs/avgdl),

@@ -145,6 +145,7 @@ class IVFIndex:
         self.id_col = id_col
         self.centroids: np.ndarray | None = None
         self.assigned: Dataset | None = None
+        self.lists_dir: str | None = None  # set by load(): on-disk partitioned lists
 
     def fit_assign(
         self,
@@ -190,15 +191,113 @@ class IVFIndex:
         self.assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
         return self
 
-    def search(self, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    def save(self, out_dir: str) -> dict:
+        """Persist the index as the SCALE layout: one parquet partition
+        directory per cluster (``lists/cluster=N/``) plus a centroid
+        table.  At query time probe pruning becomes DIRECTORY pruning —
+        only the ``nprobe`` probed lists' files are ever opened, which is
+        the IVF contract at 100 TB (non-probed lists cost zero IO)."""
         assert self.centroids is not None and self.assigned is not None, "call fit_assign first"
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        cent = self.centroids
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster": pa.array(np.arange(cent.shape[0], dtype=np.int32)),
+                    "centroid": pa.array(list(cent.astype(np.float64)), type=pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(out_dir, "centroids.parquet"),
+        )
+        self.assigned.write_parquet(os.path.join(out_dir, "lists"), partition_cols=["cluster"])
+        from ..state.lineage import atomic_write_json
+
+        man = {
+            "n_clusters": int(cent.shape[0]),
+            "dim": int(cent.shape[1]),
+            "nprobe": self.nprobe,
+            "emb_col": self.emb_col,
+            "id_col": self.id_col,
+        }
+        atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), man)
+        return man
+
+    @classmethod
+    def load(cls, out_dir: str, nprobe: int | None = None) -> "IVFIndex":
+        """Open a saved index: centroids in memory (k·d — driver-sized by
+        construction), lists stay ON DISK and are read per probe."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..state.lineage import read_json
+
+        man = read_json(os.path.join(out_dir, "_MANIFEST.json"))
+        self = cls(
+            n_clusters=man["n_clusters"],
+            nprobe=nprobe or man["nprobe"],
+            emb_col=man["emb_col"],
+            id_col=man["id_col"],
+        )
+        cent = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+        order = np.argsort(cent.column("cluster").to_numpy(zero_copy_only=False))
+        self.centroids = _as_matrix(cent.column("centroid").take(pa.array(order)))
+        self.lists_dir = os.path.join(out_dir, "lists")
+        return self
+
+    def _probed_subset(self, probe_list: list[int]) -> Dataset:
+        """Dataset of the probed clusters' vectors.  In-memory index:
+        one filter over the assigned Dataset.  Disk index: read ONLY the
+        probed partition directories (hive layout) — the cluster column is
+        reattached from the directory name, and non-probed lists are never
+        opened."""
+        if self.assigned is not None:
+            probe_set = pa.array(probe_list, type=pa.int32())
+            return self.assigned.map_batches(
+                lambda b: b.filter(pa.compute.is_in(b.column("cluster"), value_set=probe_set)),
+                batch_format="pyarrow",
+            )
+        import os
+
+        import ray.data as rd
+
+        def tag(c: int):
+            # read_parquet may already recover the hive partition value
+            # (sometimes as a string) — normalize to one int32 column
+            def _tag(b: pa.Table) -> pa.Table:
+                if "cluster" in b.column_names:
+                    b = b.drop_columns(["cluster"])
+                return b.append_column("cluster", pa.array(np.full(b.num_rows, c, dtype=np.int32)))
+
+            return _tag
+
+        parts = []
+        for c in probe_list:
+            d = os.path.join(self.lists_dir, f"cluster={c}")
+            if os.path.isdir(d):
+                parts.append(rd.read_parquet(d).map_batches(tag(c), batch_format="pyarrow"))
+        if not parts:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        self.id_col: pa.array([], type=pa.int64()),
+                        self.emb_col: pa.array([], type=pa.list_(pa.float32())),
+                        "cluster": pa.array([], type=pa.int32()),
+                    }
+                )
+            )
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def search(self, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+        assert self.centroids is not None, "call fit_assign or load first"
+        assert self.assigned is not None or getattr(self, "lists_dir", None), "call fit_assign or load first"
         Q = _normalize(np.asarray(queries, dtype=np.float64))
         probe = np.argsort(-(Q @ self.centroids.T), axis=1)[:, : self.nprobe]
-        probe_set = pa.array(sorted({int(c) for c in probe.reshape(-1)}), type=pa.int32())
-        subset = self.assigned.map_batches(
-            lambda b: b.filter(pa.compute.is_in(b.column("cluster"), value_set=probe_set)),
-            batch_format="pyarrow",
-        )
+        subset = self._probed_subset(sorted({int(c) for c in probe.reshape(-1)}))
         # per-query restriction to its own probe list happens in the scorer
         probe_ref = ray.put(probe)
         q_ref = ray.put(Q)

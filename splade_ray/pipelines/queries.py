@@ -860,6 +860,33 @@ def knn_cosine_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_vec_id", "rank", "vec_id", "score_r"]]
 
 
+def knn_cosine_ivf_disk(sf_dir: str) -> pd.DataFrame:
+    """IVF served from the ON-DISK partitioned layout (`IVFIndex.save` /
+    `load`: one parquet directory per cluster; probe pruning = directory
+    pruning, non-probed lists cost zero IO).  nprobe == n_clusters again
+    makes it exhaustive, so the same brute-force SQL oracle applies —
+    certifying the save/load/partition-read path end to end."""
+    import shutil
+    import tempfile
+
+    from .ann import IVFIndex
+
+    ds = _emb(sf_dir)
+    qrows = ds.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    idx = IVFIndex(n_clusters=8, nprobe=8).fit_assign(ds, sample_fraction=0.5)
+    tmp = tempfile.mkdtemp(prefix="ivf_disk_")
+    try:
+        idx.save(tmp)
+        disk = IVFIndex.load(tmp)
+        out = disk.search(Q, k=10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "score_r"]]
+
+
 def lang_id_preds(sf_dir: str) -> pd.DataFrame:
     from .textops import lang_id
 

@@ -281,6 +281,7 @@ class TermIndexReader:
         self.post_w = idf * tf * (cfg.k1 + 1.0) / (
             tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dlf[self.post_doc] / self.avgdl)
         )
+        self._max_doc = int(self.post_doc.max()) if self.post_doc.size else 0
         # per-(term, zone) maxima: postings now sorted by (term, doc), so
         # zone segments are contiguous — one diff + maximum.reduceat
         self.zone_docs = int(cfg.zone_docs)
@@ -357,17 +358,35 @@ class TermIndexReader:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         return np.concatenate(ids_parts), np.concatenate(w_parts)
 
+    # past this corpus size the reader accumulates candidate-scoped
+    # (unique+bincount) instead of allocating a dense per-query score
+    # vector — each term-range reader serves ONE partition at 10^12 docs,
+    # so the dense path is the common case and is ~3x faster (bincount is
+    # O(n) where unique pays a sort)
+    DENSE_SCORE_LIMIT = 1 << 22
+
+    def _accumulate(self, ids: np.ndarray, w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if ids.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # gate on the MAX GLOBAL doc id, not n_docs: segment indexes built
+        # with doc_id_base carry ids past n_docs, and bincount allocates
+        # max(id)+1 slots
+        max_doc = getattr(self, "_max_doc", None)
+        if max_doc is not None and max_doc < self.DENSE_SCORE_LIMIT:
+            scores = np.bincount(ids, weights=w, minlength=max_doc + 1)
+            cand = np.nonzero(scores)[0]
+            return cand, scores[cand]
+        cand, inv = np.unique(ids, return_inverse=True)
+        return cand, np.bincount(inv, weights=w)
+
     def score_zones(self, tids: np.ndarray, qw: np.ndarray, zones: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Zone-restricted partial scores (candidate-scoped unique+bincount
-        — never a dense corpus vector)."""
+        """Zone-restricted partial scores (dense bincount within the
+        partition, candidate-scoped past DENSE_SCORE_LIMIT)."""
         slices = self._term_slices(tids)
         if not slices or zones.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         ids, w = self._gather_zones(slices, zones, qw)
-        if ids.size == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
-        cand, inv = np.unique(ids, return_inverse=True)
-        return cand, np.bincount(inv, weights=w)
+        return self._accumulate(ids, w)
 
     def score_partial(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         """(candidate doc ids, PARTIAL scores) from the runs THIS reader
@@ -383,8 +402,7 @@ class TermIndexReader:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         ids = np.concatenate([self.post_doc[s:e] for _, s, e, _ in slices])
         w = np.concatenate([self.post_w[s:e] * qw[i] for i, s, e, _ in slices])
-        cand, inv = np.unique(ids, return_inverse=True)
-        return cand, np.bincount(inv, weights=w)
+        return self._accumulate(ids, w)
 
     def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float]]:
         """Top-k over this reader's runs.  ``method="wand"`` uses the
@@ -395,11 +413,7 @@ class TermIndexReader:
         if method == "wand":
             return search_term_partitioned([self], text, k, method="wand")
         cand, scores = self.score_partial(text)
-        if cand.size == 0:
-            return []
-        kk = min(k, cand.size)
-        order = np.lexsort((cand, -scores))[:kk]
-        return [(int(cand[i]), float(scores[i])) for i in order]
+        return _topk_list(cand, scores, k)
 
 
 def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
@@ -415,6 +429,15 @@ def _topk_list(cand: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, 
     if cand.size == 0:
         return []
     kk = min(k, cand.size)
+    if cand.size > kk:
+        # argpartition to the kth score, keep every candidate >= it so the
+        # (-score, doc_id) tie-break stays exact at the boundary — a full
+        # lexsort over ~corpus-sized candidate sets costs the sort the
+        # dense-bincount accumulate just avoided
+        part = np.argpartition(-scores, kk - 1)[:kk]
+        kth = scores[part].min()
+        keep = scores >= kth
+        cand, scores = cand[keep], scores[keep]
     order = np.lexsort((cand, -scores))[:kk]
     return [(int(cand[i]), float(scores[i])) for i in order]
 

@@ -744,6 +744,51 @@ def test_ivf_fit_default_is_bounded(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_ivf_disk_layout_roundtrip_and_pruning(ray_session, tmp_path):
+    """save/load round-trip: disk search == in-memory search; and probe
+    pruning is DIRECTORY pruning — deleting a never-probed cluster's
+    partition dir does not affect a low-nprobe search (its files are
+    never opened)."""
+    import shutil
+
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import IVFIndex
+
+    rng = np.random.default_rng(31)
+    n, d = 600, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(X), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    Q = rng.standard_normal((3, d))
+    idx = IVFIndex(n_clusters=6, nprobe=6).fit_assign(ds, sample_fraction=1.0)
+    out = str(tmp_path / "ivf")
+    man = idx.save(out)
+    assert man["n_clusters"] == 6
+    disk = IVFIndex.load(out)
+    pd.testing.assert_frame_equal(disk.search(Q, k=10), idx.search(Q, k=10))
+    # directory pruning: nprobe=1 probes exactly one cluster per query;
+    # removing a cluster NO query probes must not change anything
+    disk1 = IVFIndex.load(out, nprobe=1)
+    probed = {int(c) for c in np.argmax(_normalize_rows(Q) @ disk1.centroids.T, axis=1)}
+    victim = next(c for c in range(6) if c not in probed)
+    before = disk1.search(Q, k=5)
+    shutil.rmtree(str(tmp_path / "ivf" / "lists" / f"cluster={victim}"))
+    pd.testing.assert_frame_equal(disk1.search(Q, k=5), before)
+
+
+def _normalize_rows(m):
+    m = np.asarray(m, dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    return m / nrm[:, None]
+
+
 def test_stats_fused_all_empty_batch_ids_mode(ray_session):
     """A batch whose tid lists are ALL empty must emit the same int64 key
     schema as non-empty batches (ADVICE r2: mixed int32/int64 partials
