@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fields_topk": q.bm25_fields_topk,
         # tombstone deletes: per-query top-1 removed, stats unchanged
         "bm25_topk_deleted": q.bm25_topk_deleted,
+        # segments + tombstones + PURGING merge: stats recomputed over the
+        # survivors (full incremental lifecycle under one oracle)
+        "bm25_topk_merged_purged": q.bm25_topk_merged_purged,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
         # best-window snippet extraction over the BM25 top-5
@@ -307,6 +310,17 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    # purge merge: segments + tombstones (every 9th doc) + purging merge
+    # == BM25 recomputed from scratch over the SURVIVING corpus (df/N/
+    # avgdl are the survivors' — the contrast to bm25_topk_deleted below)
+    assert bm25_ctes.count("FROM documents)") == 1
+    bm25_purged = (
+        bm25_ctes.replace("FROM documents)", "FROM documents WHERE doc_id % 9 != 0)")
+        + """
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    )
     # tombstone deletes: the engine removes each query's unfiltered top-1
     # url; the oracle drops the SAME doc set from the scores CTE and
     # re-ranks — remaining scores identical (stats untouched by deletes)
@@ -394,6 +408,7 @@ ORDER BY p.query_id
         # fetches) must reproduce the identical snippet output
         "search_snippets_sharded": snippets,
         "bm25_topk_deleted": bm25_deleted,
+        "bm25_topk_merged_purged": bm25_purged,
         # the term-major salted build must reproduce the same ranking
         "bm25_topk_termindex": bm25,
         # so must the hashed-vocab build (same df/idf per term)

@@ -127,6 +127,48 @@ def bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_merged_purged(sf_dir: str) -> pd.DataFrame:
+    """The full incremental-index lifecycle under one oracle: the corpus
+    is built as TWO segments (split at the midpoint, continued doc
+    numbering), every 9th doc is tombstoned via ``apply_deletes``, and
+    ``merge_segments`` PURGES the tombstones — so unlike
+    `bm25_topk_deleted` (stats frozen until merge) the merged index's
+    df/N/avgdl are the SURVIVORS' statistics.  The SQL oracle therefore
+    recomputes BM25 over ``documents WHERE doc_id % 9 != 0`` from
+    scratch; rank- and score-identity certifies segment build + tombstone
+    + purge + merge end to end."""
+    from .build import build_index
+    from .merge import merge_segments
+    from .search import apply_deletes
+
+    base = build_documents_index(sf_dir)  # reuses the cached adapted corpus
+    corpus_path = os.path.join(base, "corpus_input.parquet")
+    root = os.path.join(base, "purge_merge")
+    merged_dir = os.path.join(root, "merged")
+    n_rows = rd.read_parquet(corpus_path).count()
+    split = n_rows // 2
+    if not os.path.exists(os.path.join(merged_dir, "_MANIFEST.json")):
+        os.makedirs(root, exist_ok=True)
+        full = rd.read_parquet(corpus_path).sort("url").materialize()
+        a_path, b_path = os.path.join(root, "a.parquet"), os.path.join(root, "b.parquet")
+        segs = full.split_at_indices([split])
+        for ds_part, p in zip(segs, (a_path, b_path)):
+            tmp = p + ".tmp"
+            ds_part.write_parquet(tmp)
+            os.rename(tmp, p)
+        build_index(a_path, os.path.join(root, "segA"), DOCS_CFG, doc_id_base=0)
+        build_index(b_path, os.path.join(root, "segB"), DOCS_CFG, doc_id_base=split)
+        deleted = [f"doc://{i:010d}" for i in range(0, n_rows, 9)]
+        apply_deletes(os.path.join(root, "segA"), deleted)
+        merge_segments([os.path.join(root, "segA"), os.path.join(root, "segB")], merged_dir, DOCS_CFG)
+    reader = IndexReader(merged_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def search_snippets(sf_dir: str) -> pd.DataFrame:
     """Query-time snippet extraction over the BM25 top-5: per (query,
     hit) the best 12-token window — most query-term occurrence positions
