@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         "langs_by_source": q.langs_by_source,
         "event_sessions": q.event_sessions,
+        # typed extraction from the semi-structured JSON props column
+        "event_props_extract": q.event_props_extract,
         # text aggregates
         "term_df_top100": q.term_df_top100,
         "token_counts": q.token_counts,
@@ -128,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same clustering forced through the distributed large-star/
         # small-star rounds (no driver edge list) — same oracle
         "dedup_clusters_dist": q.dedup_clusters_dist,
+        # the pipeline's FINAL artifact: corpus with non-canonical cluster
+        # members suppressed (broadcast drop set — tombstone shape)
+        "dedup_near_kept": q.dedup_near_kept,
         "simhash_pairs": q.simhash_pairs,
         "embedding_near_dups": q.embedding_near_dups,
         # similarity search
@@ -1323,6 +1328,36 @@ FROM comp ORDER BY doc_id
     # the distributed large-star/small-star path must produce the
     # identical clustering
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
+    # near-dup suppression: keep docs that are not a non-canonical member
+    oracles["dedup_near_kept"] = f"""
+WITH RECURSIVE p AS ({_pairs_body}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+"""
+    # JSON props extraction: same RE2 pattern, nulls for missing k
+    oracles["event_props_extract"] = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(*) - count(k) AS n_missing,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
     oracles["knn_cosine_ivf"] = oracles["knn_cosine"]
     oracles["knn_cosine_ivf_disk"] = oracles["knn_cosine"]
     # multi-field BM25 with boosts: title = first 8 tokens, body = rest,

@@ -844,6 +844,35 @@ def dedup_clusters_dist(sf_dir: str) -> pd.DataFrame:
     return connected_components(_minhash_pairs_for(sf_dir), mode="distributed", nbuckets=32)
 
 
+def dedup_near_kept(sf_dir: str) -> pd.DataFrame:
+    """The near-dup pipeline's FINAL output: the corpus with every
+    non-canonical cluster member suppressed (keep a doc iff it is its
+    cluster's min-id representative, or clustered with nothing).  The
+    cluster assignment is pair-scale, so the drop set broadcasts into one
+    filtering map_batches over the corpus — at 100 TB this is exactly the
+    tombstone-set shape (drop list ≪ corpus).  Returns (doc_id, lang,
+    n_chars) of kept docs."""
+    from .dedup import connected_components
+
+    clusters = connected_components(_minhash_pairs_for(sf_dir))
+    drop = np.sort(clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].to_numpy(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, ids)
+        dropped = (pos < d.size) & (d[np.minimum(pos, max(d.size - 1, 0))] == ids) if d.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(~dropped))
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """EXACT n-gram Jaccard dedup (no LSH): the inverted-shingle-index
     all-pairs join — must equal both the brute-force SQL oracle AND
@@ -1692,6 +1721,51 @@ def langs_by_source(sf_dir: str) -> pd.DataFrame:
     counts = _docs(sf_dir, columns=["source"]).groupby("source").count().to_pandas()
     counts = counts.rename(columns={"count()": "n_docs"})
     return out.merge(counts, on="source").sort_values("source", ignore_index=True)
+
+
+def event_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Typed extraction from a semi-structured JSON props column (the
+    log-enrichment shape): pull the integer ``k`` field out of
+    ``props = '{"k": N}'`` with ONE vectorized RE2 ``extract_regex`` (no
+    per-row json.loads), then a per-batch combiner + driver reduce over
+    the |event_type|-bounded groups.  Rows with a missing/non-numeric
+    ``k`` count as null (dropped from avg, counted in n_missing)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"])
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").combine_chunks()
+        ex = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.string())
+        kv = pd.to_numeric(pd.Series(k.to_pandas()), errors="coerce")
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "k": kv,
+            }
+        )
+        g = df.groupby("event_type", sort=False).agg(
+            n=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g.index.to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "n_k": pa.array(g["n_k"].to_numpy(np.int64)),
+                "sum_k": pa.array(g["sum_k"].to_numpy(np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("event_type", as_index=False)
+        .agg(n_events=("n", "sum"), n_with_k=("n_k", "sum"), sum_k=("sum_k", "sum"))
+        .sort_values("event_type", ignore_index=True)
+    )
+    out["avg_k"] = (out["sum_k"] / out["n_with_k"].where(out["n_with_k"] > 0)).round(6)
+    out["n_missing"] = out["n_events"] - out["n_with_k"]
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return out[["event_type", "n_events", "n_missing", "sum_k", "avg_k"]]
 
 
 def event_sessions(sf_dir: str) -> pd.DataFrame:
