@@ -61,7 +61,7 @@ def _match(got: pd.DataFrame, want: pd.DataFrame) -> bool:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g):
-            if not np.allclose(g.to_numpy(), w.to_numpy(dtype=float), atol=2e-6):
+            if not np.allclose(g.to_numpy(), w.to_numpy(dtype=float), atol=2e-6, equal_nan=True):
                 return False
         elif g.tolist() != w.tolist():
             return False

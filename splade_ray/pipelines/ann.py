@@ -161,6 +161,7 @@ class IVFIndex:
         the driver — the centroid fit never concatenates the full corpus
         embedding matrix (at 100 TB that matrix is the corpus).  Pass an
         explicit fraction to override (tests use 1.0 for exactness)."""
+        explicit_fraction = sample_fraction
         if sample_fraction is None:
             n = ds.count()
             sample_fraction = min(1.0, max_fit_vectors / max(n, 1))
@@ -173,9 +174,11 @@ class IVFIndex:
         if not chunks:
             raise ValueError("IVFIndex.fit_assign: dataset has no vectors")
         sample = _normalize(np.concatenate(chunks))
-        if sample.shape[0] > max_fit_vectors:
-            # explicit large fraction on a large corpus: keep the driver
-            # bounded anyway via a deterministic stride subsample
+        if explicit_fraction is None and sample.shape[0] > max_fit_vectors:
+            # derived fraction overshot (count raced the sample): keep the
+            # driver bounded via a deterministic stride subsample.  An
+            # EXPLICIT fraction is honored verbatim — the docstring promises
+            # exactness for callers that pass 1.0.
             stride = int(np.ceil(sample.shape[0] / max_fit_vectors))
             sample = sample[::stride]
         self.centroids = _kmeans_fit(sample, self.n_clusters, seed=seed)
@@ -203,6 +206,14 @@ class IVFIndex:
         import pyarrow.parquet as pq
 
         os.makedirs(out_dir, exist_ok=True)
+        # write_parquet APPENDS: clear any stale/half-written lists from a
+        # prior save or crash-retry so load() never scores duplicate rows
+        # (same guard as the term-index run writer).
+        lists_dir = os.path.join(out_dir, "lists")
+        if os.path.exists(lists_dir):
+            import shutil
+
+            shutil.rmtree(lists_dir)
         cent = self.centroids
         pq.write_table(
             pa.table(

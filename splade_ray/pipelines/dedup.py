@@ -555,8 +555,8 @@ _CC_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
 
 def _cc_orient(batch: pa.Table) -> pa.Table:
-    """(u, v) → (max, min), self-loops dropped — the canonical child→parent
-    orientation both phases emit.  Accepts (id_a, id_b) input columns so
+    """(u, v) → (max, min) — the canonical child→parent orientation both
+    phases emit.  Accepts (id_a, id_b) input columns so
     near-dup pair Datasets feed in directly (rename_columns chokes on
     pandas-block datasets).  Self-loops are KEPT: they mark singleton
     clusters (driver-path parity) and ride the iteration unchanged until

@@ -41,10 +41,14 @@ from ..state.lineage import atomic_write_json, config_hash, read_json, shard_is_
 from ..util import pool_size
 
 
-def decode_postings_table(post: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, str]:
+def decode_postings_table(
+    post: pa.Table, ids_only: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None, str]:
     """Postings parquet table → (term_ids, seg_lens, local_ids, vals,
     weight_mode); two vectorized varint passes, mirrors the query-side load
-    (pipelines/search.py ShardIndex)."""
+    (pipelines/search.py ShardIndex).  ``ids_only=True`` skips the
+    tf/weight column entirely (vals=None, mode="") — the purge-stats pass
+    reads only (term_id, df, docs) and must not require value columns."""
     term_ids = post.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
     seg_lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     nnz = int(seg_lens.sum())
@@ -57,6 +61,8 @@ def decode_postings_table(post: pa.Table) -> tuple[np.ndarray, np.ndarray, np.nd
         local = csum - np.repeat(prior, seg_lens)
     else:
         local = np.zeros(0, np.int64)
+    if ids_only:
+        return term_ids, seg_lens, local, None, ""
     if "tfs" in post.column_names:
         vals = varint_decode(binary_concat(post.column("tfs").combine_chunks()), nnz)
         mode = "tf"
@@ -110,18 +116,7 @@ class PurgeStatsStage:
                     columns=["term_id", "df", "docs"],
                 )
                 # doc-id-only decode (no tf/weight column read)
-                tids = post.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
-                lens = post.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-                nnz = int(lens.sum())
-                deltas = varint_decode(binary_concat(post.column("docs").combine_chunks()), nnz).astype(np.int64)
-                csum = np.cumsum(deltas)
-                seg_starts = np.zeros(lens.size, dtype=np.int64)
-                np.cumsum(lens[:-1], out=seg_starts[1:])
-                if nnz:
-                    prior = np.where(seg_starts > 0, csum[np.maximum(seg_starts - 1, 0)], 0)
-                    local = csum - np.repeat(prior, lens)
-                else:
-                    local = np.zeros(0, np.int64)
+                tids, lens, local, _, _ = decode_postings_table(post, ids_only=True)
                 remap = self.remaps[si]
                 if remap is not None:
                     tids = remap[tids]
@@ -353,9 +348,6 @@ def merge_segments(
             }
         else:
             stats = {"n_docs": n_docs}
-    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), os.path.join(stats_dir, "vocab.parquet"))
-    atomic_write_json(os.path.join(stats_dir, "meta.json"), meta)
-
     # ---- shard descriptors: which segments touch which shard ----
     per_seg = [_segment_shards(d) for d in segment_dirs]
     items: dict[int, dict] = {}
@@ -364,6 +356,12 @@ def merge_segments(
             rec = items.setdefault(sid, {"shard": sid, "seg_idx": [], "pdirs": []})
             rec["seg_idx"].append(si)
             rec["pdirs"].append(pdir)
+
+    if del_arr is None or not items:
+        # purging merges overwrite vocab/meta with survivor stats below —
+        # writing the pre-purge versions first would be a wasted full write
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), os.path.join(stats_dir, "vocab.parquet"))
+        atomic_write_json(os.path.join(stats_dir, "meta.json"), meta)
 
     # ---- tombstone purge, pass 1: surviving-corpus statistics ----
     if del_arr is not None and items:

@@ -145,9 +145,9 @@ def bm25_topk_merged_purged(sf_dir: str) -> pd.DataFrame:
     corpus_path = os.path.join(base, "corpus_input.parquet")
     root = os.path.join(base, "purge_merge")
     merged_dir = os.path.join(root, "merged")
-    n_rows = rd.read_parquet(corpus_path).count()
-    split = n_rows // 2
     if not os.path.exists(os.path.join(merged_dir, "_MANIFEST.json")):
+        n_rows = rd.read_parquet(corpus_path).count()
+        split = n_rows // 2
         os.makedirs(root, exist_ok=True)
         full = rd.read_parquet(corpus_path).sort("url").materialize()
         a_path, b_path = os.path.join(root, "a.parquet"), os.path.join(root, "b.parquet")
@@ -180,6 +180,7 @@ def search_snippets(sf_dir: str) -> pd.DataFrame:
     never re-shuffled and non-candidate rows are dropped at the scan."""
     from ..functions.hashing import md5_u64
     from ..tokenizer import Tokenizer
+    from .search import best_snippet_window
 
     W = 12
     index_dir = build_documents_index(sf_dir)
@@ -218,18 +219,10 @@ def search_snippets(sf_dir: str) -> pd.DataFrame:
                 inq = (np.minimum(p, docs_sorted.size - 1) >= 0) & (docs_sorted[np.minimum(p, docs_sorted.size - 1)] == sids)
                 for ri in np.flatnonzero(inq):
                     lo, hi = offs[ri], offs[ri + 1]
-                    n = int(hi - lo)
-                    row_h = th[lo:hi]
-                    ins = np.searchsorted(qh, row_h)
-                    ishit = (qh[np.minimum(ins, qh.size - 1)] == row_h).astype(np.int64) if qh.size else np.zeros(n, np.int64)
-                    csum = np.concatenate(([0], np.cumsum(ishit)))
-                    n_starts = max(n - W + 1, 1)
-                    wsum = csum[np.minimum(np.arange(n_starts) + W, n)] - csum[:n_starts]
-                    s = int(np.argmax(wsum))  # argmax takes the FIRST max → earliest tie
-                    end = min(s + W, n)
-                    snippet = " ".join(toks.slice(lo + s, end - s).to_pylist()) if n else ""
+                    s, end, nh = best_snippet_window(th[lo:hi], qh, W)
+                    snippet = " ".join(toks.slice(lo + s, end - s).to_pylist()) if hi > lo else ""
                     out_q.append(qid); out_d.append(int(sids[ri])); out_s.append(s)
-                    out_h.append(int(wsum[s])); out_t.append(snippet)
+                    out_h.append(nh); out_t.append(snippet)
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.string()),

@@ -811,9 +811,18 @@ class ShardScorerActor:
             self.corpus_path, columns=["url", "text"], filters=pads.field("url").isin(urls)
         )
         text_of = dict(zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()))
+        missing = [u for u in urls if u not in text_of]
+        if missing:
+            # a top-k url absent from the corpus parquet means the index and
+            # corpus_path have diverged (stale cache / rebuilt index) — fail
+            # loudly rather than serve an empty snippet for a real hit
+            raise KeyError(
+                f"snippet corpus {self.corpus_path} is missing {len(missing)} "
+                f"indexed url(s), e.g. {missing[0]!r}: index/corpus mismatch"
+            )
         starts, hits, snips = [], [], []
         for u in urls:
-            toks = self.tok.tokenize(text_of.get(u, "") or "")
+            toks = self.tok.tokenize(text_of[u] or "")
             th = md5_u64(toks) if toks else np.zeros(0, np.uint64)
             st, en, nh = best_snippet_window(th, qh, W)
             starts.append(st)
