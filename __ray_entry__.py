@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ops = {
         # inverted index + BM25 (flagship)
         "bm25_topk": q.bm25_topk,
+        # wildcard expansion on the sorted vocab (Lucene PrefixQuery shape)
+        "prefix_topk": q.prefix_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -261,7 +263,7 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
-    from splade_ray.pipelines.queries import NEAR_QUERIES, PHRASE_QUERIES
+    from splade_ray.pipelines.queries import NEAR_QUERIES, PHRASE_QUERIES, PREFIX_QUERIES
     from splade_ray.pipelines.queries import _FIELD_TITLE_TOKS as queries_mod_title_toks
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
@@ -315,6 +317,35 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    # wildcard expansion: every vocab term with the prefix scores with unit
+    # query weight and its OWN idf (expanded-OR / Lucene PrefixQuery)
+    prefix_values = ", ".join(f"('{qid}', '{p}')" for qid, p in PREFIX_QUERIES)
+    prefix_sql = f"""
+WITH pset(query_id, prefix) AS (VALUES {prefix_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+expand AS (SELECT p.query_id, d.term, d.df FROM pset p JOIN df d ON d.term LIKE p.prefix || '%'),
+scores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM expand e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # purge merge: segments + tombstones (every 9th doc) + purging merge
     # == BM25 recomputed from scratch over the SURVIVING corpus (df/N/
     # avgdl are the survivors' — the contrast to bm25_topk_deleted below)
@@ -408,6 +439,7 @@ ORDER BY p.query_id
     )
     oracles = {
         "bm25_topk": bm25,
+        "prefix_topk": prefix_sql,
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

@@ -164,6 +164,29 @@ def oracle_search(index: OracleIndex, query_text: str, k: int) -> list[tuple[int
     return [(int(d), float(scores[d])) for d in order]
 
 
+def oracle_prefix_search(index: OracleIndex, prefix: str, k: int) -> list[tuple[int, float]]:
+    """Wildcard oracle: every indexed term starting with ``prefix``
+    contributes its BM25 impact with unit query weight — the expanded-OR
+    semantics of :meth:`IndexReader.search_prefix` (each term keeps its
+    own idf; no blending)."""
+    tok = Tokenizer(index.config)
+    norm = tok.tokenize(prefix)
+    if len(norm) != 1:
+        raise ValueError(f"prefix must normalize to one token, got {norm!r}")
+    p = norm[0]
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    for tid, t in enumerate(index.terms):
+        if t.startswith(p):
+            s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+            scores[index.post_doc_ids[s:e]] += index.post_weights[s:e]
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    k = min(k, nz.size)
+    order = nz[np.lexsort((nz, -scores[nz]))][:k]
+    return [(int(d), float(scores[d])) for d in order]
+
+
 def oracle_phrase_search(index: OracleIndex, phrase: str, k: int) -> list[tuple[int, float]]:
     """Exact-phrase oracle: docs whose token sequence contains the phrase
     tokens consecutively, ranked by the same BM25 bag score as

@@ -110,6 +110,42 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("p0", "s"),   # scan, slow, small, sort, spark, stream
+    ("p1", "da"),  # data
+    ("p2", "qu"),  # query
+    ("p3", "c"),   # column, customer
+    ("p4", "zz"),  # matches no vocab term → zero rows for p4
+]
+
+
+def prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """Wildcard retrieval (``s*``, ``da*``, ...): each prefix expands to
+    EVERY vocab term carrying it — a contiguous term-id range off the
+    sorted vocab (two binary searches, Lucene-PrefixQuery shape) — scored
+    with unit query weight and per-term idf through the unchanged BM25
+    kernels.  One query routes through :class:`ShardedSearcher` to pin
+    driver/sharded parity under expansion."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, prefix in PREFIX_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_prefix(prefix, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        sharded = [
+            (PREFIX_QUERIES[0][0], r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_prefix(PREFIX_QUERIES[0][1], BM25_K), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == PREFIX_QUERIES[0][0]], "sharded prefix diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 AFTER tombstone-deleting each query's unfiltered top-1
     doc (Lucene delete semantics: deleted docs excluded from every result,

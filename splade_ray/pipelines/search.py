@@ -636,6 +636,39 @@ class IndexReader:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
 
+    def expand_prefix(self, prefix: str) -> np.ndarray:
+        """Term-id range of vocab terms starting with ``prefix`` — the
+        sorted-string vocab IS the term dictionary, so wildcard expansion
+        (Lucene PrefixQuery) is two binary searches returning a CONTIGUOUS
+        id range; no per-term lookup, no postings touched until scoring."""
+        if self.vocab_index is None:
+            raise ValueError(
+                "prefix queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        norm = self.tok.tokenize(prefix)
+        if len(norm) != 1:
+            raise ValueError(f"prefix must normalize to one token, got {norm!r}")
+        p = norm[0]
+        lo = int(self.vocab_index.searchsorted(p, side="left"))
+        hi = int(self.vocab_index.searchsorted(p + "\U0010ffff", side="left"))
+        return np.arange(lo, hi, dtype=np.int64)
+
+    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Wildcard top-k (``pre*``): the query expands to every vocab term
+        with the prefix, each with unit query weight and its OWN idf
+        (expanded-OR semantics), and scores through the unchanged BM25
+        kernels — exhaustive or block-max pruned."""
+        qtids = self.expand_prefix(prefix)
+        if qtids.size == 0:
+            return []
+        qw = np.ones(qtids.size, np.float64)
+        cands = []
+        for sh in self.shards:
+            fn = sh.score_wand if method == "wand" else sh.score_exhaustive
+            cands.append(fn(qtids, qw, k))
+        return self._merge_shard_topk(cands, k)
+
     def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
         """Exact-phrase top-k (requires a ``store_forward=True`` build):
         docs whose token stream contains the query tokens CONSECUTIVELY,
@@ -884,6 +917,31 @@ class ShardedSearcher:
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Wildcard top-k on the sharded path: the driver expands the
+        prefix on its local vocab (two binary searches) and scatter-gathers
+        the contiguous term-id range to the shard owners — identical
+        semantics to :meth:`IndexReader.search_prefix`."""
+        qtids = self.reader.expand_prefix(prefix)
+        if qtids.size == 0:
+            return []
+        qw = np.ones(qtids.size, np.float64)
+        futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)

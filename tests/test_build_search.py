@@ -69,6 +69,30 @@ def test_wand_equals_exhaustive(reader):
                 assert ws == pytest.approx(es, rel=1e-12)
 
 
+def test_prefix_search_rank_identity(built_index, reader, oracle_index):
+    """Wildcard expansion (contiguous sorted-vocab term range, unit weight
+    per term) must be rank- and score-identical to the brute-force oracle;
+    WAND must equal exhaustive under wide expansions; the sharded path must
+    equal the local reader."""
+    from splade_ray.oracle import oracle_prefix_search
+
+    index_dir, cfg = built_index
+    prefixes = ["w00", "w1", "w0093", "w", "zzzmissing"]
+    for p in prefixes:
+        expected = oracle_prefix_search(oracle_index, p, 10)
+        got = reader.search_prefix(p, 10)
+        assert [d for d, _ in expected] == [d for d, _, _ in got], p
+        for (_, es), (_, gs, _) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+        assert reader.search_prefix(p, 10, method="wand") == got, p
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for p in prefixes[:3]:
+            assert ss.search_prefix(p, 10) == reader.search_prefix(p, 10), p
+    finally:
+        ss.shutdown()
+
+
 def test_sharded_equals_local(built_index, reader):
     index_dir, cfg = built_index
     ss = ShardedSearcher(index_dir, cfg, num_actors=2)
