@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_merged_purged": q.bm25_topk_merged_purged,
         # boolean AND retrieval (postings intersection) + IR metrics
         "boolean_and_match": q.boolean_and_match,
+        # disjunctive boolean with a minimum_should_match floor (OR >= 2)
+        "boolean_min_match": q.boolean_min_match,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
         "search_snippets_sharded": q.search_snippets_sharded,
@@ -317,6 +319,15 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    boolean_min = (
+        bm25_ctes
+        + """
+SELECT m.query_id, m.doc_id
+FROM (SELECT q.query_id, t.doc_id, count(DISTINCT q.term) AS matched
+      FROM qterms q JOIN tf t ON t.term = q.term GROUP BY 1, 2) m
+WHERE m.matched >= 2 ORDER BY query_id, doc_id
+"""
+    )
     # wildcard expansion: every vocab term with the prefix scores with unit
     # query weight and its OWN idf (expanded-OR / Lucene PrefixQuery)
     prefix_values = ", ".join(f"('{qid}', '{p}')" for qid, p in PREFIX_QUERIES)
@@ -440,6 +451,7 @@ ORDER BY p.query_id
     oracles = {
         "bm25_topk": bm25,
         "prefix_topk": prefix_sql,
+        "boolean_min_match": boolean_min,
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

@@ -44,6 +44,32 @@ def conjunctive_match(reader: IndexReader, text: str) -> np.ndarray:
     return np.sort(result) if result is not None else np.zeros(0, np.int64)
 
 
+def min_should_match(reader: IndexReader, text: str, m: int) -> np.ndarray:
+    """Doc ids matching at least ``m`` DISTINCT query terms — disjunctive
+    boolean retrieval with a minimum_should_match floor (Lucene
+    BooleanQuery OR semantics).  OOV terms can never match, so they only
+    lower a doc's attainable count; ``m`` above the in-vocab distinct-term
+    count yields empty.  Per shard: one concatenated-postings bincount
+    (each (term, doc) posting is unique, so the count IS the distinct-term
+    match count); tombstoned docs are excluded like every scored path."""
+    qtids, _ = reader.encode_query(text)
+    if qtids.size == 0 or m <= 0:
+        return np.zeros(0, dtype=np.int64)
+    out = []
+    for sh in reader.shards:
+        slices = sh._term_slices(qtids)
+        if not slices:
+            continue
+        ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+        cnt = np.bincount(ids, minlength=sh.n_local)
+        if sh.deleted_local.size:
+            cnt[sh.deleted_local] = 0
+        loc = np.flatnonzero(cnt >= m)
+        if loc.size:
+            out.append(sh.doc_ids[loc])
+    return np.sort(np.concatenate(out)) if out else np.zeros(0, np.int64)
+
+
 def retrieval_metrics(run: pd.DataFrame, qrels: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     """Per-query RR@k / Recall@k / nDCG@k (binary relevance).
 

@@ -582,6 +582,23 @@ def boolean_and_match(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def boolean_min_match(sf_dir: str) -> pd.DataFrame:
+    """(query_id, doc_id) pairs where the doc matches AT LEAST 2 distinct
+    query terms — disjunctive boolean retrieval with minimum_should_match=2
+    (Lucene BooleanQuery OR floor).  Per shard one concatenated-postings
+    bincount; contrast with `boolean_and_match`'s full intersection."""
+    from .metrics import min_should_match
+
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for d in _external_ids(reader, min_should_match(reader, text, 2)):
+            rows.append((qid, d))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"]).sort_values(
+        ["query_id", "doc_id"], ignore_index=True
+    )
+
+
 def retrieval_metrics_at10(sf_dir: str) -> pd.DataFrame:
     """Per-query RR/Recall/nDCG @10 of the BM25 run against conjunctive-
     containment qrels (reference A5 metric semantics, binary relevance;

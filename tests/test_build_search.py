@@ -93,6 +93,24 @@ def test_prefix_search_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_min_should_match_brute_force(reader, oracle_index):
+    """Disjunctive boolean with a minimum_should_match floor must equal a
+    brute-force distinct-term-overlap count over the oracle token lists,
+    for every floor from 1 to beyond the query length (incl. OOV terms)."""
+    from splade_ray.pipelines.metrics import min_should_match
+    from splade_ray.tokenizer import Tokenizer
+
+    tok = Tokenizer(oracle_index.config)
+    for text in ["w0001 w0093 w0400", "w0001 zzzoov w0093", "zzzoov", ""]:
+        q = set(tok.tokenize(text))
+        for m in (1, 2, 3, 4):
+            want = sorted(
+                d for d, toks in enumerate(oracle_index.tokens) if len(q & set(toks)) >= m
+            )
+            got = min_should_match(reader, text, m).tolist()
+            assert got == want, (text, m)
+
+
 def test_sharded_equals_local(built_index, reader):
     index_dir, cfg = built_index
     ss = ShardedSearcher(index_dir, cfg, num_actors=2)
