@@ -174,6 +174,38 @@ def run_bench() -> dict:
         search_term_partitioned([treader], text, 10, method="wand")
         lat_t_wand.append(time.perf_counter() - t)
 
+    # quantized-impact serving path (neural_value_dtype="q8") vs raw f32
+    # on the same hash-expansion neural corpus: postings footprint + query
+    # p50 — the VERDICT-r2 "quantized-impact serving benchmarks" item.
+    # 30k docs keeps the two extra builds a small fraction of bench time.
+    from splade_ray.fixtures import write_web_pages
+
+    n_neural = int(os.environ.get("GRAFT_NEURAL_BENCH_DOCS", "30000"))
+    ncorpus = f"/tmp/graft_bench/web_pages_neural_{n_neural}"
+    if not os.path.exists(ncorpus):
+        write_web_pages(ncorpus + ".tmp", n_neural)
+        os.replace(ncorpus + ".tmp", ncorpus)
+    neural_stats: dict[str, float] = {}
+    for vdt in ("f32", "q8"):
+        ndir = os.path.join(INDEX_DIR, f"neural_{vdt}")
+        ncfg = EngineConfig(shard_size=4096, encoder="neural", neural_value_dtype=vdt)
+        shutil.rmtree(ndir, ignore_errors=True)
+        build_index(ncorpus, ndir, ncfg)
+        nreader = IndexReader(ndir, ncfg)
+        lat = []
+        for text in queries[:50]:
+            t = time.perf_counter()
+            nreader.search(text, 10)
+            lat.append(time.perf_counter() - t)
+        pdir = os.path.join(ndir, "postings")
+        nbytes = sum(
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir)
+            if f.endswith(".postings.parquet")
+        )
+        neural_stats[f"neural_{vdt}_p50_ms"] = round(1000 * float(np.percentile(lat, 50)), 3)
+        neural_stats[f"neural_{vdt}_postings_mb"] = round(nbytes / (1 << 20), 2)
+
     # operator-showcase pipelines over the sf dir
     import __ray_entry__ as em
 
@@ -212,6 +244,7 @@ def run_bench() -> dict:
         "query_termindex_p50_ms": round(1000 * float(np.percentile(lat_t_ex, 50)), 3),
         "query_termindex_wand_p50_ms": round(1000 * float(np.percentile(lat_t_wand, 50)), 3),
         "query_batch_qps": round(batch_qps, 1),
+        **neural_stats,
     }
     ray.shutdown()
     return result
