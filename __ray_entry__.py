@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and_match": q.boolean_and_match,
         # disjunctive boolean with a minimum_should_match floor (OR >= 2)
         "boolean_min_match": q.boolean_min_match,
+        # metadata-filtered retrieval (lang='en' live-docs mask in-scorer)
+        "bm25_topk_filtered": q.bm25_topk_filtered,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
         "search_snippets_sharded": q.search_snippets_sharded,
@@ -319,6 +321,22 @@ FROM ranked WHERE rank <= 10
 SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 """
     )
+    # filtered retrieval: the SAME corpus-wide BM25 scores (stats are the
+    # full corpus's — the filter restricts candidates, not statistics,
+    # exactly like a Lucene filter clause), re-ranked over lang='en' docs
+    bm25_filtered = (
+        bm25_ctes
+        + """
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang = 'en'
+)
+WHERE rank <= 10
+"""
+    )
     boolean_min = (
         bm25_ctes
         + """
@@ -452,6 +470,7 @@ ORDER BY p.query_id
         "bm25_topk": bm25,
         "prefix_topk": prefix_sql,
         "boolean_min_match": boolean_min,
+        "bm25_topk_filtered": bm25_filtered,
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

@@ -110,6 +110,32 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered retrieval: BM25 top-10 restricted to docs with
+    ``lang = 'en'`` — the metadata-filter serving feature.  The allowed-url
+    set comes from ONE column-pruned read of the documents table
+    (doc_id, lang only) and is applied inside the scorer as a per-shard
+    Arrow ``is_in`` mask before top-k selection (Lucene live-docs shape)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"],
+        filters=pads.field("lang") == "en",
+    )
+    allowed = pa.array(
+        sorted(f"doc://{i:010d}" for i in tbl.column("doc_id").to_pylist()), type=pa.string()
+    )
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_filtered(text, BM25_K, allowed), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 PREFIX_QUERIES: list[tuple[str, str]] = [
     ("p0", "s"),   # scan, slow, small, sort, spark, stream
     ("p1", "da"),  # data

@@ -290,16 +290,25 @@ class ShardIndex:
         order = cand[np.lexsort((cand, -scores[cand]))][:kk]
         return self.doc_ids[order], scores[order]
 
-    def score_exhaustive(self, qtids: np.ndarray, qweights: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def score_exhaustive(
+        self, qtids: np.ndarray, qweights: np.ndarray, k: int, allow: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k (global doc ids, float64 scores): one bincount over
         the concatenated postings of the query's terms — the vectorized
-        form of the reference's accumulate loop (sparse_index.py:661-686)."""
+        form of the reference's accumulate loop (sparse_index.py:661-686).
+
+        ``allow``: optional local boolean mask (len n_local) — docs outside
+        it score 0 and so never reach the top-k (filtered search / the
+        Lucene live-docs shape: the filter is checked inside the scorer,
+        before top-k selection)."""
         slices = self._term_slices(qtids)
         if not slices:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
         w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        if allow is not None:
+            scores = np.where(allow, scores, 0.0)
         return self._topk_from_scores(scores, k)
 
     def phrase_topk(self, qtids: np.ndarray, qweights: np.ndarray, h_seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -635,6 +644,28 @@ class IndexReader:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
+
+    def search_filtered(self, text: str, k: int = 10, allow_urls=None) -> list[tuple[int, float, str]]:
+        """Filtered top-k: BM25 over only the docs whose url passes the
+        metadata predicate — the standard filtered-search serving feature.
+        ``allow_urls`` is an Arrow string array / list of allowed urls (the
+        broadcast-lookup shape: one ``is_in`` over each shard's Arrow url
+        column, no Python strings; at cluster scale the same mask would be
+        a precomputed per-shard doc-attribute bitmap).  Scoring uses the
+        exhaustive kernel — safe block-max pruning under an arbitrary
+        filter needs filter-aware zone bounds, so WAND is out of scope for
+        filtered queries (Lucene likewise checks live-docs inside the
+        scorer)."""
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        if not isinstance(allow_urls, pa.Array):
+            allow_urls = pa.array(sorted(allow_urls), type=pa.string())
+        cands = []
+        for sh in self.shards:
+            allow = pa.compute.is_in(sh.urls, value_set=allow_urls).to_numpy(zero_copy_only=False)
+            cands.append(sh.score_exhaustive(qtids, qw, k, allow=allow))
+        return self._merge_shard_topk(cands, k)
 
     def expand_prefix(self, prefix: str) -> np.ndarray:
         """Term-id range of vocab terms starting with ``prefix`` — the

@@ -93,6 +93,22 @@ def test_prefix_search_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_search_filtered_rank_identity(reader, oracle_index):
+    """Filtered top-k must equal the oracle's full ranking restricted to
+    the allowed doc set (filter-then-rank, not rank-then-filter)."""
+    allowed = [d for d in range(oracle_index.n_docs) if d % 3 == 0]
+    allowed_urls = [oracle_index.doc_ids[d] for d in allowed]
+    allow_set = set(allowed)
+    queries = generate_queries(30)
+    for text in queries["text"].to_pylist():
+        full = oracle_search(oracle_index, text, oracle_index.n_docs)
+        want = [(d, s) for d, s in full if d in allow_set][:10]
+        got = reader.search_filtered(text, 10, allowed_urls)
+        assert [d for d, _ in want] == [d for d, _, _ in got], text
+        for (_, es), (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+
+
 def test_min_should_match_brute_force(reader, oracle_index):
     """Disjunctive boolean with a minimum_should_match floor must equal a
     brute-force distinct-term-overlap count over the oracle token lists,
