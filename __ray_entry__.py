@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_min_match": q.boolean_min_match,
         # metadata-filtered retrieval (lang='en' live-docs mask in-scorer)
         "bm25_topk_filtered": q.bm25_topk_filtered,
+        # faceted match-set counts per lang (Lucene-facets aggregation)
+        "search_facets": q.search_facets,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
         "search_snippets_sharded": q.search_snippets_sharded,
@@ -346,6 +348,17 @@ FROM (SELECT q.query_id, t.doc_id, count(DISTINCT q.term) AS matched
 WHERE m.matched >= 2 ORDER BY query_id, doc_id
 """
     )
+    # faceted counts: the disjunctive candidate set (>= 1 matched term)
+    # aggregated per lang facet — the match-set aggregation, not top-k
+    facets = (
+        bm25_ctes
+        + """
+SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang ORDER BY m.query_id, d.lang
+"""
+    )
     # wildcard expansion: every vocab term with the prefix scores with unit
     # query weight and its OWN idf (expanded-OR / Lucene PrefixQuery)
     prefix_values = ", ".join(f"('{qid}', '{p}')" for qid, p in PREFIX_QUERIES)
@@ -471,6 +484,7 @@ ORDER BY p.query_id
         "prefix_topk": prefix_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
+        "search_facets": facets,
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

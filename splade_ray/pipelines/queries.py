@@ -18,6 +18,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -117,7 +118,6 @@ def bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     (doc_id, lang only) and is applied inside the scorer as a per-shard
     Arrow ``is_in`` mask before top-k selection (Lucene live-docs shape)."""
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
     index_dir = build_documents_index(sf_dir)
     reader = IndexReader(index_dir, DOCS_CFG)
@@ -622,6 +622,33 @@ def boolean_min_match(sf_dir: str) -> pd.DataFrame:
             rows.append((qid, d))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"]).sort_values(
         ["query_id", "doc_id"], ignore_index=True
+    )
+
+
+def search_facets(sf_dir: str) -> pd.DataFrame:
+    """Faceted search counts: per query, the number of matching docs
+    (>= 1 query term, i.e. the disjunctive candidate set) per ``lang``
+    facet — the Lucene-facets aggregation over the match set rather than
+    the top-k.  The doc->lang attribute rides ONE column-pruned read
+    (dense doc_id positions -> one numpy gather per query; at cluster
+    scale this is the per-shard doc-attribute column the facet module
+    keeps alongside postings)."""
+    from .metrics import min_should_match
+
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lang_by_id = np.empty(int(ids.max()) + 1 if ids.size else 0, dtype=object)
+    lang_by_id[ids] = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        ext = np.asarray(_external_ids(reader, min_should_match(reader, text, 1)), dtype=np.int64)
+        if ext.size == 0:
+            continue
+        langs, counts = np.unique(lang_by_id[ext].astype(str), return_counts=True)
+        rows.extend((qid, l, int(c)) for l, c in zip(langs, counts))
+    return pd.DataFrame(rows, columns=["query_id", "lang", "n_docs"]).sort_values(
+        ["query_id", "lang"], ignore_index=True
     )
 
 
