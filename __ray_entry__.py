@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": q.bm25_topk_filtered,
         # faceted match-set counts per lang (Lucene-facets aggregation)
         "search_facets": q.search_facets,
+        # hybrid sparse+dense reciprocal-rank fusion (BM25 ⊕ cosine kNN)
+        "hybrid_topk": q.hybrid_topk,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
         "search_snippets_sharded": q.search_snippets_sharded,
@@ -348,6 +350,33 @@ FROM (SELECT q.query_id, t.doc_id, count(DISTINCT q.term) AS matched
 WHERE m.matched >= 2 ORDER BY query_id, doc_id
 """
     )
+    # hybrid sparse+dense fusion: BM25 top-20 + cosine top-20 (query i's
+    # dense twin is embedding vec_id=i), RRF with the standard k0=60
+    qmap_values = ", ".join(f"('{qid}', {i})" for i, (qid, _) in enumerate(BM25_QUERIES))
+    hybrid = (
+        bm25_ctes
+        + f""",
+sparse AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 20),
+qmap(query_id, qvec_id) AS (VALUES {qmap_values}),
+qv AS (SELECT m.query_id, CAST(e.embedding AS DOUBLE[]) AS qe
+       FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec_id),
+dsim AS (SELECT q.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cs
+         FROM qv q CROSS JOIN embeddings e),
+dense AS (SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id ASC) AS rank
+            FROM dsim) WHERE rank <= 20),
+fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf
+          FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+          GROUP BY query_id, doc_id),
+franked AS (SELECT query_id, doc_id, rrf,
+                   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+            FROM fused)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
+FROM franked WHERE rank <= 10
+"""
+    )
     # faceted counts: the disjunctive candidate set (>= 1 matched term)
     # aggregated per lang facet — the match-set aggregation, not top-k
     facets = (
@@ -485,6 +514,7 @@ ORDER BY p.query_id
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "search_facets": facets,
+        "hybrid_topk": hybrid,
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

@@ -625,6 +625,36 @@ def boolean_min_match(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def hybrid_topk(sf_dir: str) -> pd.DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion: each text
+    query's BM25 top-20 fuses with a paired dense query's brute-force
+    cosine top-20 over the aligned embeddings table (vec_id == doc_id) —
+    ``rrf(d) = Σ_lists 1/(60 + rank_d)``, fused top-10 with (-rrf, doc_id)
+    ties.  The RRF constant 60 is the standard from Cormack et al.; both
+    input rankings are the engine's already-oracle-checked paths, so the
+    fusion layer is the only new code under test."""
+    from .ann import brute_force_topk
+
+    K_LIST, RRF_K0 = 20, 60
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    emb = _emb(sf_dir)
+    qrows = emb.sort("vec_id").limit(len(BM25_QUERIES)).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    dense = brute_force_topk(emb, Q, k=K_LIST)
+    rows = []
+    for qi, (qid, text) in enumerate(BM25_QUERIES):
+        rrf: dict[int, float] = {}
+        for rank, (_d, _s, url) in enumerate(reader.search(text, K_LIST), 1):
+            d = int(url.removeprefix("doc://"))
+            rrf[d] = rrf.get(d, 0.0) + 1.0 / (RRF_K0 + rank)
+        dq = dense[dense["query_idx"] == qi]
+        for d, rank in zip(dq["vec_id"].tolist(), dq["rank"].tolist()):
+            rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (RRF_K0 + int(rank))
+        fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_K]
+        rows.extend((qid, r, d, round(v, 6)) for r, (d, v) in enumerate(fused, 1))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "rrf_r"])
+
+
 def search_facets(sf_dir: str) -> pd.DataFrame:
     """Faceted search counts: per query, the number of matching docs
     (>= 1 query term, i.e. the disjunctive candidate set) per ``lang``
