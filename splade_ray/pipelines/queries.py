@@ -662,10 +662,14 @@ def search_facets(sf_dir: str) -> pd.DataFrame:
     the top-k.  The doc->lang attribute rides ONE column-pruned read
     (dense doc_id positions -> one numpy gather per query; at cluster
     scale this is the per-shard doc-attribute column the facet module
-    keeps alongside postings)."""
+    keeps alongside postings).  One query routes through
+    :meth:`ShardedSearcher.facets` (per-actor counts, |facets| cells per
+    actor to the driver) to pin driver/sharded parity."""
     from .metrics import min_should_match
+    from .search import ShardedSearcher
 
-    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     lang_by_id = np.empty(int(ids.max()) + 1 if ids.size else 0, dtype=object)
@@ -677,6 +681,13 @@ def search_facets(sf_dir: str) -> pd.DataFrame:
             continue
         langs, counts = np.unique(lang_by_id[ext].astype(str), return_counts=True)
         rows.extend((qid, l, int(c)) for l, c in zip(langs, counts))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        q0, t0 = BM25_QUERIES[0]
+        dist = ss.facets(t0, m=1)
+    finally:
+        ss.shutdown()
+    assert dist == {l: c for qid, l, c in rows if qid == q0}, "sharded facets diverged"
     return pd.DataFrame(rows, columns=["query_id", "lang", "n_docs"]).sort_values(
         ["query_id", "lang"], ignore_index=True
     )

@@ -853,6 +853,59 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def _attr_for_shards(self, attr_col: str) -> list[np.ndarray]:
+        """Per-shard doc-attribute arrays (aligned to local doc order),
+        loaded ONCE per actor from a column-pruned corpus read and cached —
+        the per-shard attribute column a facet module keeps alongside
+        postings (at cluster scale this is a co-located sidecar file, not
+        a corpus-wide read)."""
+        if self.corpus_path is None:
+            raise ValueError("facet serving needs corpus_path")
+        cache = getattr(self, "_attr_cache", None)
+        if cache is None:
+            cache = self._attr_cache = {}
+        if attr_col not in cache:
+            tbl = pq.read_table(self.corpus_path, columns=["url", attr_col])
+            cu = np.asarray(tbl.column("url").to_pylist(), dtype=object)
+            ca = np.asarray(tbl.column(attr_col).to_pylist(), dtype=object)
+            order = np.argsort(cu)
+            cu, ca = cu[order], ca[order]
+            per_shard = []
+            for sh in self.reader.shards:
+                su = np.asarray(sh.urls.to_pylist(), dtype=object)
+                pos = np.minimum(np.searchsorted(cu, su), max(cu.size - 1, 0))
+                if cu.size == 0 or not (cu[pos] == su).all():
+                    raise KeyError(
+                        f"facet corpus {self.corpus_path} is missing indexed "
+                        f"url(s): index/corpus mismatch"
+                    )
+                per_shard.append(ca[pos])
+            cache[attr_col] = per_shard
+        return cache[attr_col]
+
+    def facet_counts(self, qtids: np.ndarray, m: int, attr_col: str = "lang") -> dict[str, int]:
+        """Per-facet counts of THIS actor's docs matching >= m distinct
+        query terms (the disjunctive match set): one concatenated-postings
+        bincount per shard, tombstone-aware, then a unique-count over the
+        matched docs' attribute values.  The driver sums |facets| cells per
+        actor — match sets never leave the shard owners."""
+        attrs = self._attr_for_shards(attr_col)
+        out: dict[str, int] = {}
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            cnt = np.bincount(ids, minlength=sh.n_local)
+            if sh.deleted_local.size:
+                cnt[sh.deleted_local] = 0
+            matched = cnt >= m
+            if matched.any():
+                vals, c = np.unique(attr[matched].astype(str), return_counts=True)
+                for v, k in zip(vals, c):
+                    out[str(v)] = out.get(str(v), 0) + int(k)
+        return out
+
     def score_snippets(self, qtids: np.ndarray, qw: np.ndarray, qh: np.ndarray, k: int, W: int, method: str = "exhaustive"):
         """Local top-k + best-window snippets for THIS actor's shards.
         Texts come from a url-IN-candidates parquet read (k-bounded rows;
@@ -1019,6 +1072,21 @@ class ShardedSearcher:
             (int(d[i]), float(s[i]), str(urls[i]), int(starts[i]), int(hits[i]), str(snips[i]))
             for i in order
         ]
+
+    def facets(self, text: str, m: int = 1, attr_col: str = "lang") -> dict[str, int]:
+        """Faceted match-set counts served by the shard owners: each actor
+        counts its own matched docs per facet value (>= m distinct query
+        terms) and the driver sums |facets| cells per actor — the match
+        set itself never crosses the network."""
+        qtids, _ = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return {}
+        futs = [a.facet_counts.remote(qtids, m, attr_col) for a in self.actors]
+        total: dict[str, int] = {}
+        for part in ray.get(futs):
+            for k, v in part.items():
+                total[k] = total.get(k, 0) + v
+        return total
 
     def shutdown(self):
         for a in self.actors:

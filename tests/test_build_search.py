@@ -109,6 +109,35 @@ def test_search_filtered_rank_identity(reader, oracle_index):
             assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_sharded_facets_brute_force(built_index, reader, web_pages_path, oracle_index):
+    """Sharded facet counts (per-actor match-set counting) must equal a
+    brute-force distinct-term-overlap count grouped by the corpus lang
+    column — incl. the dedup winners' attribute alignment."""
+    from collections import Counter
+
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    # attr per INDEXED doc: oracle_index.tokens aligns with the deduped
+    # corpus; recover lang by url through the raw fixture table
+    raw = pq.read_table(web_pages_path, columns=["url", "lang"])
+    lang_of = dict(zip(raw.column("url").to_pylist(), raw.column("lang").to_pylist()))
+    tok = Tokenizer(cfg)
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=web_pages_path)
+    try:
+        for text, m in [("w0001 w0093 w0400", 1), ("w0001 w0093", 2)]:
+            q = set(tok.tokenize(text))
+            want = Counter(
+                lang_of[oracle_index.doc_ids[d]]
+                for d, toks in enumerate(oracle_index.tokens)
+                if len(q & set(toks)) >= m
+            )
+            got = ss.facets(text, m=m)
+            assert got == dict(want), (text, m)
+    finally:
+        ss.shutdown()
+
+
 def test_min_should_match_brute_force(reader, oracle_index):
     """Disjunctive boolean with a minimum_should_match floor must equal a
     brute-force distinct-term-overlap count over the oracle token lists,
