@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_min_match": q.boolean_min_match,
         # metadata-filtered retrieval (lang='en' live-docs mask in-scorer)
         "bm25_topk_filtered": q.bm25_topk_filtered,
+        # deep pagination via search_after cursor (page 2 = ranks 11-20)
+        "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
         "search_facets": q.search_facets,
         # hybrid sparse+dense reciprocal-rank fusion (BM25 ⊕ cosine kNN)
@@ -515,6 +517,12 @@ ORDER BY p.query_id
         "bm25_topk_filtered": bm25_filtered,
         "search_facets": facets,
         "hybrid_topk": hybrid,
+        # page 2 == the full ranking's rank 11..20 window
+        "bm25_topk_page2": bm25_ctes
+        + """
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank > 10 AND rank <= 20
+""",
         "search_snippets": snippets,
         # the sharded serving path (actor-held shards + k-bounded text
         # fetches) must reproduce the identical snippet output

@@ -111,6 +111,25 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25_topk_page2(sf_dir: str) -> pd.DataFrame:
+    """Deep pagination: page 2 (ranks 11-20) fetched via the search_after
+    cursor — the last hit of page 1 feeds ``reader.search_after`` and the
+    cursor is applied INSIDE each shard's scorer, so page 1 is never
+    re-collected.  Oracle = the full ranking's rank 11..20 window."""
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        page1 = reader.search(text, BM25_K)
+        if len(page1) < BM25_K:
+            continue  # no page 2 (oracle window is empty too)
+        d, s, _u = page1[-1]
+        for rank, (_d, score, url) in enumerate(
+            reader.search_after(text, BM25_K, after=(s, d)), BM25_K + 1
+        ):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_filtered(sf_dir: str) -> pd.DataFrame:
     """Filtered retrieval: BM25 top-10 restricted to docs with
     ``lang = 'en'`` — the metadata-filter serving feature.  The allowed-url

@@ -311,6 +311,24 @@ class ShardIndex:
             scores = np.where(allow, scores, 0.0)
         return self._topk_from_scores(scores, k)
 
+    def score_after(
+        self, qtids: np.ndarray, qweights: np.ndarray, k: int, after_score: float, after_doc: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k strictly AFTER a (score, doc_id) cursor in the
+        (-score, doc_id) total order — the deep-pagination kernel
+        (Elasticsearch search_after shape): docs at or before the cursor
+        are masked out of the score vector before top-k selection, so page
+        N+1 never re-materializes pages 1..N on the driver."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        keep = (scores < after_score) | ((scores == after_score) & (self.doc_ids > after_doc))
+        scores = np.where(keep, scores, 0.0)
+        return self._topk_from_scores(scores, k)
+
     def phrase_topk(self, qtids: np.ndarray, qweights: np.ndarray, h_seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact phrase top-k within this shard: boolean-AND candidates
         from the inverted postings, adjacency verified against the forward
@@ -644,6 +662,23 @@ class IndexReader:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
+
+    def search_after(
+        self, text: str, k: int = 10, after: tuple[float, int] | None = None
+    ) -> list[tuple[int, float, str]]:
+        """Deep pagination: the top-k strictly after the ``(score, doc_id)``
+        cursor in the (-score, doc_id) total order (pass the last hit of
+        the previous page).  ``after=None`` degrades to :meth:`search`.
+        Per shard the cursor is applied INSIDE the scorer, so no page is
+        ever re-collected — the search_after contract."""
+        if after is None:
+            return self.search(text, k)
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        a_s, a_d = float(after[0]), int(after[1])
+        cands = [sh.score_after(qtids, qw, k, a_s, a_d) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
 
     def search_filtered(self, text: str, k: int = 10, allow_urls=None) -> list[tuple[int, float, str]]:
         """Filtered top-k: BM25 over only the docs whose url passes the

@@ -109,6 +109,24 @@ def test_search_filtered_rank_identity(reader, oracle_index):
             assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_search_after_pagination(reader):
+    """Walking the ranking in pages of 5 via search_after cursors must
+    reconstruct exactly one search(k=25) — no dup, no gap — and a page
+    requested past the end of the match set must come back empty."""
+    for text in generate_queries(20)["text"].to_pylist():
+        full = reader.search(text, 25)
+        paged, cursor = [], None
+        while len(paged) < 25:
+            page = reader.search_after(text, 5, after=cursor)
+            if not page:
+                break
+            paged.extend(page)
+            cursor = (page[-1][1], page[-1][0])
+        assert paged == full, text
+        if cursor is not None and len(full) < 25:
+            assert reader.search_after(text, 5, after=cursor) == [], text
+
+
 def test_sharded_facets_brute_force(built_index, reader, web_pages_path, oracle_index):
     """Sharded facet counts (per-actor match-set counting) must equal a
     brute-force distinct-term-overlap count grouped by the corpus lang
