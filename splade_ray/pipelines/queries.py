@@ -115,18 +115,38 @@ def bm25_topk_page2(sf_dir: str) -> pd.DataFrame:
     """Deep pagination: page 2 (ranks 11-20) fetched via the search_after
     cursor — the last hit of page 1 feeds ``reader.search_after`` and the
     cursor is applied INSIDE each shard's scorer, so page 1 is never
-    re-collected.  Oracle = the full ranking's rank 11..20 window."""
-    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    re-collected.  Oracle = the full ranking's rank 11..20 window.  One
+    query routes through :class:`ShardedSearcher.search_after` to pin
+    driver/sharded parity under the cursor mask."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
     rows = []
+    cursors: dict[str, tuple[float, int]] = {}
     for qid, text in BM25_QUERIES:
         page1 = reader.search(text, BM25_K)
         if len(page1) < BM25_K:
             continue  # no page 2 (oracle window is empty too)
         d, s, _u = page1[-1]
+        cursors[qid] = (s, d)
         for rank, (_d, score, url) in enumerate(
             reader.search_after(text, BM25_K, after=(s, d)), BM25_K + 1
         ):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    if cursors:
+        qid0, text0 = next((q, t) for q, t in BM25_QUERIES if q in cursors)
+        ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+        try:
+            sharded = [
+                (qid0, r, int(u.removeprefix("doc://")), round(s, 6))
+                for r, (_d, s, u) in enumerate(
+                    ss.search_after(text0, BM25_K, after=cursors[qid0]), BM25_K + 1
+                )
+            ]
+        finally:
+            ss.shutdown()
+        assert sharded == [r for r in rows if r[0] == qid0], "sharded search_after diverged"
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 

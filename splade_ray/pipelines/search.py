@@ -877,6 +877,21 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_after(self, qtids: np.ndarray, qw: np.ndarray, k: int, after_score: float, after_doc: int):
+        """Deep-pagination scatter leg: each pinned shard masks its own
+        docs at-or-before the (score, doc_id) cursor BEFORE top-k, so the
+        actor ships at most k candidates per shard regardless of page
+        depth — pages 1..N never cross the network again."""
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            d, s = sh.score_after(qtids, qw, k, after_score, after_doc)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def score_phrase(self, qtids: np.ndarray, qw: np.ndarray, h_seq: np.ndarray, k: int):
         cands_d, cands_s, cands_u = [], [], []
         for sh in self.reader.shards:
@@ -1036,6 +1051,36 @@ class ShardedSearcher:
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_after(
+        self, text: str, k: int = 10, after: tuple[float, int] | None = None
+    ) -> list[tuple[int, float, str]]:
+        """Deep pagination on the sharded serving path: the driver fans
+        the (score, doc_id) cursor out to every shard owner, each owner
+        returns its local top-k strictly after the cursor, the driver
+        merges — semantics identical to :meth:`IndexReader.search_after`.
+        ``after=None`` degrades to :meth:`search`."""
+        if after is None:
+            return self.search(text, k)
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        a_s, a_d = float(after[0]), int(after[1])
+        futs = [a.score_after.remote(qtids, qw, k, a_s, a_d) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)

@@ -187,6 +187,26 @@ def test_sharded_equals_local(built_index, reader):
         ss.shutdown()
 
 
+def test_sharded_search_after_equals_local(built_index, reader):
+    """The sharded deep-pagination path must return the same page as the
+    local reader for every cursor position along the ranking."""
+    index_dir, cfg = built_index
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for text in generate_queries(8)["text"].to_pylist():
+            full = reader.search(text, 15)
+            cursor = None
+            for start in range(0, 15, 5):
+                page = reader.search_after(text, 5, after=cursor)
+                assert ss.search_after(text, 5, after=cursor) == page, (text, start)
+                assert page == full[start : start + 5], (text, start)
+                if not page:
+                    break
+                cursor = (page[-1][1], page[-1][0])
+    finally:
+        ss.shutdown()
+
+
 def test_tombstone_deletes(built_index, reader, tmp_path):
     """Tombstoned docs vanish from every path (exhaustive, WAND, sharded)
     while surviving docs keep their EXACT pre-delete scores (stats
