@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.bm25_topk,
         # wildcard expansion on the sorted vocab (Lucene PrefixQuery shape)
         "prefix_topk": q.prefix_topk,
+        # fuzzy retrieval: Levenshtein<=1 vocab expansion (Lucene FuzzyQuery)
+        "fuzzy_topk": q.fuzzy_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -273,7 +275,12 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """
     bm25_values = ", ".join(f"('{qid}', '{text}')" for qid, text in BM25_QUERIES)
-    from splade_ray.pipelines.queries import NEAR_QUERIES, PHRASE_QUERIES, PREFIX_QUERIES
+    from splade_ray.pipelines.queries import (
+        FUZZY_QUERIES,
+        NEAR_QUERIES,
+        PHRASE_QUERIES,
+        PREFIX_QUERIES,
+    )
     from splade_ray.pipelines.queries import _FIELD_TITLE_TOKS as queries_mod_title_toks
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
@@ -419,6 +426,37 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # fuzzy expansion: every vocab term within classical Levenshtein
+    # distance 1 scores with unit query weight and its OWN idf (expanded-OR
+    # / Lucene FuzzyQuery) — DuckDB's levenshtein() replays the engine's
+    # vectorized DP exactly (both are sub/ins/del, no transposition)
+    fuzzy_values = ", ".join(f"('{qid}', '{t}')" for qid, t in FUZZY_QUERIES)
+    fuzzy_sql = f"""
+WITH fset(query_id, qterm) AS (VALUES {fuzzy_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+expand AS (SELECT f.query_id, d.term, d.df FROM fset f JOIN df d ON levenshtein(d.term, f.qterm) <= 1),
+scores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM expand e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # purge merge: segments + tombstones (every 9th doc) + purging merge
     # == BM25 recomputed from scratch over the SURVIVING corpus (df/N/
     # avgdl are the survivors' — the contrast to bm25_topk_deleted below)
@@ -513,6 +551,7 @@ ORDER BY p.query_id
     oracles = {
         "bm25_topk": bm25,
         "prefix_topk": prefix_sql,
+        "fuzzy_topk": fuzzy_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "search_facets": facets,

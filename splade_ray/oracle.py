@@ -187,6 +187,46 @@ def oracle_prefix_search(index: OracleIndex, prefix: str, k: int) -> list[tuple[
     return [(int(d), float(scores[d])) for d in order]
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Textbook two-row classical Levenshtein (sub/ins/del, no
+    transposition) — deliberately independent of the engine's vectorized
+    DP so the test cross-checks two implementations."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def oracle_fuzzy_search(
+    index: OracleIndex, term: str, k: int, max_edits: int = 1
+) -> list[tuple[int, float]]:
+    """Fuzzy oracle: every indexed term within ``max_edits`` classical
+    Levenshtein distance contributes its BM25 impact with unit query
+    weight — the expanded-OR semantics of
+    :meth:`IndexReader.search_fuzzy`."""
+    tok = Tokenizer(index.config)
+    norm = tok.tokenize(term)
+    if len(norm) != 1:
+        raise ValueError(f"fuzzy term must normalize to one token, got {norm!r}")
+    q = norm[0]
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    for tid, t in enumerate(index.terms):
+        if abs(len(t) - len(q)) <= max_edits and _levenshtein(t, q) <= max_edits:
+            s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+            scores[index.post_doc_ids[s:e]] += index.post_weights[s:e]
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    k = min(k, nz.size)
+    order = nz[np.lexsort((nz, -scores[nz]))][:k]
+    return [(int(d), float(scores[d])) for d in order]
+
+
 def oracle_phrase_search(index: OracleIndex, phrase: str, k: int) -> list[tuple[int, float]]:
     """Exact-phrase oracle: docs whose token sequence contains the phrase
     tokens consecutively, ranked by the same BM25 bag score as

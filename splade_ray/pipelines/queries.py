@@ -183,6 +183,14 @@ PREFIX_QUERIES: list[tuple[str, str]] = [
     ("p4", "zz"),  # matches no vocab term → zero rows for p4
 ]
 
+FUZZY_QUERIES: list[tuple[str, str]] = [
+    ("f0", "spork"),    # spark (1 sub), spore?; misspelling with a real neighbor
+    ("f1", "dat"),      # data/date (1 ins) + 3-letter subs
+    ("f2", "quer"),     # query (1 ins)
+    ("f3", "customer"), # exact hit + distance-1 neighbors
+    ("f4", "zzznope"),  # nothing within distance 1 → zero rows for f4
+]
+
 
 def prefix_topk(sf_dir: str) -> pd.DataFrame:
     """Wildcard retrieval (``s*``, ``da*``, ...): each prefix expands to
@@ -208,6 +216,33 @@ def prefix_topk(sf_dir: str) -> pd.DataFrame:
     finally:
         ss.shutdown()
     assert sharded == [r for r in rows if r[0] == PREFIX_QUERIES[0][0]], "sharded prefix diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy retrieval (Lucene FuzzyQuery, max_edits=1): each query term
+    expands to EVERY vocab term within Levenshtein distance 1 — a
+    vectorized DP over the length-banded dictionary — scored with unit
+    query weight and per-term idf through the unchanged BM25 kernels.
+    One query routes through :class:`ShardedSearcher.search_fuzzy` to pin
+    driver/sharded parity under expansion."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, term in FUZZY_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_fuzzy(term, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        sharded = [
+            (FUZZY_QUERIES[0][0], r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_fuzzy(FUZZY_QUERIES[0][1], BM25_K), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == FUZZY_QUERIES[0][0]], "sharded fuzzy diverged"
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 

@@ -735,6 +735,79 @@ class IndexReader:
             cands.append(fn(qtids, qw, k))
         return self._merge_shard_topk(cands, k)
 
+    def _vocab_codepoints(self) -> tuple[np.ndarray, np.ndarray]:
+        """The sorted vocab as a padded (V, maxlen) uint32 codepoint matrix
+        + per-term lengths, built ONCE per reader (numpy 'U' view — no
+        per-term Python).  This is the fuzzy-expansion working set; it
+        scales with the VOCAB, not the corpus."""
+        cached = getattr(self, "_vocab_cp", None)
+        if cached is None:
+            arr = np.asarray(self.vocab_index.to_numpy(), dtype="U")
+            maxlen = max(arr.dtype.itemsize // 4, 1)
+            mat = np.ascontiguousarray(arr).view(np.uint32).reshape(len(arr), maxlen)
+            lens = (mat != 0).sum(axis=1).astype(np.int64)
+            cached = self._vocab_cp = (mat, lens)
+        return cached
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1) -> np.ndarray:
+        """Term ids of vocab terms within Levenshtein distance
+        ``max_edits`` of ``term`` (Lucene FuzzyQuery expansion; classical
+        distance — sub/ins/del, no transposition — so DuckDB's
+        ``levenshtein`` replays it).  The DP runs VECTORIZED across every
+        length-banded candidate at once: O(|term|·maxlen) numpy mins over
+        the candidate axis, no per-term Python.  At a 10^9-term dictionary
+        the band filter becomes a length+first-char bucket (or a
+        Levenshtein automaton walk over the sorted dictionary, Lucene's
+        trick); the kernel below is unchanged either way."""
+        if self.vocab_index is None:
+            raise ValueError(
+                "fuzzy queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        norm = self.tok.tokenize(term)
+        if len(norm) != 1:
+            raise ValueError(f"fuzzy term must normalize to one token, got {norm!r}")
+        q = norm[0]
+        qc = np.array([ord(ch) for ch in q], dtype=np.uint32)
+        L = qc.size
+        mat, lens = self._vocab_codepoints()
+        cand = np.flatnonzero(np.abs(lens - L) <= max_edits)
+        if cand.size == 0:
+            return np.zeros(0, np.int64)
+        clens = lens[cand]
+        Lc = int(clens.max())
+        sub = mat[cand, :Lc]
+        # row DP over query chars; each cell is a candidate-axis vector
+        prev = np.broadcast_to(np.arange(Lc + 1, dtype=np.int64), (cand.size, Lc + 1)).copy()
+        for i in range(1, L + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            for j in range(1, Lc + 1):
+                cost = (sub[:, j - 1] != qc[i - 1]).astype(np.int64)
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), prev[:, j - 1] + cost
+                )
+            prev = cur
+        dist = prev[np.arange(cand.size), clens]
+        return cand[dist <= max_edits].astype(np.int64)
+
+    def search_fuzzy(
+        self, term: str, k: int = 10, max_edits: int = 1, method: str = "exhaustive"
+    ) -> list[tuple[int, float, str]]:
+        """Fuzzy top-k (Lucene FuzzyQuery shape): the term expands to every
+        vocab term within ``max_edits`` Levenshtein distance, each scored
+        with unit query weight and its OWN idf through the unchanged BM25
+        kernels — identical expanded-OR semantics to :meth:`search_prefix`."""
+        qtids = self.expand_fuzzy(term, max_edits)
+        if qtids.size == 0:
+            return []
+        qw = np.ones(qtids.size, np.float64)
+        cands = []
+        for sh in self.shards:
+            fn = sh.score_wand if method == "wand" else sh.score_exhaustive
+            cands.append(fn(qtids, qw, k))
+        return self._merge_shard_topk(cands, k)
+
     def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
         """Exact-phrase top-k (requires a ``store_forward=True`` build):
         docs whose token stream contains the query tokens CONSECUTIVELY,
@@ -1096,6 +1169,33 @@ class ShardedSearcher:
         the contiguous term-id range to the shard owners — identical
         semantics to :meth:`IndexReader.search_prefix`."""
         qtids = self.reader.expand_prefix(prefix)
+        if qtids.size == 0:
+            return []
+        qw = np.ones(qtids.size, np.float64)
+        futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_fuzzy(
+        self, term: str, k: int = 10, max_edits: int = 1, method: str = "exhaustive"
+    ) -> list[tuple[int, float, str]]:
+        """Fuzzy top-k on the sharded path: the driver expands the term on
+        its local vocab (vectorized Levenshtein DP) and scatter-gathers the
+        expanded term-id set to the shard owners — identical semantics to
+        :meth:`IndexReader.search_fuzzy`."""
+        qtids = self.reader.expand_fuzzy(term, max_edits)
         if qtids.size == 0:
             return []
         qw = np.ones(qtids.size, np.float64)

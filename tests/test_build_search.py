@@ -93,6 +93,34 @@ def test_prefix_search_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_fuzzy_search_rank_identity(built_index, reader, oracle_index):
+    """Fuzzy expansion (vectorized Levenshtein DP over the length-banded
+    vocab, unit weight per expanded term) must be rank- and score-identical
+    to a brute-force oracle built on an INDEPENDENT textbook Levenshtein;
+    WAND must equal exhaustive; the sharded path must equal the local
+    reader.  max_edits=2 exercised too (the DP is edit-count generic)."""
+    from splade_ray.oracle import oracle_fuzzy_search
+
+    index_dir, cfg = built_index
+    terms = ["w0093", "w009", "w00933", "x0093", "w1810", "zzzzzzzzz"]
+    for t in terms:
+        for me in (1, 2):
+            expected = oracle_fuzzy_search(oracle_index, t, 10, max_edits=me)
+            got = reader.search_fuzzy(t, 10, max_edits=me)
+            assert [d for d, _ in expected] == [d for d, _, _ in got], (t, me)
+            for (_, es), (_, gs, _) in zip(expected, got):
+                assert gs == pytest.approx(es, rel=1e-9)
+            assert reader.search_fuzzy(t, 10, max_edits=me, method="wand") == got, (t, me)
+    with pytest.raises(ValueError):
+        reader.expand_fuzzy("two tokens")
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for t in terms[:3]:
+            assert ss.search_fuzzy(t, 10) == reader.search_fuzzy(t, 10), t
+    finally:
+        ss.shutdown()
+
+
 def test_search_filtered_rank_identity(reader, oracle_index):
     """Filtered top-k must equal the oracle's full ranking restricted to
     the allowed doc set (filter-then-rank, not rank-then-filter)."""
