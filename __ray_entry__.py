@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_min_match": q.boolean_min_match,
         # metadata-filtered retrieval (lang='en' live-docs mask in-scorer)
         "bm25_topk_filtered": q.bm25_topk_filtered,
+        # boolean must_not: postings-resolved non-scoring exclusion
+        "bm25_topk_not": q.bm25_topk_not,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -350,6 +352,24 @@ FROM (
 WHERE rank <= 10
 """
     )
+    # must_not: anti-join the excluded-term doc set out of the SAME scores
+    # CTE (exclusion is non-scoring; survivors keep identical scores)
+    from splade_ray.pipelines.queries import NOT_TERMS
+
+    not_list = ", ".join(f"'{t}'" for t in NOT_TERMS)
+    bm25_not = (
+        bm25_ctes
+        + f"""
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s
+  WHERE s.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({not_list}))
+)
+WHERE rank <= 10
+"""
+    )
     boolean_min = (
         bm25_ctes
         + """
@@ -554,6 +574,7 @@ ORDER BY p.query_id
         "fuzzy_topk": fuzzy_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
+        "bm25_topk_not": bm25_not,
         "search_facets": facets,
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window

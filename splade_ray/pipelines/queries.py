@@ -219,6 +219,25 @@ def prefix_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+NOT_TERMS: list[str] = ["data", "merge"]
+
+
+def bm25_topk_not(sf_dir: str) -> pd.DataFrame:
+    """Boolean must_not retrieval: BM25 top-10 excluding every doc that
+    contains 'data' or 'merge' (Lucene MUST_NOT — non-scoring exclusion
+    resolved per shard from its own postings).  Surviving docs keep their
+    EXACT unfiltered scores; the oracle anti-joins the same term set out
+    of the shared scores CTE and re-ranks."""
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(
+            reader.search_not(text, BM25_K, exclude_terms=NOT_TERMS), 1
+        ):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     """Fuzzy retrieval (Lucene FuzzyQuery, max_edits=1): each query term
     expands to EVERY vocab term within Levenshtein distance 1 — a

@@ -311,6 +311,26 @@ class ShardIndex:
             scores = np.where(allow, scores, 0.0)
         return self._topk_from_scores(scores, k)
 
+    def score_excluding(
+        self, qtids: np.ndarray, qweights: np.ndarray, k: int, ex_tids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k with a must_not clause (Lucene BooleanQuery MUST_NOT):
+        docs carrying ANY excluded term are masked out of the score vector
+        before selection.  The exclusion set comes from the shard's OWN
+        postings — one concatenated-postings unique, no doc attribute or
+        driver-side set needed — and never affects surviving docs' scores."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        ex = self._term_slices(ex_tids)
+        if ex:
+            ex_ids = np.unique(np.concatenate([self.post_local[s:e] for _, s, e, _ in ex]))
+            scores[ex_ids] = 0.0
+        return self._topk_from_scores(scores, k)
+
     def score_after(
         self, qtids: np.ndarray, qweights: np.ndarray, k: int, after_score: float, after_doc: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -678,6 +698,25 @@ class IndexReader:
             return []
         a_s, a_d = float(after[0]), int(after[1])
         cands = [sh.score_after(qtids, qw, k, a_s, a_d) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def search_not(
+        self, text: str, k: int = 10, exclude_terms: list[str] | None = None
+    ) -> list[tuple[int, float, str]]:
+        """Boolean must_not top-k (Lucene ``must`` ⊕ ``must_not``): BM25
+        over the query text, excluding every doc that contains ANY of
+        ``exclude_terms``.  Exclusion is resolved per shard from its own
+        postings (one unique over the excluded terms' doc lists) — no
+        attribute column, no driver-side doc set — and excluded terms
+        never contribute to scores (Lucene must_not is non-scoring)."""
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        ex_tids = np.zeros(0, np.int64)
+        if exclude_terms:
+            ex, _ = self.encode_query(" ".join(exclude_terms))
+            ex_tids = ex
+        cands = [sh.score_excluding(qtids, qw, k, ex_tids) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
     def search_filtered(self, text: str, k: int = 10, allow_urls=None) -> list[tuple[int, float, str]]:

@@ -137,6 +137,24 @@ def test_search_filtered_rank_identity(reader, oracle_index):
             assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_search_not_rank_identity(reader, oracle_index):
+    """must_not must equal the oracle's full ranking with every doc
+    containing an excluded term removed (non-scoring exclusion: survivors
+    keep their exact scores), and degrade to plain search with no
+    exclusions or OOV-only exclusions."""
+    exclude = ["w0093", "w1810"]
+    ex_set = set(exclude)
+    for text in generate_queries(20)["text"].to_pylist():
+        full = oracle_search(oracle_index, text, oracle_index.n_docs)
+        want = [(d, s) for d, s in full if not (ex_set & set(oracle_index.tokens[d]))][:10]
+        got = reader.search_not(text, 10, exclude_terms=exclude)
+        assert [d for d, _ in want] == [d for d, _, _ in got], text
+        for (_, es), (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+        assert reader.search_not(text, 10, exclude_terms=None) == reader.search(text, 10)
+        assert reader.search_not(text, 10, exclude_terms=["zzzoov"]) == reader.search(text, 10)
+
+
 def test_search_after_pagination(reader):
     """Walking the ranking in pages of 5 via search_after cursors must
     reconstruct exactly one search(k=25) — no dup, no gap — and a page
