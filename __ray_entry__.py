@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": q.bm25_topk_filtered,
         # boolean must_not: postings-resolved non-scoring exclusion
         "bm25_topk_not": q.bm25_topk_not,
+        # more-like-this: seed doc -> top tf-idf terms -> BM25, seed excluded
+        "more_like_this": q.more_like_this,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -477,6 +479,46 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # more-like-this: the seed doc's 5 highest-tf·idf terms (term-asc tie
+    # break — the engine's selection is the same deterministic window) run
+    # as a unit-weight BM25 query; the seed doc itself is excluded
+    from splade_ray.pipelines.queries import MLT_SEEDS
+
+    mlt_values = ", ".join(f"('{qid}', {doc})" for qid, doc in MLT_SEEDS)
+    mlt_sql = f"""
+WITH mset(query_id, seed_doc) AS (VALUES {mlt_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sel AS (
+  SELECT m.query_id, m.seed_doc, tf.term,
+         row_number() OVER (PARTITION BY m.query_id
+           ORDER BY tf.tf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) DESC, tf.term ASC) AS r
+  FROM mset m JOIN tf ON tf.doc_id = m.seed_doc JOIN df ON df.term = tf.term CROSS JOIN stats s
+),
+q AS (SELECT query_id, seed_doc, term FROM sel WHERE r <= 5),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id != q.seed_doc
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # purge merge: segments + tombstones (every 9th doc) + purging merge
     # == BM25 recomputed from scratch over the SURVIVING corpus (df/N/
     # avgdl are the survivors' — the contrast to bm25_topk_deleted below)
@@ -575,6 +617,7 @@ ORDER BY p.query_id
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_not": bm25_not,
+        "more_like_this": mlt_sql,
         "search_facets": facets,
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window

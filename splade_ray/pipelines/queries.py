@@ -221,6 +221,36 @@ def prefix_topk(sf_dir: str) -> pd.DataFrame:
 
 NOT_TERMS: list[str] = ["data", "merge"]
 
+MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
+
+
+def more_like_this(sf_dir: str) -> pd.DataFrame:
+    """More-like-this: each seed doc reduces to its 5 highest-tf·idf terms
+    (idf off the index's global df; term-asc tie-break so SQL replays the
+    selection), runs as a unit-weight BoW query through the BM25 kernels,
+    and the seed itself is excluded from the ranking — the Lucene
+    MoreLikeThis serving shape.  Seed texts come from k-bounded point
+    reads of the corpus parquet (never a scan)."""
+    import pyarrow.dataset as pads
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    seed_urls = {doc: f"doc://{doc:010d}" for _, doc in MLT_SEEDS}
+    tbl = pads.dataset(corpus).to_table(
+        columns=["url", "text"],
+        filter=pads.field("url").isin(list(seed_urls.values())),
+    )
+    texts = dict(zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()))
+    rows = []
+    for qid, doc in MLT_SEEDS:
+        url = seed_urls[doc]
+        for rank, (_d, score, hit_url) in enumerate(
+            reader.more_like_this(texts[url], BM25_K, max_terms=5, exclude_url=url), 1
+        ):
+            rows.append((qid, rank, int(hit_url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
 
 def bm25_topk_not(sf_dir: str) -> pd.DataFrame:
     """Boolean must_not retrieval: BM25 top-10 excluding every doc that

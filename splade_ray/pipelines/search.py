@@ -847,6 +847,49 @@ class IndexReader:
             cands.append(fn(qtids, qw, k))
         return self._merge_shard_topk(cands, k)
 
+    def mlt_terms(self, text: str, max_terms: int = 5) -> np.ndarray:
+        """Lucene MoreLikeThis term selection: tokenize the seed text and
+        keep the ``max_terms`` vocab terms with the highest tf·idf in the
+        seed (idf = the index's BM25 idf off the global df vector), ties
+        broken by term asc — fully deterministic so a SQL window function
+        replays it.  Needs the sorted-string vocab (df aligned to it)."""
+        if self.vocab_index is None or self.df is None:
+            raise ValueError("more_like_this needs the sorted-string vocab + df stats")
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return np.zeros(0, np.int64)
+        tids = self.vocab_index.get_indexer(np.asarray(toks, dtype=object))
+        tids = tids[tids >= 0]
+        if tids.size == 0:
+            return np.zeros(0, np.int64)
+        uniq, counts = np.unique(tids, return_counts=True)
+        df = self.df[uniq].astype(np.float64)
+        idf = np.log1p((self.n_docs - df + 0.5) / (df + 0.5))
+        sc = counts.astype(np.float64) * idf
+        # uniq is ascending term-id == ascending term (sorted vocab): the
+        # lexsort secondary key IS the term-asc tie-break
+        order = np.lexsort((uniq, -sc))[:max_terms]
+        return np.sort(uniq[order]).astype(np.int64)
+
+    def more_like_this(
+        self, text: str, k: int = 10, max_terms: int = 5, exclude_url: str | None = None
+    ) -> list[tuple[int, float, str]]:
+        """More-like-this: the seed text reduces to its ``max_terms``
+        highest-tf·idf terms, which run as a unit-weight BoW query through
+        the unchanged BM25 kernels; ``exclude_url`` (normally the seed
+        itself) is dropped from the merged ranking (fetched k+1 deep so the
+        page stays full) — the Lucene MoreLikeThis serving shape."""
+        qtids = self.mlt_terms(text, max_terms)
+        if qtids.size == 0:
+            return []
+        qw = np.ones(qtids.size, np.float64)
+        kk = k + (1 if exclude_url is not None else 0)
+        cands = [sh.score_exhaustive(qtids, qw, kk) for sh in self.shards]
+        merged = self._merge_shard_topk(cands, kk)
+        if exclude_url is not None:
+            merged = [r for r in merged if r[2] != exclude_url][:k]
+        return merged
+
     def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
         """Exact-phrase top-k (requires a ``store_forward=True`` build):
         docs whose token stream contains the query tokens CONSECUTIVELY,

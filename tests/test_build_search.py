@@ -137,6 +137,36 @@ def test_search_filtered_rank_identity(reader, oracle_index):
             assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_more_like_this_rank_identity(reader, oracle_index):
+    """MLT must equal an independently computed oracle: top-5 seed terms
+    by tf·idf (term-asc ties) expanded as a unit-weight query over the
+    oracle's CSC postings, seed doc removed from the ranking."""
+    from collections import Counter
+
+    from splade_ray.oracle import bm25_idf
+
+    for seed in (0, 3, 57, 200):
+        toks = oracle_index.tokens[seed]
+        text = " ".join(toks)
+        tf = Counter(toks)
+        scored = sorted(
+            ((-(cnt * bm25_idf(np.array([oracle_index.df[oracle_index.term_to_id[t]]]),
+                               oracle_index.n_docs)[0]), t) for t, cnt in tf.items())
+        )
+        sel = [oracle_index.term_to_id[t] for _, t in scored[:5]]
+        scores = np.zeros(oracle_index.n_docs)
+        for tid in sel:
+            s, e = oracle_index.term_ptr[tid], oracle_index.term_ptr[tid + 1]
+            scores[oracle_index.post_doc_ids[s:e]] += oracle_index.post_weights[s:e]
+        scores[seed] = 0.0
+        nz = np.nonzero(scores)[0]
+        want = nz[np.lexsort((nz, -scores[nz]))][:10]
+        got = reader.more_like_this(text, 10, max_terms=5, exclude_url=oracle_index.doc_ids[seed])
+        assert [int(d) for d in want] == [d for d, _, _ in got], seed
+        for wd, (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+
+
 def test_search_not_rank_identity(reader, oracle_index):
     """must_not must equal the oracle's full ranking with every doc
     containing an excluded term removed (non-scoring exclusion: survivors
