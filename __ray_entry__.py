@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": q.bm25_topk_not,
         # more-like-this: seed doc -> top tf-idf terms -> BM25, seed excluded
         "more_like_this": q.more_like_this,
+        # LM-Dirichlet similarity plugged at read time over the same index
+        "lm_topk": q.lm_topk,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -448,6 +450,43 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # LM-Dirichlet (Zhai-Lafferty, Lucene LMDirichletSimilarity clamp):
+    # per matched term qtf·max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu))),
+    # cf = collection frequency, T = total tokens, mu = 2000
+    lm_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT sum(dl) FROM dl) AS t_tokens),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * greatest(0.0,
+             ln(1 + tf.tf * s.t_tokens / (2000.0 * cf.cf))
+             + ln(2000.0 / (dl.dl + 2000.0)))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+  HAVING sum(q.qtf * greatest(0.0,
+             ln(1 + tf.tf * s.t_tokens / (2000.0 * cf.cf))
+             + ln(2000.0 / (dl.dl + 2000.0)))) > 0
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # fuzzy expansion: every vocab term within classical Levenshtein
     # distance 1 scores with unit query weight and its OWN idf (expanded-OR
     # / Lucene FuzzyQuery) — DuckDB's levenshtein() replays the engine's
@@ -618,6 +657,7 @@ ORDER BY p.query_id
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_not": bm25_not,
         "more_like_this": mlt_sql,
+        "lm_topk": lm_sql,
         "search_facets": facets,
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window

@@ -27,6 +27,15 @@ class EngineConfig:
     # --- BM25 scoring (engine-defined; reference has none — SURVEY.md §0) ---
     k1: float = 1.2
     b: float = 0.75
+    # similarity plugged at READ time over the same stored raw-tf postings
+    # (Lucene Similarity seam): "bm25" (default) or "lm_dirichlet" —
+    # per-posting w = max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu)))
+    # (Zhai-Lafferty Dirichlet smoothing, Lucene LMDirichletSimilarity's
+    # non-negative clamp), where cf = collection frequency and T = total
+    # tokens, both from the stats stage.  Zone maxima are re-derived from
+    # the recomputed impacts at load so block-max WAND stays exact.
+    scoring: str = "bm25"
+    mu: float = 2000.0
 
     # --- deterministic doc-id assignment (SURVEY.md §3.2 contract) ---
     # doc ids are assigned in (bucket, url) order where

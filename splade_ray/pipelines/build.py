@@ -221,24 +221,34 @@ class IndexBuilder:
         # deferred (shuffle mode writes a `bucket` column, broadcast doesn't)
         import pyarrow.parquet as pq
 
-        with_buckets = "bucket" in pq.read_schema(_parquet_files(dt_dir)[0]).names
+        schema_names = pq.read_schema(_parquet_files(dt_dir)[0]).names
+        with_buckets = "bucket" in schema_names
         id_mode = "ids" if (self.cfg.encoder == "neural" or self.cfg.vocab_mode == "hashed") else "terms"
+        # raw-tf postings also record per-term collection frequency (the
+        # LM-Dirichlet denominator) — free inside the same fused group_by
+        with_cf = "tfs" in schema_names
         # ONE fused pass: df partials + (bucket counts, sum dl) per batch
         # (two serial dataset executions here cost ~2 s of fixed overhead
         # each at 1M docs, dominating the vocab-sized reduce itself)
-        stat_cols = ["tids" if id_mode == "ids" else "terms", "dl"] + (["bucket"] if with_buckets else [])
+        stat_cols = (
+            ["tids" if id_mode == "ids" else "terms", "dl"]
+            + (["tfs"] if with_cf else [])
+            + (["bucket"] if with_buckets else [])
+        )
         vocab, bucket_counts, sum_dl = compute_stats_fused(
             ray.data.read_parquet(dt_dir, columns=stat_cols),
             id_mode=id_mode,
             with_buckets=with_buckets,
             num_buckets=nb,
+            with_cf=with_cf,
         )
         if id_mode == "terms":
             vocab["term_id"] = np.arange(len(vocab), dtype=np.int64)
-            vocab = vocab[["term", "term_id", "df"]]
+            vocab = vocab[["term", "term_id", "df"] + (["cf"] if with_cf else [])]
         n_docs = int(bucket_counts.sum())
         meta = {
             "n_docs": n_docs,
+            "sum_dl": int(sum_dl),
             "avgdl": float(sum_dl / n_docs) if n_docs else 0.0,
             "nnz": int(vocab["df"].sum()),
             "encoder": self.cfg.encoder,

@@ -100,7 +100,7 @@ class PurgeStatsStage:
         out = []
         for row in batch.to_pylist():
             sid = int(row["shard"])
-            tid_parts, n_docs, sum_dl = [], 0, 0
+            tid_parts, tf_parts, n_docs, sum_dl = [], [], 0, 0
             for si, pdir in zip(row["seg_idx"], row["pdirs"]):
                 docs = pq.read_table(
                     os.path.join(pdir, f"shard-{sid:05d}.docs.parquet"), columns=["url", "dl"]
@@ -111,26 +111,35 @@ class PurgeStatsStage:
                 keep_doc = ~delmask
                 n_docs += int(keep_doc.sum())
                 sum_dl += int(docs.column("dl").to_numpy(zero_copy_only=False)[keep_doc].sum())
-                post = pq.read_table(
-                    os.path.join(pdir, f"shard-{sid:05d}.postings.parquet"),
-                    columns=["term_id", "df", "docs"],
-                )
-                # doc-id-only decode (no tf/weight column read)
-                tids, lens, local, _, _ = decode_postings_table(post, ids_only=True)
+                full_post = pq.read_table(os.path.join(pdir, f"shard-{sid:05d}.postings.parquet"))
+                has_tfs = "tfs" in full_post.column_names
+                post = full_post.select(["term_id", "df", "docs"] + (["tfs"] if has_tfs else []))
+                # decode values only for raw-tf postings (cf needs them);
+                # weight modes keep the cheap doc-id-only decode
+                tids, lens, local, vals, _ = decode_postings_table(post, ids_only=not has_tfs)
                 remap = self.remaps[si]
                 if remap is not None:
                     tids = remap[tids]
                 flat_tid = np.repeat(tids, lens)
-                kept = flat_tid[keep_doc[local]]
+                keep_mask = keep_doc[local]
+                kept = flat_tid[keep_mask]
                 tid_parts.append(kept)
+                if has_tfs:
+                    tf_parts.append(vals.astype(np.int64)[keep_mask])
             all_kept = np.concatenate(tid_parts) if tid_parts else np.zeros(0, np.int64)
-            uniq, cnt = np.unique(all_kept, return_counts=True)
+            uniq, inv, cnt = np.unique(all_kept, return_inverse=True, return_counts=True)
             n = uniq.size
+            if tf_parts:
+                all_tf = np.concatenate(tf_parts)
+                cf = np.bincount(inv, weights=all_tf.astype(np.float64), minlength=n).astype(np.int64)
+            else:
+                cf = np.zeros(n, dtype=np.int64)
             out.append(
                 pa.table(
                     {
                         "tid": pa.concat_arrays([pa.array(uniq, type=pa.int64()), pa.nulls(1, pa.int64())]),
                         "df": pa.concat_arrays([pa.array(cnt.astype(np.int64)), pa.nulls(1, pa.int64())]),
+                        "cf": pa.concat_arrays([pa.array(cf, type=pa.int64()), pa.nulls(1, pa.int64())]),
                         "n_docs": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([n_docs], type=pa.int64())]),
                         "sum_dl": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([sum_dl], type=pa.int64())]),
                     }
@@ -315,19 +324,25 @@ def merge_segments(
         "value_dtype": vdts.pop(),
         "merged_from": [os.path.abspath(d) for d in segment_dirs],
     }
+    if all("sum_dl" in m for m in metas):
+        # exact token total (LM-Dirichlet stat) survives the merge
+        meta["sum_dl"] = sum(int(m["sum_dl"]) for m in metas)
 
     # ---- merged vocab + per-segment term-id remaps ----
     vocabs = [pq.read_table(os.path.join(d, "stats", "vocab.parquet")).to_pandas() for d in segment_dirs]
     stats_dir = os.path.join(out_dir, "stats")
     os.makedirs(stats_dir, exist_ok=True)
+    # cf (collection frequency, the LM-Dirichlet stat) merges by the same
+    # per-term sum as df — only when every segment carries it
+    cf_cols = ["cf"] if all("cf" in v.columns for v in vocabs) else []
     if "term" in vocabs[0].columns:  # sorted-string vocab: remap per segment
         merged = (
             pd.concat(vocabs, ignore_index=True)
-            .groupby("term", sort=True, as_index=False)["df"]
+            .groupby("term", sort=True, as_index=False)[["df"] + cf_cols]
             .sum()
         )
         merged["term_id"] = np.arange(len(merged), dtype=np.int64)
-        merged = merged[["term", "term_id", "df"]]
+        merged = merged[["term", "term_id", "df"] + cf_cols]
         midx = pd.Index(merged["term"])
         remaps = [midx.get_indexer(v["term"]).astype(np.int64) for v in vocabs]
         df_global = merged["df"].to_numpy().astype(np.int64)
@@ -335,7 +350,7 @@ def merge_segments(
     else:  # global int ids (neural hashes or hashed bm25 vocab): no remap
         merged = (
             pd.concat(vocabs, ignore_index=True)
-            .groupby("term_id", sort=True, as_index=False)["df"]
+            .groupby("term_id", sort=True, as_index=False)[["df"] + cf_cols]
             .sum()
         )
         remaps = [None] * len(segment_dirs)
@@ -369,6 +384,7 @@ def merge_segments(
         del_ref = ray.put(del_arr)
         V = len(merged)
         df_new = np.zeros(V, dtype=np.int64)
+        cf_new = np.zeros(V, dtype=np.int64)
         n_docs, sum_dl = 0, 0
         int_id_vocab = "term" not in merged.columns
         tid_index_sorted = merged["term_id"].to_numpy().astype(np.int64) if int_id_vocab else None
@@ -389,10 +405,14 @@ def merge_segments(
                 if int_id_vocab:
                     pos = np.searchsorted(tid_index_sorted, pos)
                 np.add.at(df_new, pos, vt.column("df").to_numpy(zero_copy_only=False))
+                np.add.at(cf_new, pos, vt.column("cf").to_numpy(zero_copy_only=False))
             st = b.filter(pa.compute.invert(valid))
             n_docs += int(sum(st.column("n_docs").to_pylist()))
             sum_dl += int(sum(st.column("sum_dl").to_pylist()))
         merged["df"] = df_new
+        if weight_mode == "tf":
+            merged["cf"] = cf_new
+            meta["sum_dl"] = sum_dl
         meta["n_docs"] = n_docs
         meta["avgdl"] = (sum_dl / n_docs) if n_docs else 0.0
         meta["nnz"] = int(df_new.sum())

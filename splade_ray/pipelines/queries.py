@@ -221,6 +221,25 @@ def prefix_topk(sf_dir: str) -> pd.DataFrame:
 
 NOT_TERMS: list[str] = ["data", "merge"]
 
+
+def lm_topk(sf_dir: str) -> pd.DataFrame:
+    """LM-Dirichlet top-10 over the SAME stored index as `bm25_topk` —
+    the similarity is plugged at READ time (Lucene Similarity seam): the
+    reader recomputes per-posting impacts as
+    max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu))) from the raw-tf postings
+    plus the stats stage's cf/sum_dl, and re-derives zone maxima so WAND
+    stays exact.  mu = 2000 (the EngineConfig default)."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    lm_cfg = dataclasses.replace(DOCS_CFG, scoring="lm_dirichlet")
+    reader = IndexReader(index_dir, lm_cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 

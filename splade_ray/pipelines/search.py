@@ -58,7 +58,17 @@ class ShardIndex:
     term frequencies → BM25 impacts computed at load) or ``weights`` (raw
     float32 neural impacts stored as-is)."""
 
-    def __init__(self, postings_path: str, docs_path: str, df_global: np.ndarray | None, n_docs: int, avgdl: float, cfg: EngineConfig):
+    def __init__(
+        self,
+        postings_path: str,
+        docs_path: str,
+        df_global: np.ndarray | None,
+        n_docs: int,
+        avgdl: float,
+        cfg: EngineConfig,
+        cf_global=None,
+        sum_dl: int | None = None,
+    ):
         self.cfg = cfg
         post = pq.read_table(postings_path)
         docs = pq.read_table(docs_path)
@@ -99,20 +109,45 @@ class ShardIndex:
             self.post_local = csum - np.repeat(prior, seg_lens)
         else:
             self.post_local = np.zeros(0, np.int64)
+        if cfg.scoring == "lm_dirichlet" and "tfs" not in post.column_names:
+            raise ValueError("lm_dirichlet scoring needs raw-tf postings (weight_mode='tf')")
         if "tfs" in post.column_names:
             tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
             # precompute float64 BM25 weights (identical formula to the
             # oracle).  df_global: dense array indexed by tid (sorted
             # vocab) or (sorted_tids, df) for hashed-vocab term ids.
-            if isinstance(df_global, tuple):
-                tid_index, dfv = df_global
-                df_of = dfv[np.searchsorted(tid_index, self.term_ids)]
+            if cfg.scoring == "lm_dirichlet":
+                # Dirichlet-smoothed query likelihood over the SAME stored
+                # raw-tf postings (the Lucene Similarity seam): per posting
+                # w = max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu))) — the
+                # non-negative clamp keeps every score-kernel invariant
+                # (bincount zero == unmatched) intact.
+                if cf_global is None or sum_dl is None:
+                    raise ValueError(
+                        "lm_dirichlet needs cf + sum_dl stats — rebuild the "
+                        "index (vocab.parquet cf column, meta.json sum_dl)"
+                    )
+                if isinstance(cf_global, tuple):
+                    tid_index, cfv = cf_global
+                    cf_of = cfv[np.searchsorted(tid_index, self.term_ids)]
+                else:
+                    cf_of = cf_global[self.term_ids]
+                cf_post = np.repeat(cf_of, seg_lens).astype(np.float64)
+                mu = float(cfg.mu)
+                w = np.log1p(tf * float(sum_dl) / (mu * cf_post)) + np.log(
+                    mu / (self.dl[self.post_local] + mu)
+                )
+                self.post_w = np.maximum(w, 0.0)
             else:
-                df_of = df_global[self.term_ids]
-            idf = bm25_idf(np.repeat(df_of, seg_lens).astype(np.float64), n_docs)
-            self.post_w = idf * tf * (cfg.k1 + 1.0) / (
-                tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
-            )
+                if isinstance(df_global, tuple):
+                    tid_index, dfv = df_global
+                    df_of = dfv[np.searchsorted(tid_index, self.term_ids)]
+                else:
+                    df_of = df_global[self.term_ids]
+                idf = bm25_idf(np.repeat(df_of, seg_lens).astype(np.float64), n_docs)
+                self.post_w = idf * tf * (cfg.k1 + 1.0) / (
+                    tf + cfg.k1 * (1.0 - cfg.b + cfg.b * self.dl[self.post_local] / avgdl)
+                )
         elif "weights_q8" in post.column_names:
             # quantized impact mode: dequantize uint8 codes (fixed scale)
             raw = _binary_concat(post.column("weights_q8").combine_chunks())
@@ -129,6 +164,19 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
+        if cfg.scoring == "lm_dirichlet" and nnz:
+            # stored zone maxima are BM25 impacts; re-derive them from the
+            # Dirichlet weights so block-max WAND stays an exact upper
+            # bound.  (term-segment, zone) runs are contiguous — postings
+            # within a segment ascend by doc id — so one reduceat suffices.
+            # zones are LOCAL doc-index ranges (build side: p_local // zone_docs)
+            zid_post = self.post_local // self.zone_docs
+            seg_id = np.repeat(np.arange(seg_lens.size), seg_lens)
+            newgrp = np.ones(nnz, dtype=bool)
+            newgrp[1:] = (zid_post[1:] != zid_post[:-1]) | (seg_id[1:] != seg_id[:-1])
+            starts = np.flatnonzero(newgrp)
+            assert starts.size == self.zone_zid.size, "zone layout / postings mismatch"
+            self.zone_max = np.maximum.reduceat(self.post_w, starts)
         self.deleted_local = np.zeros(0, np.int64)
 
     def mask_deletes(self, del_urls: pa.Array) -> int:
@@ -561,15 +609,21 @@ class IndexReader:
         self.avgdl = meta["avgdl"]
         self.encoder = meta.get("encoder", "bm25")
         self.vocab_mode = meta.get("vocab_mode", "sorted")
+        self.sum_dl = meta.get("sum_dl")
+        self.cf = None
         if self.encoder == "bm25" and self.vocab_mode == "hashed":
             vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
             tid_index = vocab.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
             dfv = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
             self.vocab_index, self.df = None, (tid_index, dfv)
+            if "cf" in vocab.column_names:
+                self.cf = (tid_index, vocab.column("cf").to_numpy(zero_copy_only=False).astype(np.int64))
         elif self.encoder == "bm25":
             vocab = pq.read_table(os.path.join(stats_dir, "vocab.parquet"))
             self.vocab_index = pd.Index(vocab.column("term").to_pylist())
             self.df = vocab.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "cf" in vocab.column_names:
+                self.cf = vocab.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             self.vocab_index, self.df = None, None
         self.cfg = cfg or DEFAULT_CONFIG
@@ -592,6 +646,8 @@ class IndexReader:
                 self.n_docs,
                 self.avgdl,
                 self.cfg,
+                cf_global=self.cf,
+                sum_dl=self.sum_dl,
             )
 
         if len(all_ids) > 1:

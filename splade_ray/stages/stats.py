@@ -96,6 +96,7 @@ def compute_stats_fused(
     id_mode: str,
     with_buckets: bool,
     num_buckets: int,
+    with_cf: bool = False,
 ) -> tuple[pd.DataFrame, np.ndarray, int]:
     """ONE pass over doc_terms serving both stage-4 aggregates: per-batch
     df partials (one (term, df) row per distinct term) AND the per-batch
@@ -104,8 +105,13 @@ def compute_stats_fused(
     valid).  Saves a full second dataset execution — the reduce itself is
     vocab-sized and runs in Arrow C++ on the driver.
 
+    ``with_cf``: also sum the parallel ``tfs`` lists per term (collection
+    frequency — the LM-Dirichlet smoothing denominator) in the SAME Arrow
+    group_by, so plugging a language-model similarity costs no extra pass.
+
     Returns (vocab_df, bucket_counts, sum_dl); vocab_df has columns
-    (term, df) for ``id_mode='terms'`` or (term_id, df) for ``'ids'``.
+    (term, df[, cf]) for ``id_mode='terms'`` or (term_id, df[, cf]) for
+    ``'ids'``.
     """
     term_col = "tids" if id_mode == "ids" else "terms"
     key_name = "term_id" if id_mode == "ids" else "term"
@@ -113,8 +119,18 @@ def compute_stats_fused(
     def partial(batch: pa.Table) -> pa.Table:
         flat = batch.column(term_col).combine_chunks().flatten()
         if len(flat):
-            vc = pa.compute.value_counts(flat)
-            keys, dfs = vc.field("values"), vc.field("counts").cast(pa.int64())
+            if with_cf:
+                flat_tf = batch.column("tfs").combine_chunks().flatten().cast(pa.int64())
+                g = pa.table({"k": flat, "v": flat_tf}).group_by("k").aggregate(
+                    [("v", "count"), ("v", "sum")]
+                )
+                keys = g.column("k").combine_chunks()
+                dfs = g.column("v_count").combine_chunks().cast(pa.int64())
+                cfs = g.column("v_sum").combine_chunks().cast(pa.int64())
+            else:
+                vc = pa.compute.value_counts(flat)
+                keys, dfs = vc.field("values"), vc.field("counts").cast(pa.int64())
+                cfs = None
             if id_mode == "ids":
                 # int64 key on EVERY partial: value_counts of list<int32>
                 # yields int32 keys, while the all-empty-batch fallback below
@@ -123,6 +139,7 @@ def compute_stats_fused(
         else:
             keys = pa.array([], type=pa.int64() if id_mode == "ids" else pa.string())
             dfs = pa.array([], type=pa.int64())
+            cfs = pa.array([], type=pa.int64())
         n = len(keys)
         dl = batch.column("dl").to_numpy(zero_copy_only=False)
         if with_buckets:
@@ -130,37 +147,48 @@ def compute_stats_fused(
             counts = np.bincount(b, minlength=num_buckets).astype(np.int64)
         else:
             counts = np.asarray([batch.num_rows], dtype=np.int64)
-        return pa.table(
-            {
-                key_name: pa.concat_arrays([keys, pa.nulls(1, keys.type)]),
-                "df": pa.concat_arrays([dfs, pa.nulls(1, pa.int64())]),
-                "counts": pa.concat_arrays(
-                    [pa.nulls(n, pa.list_(pa.int64())), pa.array([counts.tolist()], type=pa.list_(pa.int64()))]
-                ),
-                "sum_dl": pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([int(dl.sum())], type=pa.int64())]),
-            }
+        cols = {
+            key_name: pa.concat_arrays([keys, pa.nulls(1, keys.type)]),
+            "df": pa.concat_arrays([dfs, pa.nulls(1, pa.int64())]),
+        }
+        if with_cf:
+            cols["cf"] = pa.concat_arrays([cfs, pa.nulls(1, pa.int64())])
+        cols["counts"] = pa.concat_arrays(
+            [pa.nulls(n, pa.list_(pa.int64())), pa.array([counts.tolist()], type=pa.list_(pa.int64()))]
         )
+        cols["sum_dl"] = pa.concat_arrays([pa.nulls(n, pa.int64()), pa.array([int(dl.sum())], type=pa.int64())])
+        return pa.table(cols)
 
     tabs = [
         t
         for t in ray.get(doc_terms.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
         if t.num_rows
     ]
+    cf_cols = ["cf"] if with_cf else []
     if not tabs:
         key_dtype = np.int64 if id_mode == "ids" else object
-        empty = pd.DataFrame({key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)})
+        empty = pd.DataFrame(
+            {key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)}
+            | {c: pd.Series(dtype=np.int64) for c in cf_cols}
+        )
         return empty, np.zeros(num_buckets if with_buckets else 1, dtype=np.int64), 0
     full = pa.concat_tables(tabs)
     valid_df = pa.compute.is_valid(full.column("df"))
-    vocab_rows = full.filter(valid_df).select([key_name, "df"])
+    vocab_rows = full.filter(valid_df).select([key_name, "df"] + cf_cols)
     summaries = full.filter(pa.compute.invert(valid_df))
     if vocab_rows.num_rows:
-        agg = vocab_rows.group_by(key_name).aggregate([("df", "sum")])
-        tbl = pa.table({key_name: agg.column(key_name), "df": agg.column("df_sum")}).sort_by(key_name)
+        agg = vocab_rows.group_by(key_name).aggregate([("df", "sum")] + [(c, "sum") for c in cf_cols])
+        cols = {key_name: agg.column(key_name), "df": agg.column("df_sum")}
+        for c in cf_cols:
+            cols[c] = agg.column(f"{c}_sum")
+        tbl = pa.table(cols).sort_by(key_name)
         vocab = tbl.to_pandas()
     else:
         key_dtype = np.int64 if id_mode == "ids" else object
-        vocab = pd.DataFrame({key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)})
+        vocab = pd.DataFrame(
+            {key_name: pd.Series(dtype=key_dtype), "df": pd.Series(dtype=np.int64)}
+            | {c: pd.Series(dtype=np.int64) for c in cf_cols}
+        )
     counts_mat = np.asarray(summaries.column("counts").to_pylist(), dtype=np.int64)
     bucket_counts = counts_mat.sum(axis=0)
     sum_dl = int(pa.compute.sum(summaries.column("sum_dl")).as_py() or 0)

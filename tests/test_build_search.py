@@ -137,6 +137,51 @@ def test_search_filtered_rank_identity(reader, oracle_index):
             assert gs == pytest.approx(es, rel=1e-9)
 
 
+def test_lm_dirichlet_rank_identity(built_index, oracle_index):
+    """LM-Dirichlet similarity plugged at read time over the SAME stored
+    index: ranking must equal an independent brute-force query-likelihood
+    oracle over the raw token streams; WAND (re-derived zone maxima) must
+    equal exhaustive; the sharded path must equal the local reader."""
+    import dataclasses
+    from collections import Counter
+
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    lm_cfg = dataclasses.replace(cfg, scoring="lm_dirichlet")
+    lm = IndexReader(index_dir, lm_cfg)
+    mu = lm_cfg.mu
+    tok = Tokenizer(lm_cfg)
+    tfs = [Counter(t) for t in oracle_index.tokens]
+    dl = np.array([len(t) for t in oracle_index.tokens], dtype=np.float64)
+    T = float(dl.sum())
+    cf: Counter = Counter()
+    for c in tfs:
+        cf.update(c)
+    for text in generate_queries(25)["text"].to_pylist():
+        qtf = Counter(t for t in tok.tokenize(text) if t in cf)
+        scores = np.zeros(oracle_index.n_docs)
+        for t, q in qtf.items():
+            for d in range(oracle_index.n_docs):
+                f = tfs[d].get(t, 0)
+                if f:
+                    w = np.log1p(f * T / (mu * cf[t])) + np.log(mu / (dl[d] + mu))
+                    scores[d] += q * max(0.0, w)
+        nz = np.nonzero(scores)[0]
+        want = nz[np.lexsort((nz, -scores[nz]))][:10]
+        got = lm.search(text, 10)
+        assert [int(d) for d in want] == [d for d, _, _ in got], text
+        for wd, (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+        assert lm.search(text, 10, method="wand") == got, text
+    ss = ShardedSearcher(index_dir, lm_cfg, num_actors=2)
+    try:
+        for text in generate_queries(5)["text"].to_pylist():
+            assert ss.search(text, 10) == lm.search(text, 10), text
+    finally:
+        ss.shutdown()
+
+
 def test_more_like_this_rank_identity(reader, oracle_index):
     """MLT must equal an independently computed oracle: top-5 seed terms
     by tf·idf (term-asc ties) expanded as a unit-weight query over the
