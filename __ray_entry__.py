@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q.more_like_this,
         # LM-Dirichlet similarity plugged at read time over the same index
         "lm_topk": q.lm_topk,
+        # LM Jelinek-Mercer similarity (lambda=0.1) on the same seam
+        "lm_jm_topk": q.lm_jm_topk,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -487,6 +489,37 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # LM Jelinek-Mercer (Lucene LMJelinekMercerSimilarity, lambda=0.1):
+    # per matched term qtf·ln(1 + (1-l)·tf·T/(l·cf·dl))
+    jm_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT sum(dl) FROM dl) AS t_tokens),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + 0.9 * tf.tf * s.t_tokens / (0.1 * cf.cf * dl.dl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # fuzzy expansion: every vocab term within classical Levenshtein
     # distance 1 scores with unit query weight and its OWN idf (expanded-OR
     # / Lucene FuzzyQuery) — DuckDB's levenshtein() replays the engine's
@@ -658,6 +691,7 @@ ORDER BY p.query_id
         "bm25_topk_not": bm25_not,
         "more_like_this": mlt_sql,
         "lm_topk": lm_sql,
+        "lm_jm_topk": jm_sql,
         "search_facets": facets,
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window

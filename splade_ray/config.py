@@ -28,14 +28,18 @@ class EngineConfig:
     k1: float = 1.2
     b: float = 0.75
     # similarity plugged at READ time over the same stored raw-tf postings
-    # (Lucene Similarity seam): "bm25" (default) or "lm_dirichlet" —
+    # (Lucene Similarity seam): "bm25" (default), "lm_dirichlet" —
     # per-posting w = max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu)))
     # (Zhai-Lafferty Dirichlet smoothing, Lucene LMDirichletSimilarity's
-    # non-negative clamp), where cf = collection frequency and T = total
-    # tokens, both from the stats stage.  Zone maxima are re-derived from
-    # the recomputed impacts at load so block-max WAND stays exact.
+    # non-negative clamp) — or "lm_jm" (Jelinek-Mercer interpolation,
+    # Lucene LMJelinekMercerSimilarity) —
+    # w = ln(1 + (1-λ)·(tf/dl) / (λ·cf/T)), always positive for tf>0.
+    # cf = collection frequency and T = total tokens, both from the stats
+    # stage.  Zone maxima are re-derived from the recomputed impacts at
+    # load so block-max WAND stays exact.
     scoring: str = "bm25"
     mu: float = 2000.0
+    lam: float = 0.1
 
     # --- deterministic doc-id assignment (SURVEY.md §3.2 contract) ---
     # doc ids are assigned in (bucket, url) order where

@@ -240,6 +240,23 @@ def lm_topk(sf_dir: str) -> pd.DataFrame:
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
+def lm_jm_topk(sf_dir: str) -> pd.DataFrame:
+    """Jelinek-Mercer query likelihood (Lucene LMJelinekMercerSimilarity,
+    λ=0.1) plugged at read time over the SAME stored index as `bm25_topk`
+    — per posting w = ln(1 + (1-λ)·tf·T/(λ·cf·dl)); see :func:`lm_topk`
+    for the seam."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    jm_cfg = dataclasses.replace(DOCS_CFG, scoring="lm_jm")
+    reader = IndexReader(index_dir, jm_cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 

@@ -109,22 +109,24 @@ class ShardIndex:
             self.post_local = csum - np.repeat(prior, seg_lens)
         else:
             self.post_local = np.zeros(0, np.int64)
-        if cfg.scoring == "lm_dirichlet" and "tfs" not in post.column_names:
-            raise ValueError("lm_dirichlet scoring needs raw-tf postings (weight_mode='tf')")
+        if cfg.scoring in ("lm_dirichlet", "lm_jm") and "tfs" not in post.column_names:
+            raise ValueError(f"{cfg.scoring} scoring needs raw-tf postings (weight_mode='tf')")
         if "tfs" in post.column_names:
             tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
             # precompute float64 BM25 weights (identical formula to the
             # oracle).  df_global: dense array indexed by tid (sorted
             # vocab) or (sorted_tids, df) for hashed-vocab term ids.
-            if cfg.scoring == "lm_dirichlet":
-                # Dirichlet-smoothed query likelihood over the SAME stored
-                # raw-tf postings (the Lucene Similarity seam): per posting
-                # w = max(0, ln(1 + tf·T/(mu·cf)) + ln(mu/(dl+mu))) — the
-                # non-negative clamp keeps every score-kernel invariant
-                # (bincount zero == unmatched) intact.
+            if cfg.scoring in ("lm_dirichlet", "lm_jm"):
+                # Language-model query likelihood over the SAME stored
+                # raw-tf postings (the Lucene Similarity seam).
+                # lm_dirichlet: w = max(0, ln(1 + tf·T/(mu·cf)) +
+                #   ln(mu/(dl+mu))) — the non-negative clamp keeps every
+                #   score-kernel invariant (bincount zero == unmatched).
+                # lm_jm: w = ln(1 + (1-λ)·tf·T / (λ·cf·dl)) — positive for
+                #   every stored posting (tf ≥ 1), so no clamp is needed.
                 if cf_global is None or sum_dl is None:
                     raise ValueError(
-                        "lm_dirichlet needs cf + sum_dl stats — rebuild the "
+                        f"{cfg.scoring} needs cf + sum_dl stats — rebuild the "
                         "index (vocab.parquet cf column, meta.json sum_dl)"
                     )
                 if isinstance(cf_global, tuple):
@@ -133,11 +135,18 @@ class ShardIndex:
                 else:
                     cf_of = cf_global[self.term_ids]
                 cf_post = np.repeat(cf_of, seg_lens).astype(np.float64)
-                mu = float(cfg.mu)
-                w = np.log1p(tf * float(sum_dl) / (mu * cf_post)) + np.log(
-                    mu / (self.dl[self.post_local] + mu)
-                )
-                self.post_w = np.maximum(w, 0.0)
+                if cfg.scoring == "lm_jm":
+                    lam = float(cfg.lam)
+                    self.post_w = np.log1p(
+                        (1.0 - lam) * tf * float(sum_dl)
+                        / (lam * cf_post * self.dl[self.post_local])
+                    )
+                else:
+                    mu = float(cfg.mu)
+                    w = np.log1p(tf * float(sum_dl) / (mu * cf_post)) + np.log(
+                        mu / (self.dl[self.post_local] + mu)
+                    )
+                    self.post_w = np.maximum(w, 0.0)
             else:
                 if isinstance(df_global, tuple):
                     tid_index, dfv = df_global
@@ -164,9 +173,9 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
-        if cfg.scoring == "lm_dirichlet" and nnz:
+        if cfg.scoring in ("lm_dirichlet", "lm_jm") and nnz:
             # stored zone maxima are BM25 impacts; re-derive them from the
-            # Dirichlet weights so block-max WAND stays an exact upper
+            # recomputed LM weights so block-max WAND stays an exact upper
             # bound.  (term-segment, zone) runs are contiguous — postings
             # within a segment ascend by doc id — so one reduceat suffices.
             # zones are LOCAL doc-index ranges (build side: p_local // zone_docs)

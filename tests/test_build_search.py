@@ -182,6 +182,43 @@ def test_lm_dirichlet_rank_identity(built_index, oracle_index):
         ss.shutdown()
 
 
+def test_lm_jm_rank_identity(built_index, oracle_index):
+    """Jelinek-Mercer similarity on the same read-time seam: ranking must
+    equal a brute-force interpolated query-likelihood oracle, and WAND
+    (re-derived zone maxima) must equal exhaustive."""
+    import dataclasses
+    from collections import Counter
+
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    jm_cfg = dataclasses.replace(cfg, scoring="lm_jm")
+    jm = IndexReader(index_dir, jm_cfg)
+    lam = jm_cfg.lam
+    tok = Tokenizer(jm_cfg)
+    tfs = [Counter(t) for t in oracle_index.tokens]
+    dl = np.array([len(t) for t in oracle_index.tokens], dtype=np.float64)
+    T = float(dl.sum())
+    cf: Counter = Counter()
+    for c in tfs:
+        cf.update(c)
+    for text in generate_queries(25)["text"].to_pylist():
+        qtf = Counter(t for t in tok.tokenize(text) if t in cf)
+        scores = np.zeros(oracle_index.n_docs)
+        for t, q in qtf.items():
+            for d in range(oracle_index.n_docs):
+                f = tfs[d].get(t, 0)
+                if f:
+                    scores[d] += q * np.log1p((1 - lam) * f * T / (lam * cf[t] * dl[d]))
+        nz = np.nonzero(scores)[0]
+        want = nz[np.lexsort((nz, -scores[nz]))][:10]
+        got = jm.search(text, 10)
+        assert [int(d) for d in want] == [d for d, _, _ in got], text
+        for wd, (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+        assert jm.search(text, 10, method="wand") == got, text
+
+
 def test_more_like_this_rank_identity(reader, oracle_index):
     """MLT must equal an independently computed oracle: top-5 seed terms
     by tf·idf (term-asc ties) expanded as a unit-weight query over the
