@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": q.prefix_topk,
         # fuzzy retrieval: Levenshtein<=1 vocab expansion (Lucene FuzzyQuery)
         "fuzzy_topk": q.fuzzy_topk,
+        # regexp retrieval: full-match dictionary scan (Lucene RegexpQuery)
+        "regexp_topk": q.regexp_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -551,6 +553,39 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # regexp expansion: every vocab term FULLY matching the pattern scores
+    # with unit query weight and its OWN idf (expanded-OR / Lucene
+    # RegexpQuery) — DuckDB's RE2 regexp_full_match replays Python
+    # re.fullmatch exactly on the shared pattern subset used here
+    from splade_ray.pipelines.queries import REGEXP_QUERIES
+
+    regexp_values = ", ".join(f"('{qid}', '{p}')" for qid, p in REGEXP_QUERIES)
+    regexp_sql = f"""
+WITH xset(query_id, pat) AS (VALUES {regexp_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+expand AS (SELECT x.query_id, d.term, d.df FROM xset x JOIN df d ON regexp_full_match(d.term, x.pat)),
+scores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM expand e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # more-like-this: the seed doc's 5 highest-tf·idf terms (term-asc tie
     # break — the engine's selection is the same deterministic window) run
     # as a unit-weight BM25 query; the seed doc itself is excluded
@@ -686,6 +721,7 @@ ORDER BY p.query_id
         "bm25_topk": bm25,
         "prefix_topk": prefix_sql,
         "fuzzy_topk": fuzzy_sql,
+        "regexp_topk": regexp_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_not": bm25_not,

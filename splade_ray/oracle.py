@@ -227,6 +227,27 @@ def oracle_fuzzy_search(
     return [(int(d), float(scores[d])) for d in order]
 
 
+def oracle_regexp_search(index: OracleIndex, pattern: str, k: int) -> list[tuple[int, float]]:
+    """Regexp oracle: every indexed term FULLY matching ``pattern``
+    (implicit ^...$ anchoring, Lucene RegexpQuery semantics) contributes
+    its BM25 impact with unit query weight — the expanded-OR semantics of
+    :meth:`IndexReader.search_regexp`."""
+    import re
+
+    rx = re.compile(pattern)
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    for tid, t in enumerate(index.terms):
+        if rx.fullmatch(t):
+            s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+            scores[index.post_doc_ids[s:e]] += index.post_weights[s:e]
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    k = min(k, nz.size)
+    order = nz[np.lexsort((nz, -scores[nz]))][:k]
+    return [(int(d), float(scores[d])) for d in order]
+
+
 def oracle_phrase_search(index: OracleIndex, phrase: str, k: int) -> list[tuple[int, float]]:
     """Exact-phrase oracle: docs whose token sequence contains the phrase
     tokens consecutively, ranked by the same BM25 bag score as

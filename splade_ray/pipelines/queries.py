@@ -331,6 +331,44 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+# patterns restricted to the re/RE2 shared subset (classes, alternation,
+# greedy quantifiers) so DuckDB's regexp_full_match replays the expansion
+REGEXP_QUERIES: list[tuple[str, str]] = [
+    ("x0", "s[a-z]*k"),     # stack-like: s…k
+    ("x1", "(data|query)"),  # exact alternation
+    ("x2", "m[ae]rge"),      # merge
+    ("x3", "co[a-z]+"),      # column, customer, code, ...
+    ("x4", "zz+x?"),         # matches no vocab term → zero rows for x4
+]
+
+
+def regexp_topk(sf_dir: str) -> pd.DataFrame:
+    """Regexp retrieval (Lucene RegexpQuery): each pattern expands to
+    EVERY vocab term that FULLY matches it (one compiled-regex dictionary
+    scan — vocab-sized, not corpus-sized), scored with unit query weight
+    and per-term idf through the unchanged BM25 kernels.  One query routes
+    through :class:`ShardedSearcher.search_regexp` to pin driver/sharded
+    parity under expansion."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, pat in REGEXP_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_regexp(pat, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        sharded = [
+            (REGEXP_QUERIES[0][0], r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_regexp(REGEXP_QUERIES[0][1], BM25_K), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == REGEXP_QUERIES[0][0]], "sharded regexp diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 AFTER tombstone-deleting each query's unfiltered top-1
     doc (Lucene delete semantics: deleted docs excluded from every result,

@@ -824,12 +824,10 @@ class IndexReader:
         hi = int(self.vocab_index.searchsorted(p + "\U0010ffff", side="left"))
         return np.arange(lo, hi, dtype=np.int64)
 
-    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
-        """Wildcard top-k (``pre*``): the query expands to every vocab term
-        with the prefix, each with unit query weight and its OWN idf
-        (expanded-OR semantics), and scores through the unchanged BM25
-        kernels — exhaustive or block-max pruned."""
-        qtids = self.expand_prefix(prefix)
+    def _search_expanded(self, qtids: np.ndarray, k: int, method: str) -> list[tuple[int, float, str]]:
+        """Score an expanded-OR term-id set (unit query weight, per-term
+        idf) through the unchanged kernels — shared by every dictionary
+        expansion (prefix / fuzzy / regexp)."""
         if qtids.size == 0:
             return []
         qw = np.ones(qtids.size, np.float64)
@@ -838,6 +836,13 @@ class IndexReader:
             fn = sh.score_wand if method == "wand" else sh.score_exhaustive
             cands.append(fn(qtids, qw, k))
         return self._merge_shard_topk(cands, k)
+
+    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Wildcard top-k (``pre*``): the query expands to every vocab term
+        with the prefix, each with unit query weight and its OWN idf
+        (expanded-OR semantics), and scores through the unchanged BM25
+        kernels — exhaustive or block-max pruned."""
+        return self._search_expanded(self.expand_prefix(prefix), k, method)
 
     def _vocab_codepoints(self) -> tuple[np.ndarray, np.ndarray]:
         """The sorted vocab as a padded (V, maxlen) uint32 codepoint matrix
@@ -902,15 +907,29 @@ class IndexReader:
         vocab term within ``max_edits`` Levenshtein distance, each scored
         with unit query weight and its OWN idf through the unchanged BM25
         kernels — identical expanded-OR semantics to :meth:`search_prefix`."""
-        qtids = self.expand_fuzzy(term, max_edits)
-        if qtids.size == 0:
-            return []
-        qw = np.ones(qtids.size, np.float64)
-        cands = []
-        for sh in self.shards:
-            fn = sh.score_wand if method == "wand" else sh.score_exhaustive
-            cands.append(fn(qtids, qw, k))
-        return self._merge_shard_topk(cands, k)
+        return self._search_expanded(self.expand_fuzzy(term, max_edits), k, method)
+
+    def expand_regexp(self, pattern: str) -> np.ndarray:
+        """Term ids of vocab terms FULLY matching ``pattern`` (Lucene
+        RegexpQuery semantics: implicit ^...$ anchoring).  One
+        compiled-regex scan over the sorted dictionary — the working set is
+        the VOCAB, not the corpus.  At a 10^9-term dictionary this becomes
+        a literal-prefix seek that bounds the scan range + an automaton
+        walk (Lucene's trick); the scoring kernel below is unchanged."""
+        if self.vocab_index is None:
+            raise ValueError(
+                "regexp queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        hit = self.vocab_index.str.fullmatch(pattern)
+        return np.flatnonzero(np.asarray(hit, dtype=bool)).astype(np.int64)
+
+    def search_regexp(self, pattern: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Regexp top-k (Lucene RegexpQuery shape): the pattern expands to
+        every fully-matching vocab term, each with unit query weight and
+        its OWN idf — identical expanded-OR semantics to
+        :meth:`search_prefix` / :meth:`search_fuzzy`."""
+        return self._search_expanded(self.expand_regexp(pattern), k, method)
 
     def mlt_terms(self, text: str, max_terms: int = 5) -> np.ndarray:
         """Lucene MoreLikeThis term selection: tokenize the seed text and
@@ -1310,12 +1329,9 @@ class ShardedSearcher:
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
 
-    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
-        """Wildcard top-k on the sharded path: the driver expands the
-        prefix on its local vocab (two binary searches) and scatter-gathers
-        the contiguous term-id range to the shard owners — identical
-        semantics to :meth:`IndexReader.search_prefix`."""
-        qtids = self.reader.expand_prefix(prefix)
+    def _scatter_expanded(self, qtids: np.ndarray, k: int, method: str) -> list[tuple[int, float, str]]:
+        """Scatter-gather an expanded-OR term-id set (unit weights) to the
+        shard owners — shared by every dictionary expansion."""
         if qtids.size == 0:
             return []
         qw = np.ones(qtids.size, np.float64)
@@ -1335,6 +1351,13 @@ class ShardedSearcher:
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
 
+    def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Wildcard top-k on the sharded path: the driver expands the
+        prefix on its local vocab (two binary searches) and scatter-gathers
+        the contiguous term-id range to the shard owners — identical
+        semantics to :meth:`IndexReader.search_prefix`."""
+        return self._scatter_expanded(self.reader.expand_prefix(prefix), k, method)
+
     def search_fuzzy(
         self, term: str, k: int = 10, max_edits: int = 1, method: str = "exhaustive"
     ) -> list[tuple[int, float, str]]:
@@ -1342,25 +1365,14 @@ class ShardedSearcher:
         its local vocab (vectorized Levenshtein DP) and scatter-gathers the
         expanded term-id set to the shard owners — identical semantics to
         :meth:`IndexReader.search_fuzzy`."""
-        qtids = self.reader.expand_fuzzy(term, max_edits)
-        if qtids.size == 0:
-            return []
-        qw = np.ones(qtids.size, np.float64)
-        futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
-        docs, scores, urls = [], [], []
-        for d, s, u in ray.get(futs):
-            docs.append(d)
-            scores.append(s)
-            urls.extend(u)
-        if not docs:
-            return []
-        d = np.concatenate(docs)
-        s = np.concatenate(scores)
-        if d.size == 0:
-            return []
-        order = np.lexsort((d, -s))[:k]
-        urls_arr = np.asarray(urls, dtype=object)
-        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+        return self._scatter_expanded(self.reader.expand_fuzzy(term, max_edits), k, method)
+
+    def search_regexp(self, pattern: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Regexp top-k on the sharded path: the driver expands the pattern
+        on its local vocab (one compiled-regex dictionary scan) and
+        scatter-gathers the matching term-id set — identical semantics to
+        :meth:`IndexReader.search_regexp`."""
+        return self._scatter_expanded(self.reader.expand_regexp(pattern), k, method)
 
     def snippets(self, text: str, k: int = 5, W: int = 12, method: str = "exhaustive"):
         """Top-k + best-W-token-window snippets, served ENTIRELY by the

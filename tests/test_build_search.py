@@ -121,6 +121,30 @@ def test_fuzzy_search_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_regexp_search_rank_identity(built_index, reader, oracle_index):
+    """Regexp expansion (full-match dictionary scan, unit weight per
+    matching term) must be rank- and score-identical to the brute-force
+    re.fullmatch oracle; WAND must equal exhaustive; the sharded path must
+    equal the local reader."""
+    from splade_ray.oracle import oracle_regexp_search
+
+    index_dir, cfg = built_index
+    patterns = ["w00.*", "w[01]+", "w(0093|1810)", "w00?9.?", "zzz+"]
+    for p in patterns:
+        expected = oracle_regexp_search(oracle_index, p, 10)
+        got = reader.search_regexp(p, 10)
+        assert [d for d, _ in expected] == [d for d, _, _ in got], p
+        for (_, es), (_, gs, _) in zip(expected, got):
+            assert gs == pytest.approx(es, rel=1e-9)
+        assert reader.search_regexp(p, 10, method="wand") == got, p
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for p in patterns[:3]:
+            assert ss.search_regexp(p, 10) == reader.search_regexp(p, 10), p
+    finally:
+        ss.shutdown()
+
+
 def test_search_filtered_rank_identity(reader, oracle_index):
     """Filtered top-k must equal the oracle's full ranking restricted to
     the allowed doc set (filter-then-rank, not rank-then-filter)."""
