@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": q.fuzzy_topk,
         # regexp retrieval: full-match dictionary scan (Lucene RegexpQuery)
         "regexp_topk": q.regexp_topk,
+        # disjunction-max scoring (Lucene DisMax, tie_breaker=0.3)
+        "dismax_topk": q.dismax_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -553,6 +555,41 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # disjunction-max (Lucene DisMax, tie_breaker = 0.3): per doc the MAX
+    # single-term contribution qtf·bm25(t) plus 0.3 × the rest
+    dismax_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, max(c) + 0.3 * (sum(c) - max(c)) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # regexp expansion: every vocab term FULLY matching the pattern scores
     # with unit query weight and its OWN idf (expanded-OR / Lucene
     # RegexpQuery) — DuckDB's RE2 regexp_full_match replays Python
@@ -722,6 +759,7 @@ ORDER BY p.query_id
         "prefix_topk": prefix_sql,
         "fuzzy_topk": fuzzy_sql,
         "regexp_topk": regexp_sql,
+        "dismax_topk": dismax_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_not": bm25_not,

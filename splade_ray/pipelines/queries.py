@@ -331,6 +331,33 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def dismax_topk(sf_dir: str) -> pd.DataFrame:
+    """Disjunction-max retrieval (Lucene DisjunctionMaxQuery, tie=0.3):
+    per doc the BEST single query-term BM25 contribution plus 0.3 × the
+    rest — one extra maximum.at scatter next to the exhaustive kernel's
+    bincount.  One query routes through
+    :class:`ShardedSearcher.search_dismax` to pin driver/sharded parity."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_dismax(text, BM25_K, tie=0.3), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        qid0, text0 = BM25_QUERIES[0]
+        sharded = [
+            (qid0, r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_dismax(text0, BM25_K, tie=0.3), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == qid0], "sharded dismax diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 # patterns restricted to the re/RE2 shared subset (classes, alternation,
 # greedy quantifiers) so DuckDB's regexp_full_match replays the expansion
 REGEXP_QUERIES: list[tuple[str, str]] = [

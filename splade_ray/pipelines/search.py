@@ -368,6 +368,26 @@ class ShardIndex:
             scores = np.where(allow, scores, 0.0)
         return self._topk_from_scores(scores, k)
 
+    def score_dismax(
+        self, qtids: np.ndarray, qweights: np.ndarray, k: int, tie: float = 0.0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene DisjunctionMaxQuery scoring: per doc, the MAX single-term
+        contribution plus ``tie`` × the sum of the others —
+        score = max + tie·(sum − max).  One extra maximum.at scatter next
+        to the existing bincount; contributions are ≥ 0 (tombstoned
+        postings are zeroed), so the zero-initialized max array and the
+        nonzero top-k filter stay exact."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        ssum = np.bincount(ids, weights=w, minlength=self.n_local)
+        smax = np.zeros(self.n_local, dtype=np.float64)
+        np.maximum.at(smax, ids, w)
+        scores = smax + tie * (ssum - smax)
+        return self._topk_from_scores(scores, k)
+
     def score_excluding(
         self, qtids: np.ndarray, qweights: np.ndarray, k: int, ex_tids: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -784,6 +804,19 @@ class IndexReader:
         cands = [sh.score_excluding(qtids, qw, k, ex_tids) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
+        """Disjunction-max top-k (Lucene DisjunctionMaxQuery): each doc
+        scores its BEST single query-term contribution plus ``tie`` × the
+        rest, instead of the BM25 sum — the field-disjunction shape that
+        stops multi-term coordination from drowning out a strong single
+        match.  Exact per shard (the kernel sees every posting), merged
+        with the standard (-score, doc_id) tie-break."""
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        cands = [sh.score_dismax(qtids, qw, k, tie) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
     def search_filtered(self, text: str, k: int = 10, allow_urls=None) -> list[tuple[int, float, str]]:
         """Filtered top-k: BM25 over only the docs whose url passes the
         metadata predicate — the standard filtered-search serving feature.
@@ -1131,6 +1164,20 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_dismax(self, qtids: np.ndarray, qw: np.ndarray, k: int, tie: float):
+        """DisMax scatter leg: each pinned shard returns its local
+        max+tie·rest top-k — exact under scatter-gather because the score
+        is per-doc and every doc lives in exactly one shard."""
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            d, s = sh.score_dismax(qtids, qw, k, tie)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def score_phrase(self, qtids: np.ndarray, qw: np.ndarray, h_seq: np.ndarray, k: int):
         cands_d, cands_s, cands_u = [], [], []
         for sh in self.reader.shards:
@@ -1290,6 +1337,29 @@ class ShardedSearcher:
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
+        """DisMax top-k on the sharded path — semantics identical to
+        :meth:`IndexReader.search_dismax` (per-doc score, so the
+        scatter-gather merge is exact)."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_dismax.remote(qtids, qw, k, tie) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)

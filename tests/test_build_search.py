@@ -145,6 +145,44 @@ def test_regexp_search_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_dismax_rank_identity(built_index, reader, oracle_index):
+    """DisMax (max + tie·rest) must equal a brute-force per-term-matrix
+    oracle at tie 0.0 and 0.3; tie=1.0 must degrade exactly to the BM25
+    sum; the sharded path must equal the local reader."""
+    index_dir, cfg = built_index
+    tok_cfg_queries = generate_queries(25)["text"].to_pylist()
+    for text in tok_cfg_queries:
+        qtids, qw = reader.encode_query(text)
+        if qtids.size == 0:
+            assert reader.search_dismax(text, 10) == []
+            continue
+        # brute-force: per-doc per-query-term contribution matrix
+        contrib = np.zeros((oracle_index.n_docs, qtids.size))
+        for j, (tid, w) in enumerate(zip(qtids, qw)):
+            s, e = oracle_index.term_ptr[tid], oracle_index.term_ptr[tid + 1]
+            contrib[oracle_index.post_doc_ids[s:e], j] = w * oracle_index.post_weights[s:e]
+        for tie in (0.0, 0.3):
+            scores = contrib.max(axis=1) + tie * (contrib.sum(axis=1) - contrib.max(axis=1))
+            nz = np.nonzero(scores)[0]
+            want = nz[np.lexsort((nz, -scores[nz]))][:10]
+            got = reader.search_dismax(text, 10, tie=tie)
+            assert [int(d) for d in want] == [d for d, _, _ in got], (text, tie)
+            for wd, (_, gs, _) in zip(want, got):
+                assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+        # tie=1.0 degrades to the BM25 sum (scores approx: max+(sum-max)
+        # is a different float op order than the plain bincount sum)
+        dm1, bm = reader.search_dismax(text, 10, tie=1.0), reader.search(text, 10)
+        assert [d for d, _, _ in dm1] == [d for d, _, _ in bm], text
+        for (_, a, _), (_, b, _) in zip(dm1, bm):
+            assert a == pytest.approx(b, rel=1e-12)
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        for text in tok_cfg_queries[:5]:
+            assert ss.search_dismax(text, 10, tie=0.3) == reader.search_dismax(text, 10, tie=0.3)
+    finally:
+        ss.shutdown()
+
+
 def test_search_filtered_rank_identity(reader, oracle_index):
     """Filtered top-k must equal the oracle's full ranking restricted to
     the allowed doc set (filter-then-rank, not rank-then-filter)."""
