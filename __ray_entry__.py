@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_topk": q.regexp_topk,
         # disjunction-max scoring (Lucene DisMax, tie_breaker=0.3)
         "dismax_topk": q.dismax_topk,
+        # TermStatistics (df + totalTermFreq) served off the stored index
+        "term_stats": q.term_stats,
+        # sort-by-field: match set ranked by the dl doc-value, no scoring
+        "match_sorted_by_dl": q.match_sorted_by_dl,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -590,6 +594,38 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # TermStatistics: df = distinct docs carrying the term, cf = total
+    # occurrences; OOV terms report (0, 0) via the LEFT JOIN
+    from splade_ray.pipelines.queries import STATS_TERMS
+
+    stats_values = ", ".join(f"('{t}')" for t in STATS_TERMS)
+    term_stats_sql = f"""
+WITH tset(term) AS (VALUES {stats_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+SELECT t.term, coalesce(a.df, 0)::BIGINT AS df, coalesce(a.cf, 0)::BIGINT AS cf
+FROM tset t LEFT JOIN agg a ON a.term = t.term
+"""
+    # sort-by-field: disjunctive match set ordered by token count DESC
+    match_sorted_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM qterms q JOIN (SELECT DISTINCT doc_id, term FROM toks) t ON t.term = q.term
+),
+ranked AS (
+  SELECT m.query_id, m.doc_id, dl.dl,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY dl.dl DESC, m.doc_id ASC) AS rank
+  FROM matched m JOIN dl ON dl.doc_id = m.doc_id
+)
+SELECT query_id, rank, doc_id, dl FROM ranked WHERE rank <= 10
+"""
     # regexp expansion: every vocab term FULLY matching the pattern scores
     # with unit query weight and its OWN idf (expanded-OR / Lucene
     # RegexpQuery) — DuckDB's RE2 regexp_full_match replays Python
@@ -760,6 +796,8 @@ ORDER BY p.query_id
         "fuzzy_topk": fuzzy_sql,
         "regexp_topk": regexp_sql,
         "dismax_topk": dismax_sql,
+        "term_stats": term_stats_sql,
+        "match_sorted_by_dl": match_sorted_sql,
         "boolean_min_match": boolean_min,
         "bm25_topk_filtered": bm25_filtered,
         "bm25_topk_not": bm25_not,

@@ -331,6 +331,33 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+STATS_TERMS: list[str] = ["data", "spark", "query", "merge", "customer", "zzznope"]
+
+
+def term_stats(sf_dir: str) -> pd.DataFrame:
+    """Lucene TermStatistics served off the STORED index: docFreq from the
+    vocab, totalTermFreq from the fused stats pass's cf column — pure
+    dictionary lookups, postings untouched.  OOV terms report (0, 0)."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = reader.term_stats(STATS_TERMS)
+    return pd.DataFrame(rows, columns=["term", "df", "cf"])
+
+
+def match_sorted_by_dl(sf_dir: str) -> pd.DataFrame:
+    """Sort-by-field retrieval (Lucene SortField on a numeric doc-value):
+    docs matching ANY query term ranked by document length DESC (doc_id
+    ASC ties) — relevance never computed; each shard ships only its local
+    top-k of the match set."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, dl, url) in enumerate(reader.search_sorted_by_dl(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), int(dl)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "dl"])
+
+
 def dismax_topk(sf_dir: str) -> pd.DataFrame:
     """Disjunction-max retrieval (Lucene DisjunctionMaxQuery, tie=0.3):
     per doc the BEST single query-term BM25 contribution plus 0.3 × the

@@ -804,6 +804,69 @@ class IndexReader:
         cands = [sh.score_excluding(qtids, qw, k, ex_tids) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def term_stats(self, terms: list[str]) -> list[tuple[str, int, int]]:
+        """Lucene TermStatistics off the STORED index: (term, docFreq,
+        totalTermFreq) per normalized input term — df from the vocab, cf
+        from the stats stage's fused collection-frequency pass.  Terms
+        absent from the dictionary report (0, 0), Lucene's contract.
+        Pure dictionary lookups; postings are never touched."""
+        if self.vocab_index is None or self.df is None:
+            raise ValueError("term_stats needs the sorted-string vocab + df stats")
+        out = []
+        for t in terms:
+            norm = self.tok.tokenize(t)
+            if len(norm) != 1:
+                raise ValueError(f"term must normalize to one token, got {norm!r}")
+            tid = int(self.vocab_index.get_indexer([norm[0]])[0])
+            if tid < 0:
+                out.append((norm[0], 0, 0))
+            else:
+                cf = int(self.cf[tid]) if self.cf is not None else 0
+                out.append((norm[0], int(self.df[tid]), cf))
+        return out
+
+    def collection_stats(self) -> dict[str, float]:
+        """Lucene CollectionStatistics off the stored meta: docCount,
+        sumTotalTermFreq (sum_dl), avgdl, distinct-term count and total
+        postings (nnz)."""
+        return {
+            "n_docs": int(self.n_docs),
+            "sum_dl": int(self.sum_dl) if self.sum_dl is not None else None,
+            "avgdl": float(self.avgdl),
+            "n_terms": int(len(self.vocab_index)) if self.vocab_index is not None else None,
+            "nnz": int(self.df.sum()) if isinstance(self.df, np.ndarray) else None,
+        }
+
+    def search_sorted_by_dl(self, text: str, k: int = 10) -> list[tuple[int, int, str]]:
+        """Sort-by-field retrieval (Lucene SortField over a numeric
+        doc-value): docs matching ANY query term, ordered by document
+        length DESC (doc_id ASC ties) instead of relevance — dl is the
+        one numeric doc-value the index itself stores.  Each shard returns
+        its local top-k only (match set never leaves the shard)."""
+        qtids, _qw = self.encode_query(text)
+        if qtids.size == 0:
+            return []
+        cands: list[tuple[np.ndarray, np.ndarray]] = []
+        for sh in self.shards:
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            local = np.unique(np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices]))
+            if sh.deleted_local.size:
+                local = np.setdiff1d(local, sh.deleted_local, assume_unique=True)
+            if local.size == 0:
+                continue
+            dl = sh.dl[local]
+            kk = min(k, local.size)
+            top = np.lexsort((sh.doc_ids[local], -dl))[:kk]
+            cands.append((sh.doc_ids[local[top]], dl[top]))
+        if not cands:
+            return []
+        d = np.concatenate([c[0] for c in cands])
+        v = np.concatenate([c[1] for c in cands])
+        order = np.lexsort((d, -v))[:k]
+        return [(int(d[i]), int(v[i]), self.url_of(int(d[i]))) for i in order]
+
     def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
         """Disjunction-max top-k (Lucene DisjunctionMaxQuery): each doc
         scores its BEST single query-term contribution plus ``tie`` × the

@@ -183,6 +183,41 @@ def test_dismax_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_term_stats_and_sort_by_dl(built_index, reader, oracle_index):
+    """TermStatistics must equal brute-force df/cf counts over the raw
+    token streams (OOV -> (0,0)); sort-by-field must return the disjunctive
+    match set ordered by (dl desc, doc_id asc); tombstoned docs drop out."""
+    from collections import Counter
+
+    tfs = [Counter(t) for t in oracle_index.tokens]
+    df: Counter = Counter()
+    cf: Counter = Counter()
+    for c in tfs:
+        df.update(c.keys())
+        cf.update(c)
+    terms = ["w0001", "w0093", "zzznope"]
+    got = reader.term_stats(terms)
+    assert got == [(t, df.get(t, 0), cf.get(t, 0)) for t in terms]
+    cs = reader.collection_stats()
+    assert cs["n_docs"] == oracle_index.n_docs
+    assert cs["sum_dl"] == sum(len(t) for t in oracle_index.tokens)
+    for text in generate_queries(15)["text"].to_pylist():
+        qterms = {t for t in reader.tok.tokenize(text) if t in df}
+        matched = [d for d in range(oracle_index.n_docs) if qterms & set(tfs[d])]
+        want = sorted(matched, key=lambda d: (-len(oracle_index.tokens[d]), d))[:10]
+        got_s = reader.search_sorted_by_dl(text, 10)
+        assert want == [d for d, _, _ in got_s], text
+        for wd, (_, dl, _) in zip(want, got_s):
+            assert dl == len(oracle_index.tokens[wd])
+    # tombstones: delete the head of one result list, it must vanish
+    index_dir, cfg = built_index
+    text = generate_queries(1)["text"].to_pylist()[0]
+    head = reader.search_sorted_by_dl(text, 10)
+    if head:
+        deleted = IndexReader(index_dir, cfg, deletes=[head[0][2]])
+        assert head[0][0] not in [d for d, _, _ in deleted.search_sorted_by_dl(text, 10)]
+
+
 def test_search_filtered_rank_identity(reader, oracle_index):
     """Filtered top-k must equal the oracle's full ranking restricted to
     the allowed doc set (filter-then-rank, not rank-then-filter)."""
