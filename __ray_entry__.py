@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_topk": q.regexp_topk,
         # disjunction-max scoring (Lucene DisMax, tie_breaker=0.3)
         "dismax_topk": q.dismax_topk,
+        # synonym groups: member tfs blend BEFORE saturation (SynonymQuery)
+        "synonym_topk": q.synonym_topk,
         # TermStatistics (df + totalTermFreq) served off the stored index
         "term_stats": q.term_stats,
         # sort-by-field: match set ranked by the dl doc-value, no scoring
@@ -594,6 +596,49 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # SynonymQuery: per (query, group) the member tfs SUM before the BM25
+    # saturation, idf = blend over the group's max df; group scores add
+    from splade_ray.pipelines.queries import SYNONYM_QUERIES
+
+    syn_values = ", ".join(
+        f"('{qid}', {gid}, '{t}')"
+        for qid, groups in SYNONYM_QUERIES
+        for gid, terms in enumerate(groups)
+        for t in terms
+    )
+    synonym_sql = f"""
+WITH yset(query_id, gid, term) AS (VALUES {syn_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gdf AS (
+  SELECT y.query_id, y.gid, max(df.df) AS dfb
+  FROM yset y JOIN df ON df.term = y.term GROUP BY y.query_id, y.gid
+),
+gtf AS (
+  SELECT y.query_id, y.gid, tf.doc_id, sum(tf.tf) AS tfb
+  FROM yset y JOIN tf ON tf.term = y.term GROUP BY y.query_id, y.gid, tf.doc_id
+),
+scores AS (
+  SELECT g.query_id, g.doc_id,
+         sum(ln(1 + (s.n_docs - d.dfb + 0.5) / (d.dfb + 0.5))
+             * g.tfb * 2.2 / (g.tfb + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM gtf g
+  JOIN gdf d ON d.query_id = g.query_id AND d.gid = g.gid
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY g.query_id, g.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # TermStatistics: df = distinct docs carrying the term, cf = total
     # occurrences; OOV terms report (0, 0) via the LEFT JOIN
     from splade_ray.pipelines.queries import STATS_TERMS
@@ -796,6 +841,7 @@ ORDER BY p.query_id
         "fuzzy_topk": fuzzy_sql,
         "regexp_topk": regexp_sql,
         "dismax_topk": dismax_sql,
+        "synonym_topk": synonym_sql,
         "term_stats": term_stats_sql,
         "match_sorted_by_dl": match_sorted_sql,
         "boolean_min_match": boolean_min,

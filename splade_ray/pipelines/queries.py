@@ -331,6 +331,41 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+SYNONYM_QUERIES: list[tuple[str, list[list[str]]]] = [
+    ("y0", [["data", "index"], ["query"]]),
+    ("y1", [["spark", "stream"]]),
+    ("y2", [["merge", "sort", "zzznope"], ["customer"]]),
+    ("y3", [["zzznope"]]),  # all-OOV → no groups survive → zero rows
+]
+
+
+def synonym_topk(sf_dir: str) -> pd.DataFrame:
+    """Synonym retrieval (Lucene SynonymQuery): each group's member tfs
+    SUM before BM25 saturation under idf(max member df) — blended-tf
+    semantics the precomputed per-term impacts can't express, served from
+    the raw-tf sidecar.  One query routes through
+    :class:`ShardedSearcher.search_synonyms` for driver/sharded parity."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, groups in SYNONYM_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_synonyms(groups, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        qid0, groups0 = SYNONYM_QUERIES[0]
+        sharded = [
+            (qid0, r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_synonyms(groups0, BM25_K), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == qid0], "sharded synonym diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 STATS_TERMS: list[str] = ["data", "spark", "query", "merge", "customer", "zzznope"]
 
 

@@ -111,8 +111,14 @@ class ShardIndex:
             self.post_local = np.zeros(0, np.int64)
         if cfg.scoring in ("lm_dirichlet", "lm_jm") and "tfs" not in post.column_names:
             raise ValueError(f"{cfg.scoring} scoring needs raw-tf postings (weight_mode='tf')")
+        self.avgdl = float(avgdl)
+        self.post_tf: np.ndarray | None = None
         if "tfs" in post.column_names:
             tf = varint_decode(_binary_concat(post.column("tfs").combine_chunks()), nnz).astype(np.float64)
+            # raw tf kept (uint32, ¼ the weight array) — synonym scoring
+            # blends tf ACROSS terms before saturation, which the
+            # precomputed per-term impacts can't express
+            self.post_tf = tf.astype(np.uint32)
             # precompute float64 BM25 weights (identical formula to the
             # oracle).  df_global: dense array indexed by tid (sorted
             # vocab) or (sorted_tids, df) for hashed-vocab term ids.
@@ -202,6 +208,8 @@ class ShardIndex:
         self.deleted_local = np.union1d(self.deleted_local, local.astype(np.int64))
         hit = np.isin(self.post_local, self.deleted_local)
         self.post_w[hit] = 0.0
+        if self.post_tf is not None:
+            self.post_tf[hit] = 0
         nnz = self.post_w.size
         if nnz:
             # recompute zone maxima over the zeroed weights (same kernel as
@@ -262,6 +270,9 @@ class ShardIndex:
         nnz = int(self.term_ptr[-1])
         self.post_local = np.empty(nnz, dtype=np.int64)
         self.post_w = np.empty(nnz, dtype=np.float64)
+        self.avgdl = shards[0].avgdl if shards else 0.0
+        with_tf = all(s.post_tf is not None for s in shards)
+        self.post_tf = np.empty(nnz, dtype=np.uint32) if with_tf else None
         run_off = np.zeros(n_terms, dtype=np.int64)  # filled-so-far per term
         for si, s in enumerate(shards):
             rows = shard_rows[si]
@@ -275,6 +286,8 @@ class ShardIndex:
             )
             self.post_local[idx] = s.post_local + doc_offs[si]
             self.post_w[idx] = s.post_w
+            if with_tf:
+                self.post_tf[idx] = s.post_tf
             run_off[rows] += seg_lens
 
         # zone bounds: when every shard's doc offset is zone-aligned
@@ -366,6 +379,32 @@ class ShardIndex:
         scores = np.bincount(ids, weights=w, minlength=self.n_local)
         if allow is not None:
             scores = np.where(allow, scores, 0.0)
+        return self._topk_from_scores(scores, k)
+
+    def score_synonyms(
+        self, groups: list[np.ndarray], idfs: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene SynonymQuery scoring: each group of synonym term ids acts
+        as ONE pseudo-term — per doc its tf is the SUM of the members' tfs,
+        saturated once through the BM25 tf norm under the group's blended
+        idf (caller passes idf(max df), Lucene's blend).  Needs the raw tf
+        sidecar — blending happens BEFORE saturation, which precomputed
+        per-term impacts can't express.  Deleted docs' tfs are zeroed by
+        mask_deletes, so the nonzero top-k filter stays exact."""
+        if self.post_tf is None:
+            raise ValueError("synonym scoring needs raw-tf postings (weight_mode='tf')")
+        k1, b = float(self.cfg.k1), float(self.cfg.b)
+        norm = k1 * (1.0 - b + b * self.dl / self.avgdl)
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        for tids, idf in zip(groups, idfs):
+            slices = self._term_slices(np.asarray(tids, dtype=np.int64))
+            if not slices:
+                continue
+            ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+            tfv = np.concatenate([self.post_tf[s:e] for _, s, e, _ in slices]).astype(np.float64)
+            tfd = np.bincount(ids, weights=tfv, minlength=self.n_local)
+            m = tfd > 0
+            scores[m] += float(idf) * tfd[m] * (k1 + 1.0) / (tfd[m] + norm[m])
         return self._topk_from_scores(scores, k)
 
     def score_dismax(
@@ -804,6 +843,41 @@ class IndexReader:
         cands = [sh.score_excluding(qtids, qw, k, ex_tids) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def _expand_synonym_groups(
+        self, groups: list[list[str]]
+    ) -> tuple[list[np.ndarray], np.ndarray]:
+        """Per synonym group: vocab term ids of its members (OOV dropped)
+        + the blended idf — Lucene SynonymQuery uses idf(max docFreq of
+        the members).  Groups with no indexed member are dropped."""
+        if self.vocab_index is None or self.df is None:
+            raise ValueError("synonym queries need the sorted-string vocab + df stats")
+        g_tids, g_idf = [], []
+        for terms in groups:
+            toks = [n for t in terms for n in self.tok.tokenize(t)]
+            if not toks:
+                continue
+            tids = self.vocab_index.get_indexer(np.asarray(toks, dtype=object))
+            tids = np.unique(tids[tids >= 0])
+            if tids.size == 0:
+                continue
+            dfb = float(self.df[tids].max())
+            g_tids.append(tids.astype(np.int64))
+            g_idf.append(float(bm25_idf(np.asarray([dfb]), self.n_docs)[0]))
+        return g_tids, np.asarray(g_idf, dtype=np.float64)
+
+    def search_synonyms(self, groups: list[list[str]], k: int = 10) -> list[tuple[int, float, str]]:
+        """Synonym retrieval (Lucene SynonymQuery): each group of terms
+        scores as ONE pseudo-term — member tfs SUM before the BM25
+        saturation, under idf(max member df) — and group scores add.
+        Exhaustive only: blended-tf bounds aren't decomposable over the
+        stored per-term zone maxima, so WAND is out of scope (Lucene
+        likewise gives SynonymQuery its own scorer)."""
+        g_tids, g_idf = self._expand_synonym_groups(groups)
+        if not g_tids:
+            return []
+        cands = [sh.score_synonyms(g_tids, g_idf, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
     def term_stats(self, terms: list[str]) -> list[tuple[str, int, int]]:
         """Lucene TermStatistics off the STORED index: (term, docFreq,
         totalTermFreq) per normalized input term — df from the vocab, cf
@@ -1227,6 +1301,19 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_synonyms(self, groups: list[np.ndarray], idfs: np.ndarray, k: int):
+        """SynonymQuery scatter leg: blended-tf scoring over each pinned
+        shard — the driver ships the expanded group tids + blended idfs."""
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            d, s = sh.score_synonyms(groups, idfs, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def score_dismax(self, qtids: np.ndarray, qw: np.ndarray, k: int, tie: float):
         """DisMax scatter leg: each pinned shard returns its local
         max+tie·rest top-k — exact under scatter-gather because the score
@@ -1400,6 +1487,29 @@ class ShardedSearcher:
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_synonyms(self, groups: list[list[str]], k: int = 10) -> list[tuple[int, float, str]]:
+        """SynonymQuery top-k on the sharded path: the driver expands the
+        groups on its local vocab (tids + blended idfs) and scatter-gathers
+        — semantics identical to :meth:`IndexReader.search_synonyms`."""
+        g_tids, g_idf = self.reader._expand_synonym_groups(groups)
+        if not g_tids:
+            return []
+        futs = [a.score_synonyms.remote(g_tids, g_idf, k) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)

@@ -183,6 +183,60 @@ def test_dismax_rank_identity(built_index, reader, oracle_index):
         ss.shutdown()
 
 
+def test_synonym_rank_identity(built_index, reader, oracle_index):
+    """SynonymQuery (blended tf before saturation, idf of the max member
+    df) must equal a brute-force oracle over the raw token streams; a
+    single-member group must equal plain unit-weight BM25 on that term;
+    the sharded path must equal the local reader."""
+    from collections import Counter
+
+    cfg = built_index[1]
+    tfs = [Counter(t) for t in oracle_index.tokens]
+    df: Counter = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    dl = np.array([len(t) for t in oracle_index.tokens], dtype=np.float64)
+    avgdl = dl.mean()
+    n = oracle_index.n_docs
+    group_sets = [
+        [["w0001", "w0093"], ["w1810"]],
+        [["w0002", "zzznope"]],
+        [["w0005", "w0006", "w0007"]],
+        [["zzznope"]],
+    ]
+    for groups in group_sets:
+        scores = np.zeros(n)
+        for terms in groups:
+            present = [t for t in terms if t in df]
+            if not present:
+                continue
+            dfb = max(df[t] for t in present)
+            idf = np.log(1 + (n - dfb + 0.5) / (dfb + 0.5))
+            for d in range(n):
+                tfb = sum(tfs[d].get(t, 0) for t in present)
+                if tfb:
+                    scores[d] += idf * tfb * (cfg.k1 + 1) / (
+                        tfb + cfg.k1 * (1 - cfg.b + cfg.b * dl[d] / avgdl)
+                    )
+        nz = np.nonzero(scores)[0]
+        want = nz[np.lexsort((nz, -scores[nz]))][:10]
+        got = reader.search_synonyms(groups, 10)
+        assert [int(d) for d in want] == [d for d, _, _ in got], groups
+        for wd, (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+    # singleton group == plain BM25 with unit query weight
+    single = reader.search_synonyms([["w0093"]], 10)
+    plain = reader.search("w0093", 10)
+    assert [d for d, _, _ in single] == [d for d, _, _ in plain]
+    for (_, a, _), (_, b, _) in zip(single, plain):
+        assert a == pytest.approx(b, rel=1e-12)
+    ss = ShardedSearcher(built_index[0], cfg, num_actors=2)
+    try:
+        assert ss.search_synonyms(group_sets[0], 10) == reader.search_synonyms(group_sets[0], 10)
+    finally:
+        ss.shutdown()
+
+
 def test_term_stats_and_sort_by_dl(built_index, reader, oracle_index):
     """TermStatistics must equal brute-force df/cf counts over the raw
     token streams (OOV -> (0,0)); sort-by-field must return the disjunctive
