@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": q.dismax_topk,
         # synonym groups: member tfs blend BEFORE saturation (SynonymQuery)
         "synonym_topk": q.synonym_topk,
+        # field collapsing: best hit per source (Lucene grouping/collapse)
+        "collapse_topk": q.collapse_topk,
+        # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
+        "boosted_topk": q.boosted_topk,
         # TermStatistics (df + totalTermFreq) served off the stored index
         "term_stats": q.term_stats,
         # sort-by-field: match set ranked by the dl doc-value, no scoring
@@ -639,6 +643,80 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # field collapsing: best BM25 hit per source, sources ranked by the
+    # winner's (-score, doc_id), top 5 per query
+    collapse_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+per_src AS (
+  SELECT sc.query_id, d.source, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rs
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, source, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM per_src WHERE rs = 1
+)
+SELECT query_id, rank, source, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 5
+"""
+    # rank-feature boost: matched docs gain 0.5*ln(1 + n_chars/1000)
+    boosted_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + 0.5 * ln(1 + d.n_chars / 1000.0) AS score
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # TermStatistics: df = distinct docs carrying the term, cf = total
     # occurrences; OOV terms report (0, 0) via the LEFT JOIN
     from splade_ray.pipelines.queries import STATS_TERMS
@@ -842,6 +920,8 @@ ORDER BY p.query_id
         "regexp_topk": regexp_sql,
         "dismax_topk": dismax_sql,
         "synonym_topk": synonym_sql,
+        "collapse_topk": collapse_sql,
+        "boosted_topk": boosted_sql,
         "term_stats": term_stats_sql,
         "match_sorted_by_dl": match_sorted_sql,
         "boolean_min_match": boolean_min,

@@ -61,7 +61,10 @@ def _emb(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------------ BM25
 def _documents_index_dir(sf_dir: str) -> str:
-    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}".encode()).hexdigest()[:12]
+    # corpus_v2: corpus_input.parquet also carries source + n_chars
+    # (collapse / rank-feature doc-values) — keep in the key so stale
+    # cached corpora without them are never reused
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|corpus_v2".encode()).hexdigest()[:12]
     return os.path.join("/tmp/splade_ray_cache", f"docs_index_{key}")
 
 
@@ -87,11 +90,13 @@ def build_documents_index(sf_dir: str) -> str:
                     "warc_ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
                     "text": batch.column("text"),
                     "lang": batch.column("lang"),
+                    "source": batch.column("source"),
+                    "n_chars": batch.column("n_chars"),
                 }
             )
 
         tmp = corpus_path + ".tmp"
-        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        _docs(sf_dir, columns=["doc_id", "text", "lang", "source", "n_chars"]).map_batches(
             to_corpus, batch_format="pyarrow"
         ).write_parquet(tmp)
         os.rename(tmp, corpus_path)
@@ -328,6 +333,45 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     finally:
         ss.shutdown()
     assert sharded == [r for r in rows if r[0] == FUZZY_QUERIES[0][0]], "sharded fuzzy diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def collapse_topk(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing (Lucene grouping / ES collapse): the best BM25 hit
+    per ``source`` value, sources ranked by their winner's (-score,
+    doc_id), top 5 — served entirely by the shard owners (each ships
+    |sources| cells, the match set never crosses the network)."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (src, doc, score, _u) in enumerate(ss.search_collapse(text, 5, "source"), 1):
+                rows.append((qid, rank, src, doc, round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "source", "doc_id", "score_r"])
+
+
+def boosted_topk(sf_dir: str) -> pd.DataFrame:
+    """Rank-feature retrieval (Lucene FeatureField / ES rank_feature):
+    BM25 plus 0.5·ln(1 + n_chars/1000) from the static doc-value, applied
+    to matched docs inside the shard owners before local top-k."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, score, url) in enumerate(ss.search_boosted(text, BM25_K), 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 

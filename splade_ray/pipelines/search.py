@@ -1392,6 +1392,66 @@ class ShardScorerActor:
                     out[str(v)] = out.get(str(v), 0) + int(k)
         return out
 
+    def score_collapse(self, qtids: np.ndarray, qw: np.ndarray, attr_col: str) -> dict:
+        """Field collapsing (Lucene grouping / ES ``collapse``): this
+        actor's best-scoring doc PER attribute value over its full match
+        set — one lexsort by (value, -score, doc_id) per shard, first row
+        of each value group wins.  The driver merges |values| cells per
+        actor; the match set never leaves the shard owners."""
+        attrs = self._attr_for_shards(attr_col)
+        out: dict[str, tuple[float, int]] = {}
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            vals = np.asarray([str(v) for v in attr[nz]], dtype=object)
+            docs, sc = sh.doc_ids[nz], scores[nz]
+            order = np.lexsort((docs, -sc, vals))
+            sv = vals[order]
+            first = np.ones(sv.size, dtype=bool)
+            first[1:] = sv[1:] != sv[:-1]
+            for i in np.flatnonzero(first):
+                j = order[i]
+                cand = (float(sc[j]), int(docs[j]))
+                prev = out.get(sv[i])
+                if prev is None or (-cand[0], cand[1]) < (-prev[0], prev[1]):
+                    out[sv[i]] = cand
+        return {v: (s, d, self.reader.url_of(d)) for v, (s, d) in out.items()}
+
+    def score_boosted(
+        self, qtids: np.ndarray, qw: np.ndarray, k: int, attr_col: str, boost: float, pivot: float
+    ):
+        """Static-signal boost (Lucene FeatureField / ES rank_feature):
+        matched docs' BM25 scores gain ``boost·ln(1 + attr/pivot)`` from a
+        numeric doc-value before local top-k — the boost never creates a
+        match (zero scores stay zero), so tombstones and the nonzero
+        filter are untouched."""
+        attrs = self._attr_for_shards(attr_col)
+        cands_d, cands_s, cands_u = [], [], []
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            m = scores > 0
+            fa = np.asarray(attr, dtype=np.float64)
+            scores[m] += boost * np.log1p(fa[m] / pivot)
+            d, s = sh._topk_from_scores(scores, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def score_snippets(self, qtids: np.ndarray, qw: np.ndarray, qh: np.ndarray, k: int, W: int, method: str = "exhaustive"):
         """Local top-k + best-window snippets for THIS actor's shards.
         Texts come from a url-IN-candidates parquet read (k-bounded rows;
@@ -1487,6 +1547,50 @@ class ShardedSearcher:
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_collapse(self, text: str, k: int = 10, attr_col: str = "source") -> list[tuple[str, int, float, str]]:
+        """Field collapsing (Lucene grouping / ES ``collapse``): the single
+        best-scoring doc per ``attr_col`` value, values ranked by their
+        winner's (-score, doc_id), top ``k`` values.  Shard owners each
+        ship |values| cells; the match set itself never crosses the
+        network.  Returns (value, doc_id, score, url) rows."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_collapse.remote(qtids, qw, attr_col) for a in self.actors]
+        best: dict[str, tuple[float, int, str]] = {}
+        for part in ray.get(futs):
+            for v, (s, d, u) in part.items():
+                prev = best.get(v)
+                if prev is None or (-s, d) < (-prev[0], prev[1]):
+                    best[v] = (s, d, u)
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:k]
+        return [(v, d, s, u) for v, (s, d, u) in ranked]
+
+    def search_boosted(
+        self, text: str, k: int = 10, attr_col: str = "n_chars", boost: float = 0.5, pivot: float = 1000.0
+    ) -> list[tuple[int, float, str]]:
+        """Rank-feature retrieval (Lucene FeatureField shape): BM25 plus a
+        static-signal boost ``boost·ln(1 + attr/pivot)`` applied to matched
+        docs inside each shard owner before local top-k."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_boosted.remote(qtids, qw, k, attr_col, boost, pivot) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)

@@ -465,6 +465,35 @@ def test_sharded_facets_brute_force(built_index, reader, web_pages_path, oracle_
         ss.shutdown()
 
 
+def test_sharded_collapse_brute_force(built_index, reader, web_pages_path, oracle_index):
+    """Field collapsing must return, per attribute value, the best
+    (-score, doc_id) doc of the full BM25 match set, values ranked by
+    their winner — verified against a brute-force group-max over the
+    oracle scores."""
+    from splade_ray.oracle import oracle_search
+
+    index_dir, cfg = built_index
+    raw = pq.read_table(web_pages_path, columns=["url", "lang"])
+    lang_of = dict(zip(raw.column("url").to_pylist(), raw.column("lang").to_pylist()))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=web_pages_path)
+    try:
+        for text in generate_queries(10)["text"].to_pylist():
+            full = oracle_search(oracle_index, text, oracle_index.n_docs)
+            best: dict[str, tuple[float, int]] = {}
+            for d, s in full:
+                v = lang_of[oracle_index.doc_ids[d]]
+                prev = best.get(v)
+                if prev is None or (-s, d) < (-prev[0], prev[1]):
+                    best[v] = (s, d)
+            want = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:3]
+            got = ss.search_collapse(text, 3, "lang")
+            assert [(v, d) for v, (s, d) in want] == [(v, d) for v, d, _s, _u in got], text
+            for (_, (es, _)), (_, _, gs, _) in zip(want, got):
+                assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        ss.shutdown()
+
+
 def test_min_should_match_brute_force(reader, oracle_index):
     """Disjunctive boolean with a minimum_should_match floor must equal a
     brute-force distinct-term-overlap count over the oracle token lists,
