@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_bins": q.packed_bins,
         # corpus collocations: top bigrams by PMI (coarse-bucket exchange)
         "bigram_pmi": q.bigram_pmi,
+        # TextRank keywords: PageRank over the co-occurrence graph
+        # (3 unrolled power iterations — the kmeans oracle trick)
+        "textrank_keywords": q.textrank_keywords,
         # fused one-pass curation filter (keep/drop + signals)
         "curation_kept": q.curation_kept,
         # exact repeated-passage detection (cross-doc 5-token spans)
@@ -1425,6 +1428,29 @@ scored AS (
 ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rank FROM scored)
 SELECT rank, term_a, term_b, pair_count, round(pmi, 6) AS pmi
 FROM ranked WHERE rank <= 30 ORDER BY rank
+""",
+        # TextRank keywords: 3 power iterations of
+        # r_i = 0.15 + 0.85·Σ_j (w_ij/deg_j)·r_j over the undirected
+        # adjacent-token graph (self-pairs dropped), UNROLLED — symmetric
+        # edges mean every node appears in each r_k, so plain JOINs suffice
+        "textrank_keywords": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+bg AS (SELECT doc_id, tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM flat),
+bgc AS (SELECT a, b, count(*)::DOUBLE AS c FROM bg WHERE b IS NOT NULL AND a <> b GROUP BY a, b),
+und AS (SELECT least(a, b) AS u, greatest(a, b) AS v, sum(c) AS w FROM bgc GROUP BY 1, 2),
+edges AS (SELECT u AS src, v AS dst, w FROM und UNION ALL SELECT v AS src, u AS dst, w FROM und),
+deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS term FROM edges),
+r0 AS (SELECT term, 1.0 AS r FROM nodes),
+r1 AS (SELECT e.dst AS term, 0.15 + 0.85 * sum(e.w / d.deg * p.r) AS r
+       FROM edges e JOIN deg d ON d.src = e.src JOIN r0 p ON p.term = e.src GROUP BY e.dst),
+r2 AS (SELECT e.dst AS term, 0.15 + 0.85 * sum(e.w / d.deg * p.r) AS r
+       FROM edges e JOIN deg d ON d.src = e.src JOIN r1 p ON p.term = e.src GROUP BY e.dst),
+r3 AS (SELECT e.dst AS term, 0.15 + 0.85 * sum(e.w / d.deg * p.r) AS r
+       FROM edges e JOIN deg d ON d.src = e.src JOIN r2 p ON p.term = e.src GROUP BY e.dst),
+ranked AS (SELECT term, r, row_number() OVER (ORDER BY r DESC, term ASC) AS rank FROM r3)
+SELECT rank, term, round(r, 6) AS score_r FROM ranked WHERE rank <= 30 ORDER BY rank
 """,
         # token-budget packing: bin = floor(exclusive running token total /
         # 256) in doc_id order (sequential-fill shard assignment)

@@ -1475,6 +1475,19 @@ def bigram_pmi(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def textrank_keywords(sf_dir: str) -> pd.DataFrame:
+    """Top-30 corpus keywords by TextRank (PageRank over the undirected
+    adjacent-token co-occurrence graph, 3 power iterations, d=0.85) — the
+    iterations unroll into the SQL oracle like kmeans_clusters."""
+    import pyarrow.parquet as pq
+
+    from .textops import textrank_keywords as tr
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    width = None if n_docs > 100_000 else max(8, n_docs // 10_000)
+    return tr(_docs(sf_dir, columns=["doc_id", "text"]), k=30, shuffle_width=width)
+
+
 def packed_bins(sf_dir: str) -> pd.DataFrame:
     """Token-budget packing: sequential-fill docs (doc_id order) into
     256-token bins via the distributed ordered prefix sum."""

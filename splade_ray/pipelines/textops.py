@@ -797,6 +797,140 @@ def bigram_pmi_top(
     return out
 
 
+def textrank_keywords(
+    ds: Dataset,
+    k: int = 30,
+    damping: float = 0.85,
+    iters: int = 3,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    concurrency: int | None = None,
+    shuffle_width: int | None = None,
+):
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the undirected token co-occurrence graph (adjacent-token
+    edges, w(a,b) = count(a→b) + count(b→a), self-pairs dropped), ``iters``
+    power iterations of r_i = (1−d) + d·Σ_j (w_ij/deg_j)·r_j from r = 1,
+    top-k terms by (rank desc, term asc).  Deterministic init/ties, so the
+    iterations UNROLL into a SQL oracle (the kmeans_clusters trick).
+
+    Scale shape: the heavy part — bigram counting over the corpus — is the
+    SAME coarse-bucket hash exchange as :func:`bigram_pmi_top` (md5 hashes
+    cross the wire, strings recovered per bucket from the broadcast
+    unigram table); the aggregated unique-edge list is VOCAB²-bounded (in
+    practice ≈ observed bigram types), so the power iterations run on the
+    driver like the k·d k-means reduce.  At a vocabulary where even the
+    unique-edge list doesn't fit, the same iterations become edge-bucket
+    map passes with rank broadcast per round — the documented seam."""
+    import pandas as pd
+
+    import ray
+
+    from ..functions.hashing import md5_u64
+
+    # pass 1: unigram vocab (combiner partials) — only for hash→string
+    # recovery inside the bucket kernel; counts themselves are unused
+    parts = [
+        b
+        for b in ds.map_batches(
+            UnigramPartialStage, fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow", concurrency=concurrency or pool_size(),
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    empty = pd.DataFrame(columns=["rank", "term", "score_r"])
+    if not parts:
+        return empty
+    allp = pa.concat_tables(parts)
+    terms = pd.Index(allp.column("term").to_pandas()).dropna().unique().to_numpy(dtype=object)
+    if terms.size == 0:
+        return empty
+    uh = md5_u64(list(terms))
+    horder = np.argsort(uh)
+    ref = ray.put((uh[horder], terms[horder]))
+
+    empty_edges = pa.table(
+        {
+            "term_a": pa.array([], type=pa.string()),
+            "term_b": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        """Aggregate this bucket's directed-pair partials to unique edges
+        and recover the term strings — full list, no top-k (the rank mass
+        of dropped edges would corrupt every neighbor)."""
+        if g.num_rows == 0:
+            return empty_edges
+        hsort, uterms = ray.get(ref)
+        ha = g.column("ha").to_numpy(zero_copy_only=False)
+        hb = g.column("hb").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        keep = ha != hb  # TextRank drops self-loops
+        ha, hb, cnt = ha[keep], hb[keep], cnt[keep]
+        if ha.size == 0:
+            return empty_edges
+        order = np.lexsort((hb, ha))
+        sa, sb, sc = ha[order], hb[order], cnt[order]
+        new = np.empty(sa.size, dtype=bool)
+        new[0] = True
+        new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+        seg = np.cumsum(new) - 1
+        c_ab = np.bincount(seg, weights=sc, minlength=int(seg[-1]) + 1)
+        sa, sb = sa[new], sb[new]
+        ia = np.searchsorted(hsort, sa.view(np.uint64))
+        ib = np.searchsorted(hsort, sb.view(np.uint64))
+        return pa.table(
+            {
+                "term_a": pa.array(uterms[ia], type=pa.string()),
+                "term_b": pa.array(uterms[ib], type=pa.string()),
+                "cnt": pa.array(c_ab.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(
+        BigramPartialStage, fn_constructor_kwargs={"n_buckets": n_buckets, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )
+    if shuffle_width:
+        partials = partials.repartition(shuffle_width)
+    ed = partials.groupby("bucket").map_groups(bucket_edges, batch_format="pyarrow").to_pandas()
+    if ed.empty:
+        return empty
+    # undirected fold: w(a,b) = c(a→b) + c(b→a) on the canonical (min,max)
+    # key — directed mirrors land in different hash buckets, so the fold
+    # happens here on the vocab²-bounded unique-edge list
+    a = ed["term_a"].to_numpy(dtype=object)
+    b = ed["term_b"].to_numpy(dtype=object)
+    lo = np.where(a < b, a, b)
+    hi = np.where(a < b, b, a)
+    und = (
+        pd.DataFrame({"u": lo, "v": hi, "w": ed["cnt"].to_numpy().astype(np.float64)})
+        .groupby(["u", "v"], sort=True, as_index=False)["w"]
+        .sum()
+    )
+    nodes = pd.Index(np.unique(np.concatenate([und["u"].to_numpy(object), und["v"].to_numpy(object)])))
+    n = len(nodes)
+    src = np.concatenate([nodes.get_indexer(und["u"]), nodes.get_indexer(und["v"])])
+    dst = np.concatenate([nodes.get_indexer(und["v"]), nodes.get_indexer(und["u"])])
+    w = np.concatenate([und["w"].to_numpy()] * 2)
+    deg = np.bincount(src, weights=w, minlength=n)
+    r = np.ones(n, dtype=np.float64)
+    for _ in range(iters):
+        r = (1.0 - damping) + damping * np.bincount(
+            dst, weights=w / deg[src] * r[src], minlength=n
+        )
+    top = np.lexsort((np.asarray(nodes, dtype=object), -r))[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, top.size + 1, dtype=np.int64),
+            "term": np.asarray(nodes, dtype=object)[top],
+            "score_r": np.round(r[top], 6),
+        }
+    )
+
+
 # rolling-hash radix shared with FingerprintStage / the SQL oracles
 _TRIGRAM_R = np.uint64(0x100000001B3)
 

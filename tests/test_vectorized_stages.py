@@ -839,3 +839,47 @@ def test_label_centroids_partition_invariant(ray_session, tmp_path):
         got = out[out.label == lab].sort_values("dim")["centroid"].to_numpy()
         np.testing.assert_allclose(got, np.round(exp, 6), atol=1e-6)
         assert (out[out.label == lab]["n_vecs"] == int((labels == lab).sum())).all()
+
+
+def test_textrank_keywords_bruteforce(ray_session):
+    """TextRank over a tiny corpus must equal a dense-matrix PageRank:
+    undirected adjacent-token edges (self-pairs dropped), 3 iterations of
+    r = 0.15 + 0.85·(W/deg) r from r=1, top-k by (rank desc, term asc)."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.textops import textrank_keywords
+
+    texts = [
+        "alpha beta gamma alpha beta",
+        "beta gamma delta",
+        "alpha alpha epsilon beta",  # self-pair alpha-alpha must be dropped
+        "zeta",  # isolated token: no edges, must be absent from the graph
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    got = textrank_keywords(ds, k=10, n_buckets=7)
+
+    # brute force
+    from collections import Counter
+
+    tok = Tokenizer()
+    pair: Counter = Counter()
+    for t in texts:
+        toks = tok.tokenize(t)
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                pair[(min(x, y), max(x, y))] += 1
+    nodes = sorted({t for p in pair for t in p})
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for (x, y), c in pair.items():
+        W[idx[x], idx[y]] += c
+        W[idx[y], idx[x]] += c
+    deg = W.sum(axis=0)
+    r = np.ones(n)
+    for _ in range(3):
+        r = 0.15 + 0.85 * (W / deg) @ r
+    order = np.lexsort((np.asarray(nodes, dtype=object), -r))[:10]
+    assert got["term"].tolist() == [nodes[i] for i in order]
+    np.testing.assert_allclose(got["score_r"].to_numpy(), np.round(r[order], 6), atol=1e-6)
+    assert "zeta" not in set(got["term"])
