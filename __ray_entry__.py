@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": q.dismax_topk,
         # synonym groups: member tfs blend BEFORE saturation (SynonymQuery)
         "synonym_topk": q.synonym_topk,
+        # per-term score breakdown of each query's top-1 doc (explain)
+        "explain_scores": q.explain_scores,
         # field collapsing: best hit per source (Lucene grouping/collapse)
         "collapse_topk": q.collapse_topk,
         # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
@@ -646,6 +648,33 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # explain: per-term breakdown of each query's top-1 doc; OOV /
+    # unmatched terms emit zero rows via the LEFT JOINs
+    explain_sql = (
+        bm25_ctes
+        + """,
+top1 AS (SELECT query_id, doc_id FROM ranked WHERE rank = 1),
+brk AS (
+  SELECT q.query_id, t1.doc_id, q.term, CAST(q.qtf AS BIGINT) AS qtf,
+         CAST(coalesce(tf.tf, 0) AS BIGINT) AS tf,
+         CAST(coalesce(df.df, 0) AS BIGINT) AS df,
+         CASE WHEN df.df IS NULL THEN 0.0
+              ELSE ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) END AS idf,
+         CASE WHEN tf.tf IS NULL THEN 0.0
+              ELSE q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) END AS contrib
+  FROM qtf q
+  JOIN top1 t1 ON t1.query_id = q.query_id
+  LEFT JOIN df ON df.term = q.term
+  LEFT JOIN tf ON tf.term = q.term AND tf.doc_id = t1.doc_id
+  LEFT JOIN dl ON dl.doc_id = t1.doc_id
+  CROSS JOIN stats s
+)
+SELECT query_id, doc_id, term, qtf, tf, df,
+       round(idf, 6) AS idf_r, round(contrib, 6) AS contrib_r
+FROM brk
+"""
+    )
     # field collapsing: best BM25 hit per source, sources ranked by the
     # winner's (-score, doc_id), top 5 per query
     collapse_sql = f"""
@@ -923,6 +952,7 @@ ORDER BY p.query_id
         "regexp_topk": regexp_sql,
         "dismax_topk": dismax_sql,
         "synonym_topk": synonym_sql,
+        "explain_scores": explain_sql,
         "collapse_topk": collapse_sql,
         "boosted_topk": boosted_sql,
         "term_stats": term_stats_sql,

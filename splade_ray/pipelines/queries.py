@@ -336,6 +336,27 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def explain_scores(sf_dir: str) -> pd.DataFrame:
+    """Lucene `explain` parity: per-term BM25 breakdown (qtf, tf, df, idf,
+    contribution) of each query's top-1 doc, straight off the stored
+    postings (tf from the raw-tf sidecar, one searchsorted per term).
+    OOV / unmatched terms emit zero rows — the full explanation."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        hits = reader.search(text, 1)
+        if not hits:
+            continue
+        doc = hits[0][0]
+        ext_doc = int(hits[0][2].removeprefix("doc://"))
+        for term, qtf, tf, df, idf, contrib in reader.explain(text, doc):
+            rows.append((qid, ext_doc, term, int(qtf), tf, df, round(idf, 6), round(contrib, 6)))
+    return pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "term", "qtf", "tf", "df", "idf_r", "contrib_r"]
+    )
+
+
 def collapse_topk(sf_dir: str) -> pd.DataFrame:
     """Field collapsing (Lucene grouping / ES collapse): the best BM25 hit
     per ``source`` value, sources ranked by their winner's (-score,

@@ -878,6 +878,52 @@ class IndexReader:
         cands = [sh.score_synonyms(g_tids, g_idf, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def explain(self, text: str, doc_id: int) -> list[tuple[str, float, int, int, float, float]]:
+        """Lucene ``explain`` shape: the per-term BM25 score breakdown of
+        one (query, doc) pair — (term, qtf, tf, df, idf, contribution)
+        rows, term-ascending.  Served off the stored postings: the doc's
+        row in each query term's posting run is one searchsorted (postings
+        ascend by doc id within a term run); tf comes from the raw-tf
+        sidecar.  Terms the doc lacks contribute a (tf=0, contribution=0)
+        row — the full explanation, not just the hits."""
+        if self.vocab_index is None or self.df is None:
+            raise ValueError("explain needs the sorted-string vocab + df stats")
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return []
+        # locate the owning shard + local position
+        sh = None
+        for cand in self.shards:
+            pos = int(np.searchsorted(cand.doc_ids, doc_id))
+            if pos < cand.doc_ids.size and cand.doc_ids[pos] == doc_id:
+                sh, local = cand, pos
+                break
+        if sh is None:
+            raise KeyError(f"doc_id {doc_id} not in the loaded shards")
+        if sh.post_tf is None:
+            raise ValueError("explain needs raw-tf postings (weight_mode='tf')")
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        out = []
+        for term in sorted(qtf):
+            tid = int(self.vocab_index.get_indexer([term])[0])
+            if tid < 0:
+                out.append((term, float(qtf[term]), 0, 0, 0.0, 0.0))
+                continue
+            df = int(self.df[tid])
+            idf = float(bm25_idf(np.asarray([float(df)]), self.n_docs)[0])
+            slices = sh._term_slices(np.asarray([tid], dtype=np.int64))
+            tf, contrib = 0, 0.0
+            if slices:
+                _, s, e, _ = slices[0]
+                p = s + int(np.searchsorted(sh.post_local[s:e], local))
+                if p < e and sh.post_local[p] == local:
+                    tf = int(sh.post_tf[p])
+                    contrib = float(qtf[term] * sh.post_w[p])
+            out.append((term, float(qtf[term]), tf, df, idf, contrib))
+        return out
+
     def term_stats(self, terms: list[str]) -> list[tuple[str, int, int]]:
         """Lucene TermStatistics off the STORED index: (term, docFreq,
         totalTermFreq) per normalized input term — df from the vocab, cf
