@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": q.synonym_topk,
         # per-term score breakdown of each query's top-1 doc (explain)
         "explain_scores": q.explain_scores,
+        # per-shard physical layout (docs/terms/postings/tokens)
+        "index_segments": q.index_segments,
         # field collapsing: best hit per source (Lucene grouping/collapse)
         "collapse_topk": q.collapse_topk,
         # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
@@ -953,6 +955,20 @@ ORDER BY p.query_id
         "dismax_topk": dismax_sql,
         "synonym_topk": synonym_sql,
         "explain_scores": explain_sql,
+        # deterministic doc-id assignment makes the PHYSICAL layout itself
+        # SQL-checkable: shard = doc_id // shard_size (2000, num_buckets=1)
+        "index_segments": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tfp AS (SELECT doc_id // 2000 AS shard, doc_id, term FROM toks GROUP BY 1, 2, 3),
+agg AS (SELECT shard, count(*) AS nnz, count(DISTINCT term) AS n_terms FROM tfp GROUP BY shard),
+base AS (SELECT doc_id // 2000 AS shard, count(*) AS n_docs FROM documents GROUP BY 1),
+tok_tot AS (SELECT doc_id // 2000 AS shard, count(*) AS sum_dl FROM toks GROUP BY 1)
+SELECT b.shard, b.n_docs::BIGINT AS n_docs,
+       coalesce(a.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(a.nnz, 0)::BIGINT AS nnz,
+       coalesce(t.sum_dl, 0)::BIGINT AS sum_dl
+FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
+""",
         "collapse_topk": collapse_sql,
         "boosted_topk": boosted_sql,
         "term_stats": term_stats_sql,

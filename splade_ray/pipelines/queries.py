@@ -336,6 +336,29 @@ def fuzzy_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def index_segments(sf_dir: str) -> pd.DataFrame:
+    """Segment/shard introspection (the `_cat/segments` shape): per shard
+    its doc count, distinct-term count, posting count and token total,
+    read off the LOADED index structures — and, because doc-id assignment
+    is the deterministic (bucket, url) order with num_buckets=1 and
+    shard_size=2000, the physical layout itself is SQL-replayable as
+    doc_id // 2000."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for i, sh in enumerate(reader.shards):
+        rows.append(
+            (
+                i,
+                int(sh.n_local),
+                int(sh.term_ids.size),
+                int(sh.post_local.size),
+                int(sh.dl.sum()),
+            )
+        )
+    return pd.DataFrame(rows, columns=["shard", "n_docs", "n_terms", "nnz", "sum_dl"])
+
+
 def explain_scores(sf_dir: str) -> pd.DataFrame:
     """Lucene `explain` parity: per-term BM25 breakdown (qtf, tf, df, idf,
     contribution) of each query's top-1 doc, straight off the stored
