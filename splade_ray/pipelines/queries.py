@@ -343,17 +343,31 @@ def index_segments(sf_dir: str) -> pd.DataFrame:
     is the deterministic (bucket, url) order with num_buckets=1 and
     shard_size=2000, the physical layout itself is SQL-replayable as
     doc_id // 2000."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
     index_dir = build_documents_index(sf_dir)
-    reader = IndexReader(index_dir, DOCS_CFG)
+    pdir = os.path.join(index_dir, "postings")
     rows = []
-    for i, sh in enumerate(reader.shards):
+    # read the ON-DISK layout (column-pruned footer reads), not the loaded
+    # reader — IndexReader may consolidate shards into one serving view
+    for f in sorted(os.listdir(pdir)):
+        m = _re.match(r"shard-(\d+)\.docs\.parquet$", f)
+        if not m:
+            continue
+        sid = int(m.group(1))
+        docs = pq.read_table(os.path.join(pdir, f), columns=["dl"])
+        post = pq.read_table(
+            os.path.join(pdir, f"shard-{sid:05d}.postings.parquet"), columns=["df"]
+        )
         rows.append(
             (
-                i,
-                int(sh.n_local),
-                int(sh.term_ids.size),
-                int(sh.post_local.size),
-                int(sh.dl.sum()),
+                sid,
+                docs.num_rows,
+                post.num_rows,
+                int(pa.compute.sum(post.column("df")).as_py() or 0),
+                int(pa.compute.sum(docs.column("dl")).as_py() or 0),
             )
         )
     return pd.DataFrame(rows, columns=["shard", "n_docs", "n_terms", "nnz", "sum_dl"])
