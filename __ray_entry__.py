@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proximity (NEAR/w) retrieval: min-gap verify over merged
         # occurrence positions in the forward streams
         "near_topk": q.near_topk,
+        # ordered span-near with slop (SpanNearQuery): in-order chain DP
+        # over the forward streams, latest-start segmented prefix max
+        "span_near_topk": q.span_near_topk,
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
@@ -309,11 +312,19 @@ FROM s ORDER BY doc_id
         NEAR_QUERIES,
         PHRASE_QUERIES,
         PREFIX_QUERIES,
+        SPAN_QUERIES,
     )
     from splade_ray.pipelines.queries import _FIELD_TITLE_TOKS as queries_mod_title_toks
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
     near_values = ", ".join(f"('{qid}', '{ta}', '{tb}', {w})" for qid, ta, tb, w in NEAR_QUERIES)
+
+    def _span_row(qid: str, text: str, slop: int) -> str:
+        ts = text.split()
+        t3 = f"'{ts[2]}'" if len(ts) == 3 else "NULL"
+        return f"('{qid}', '{ts[0]}', '{ts[1]}', {t3}, {slop})"
+
+    span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1058,6 +1069,58 @@ pmatch AS (
   FROM nset n
   JOIN flat f1 ON f1.tok = n.ta
   JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = n.tb AND abs(f1.i - f2.i) <= n.w
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+""",
+        # ordered span-near: brute-force in-order position joins (any
+        # (p1<p2[<p3]) combo with span-(m-1) <= slop), then the shared BM25
+        # CTE chain restricted to matches — the engine's chain DP must agree
+        "span_near_topk": f"""
+WITH sset(query_id, t1, t2, t3, slop) AS (VALUES {span_values}),
+qterms AS (
+  SELECT query_id, t1 AS term FROM sset
+  UNION ALL SELECT query_id, t2 FROM sset
+  UNION ALL SELECT query_id, t3 FROM sset WHERE t3 IS NOT NULL
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM sset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
+  WHERE s.t3 IS NULL AND f2.i - f1.i - 1 <= s.slop
+  UNION
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM sset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
+  JOIN flat f3 ON f3.doc_id = f2.doc_id AND f3.tok = s.t3 AND f3.i > f2.i
+  WHERE s.t3 IS NOT NULL AND f3.i - f1.i - 2 <= s.slop
 ),
 scores AS (
   SELECT q.query_id, tf.doc_id,

@@ -302,6 +302,44 @@ def oracle_near_search(index: OracleIndex, term_a: str, term_b: str, window: int
     return [(int(d), float(scores[d])) for d in order]
 
 
+def oracle_span_near_search(index: OracleIndex, span: str, slop: int, k: int) -> list[tuple[int, float]]:
+    """Ordered span-near oracle (SpanNearQuery(inOrder=true, slop)): docs
+    with positions p1 < … < pm of the span tokens and (pm − p1) − (m−1)
+    ≤ slop, ranked like :func:`oracle_phrase_search`.  Deliberately
+    brute-force: itertools.product over the per-term position lists."""
+    import itertools
+
+    tok = Tokenizer(index.config)
+    toks = tok.tokenize(span)
+    if len(toks) < 2 or any(t not in index.term_to_id for t in toks):
+        return []
+    m = len(toks)
+    scores = np.zeros(index.n_docs, dtype=np.float64)
+    counts: dict[int, int] = {}
+    for t in toks:
+        tid = index.term_to_id[t]
+        counts[tid] = counts.get(tid, 0) + 1
+    for tid in sorted(counts):
+        s, e = index.term_ptr[tid], index.term_ptr[tid + 1]
+        scores[index.post_doc_ids[s:e]] += counts[tid] * index.post_weights[s:e]
+    match = np.zeros(index.n_docs, dtype=bool)
+    win = m - 1 + slop
+    for d, dt in enumerate(index.tokens):
+        pls = [[i for i, t in enumerate(dt) if t == tk] for tk in toks]
+        if any(not pl for pl in pls):
+            continue
+        match[d] = any(
+            all(c[i] < c[i + 1] for i in range(m - 1)) and c[-1] - c[0] <= win
+            for c in itertools.product(*pls)
+        )
+    scores[~match] = 0.0
+    nz = np.nonzero(scores)[0]
+    if nz.size == 0:
+        return []
+    order = nz[np.lexsort((nz, -scores[nz]))][: min(k, nz.size)]
+    return [(int(d), float(scores[d])) for d in order]
+
+
 def oracle_search_all(index: OracleIndex, queries: pa.Table, k: int) -> pa.Table:
     rows_qid, rows_rank, rows_doc, rows_url, rows_score = [], [], [], [], []
     for qid, text in zip(queries["query_id"].to_pylist(), queries["text"].to_pylist()):

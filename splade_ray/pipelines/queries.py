@@ -930,6 +930,33 @@ def phrase_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+SPAN_QUERIES: list[tuple[str, str, int]] = [
+    ("sq1", "order scan", 2),
+    ("sq2", "fast key order", 3),
+    ("sq3", "stream column", 0),  # slop=0 ≡ exact phrase
+    ("sq4", "hash join batch", 6),
+    ("sq5", "order zzznotaword", 1),  # OOV — empty on both sides
+]
+
+
+def span_near_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ordered span-near top-10
+    (Lucene SpanNearQuery(inOrder=true, slop)) from the forward-enabled
+    index: AND candidates from the postings, an in-order chain DP over the
+    candidates' md5 token streams (latest-start segmented prefix max — one
+    np.maximum.accumulate, no per-candidate loop), BM25 bag ranking."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text, slop in SPAN_QUERIES:
+        for rank, (_doc, score, url) in enumerate(reader.search_span_near(text, slop, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 NEAR_QUERIES: list[tuple[str, str, str, int]] = [
     ("nq1", "order", "scan", 3),
     ("nq2", "stream", "column", 2),

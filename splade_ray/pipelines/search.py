@@ -562,6 +562,56 @@ class ShardIndex:
         matched = cand[np.unique(cidx[:-1][near])]
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
+    def span_near_topk(
+        self, qtids: np.ndarray, qweights: np.ndarray, h_seq: np.ndarray, slop: int, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered span-near top-k (Lucene ``SpanNearQuery(inOrder=true,
+        slop)``, reference query surface: sparse retrieval only — this is
+        engine-parity beyond it): docs containing the span terms at
+        positions p1 < … < pm with (pm − p1) − (m−1) ≤ slop,
+        BM25-bag-ranked like :meth:`phrase_topk` (slop=0 ≡ exact phrase on
+        repeat-free spans).
+
+        Vectorized chain DP over the candidates' merged occurrence
+        streams: for each occurrence of span term j, the latest admissible
+        chain start is the strict-prefix max of term j−1's chain starts
+        within the same candidate.  Global stream positions ascend across
+        the occurrence list, so the per-candidate reset is one
+        ``cidx·BIG`` offset on a single ``np.maximum.accumulate`` — no
+        per-candidate loop."""
+        if self.fwd_stream is None:
+            raise ValueError("span-near search requires an index built with store_forward=True")
+        m = int(h_seq.size)
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pos, cidx = self._candidate_windows(cand, 1)  # every token position
+        tok = self.fwd_stream[pos]
+        keep = np.isin(tok, h_seq)
+        pos, cidx, tok = pos[keep].astype(np.int64), cidx[keep], tok[keep]
+        if pos.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        NEG = np.int64(-(1 << 62))
+        BIG = np.int64(self.fwd_stream.size + 1)
+        base = cidx * BIG
+        # chain[i] = latest valid span start over chains ending at
+        # occurrence i of term j (NEG = no chain)
+        chain = np.where(tok == h_seq[0], pos, NEG)
+        for j in range(1, m):
+            v = np.where((tok == h_seq[j - 1]) & (chain > NEG // 2), chain + base, NEG)
+            acc = np.maximum.accumulate(v)
+            prev = np.empty_like(acc)
+            prev[0] = NEG
+            prev[1:] = acc[:-1]  # strict: an earlier occurrence only
+            start = prev - base  # a leak from an earlier candidate goes < 0
+            chain = np.where((tok == h_seq[j]) & (prev > NEG // 2) & (start >= 0), start, NEG)
+        ok = (chain > NEG // 2) & (pos - chain <= np.int64(m - 1 + slop))
+        matched = cand[np.unique(cidx[ok])]
+        return self._restricted_bag_topk(slices, qweights, matched, k)
+
     def _gather_zones(self, slices, zones: np.ndarray, qweights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(local ids, query-weighted impacts) of every posting inside
         ``zones`` — one searchsorted + flat gather per query term for ALL
@@ -1221,6 +1271,24 @@ class IndexReader:
             return []  # a term is OOV — no doc can satisfy the AND
         h = md5_u64([ta[0], tb[0]])
         cands = [sh.near_topk(qtids, qw, int(h[0]), int(h[1]), window, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def search_span_near(self, text: str, slop: int, k: int = 10) -> list[tuple[int, float, str]]:
+        """Ordered span-near top-k (requires ``store_forward=True``): the
+        query tokens must appear IN ORDER with at most ``slop`` extra
+        positions across the whole span; BM25-bag-ranked with the usual
+        (-score, doc) tie-break.  ``slop=0`` ≡ :meth:`search_phrase` on
+        repeat-free spans; an OOV span token ⇒ no match anywhere ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("span-near search needs at least two tokens")
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one span token is OOV
+        h_seq = md5_u64(toks)
+        cands = [sh.span_near_topk(qtids, qw, h_seq, slop, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
     def _merge_shard_topk(self, cands: list[tuple[np.ndarray, np.ndarray]], k: int) -> list[tuple[int, float, str]]:

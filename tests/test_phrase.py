@@ -82,6 +82,43 @@ def test_phrase_repeated_token(corpus, cfg, built):
         assert got == want, p
 
 
+def test_span_near_matches_oracle(corpus, cfg, built):
+    """Ordered span-near vs the brute-force (itertools over positions)
+    oracle, across slops 0-4, 2- and 3-token spans, incl. gapped spans
+    (tokens 0 and 2 of a doc: only matchable with slop >= 1)."""
+    from splade_ray.oracle import oracle_span_near_search
+
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    spans = []
+    for dt in oidx.tokens[:30]:
+        if len(dt) >= 5:
+            spans.append(" ".join(dt[:2]))  # adjacent pair
+            spans.append(f"{dt[0]} {dt[2]}")  # gap-1 pair
+            spans.append(f"{dt[1]} {dt[4]}")  # gap-2 pair
+            spans.append(" ".join([dt[0], dt[2], dt[4]]))  # gapped triple
+            spans.append(" ".join(dt[2:0:-1]))  # reversed pair (order matters)
+    spans = sorted(set(spans))[:24] + ["zzznotaword here"]
+    checked = 0
+    for span in spans:
+        for slop in (0, 1, 2, 4):
+            got = [(d, round(s, 9)) for d, s, *_ in reader.search_span_near(span, slop, 10)]
+            want = [(d, round(s, 9)) for d, s in oracle_span_near_search(oidx, span, slop, 10)]
+            assert got == want, (span, slop)
+            checked += len(got)
+    assert checked > 40
+
+
+def test_span_near_slop0_is_phrase(corpus, cfg, built):
+    """slop=0 ≡ exact phrase for repeat-free spans (inOrder, no gaps)."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    probes = [" ".join(dt[:3]) for dt in oidx.tokens[:20] if len(dt) >= 3 and len(set(dt[:3])) == 3]
+    assert probes
+    for p in probes[:8]:
+        assert reader.search_span_near(p, 0, 10) == reader.search_phrase(p, 10), p
+
+
 def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
     """The forward stream is vocab-mode independent: hashed-vocab and
     shuffle-dedup builds must return the same phrase top-k."""
