@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered span-near with slop (SpanNearQuery): in-order chain DP
         # over the forward streams, latest-start segmented prefix max
         "span_near_topk": q.span_near_topk,
+        # significant-terms aggregation (ES significant_text, JLH) over
+        # each query's top-50 hits — k-bounded foreground per shard owner
+        "significant_terms": q.significant_terms,
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
@@ -1089,6 +1092,34 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+""",
+        # significant terms: top-50 BM25 docs per query as the foreground
+        # sample, per-term distinct-doc counts vs global df, JLH score
+        "significant_terms": bm25_ctes
+        + """
+, topdocs AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 50),
+fgn AS (SELECT query_id, count(*)::DOUBLE AS n_fg FROM topdocs GROUP BY query_id),
+fg AS (
+  SELECT t.query_id, x.term, count(DISTINCT x.doc_id)::DOUBLE AS fg_df
+  FROM topdocs t JOIN toks x ON x.doc_id = t.doc_id
+  GROUP BY t.query_id, x.term
+),
+sig AS (
+  SELECT f.query_id, f.term, f.fg_df, d.df AS bg_df,
+         (f.fg_df / n.n_fg - d.df / s.n_docs) * (f.fg_df / n.n_fg) / (d.df / s.n_docs) AS jlh
+  FROM fg f
+  JOIN df d ON d.term = f.term
+  JOIN fgn n ON n.query_id = f.query_id
+  CROSS JOIN stats s
+),
+rankedt AS (
+  SELECT query_id, term, fg_df, bg_df, jlh,
+         row_number() OVER (PARTITION BY query_id ORDER BY jlh DESC, term ASC) AS trank
+  FROM sig WHERE jlh > 0
+)
+SELECT query_id, trank AS rank, term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df,
+       round(jlh, 6) AS jlh_r
+FROM rankedt WHERE trank <= 10
 """,
         # ordered span-near: brute-force in-order position joins (any
         # (p1<p2[<p3]) combo with span-(m-1) <= slop), then the shared BM25

@@ -957,6 +957,24 @@ def span_near_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def significant_terms(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, term, fg_df, bg_df, jlh_r) — significant-terms
+    aggregation (ES significant_text, JLH) over each BM25 query's top-50
+    hits: per-shard k-bounded foreground gather from the forward streams,
+    vocab-bounded hash→term mapping, (fg%−bg%)·fg%/bg% scoring, top 10
+    positive terms per query by (−jlh, term)."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (term, fg_df, bg_df, jlh) in enumerate(reader.significant_terms(text, 50, 10), 1):
+            rows.append((qid, rank, term, fg_df, bg_df, round(jlh, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "term", "fg_df", "bg_df", "jlh_r"])
+
+
 NEAR_QUERIES: list[tuple[str, str, str, int]] = [
     ("nq1", "order", "scan", 3),
     ("nq2", "stream", "column", 2),

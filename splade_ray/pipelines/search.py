@@ -1291,6 +1291,71 @@ class IndexReader:
         cands = [sh.span_near_topk(qtids, qw, h_seq, slop, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def significant_terms(
+        self, text: str, k_docs: int = 50, k_terms: int = 10
+    ) -> list[tuple[str, int, int, float]]:
+        """Significant-terms aggregation (ES ``significant_text`` with a
+        top-hits sampler): terms over-represented in the query's top
+        ``k_docs`` BM25 hits vs the whole corpus, JLH-scored
+        ((fg% − bg%)·fg%/bg%, positive scores only), top ``k_terms`` by
+        (−jlh, term).  Returns (term, fg_df, bg_df, jlh) rows.
+
+        Distributed shape: the foreground is k-bounded — each shard owner
+        gathers only ITS members of the top-doc set from the forward md5
+        streams and ships (hash, fg_df) partials; hashes map back to vocab
+        term ids through one cached md5 pass over the vocab (vocab-bounded,
+        never corpus-bounded).  Requires ``store_forward=True`` and a
+        sorted (string) vocab."""
+        from ..functions.hashing import md5_u64
+
+        if self.vocab_index is None:
+            raise ValueError("significant_terms needs a sorted-vocab BM25 index")
+        top = self.search(text, k_docs)
+        if not top:
+            return []
+        docs = np.asarray(sorted(d for d, _s, _u in top), dtype=np.int64)
+        n_fg = float(docs.size)
+        parts = []
+        for sh in self.shards:
+            if sh.fwd_stream is None:
+                raise ValueError("significant_terms requires an index built with store_forward=True")
+            loc = np.flatnonzero(np.isin(sh.doc_ids, docs))
+            if loc.size == 0:
+                continue
+            pos, cidx = sh._candidate_windows(loc, 1)
+            if pos.size == 0:
+                continue
+            # distinct (doc, hash) pairs only: fg_df counts DOCS, not tokens
+            order = np.lexsort((sh.fwd_stream[pos], cidx))
+            tok, ci = sh.fwd_stream[pos][order], cidx[order]
+            first = np.ones(tok.size, dtype=bool)
+            first[1:] = (tok[1:] != tok[:-1]) | (ci[1:] != ci[:-1])
+            parts.append(tok[first])
+        if not parts:
+            return []
+        hashes, fg_df = np.unique(np.concatenate(parts), return_counts=True)
+        vh = getattr(self, "_vocab_hash", None)
+        if vh is None:
+            hv = md5_u64(list(self.vocab_index))
+            perm = np.argsort(hv, kind="stable")
+            vh = self._vocab_hash = (hv[perm], perm)
+        hv_sorted, perm = vh
+        idx = np.searchsorted(hv_sorted, hashes)
+        idx = np.minimum(idx, hv_sorted.size - 1)
+        known = hv_sorted[idx] == hashes
+        tids = perm[idx[known]]
+        fg = fg_df[known].astype(np.float64)
+        bg = self.df[tids].astype(np.float64)
+        fgp, bgp = fg / n_fg, bg / float(self.n_docs)
+        jlh = (fgp - bgp) * fgp / bgp
+        keep = jlh > 0
+        terms = self.vocab_index[tids[keep]]
+        rows = sorted(
+            zip(terms, fg_df[known][keep], bg[keep], jlh[keep]),
+            key=lambda r: (-r[3], r[0]),
+        )[:k_terms]
+        return [(str(t), int(f), int(b), float(j)) for t, f, b, j in rows]
+
     def _merge_shard_topk(self, cands: list[tuple[np.ndarray, np.ndarray]], k: int) -> list[tuple[int, float, str]]:
         docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
         scores = np.concatenate([c[1] for c in cands]) if cands else np.zeros(0)

@@ -119,6 +119,36 @@ def test_span_near_slop0_is_phrase(corpus, cfg, built):
         assert reader.search_span_near(p, 0, 10) == reader.search_phrase(p, 10), p
 
 
+def test_significant_terms_brute_force(corpus, cfg, built):
+    """JLH significant terms vs a from-scratch recomputation off the
+    oracle index's token lists (foreground = engine top-50 doc set)."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    for q in ["w0001 w0093", "w0042 w0010", "w0005"]:
+        got = reader.significant_terms(q, 50, 10)
+        top = [d for d, _s, _u in reader.search(q, 50)]
+        if not top:
+            assert got == []
+            continue
+        n_fg, n_docs = float(len(top)), float(oidx.n_docs)
+        fg: dict[str, int] = {}
+        for d in top:
+            for t in set(oidx.tokens[d]):
+                fg[t] = fg.get(t, 0) + 1
+        bg = {t: int(oidx.df[oidx.term_to_id[t]]) for t in fg}
+        sig = []
+        for t, f in fg.items():
+            fgp, bgp = f / n_fg, bg[t] / n_docs
+            jlh = (fgp - bgp) * fgp / bgp
+            if jlh > 0:
+                sig.append((t, f, bg[t], jlh))
+        want = sorted(sig, key=lambda r: (-r[3], r[0]))[:10]
+        assert [(t, f, b, round(j, 9)) for t, f, b, j in got] == [
+            (t, f, b, round(j, 9)) for t, f, b, j in want
+        ], q
+        assert got, q
+
+
 def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
     """The forward stream is vocab-mode independent: hashed-vocab and
     shuffle-dedup builds must return the same phrase top-k."""
