@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
+        # percolation (reverse search): broadcast query set, one streaming
+        # map_batches pass over the documents table
+        "percolate_matches": q.percolate_matches,
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
@@ -313,6 +316,7 @@ FROM s ORDER BY doc_id
     from splade_ray.pipelines.queries import (
         FUZZY_QUERIES,
         NEAR_QUERIES,
+        PERC_QUERIES,
         PHRASE_QUERIES,
         PREFIX_QUERIES,
         SPAN_QUERIES,
@@ -328,6 +332,7 @@ FROM s ORDER BY doc_id
         return f"('{qid}', '{ts[0]}', '{ts[1]}', {t3}, {slop})"
 
     span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
+    perc_values = ", ".join(f"('{qid}', '{text}', '{kind}')" for qid, text, kind in PERC_QUERIES)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1092,6 +1097,25 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+""",
+        # percolation: distinct doc/query term membership join, conjunction
+        # requires every distinct query term, disjunction at least one
+        "percolate_matches": f"""
+WITH pset(query_id, qtext, kind) AS (VALUES {perc_values}),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM pset
+),
+nq AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+dt AS (SELECT DISTINCT doc_id, unnest({doc_toks}) AS term FROM documents),
+m AS (
+  SELECT q.query_id, d.doc_id, count(*) AS c
+  FROM qterms q JOIN dt d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+)
+SELECT m.query_id, m.doc_id
+FROM m JOIN nq ON nq.query_id = m.query_id JOIN pset p ON p.query_id = m.query_id
+WHERE (p.kind = 'all' AND m.c = nq.n) OR (p.kind = 'any' AND m.c >= 1)
+ORDER BY 1, 2
 """,
         # significant terms: top-50 BM25 docs per query as the foreground
         # sample, per-term distinct-doc counts vs global df, JLH score

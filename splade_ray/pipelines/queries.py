@@ -957,6 +957,30 @@ def span_near_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+PERC_QUERIES: list[tuple[str, str, str]] = [
+    ("pc1", "order scan merge", "all"),
+    ("pc2", "spark stream window", "all"),
+    ("pc3", "dup zzznotaword", "all"),  # OOV conjunct — matches nothing
+    ("pc4", "hash batch", "all"),
+    ("pc5", "window dup", "any"),
+    ("pc6", "zzznotaword column", "any"),  # only the live term can fire
+]
+
+
+def percolate_matches(sf_dir: str) -> pd.DataFrame:
+    """(query_id, doc_id) — percolation (ES percolate / reverse search):
+    six registered boolean queries matched against the streaming documents
+    table.  Queries broadcast once (ray.put), docs stream through ONE
+    map_batches pass: tokenize → distinct (doc, token) → searchsorted join
+    on the compiled term table → per-(doc, query) matched-term count."""
+    from .percolate import PercQuery, percolate
+
+    qs = [PercQuery(qid, text, kind) for qid, text, kind in PERC_QUERIES]
+    out = percolate(_docs(sf_dir, columns=["doc_id", "text"]), qs).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["query_id", "doc_id"], ignore_index=True)
+
+
 def significant_terms(sf_dir: str) -> pd.DataFrame:
     """(query_id, rank, term, fg_df, bg_df, jlh_r) — significant-terms
     aggregation (ES significant_text, JLH) over each BM25 query's top-50
