@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percolation (reverse search): broadcast query set, one streaming
         # map_batches pass over the documents table
         "percolate_matches": q.percolate_matches,
+        # completion suggester: prefix -> top dictionary terms by cf
+        "suggest_completion": q.suggest_completion,
+        # term suggester / did-you-mean: Levenshtein<=2 vocab candidates
+        "suggest_spelling": q.suggest_spelling,
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
@@ -333,6 +337,10 @@ FROM s ORDER BY doc_id
 
     span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
     perc_values = ", ".join(f"('{qid}', '{text}', '{kind}')" for qid, text, kind in PERC_QUERIES)
+    from splade_ray.pipelines.queries import COMPLETION_PREFIXES, SPELL_TERMS
+
+    completion_values = ", ".join(f"('{sid}', '{p}')" for sid, p in COMPLETION_PREFIXES)
+    spell_values = ", ".join(f"('{sid}', '{t}')" for sid, t in SPELL_TERMS)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1097,6 +1105,36 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+""",
+        # completion suggester: LIKE-prefix over the tokenized dictionary,
+        # ranked by total term frequency (cf) then term
+        "suggest_completion": f"""
+WITH cset(sid, prefix) AS (VALUES {completion_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+vocab AS (SELECT term, count(*)::BIGINT AS cf, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks GROUP BY term),
+hits AS (
+  SELECT c.sid, v.term, v.cf, v.df,
+         row_number() OVER (PARTITION BY c.sid ORDER BY v.cf DESC, v.term ASC) AS rnk
+  FROM cset c JOIN vocab v ON v.term LIKE c.prefix || '%'
+)
+SELECT sid, rnk AS rank, term, cf, df FROM hits WHERE rnk <= 10 ORDER BY 1, 2
+""",
+        # term suggester: levenshtein<=2 over the dictionary, exact term
+        # excluded, (distance, -df, term) ranking
+        "suggest_spelling": f"""
+WITH sset(sid, qterm) AS (VALUES {spell_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+hits AS (
+  SELECT s.sid, v.term, levenshtein(v.term, s.qterm)::BIGINT AS dist, v.df,
+         row_number() OVER (
+           PARTITION BY s.sid
+           ORDER BY levenshtein(v.term, s.qterm) ASC, v.df DESC, v.term ASC) AS rnk
+  FROM sset s JOIN vocab v
+    ON levenshtein(v.term, s.qterm) <= 2 AND v.term <> s.qterm
+)
+SELECT sid, rnk AS rank, term, dist, df FROM hits WHERE rnk <= 10 ORDER BY 1, 2
 """,
         # percolation: distinct doc/query term membership join, conjunction
         # requires every distinct query term, disjunction at least one

@@ -957,6 +957,52 @@ def span_near_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+COMPLETION_PREFIXES: list[tuple[str, str]] = [
+    ("c1", "s"),
+    ("c2", "c"),
+    ("c3", "b"),
+    ("c4", "v"),
+    ("c5", "a"),
+    ("c6", "st"),
+    ("c7", "zzz"),  # no completions
+]
+
+SPELL_TERMS: list[tuple[str, str]] = [
+    ("m1", "ordr"),
+    ("m2", "stram"),
+    ("m3", "jion"),
+    ("m4", "bip"),  # two candidates at different distances (big 1, dup 2)
+    ("m5", "dat"),
+    ("m6", "pert"),
+    ("m7", "qqqqqqqq"),  # nothing within 2 edits
+]
+
+
+def suggest_completion(sf_dir: str) -> pd.DataFrame:
+    """(sid, rank, term, cf, df) — completion suggester: prefix →
+    dictionary terms ranked by collection frequency (two binary searches
+    on the sorted vocab; postings untouched)."""
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for sid, prefix in COMPLETION_PREFIXES:
+        for rank, (term, cf, df) in enumerate(reader.suggest_completion(prefix, 10), 1):
+            rows.append((sid, rank, term, cf, df))
+    return pd.DataFrame(rows, columns=["sid", "rank", "term", "cf", "df"])
+
+
+def suggest_spelling(sf_dir: str) -> pd.DataFrame:
+    """(sid, rank, term, dist, df) — term suggester / did-you-mean:
+    misspelling → vocab candidates within 2 classical Levenshtein edits
+    (vectorized DP over the length-banded dictionary), exact term
+    excluded, ranked (distance, −df, term)."""
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    rows = []
+    for sid, term in SPELL_TERMS:
+        for rank, (cand, dist, df) in enumerate(reader.suggest_spelling(term, 10, 2), 1):
+            rows.append((sid, rank, cand, dist, df))
+    return pd.DataFrame(rows, columns=["sid", "rank", "term", "dist", "df"])
+
+
 PERC_QUERIES: list[tuple[str, str, str]] = [
     ("pc1", "order scan merge", "all"),
     ("pc2", "spark stream window", "all"),

@@ -1197,6 +1197,44 @@ class IndexReader:
         :meth:`search_prefix` / :meth:`search_fuzzy`."""
         return self._search_expanded(self.expand_regexp(pattern), k, method)
 
+    def suggest_completion(self, prefix: str, k: int = 10) -> list[tuple[str, int, int]]:
+        """Completion suggester (ES ``completion`` over the term
+        dictionary): vocab terms starting with ``prefix`` ranked by
+        collection frequency desc (cf is the popularity weight), term asc
+        tie-break.  Two binary searches on the sorted vocab + one top-k
+        over the contiguous id range — postings never touched.  Returns
+        (term, cf, df) rows."""
+        if self.cf is None or self.vocab_index is None:
+            raise ValueError("suggest_completion needs the sorted vocab with cf stats")
+        tids = self.expand_prefix(prefix)
+        if tids.size == 0:
+            return []
+        cf = np.asarray(self.cf)[tids]
+        order = np.lexsort((tids, -cf))[: min(k, tids.size)]
+        picked = tids[order]
+        return [(str(self.vocab_index[int(t)]), int(np.asarray(self.cf)[int(t)]), int(self.df[int(t)])) for t in picked]
+
+    def suggest_spelling(self, term: str, k: int = 10, max_edits: int = 2) -> list[tuple[str, int, int]]:
+        """Term suggester / did-you-mean (ES ``term`` suggester,
+        ``suggest_mode=always``): vocab candidates within ``max_edits``
+        classical Levenshtein edits (sub/ins/del — DuckDB-replayable),
+        the exact term excluded, ranked by (distance asc, df desc, term
+        asc).  Distances come from nested :meth:`expand_fuzzy` rings, so
+        the vectorized DP kernel is reused unchanged.  Returns (term,
+        distance, df) rows."""
+        if self.vocab_index is None:
+            raise ValueError("suggest_spelling needs the sorted-string vocab")
+        rings = [set(self.expand_fuzzy(term, e).tolist()) for e in range(max_edits + 1)]
+        cands = sorted(rings[-1] - rings[0])  # distance >= 1 only
+        if not cands:
+            return []
+        rows = []
+        for tid in cands:
+            dist = next(e for e in range(1, max_edits + 1) if tid in rings[e])
+            rows.append((str(self.vocab_index[int(tid)]), dist, int(self.df[int(tid)])))
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return rows[:k]
+
     def mlt_terms(self, text: str, max_terms: int = 5) -> np.ndarray:
         """Lucene MoreLikeThis term selection: tokenize the seed text and
         keep the ``max_terms`` vocab terms with the highest tf·idf in the

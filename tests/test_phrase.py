@@ -149,6 +149,42 @@ def test_significant_terms_brute_force(corpus, cfg, built):
         assert got, q
 
 
+def test_suggesters_brute_force(corpus, cfg, built):
+    """Completion (prefix → cf ranking) and spelling (Levenshtein ≤ 2 →
+    (dist, −df, term) ranking) suggesters vs from-scratch recomputation
+    off the oracle index's token lists."""
+    from splade_ray.oracle import _levenshtein
+
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    cf: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for dt in oidx.tokens:
+        for t in dt:
+            cf[t] = cf.get(t, 0) + 1
+        for t in set(dt):
+            df[t] = df.get(t, 0) + 1
+
+    for prefix in ["w00", "w005", "w1", "zzz"]:
+        got = reader.suggest_completion(prefix, 10)
+        want = sorted(
+            ((t, cf[t], df[t]) for t in cf if t.startswith(prefix)),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        assert got == want, prefix
+
+    for term in ["w001", "w0x42", "qqqqqq"]:
+        got = reader.suggest_spelling(term, 10, 2)
+        cands = []
+        for t in df:
+            d = _levenshtein(t, term)
+            if 1 <= d <= 2:
+                cands.append((t, d, df[t]))
+        want = sorted(cands, key=lambda r: (r[1], -r[2], r[0]))[:10]
+        assert got == want, term
+    assert reader.suggest_spelling("w001", 10, 2)  # fixture must produce hits
+
+
 def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
     """The forward stream is vocab-mode independent: hashed-vocab and
     shuffle-dedup builds must return the same phrase top-k."""
