@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
         "search_facets": q.search_facets,
+        # histogram aggregation over the match set (n_chars, interval 200)
+        "search_histogram": q.search_histogram,
+        # exact distributed percentiles (histogram-refinement selection)
+        "price_percentiles": q.price_percentiles,
         # hybrid sparse+dense reciprocal-rank fusion (BM25 ⊕ cosine kNN)
         "hybrid_topk": q.hybrid_topk,
         # best-window snippet extraction over the BM25 top-5
@@ -1007,6 +1011,15 @@ FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
         "lm_topk": lm_sql,
         "lm_jm_topk": jm_sql,
         "search_facets": facets,
+        # histogram agg: floor(n_chars/200) buckets over the disjunctive
+        # match set (>= 1 query term)
+        "search_histogram": bm25_ctes
+        + """
+SELECT m.query_id, (d.n_chars // 200) * 200 AS bucket_lo, count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window
         "bm25_topk_page2": bm25_ctes
@@ -1105,6 +1118,15 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+""",
+        # exact percentiles: quantile_disc over the same column
+        "price_percentiles": """
+WITH agg AS (
+  SELECT quantile_disc(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS vals
+  FROM lineitem
+)
+SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q, unnest(vals)::DOUBLE AS value
+FROM agg ORDER BY q
 """,
         # completion suggester: LIKE-prefix over the tokenized dictionary,
         # ranked by total term frequency (cf) then term

@@ -1196,6 +1196,42 @@ def search_facets(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def search_histogram(sf_dir: str) -> pd.DataFrame:
+    """(query_id, bucket_lo, n_docs) — histogram aggregation (ES
+    ``histogram``, interval 200 over the n_chars doc-value) of each
+    query's disjunctive match set, served by the shard owners: each actor
+    buckets its own matched docs, the driver sums |buckets| cells per
+    actor — the match set never crosses the network."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for blo, n in ss.histogram(text, "n_chars", 200, 1):
+                rows.append((qid, blo, n))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
+
+
+PERCENTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """(q, value) — EXACT distributed percentiles of lineitem
+    l_extendedprice by iterative histogram refinement: O(buckets) cells
+    per block per round, ~2-4 streaming scans total, never a global sort
+    (percentile_disc semantics — rank max(1, ceil(q·n)))."""
+    from .quantile import exact_percentiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
+    got = exact_percentiles(ds, "l_extendedprice", PERCENTILE_QS, buckets=256, gather_limit=20_000)
+    return pd.DataFrame(got, columns=["q", "value"])
+
+
 def retrieval_metrics_at10(sf_dir: str) -> pd.DataFrame:
     """Per-query RR/Recall/nDCG @10 of the BM25 run against conjunctive-
     containment qrels (reference A5 metric semantics, binary relevance;

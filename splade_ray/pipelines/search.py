@@ -1609,6 +1609,30 @@ class ShardScorerActor:
                     out[str(v)] = out.get(str(v), 0) + int(k)
         return out
 
+    def histogram_counts(self, qtids: np.ndarray, m: int, attr_col: str, width: int) -> dict[int, int]:
+        """Histogram aggregation (ES ``histogram``) over the disjunctive
+        match set (docs matching >= ``m`` distinct query terms): per-shard
+        ``floor(value / width)`` bucket counts off the numeric doc-value
+        sidecar, tombstone-aware.  The driver sums |buckets| cells per
+        actor — the match set never leaves the shard owners."""
+        attrs = self._attr_for_shards(attr_col)
+        out: dict[int, int] = {}
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            cnt = np.bincount(ids, minlength=sh.n_local)
+            if sh.deleted_local.size:
+                cnt[sh.deleted_local] = 0
+            matched = cnt >= m
+            if matched.any():
+                buckets = np.asarray(attr[matched], dtype=np.int64) // np.int64(width)
+                b, c = np.unique(buckets, return_counts=True)
+                for bi, ci in zip(b, c):
+                    out[int(bi)] = out.get(int(bi), 0) + int(ci)
+        return out
+
     def score_collapse(self, qtids: np.ndarray, qw: np.ndarray, attr_col: str) -> dict:
         """Field collapsing (Lucene grouping / ES ``collapse``): this
         actor's best-scoring doc PER attribute value over its full match
@@ -1990,6 +2014,22 @@ class ShardedSearcher:
             for k, v in part.items():
                 total[k] = total.get(k, 0) + v
         return total
+
+    def histogram(self, text: str, attr_col: str = "n_chars", width: int = 200, m: int = 1) -> list[tuple[int, int]]:
+        """Histogram aggregation (ES ``histogram``) over the disjunctive
+        match set, served by the shard owners: each actor buckets its own
+        matched docs by ``floor(doc_value / width)`` and the driver sums
+        |buckets| cells per actor.  Returns (bucket_lo, n_docs) rows in
+        bucket order."""
+        qtids, _ = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.histogram_counts.remote(qtids, m, attr_col, width) for a in self.actors]
+        total: dict[int, int] = {}
+        for part in ray.get(futs):
+            for b, c in part.items():
+                total[b] = total.get(b, 0) + c
+        return [(b * width, total[b]) for b in sorted(total)]
 
     def shutdown(self):
         for a in self.actors:
