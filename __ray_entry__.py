@@ -146,6 +146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_histogram": q.search_histogram,
         # exact distributed percentiles (histogram-refinement selection)
         "price_percentiles": q.price_percentiles,
+        # term-vectors API: per-doc (term, tf, df) off the forward streams
+        "doc_term_vectors": q.doc_term_vectors,
+        # function-score gauss decay on a numeric doc-value
+        "decay_topk": q.decay_topk,
+        # terms agg + top_hits(3): per-lang best hits from the shard owners
+        "top_hits_by_lang": q.top_hits_by_lang,
         # hybrid sparse+dense reciprocal-rank fusion (BM25 ⊕ cosine kNN)
         "hybrid_topk": q.hybrid_topk,
         # best-window snippet extraction over the BM25 top-5
@@ -341,10 +347,11 @@ FROM s ORDER BY doc_id
 
     span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
     perc_values = ", ".join(f"('{qid}', '{text}', '{kind}')" for qid, text, kind in PERC_QUERIES)
-    from splade_ray.pipelines.queries import COMPLETION_PREFIXES, SPELL_TERMS
+    from splade_ray.pipelines.queries import COMPLETION_PREFIXES, SPELL_TERMS, TERMVEC_DOC_IDS
 
     completion_values = ", ".join(f"('{sid}', '{p}')" for sid, p in COMPLETION_PREFIXES)
     spell_values = ", ".join(f"('{sid}', '{t}')" for sid, t in SPELL_TERMS)
+    termvec_values = ", ".join(f"({i})" for i in TERMVEC_DOC_IDS)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1118,6 +1125,45 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
+""",
+        # term vectors: per-doc tf for the fixed doc set + global df
+        "doc_term_vectors": f"""
+WITH ids(doc_id) AS (VALUES {termvec_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term)
+SELECT t.doc_id, t.term, t.tf, d.df
+FROM tf t JOIN ids i ON i.doc_id = t.doc_id JOIN df d ON d.term = t.term
+ORDER BY 1, 2
+""",
+        # gauss decay: the BM25 scores CTE times the same closed-form
+        # exp(-(n_chars-origin)^2 / (2*sigma^2)) factor, re-ranked
+        "decay_topk": bm25_ctes
+        + """
+, dec AS (
+  SELECT s.query_id, s.doc_id,
+         s.score * exp(-pow(d.n_chars - 1000.0, 2) / (2.0 * (500.0 * 500.0 / (2.0 * ln(2.0))))) AS score
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+rankedd AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM dec
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM rankedd WHERE rank <= 10
+""",
+        # top_hits(3) under a lang terms agg over the scored match set
+        "top_hits_by_lang": bm25_ctes
+        + """
+, hits AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT query_id, lang, rank, doc_id, round(score, 6) AS score_r
+FROM hits WHERE rank <= 3 ORDER BY 1, 2, 3
 """,
         # exact percentiles: quantile_disc over the same column
         "price_percentiles": """

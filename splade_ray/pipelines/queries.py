@@ -1217,6 +1217,62 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
 
 
+def doc_term_vectors(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, term, tf, df) — term-vectors API (ES _termvectors): per-doc
+    term stats for a fixed doc set, decoded k-bounded from the requested
+    docs' forward streams only (one run-length pass per shard owner),
+    df from the stored global stats."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = reader.term_vectors(TERMVEC_DOC_IDS)
+    return pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df"])
+
+
+TERMVEC_DOC_IDS = [0, 1, 2, 5, 17, 123456789]  # last id unknown -> skipped
+
+
+def decay_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — function-score retrieval with a
+    gauss decay on the n_chars doc-value (ES function_score/gauss, origin
+    1000, scale 500, decay 0.5): BM25 × exp(−(attr−origin)²/(2σ²)) inside
+    the shard owners before local top-k."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, score, url) in enumerate(ss.search_decay(text, BM25_K, "n_chars", 1000.0, 500.0), 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def top_hits_by_lang(sf_dir: str) -> pd.DataFrame:
+    """(query_id, lang, rank, doc_id, score_r) — top-hits-per-bucket (ES
+    terms agg + top_hits, size 3): each lang bucket's 3 best BM25 hits,
+    served by the shard owners (≤ 3·|langs| cells per actor)."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for lang, rank, doc, score in ss.search_top_hits(text, "lang", 3):
+                rows.append((qid, lang, rank, doc, round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "lang", "rank", "doc_id", "score_r"])
+
+
 PERCENTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 

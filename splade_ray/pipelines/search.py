@@ -1235,6 +1235,57 @@ class IndexReader:
         rows.sort(key=lambda r: (r[1], -r[2], r[0]))
         return rows[:k]
 
+    def _vocab_hash_map(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted md5 hashes of the vocab, permutation back to term ids) —
+        built once per reader, vocab-bounded."""
+        from ..functions.hashing import md5_u64
+
+        vh = getattr(self, "_vocab_hash", None)
+        if vh is None:
+            hv = md5_u64(list(self.vocab_index))
+            perm = np.argsort(hv, kind="stable")
+            vh = self._vocab_hash = (hv[perm], perm)
+        return vh
+
+    def term_vectors(self, doc_ids: list[int]) -> list[tuple[int, str, int, int]]:
+        """Term-vectors API (ES ``_termvectors`` / Lucene TermVectors):
+        (doc_id, term, tf, df) rows for the requested docs, sorted by
+        (doc_id, term).  k-bounded: only the requested docs' forward md5
+        streams are decoded (one run-length pass per shard owner), hashes
+        map to vocab terms through the cached vocab-hash table; df is the
+        stored global stat.  Unknown doc ids are skipped (ES semantics:
+        found=false).  Requires ``store_forward=True`` + sorted vocab."""
+        if self.vocab_index is None:
+            raise ValueError("term_vectors needs the sorted-string vocab")
+        docs = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        hv_sorted, perm = self._vocab_hash_map()
+        rows: list[tuple[int, str, int, int]] = []
+        for sh in self.shards:
+            if sh.fwd_stream is None:
+                raise ValueError("term_vectors requires an index built with store_forward=True")
+            loc = np.flatnonzero(np.isin(sh.doc_ids, docs))
+            if loc.size == 0:
+                continue
+            pos, cidx = sh._candidate_windows(loc, 1)
+            if pos.size == 0:
+                continue
+            order = np.lexsort((sh.fwd_stream[pos], cidx))
+            tok, ci = sh.fwd_stream[pos][order], cidx[order]
+            first = np.ones(tok.size, dtype=bool)
+            first[1:] = (tok[1:] != tok[:-1]) | (ci[1:] != ci[:-1])
+            starts = np.flatnonzero(first)
+            tfs = np.diff(np.append(starts, tok.size))
+            utok, uci = tok[starts], ci[starts]
+            idx = np.minimum(np.searchsorted(hv_sorted, utok), hv_sorted.size - 1)
+            known = hv_sorted[idx] == utok
+            tids = perm[idx[known]]
+            gdocs = sh.doc_ids[loc[uci[known]]]
+            gtfs = tfs[known]
+            for d, tid, tf in zip(gdocs, tids, gtfs):
+                rows.append((int(d), str(self.vocab_index[int(tid)]), int(tf), int(self.df[int(tid)])))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        return rows
+
     def mlt_terms(self, text: str, max_terms: int = 5) -> np.ndarray:
         """Lucene MoreLikeThis term selection: tokenize the seed text and
         keep the ``max_terms`` vocab terms with the highest tf·idf in the
@@ -1344,8 +1395,6 @@ class IndexReader:
         term ids through one cached md5 pass over the vocab (vocab-bounded,
         never corpus-bounded).  Requires ``store_forward=True`` and a
         sorted (string) vocab."""
-        from ..functions.hashing import md5_u64
-
         if self.vocab_index is None:
             raise ValueError("significant_terms needs a sorted-vocab BM25 index")
         top = self.search(text, k_docs)
@@ -1372,12 +1421,7 @@ class IndexReader:
         if not parts:
             return []
         hashes, fg_df = np.unique(np.concatenate(parts), return_counts=True)
-        vh = getattr(self, "_vocab_hash", None)
-        if vh is None:
-            hv = md5_u64(list(self.vocab_index))
-            perm = np.argsort(hv, kind="stable")
-            vh = self._vocab_hash = (hv[perm], perm)
-        hv_sorted, perm = vh
+        hv_sorted, perm = self._vocab_hash_map()
         idx = np.searchsorted(hv_sorted, hashes)
         idx = np.minimum(idx, hv_sorted.size - 1)
         known = hv_sorted[idx] == hashes
@@ -1685,6 +1729,64 @@ class ShardScorerActor:
             m = scores > 0
             fa = np.asarray(attr, dtype=np.float64)
             scores[m] += boost * np.log1p(fa[m] / pivot)
+            d, s = sh._topk_from_scores(scores, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
+    def score_top_hits(self, qtids: np.ndarray, qw: np.ndarray, attr_col: str, n: int) -> dict:
+        """Top-hits-per-bucket (ES ``terms`` agg + ``top_hits``): this
+        actor's ``n`` best-scoring docs PER attribute value — one lexsort
+        by (value, −score, doc) per shard, segmented rank < n filter.  The
+        driver merges ≤ n·|values| cells per actor; the match set never
+        leaves the shard owners."""
+        attrs = self._attr_for_shards(attr_col)
+        out: dict[str, list[tuple[float, int]]] = {}
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            vals = np.asarray([str(v) for v in attr[nz]], dtype=object)
+            docs, sc = sh.doc_ids[nz], scores[nz]
+            order = np.lexsort((docs, -sc, vals))
+            sv = vals[order]
+            grp_start = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+            seg_len = np.diff(np.append(grp_start, sv.size))
+            ranks = np.arange(sv.size, dtype=np.int64) - np.repeat(grp_start, seg_len)
+            for i in np.flatnonzero(ranks < n):
+                j = order[i]
+                out.setdefault(sv[i], []).append((float(sc[j]), int(docs[j])))
+        return out
+
+    def score_decay(
+        self, qtids: np.ndarray, qw: np.ndarray, k: int, attr_col: str, origin: float, scale: float
+    ):
+        """Function-score gauss decay (ES ``function_score`` /
+        ``gauss``): matched docs' BM25 scores MULTIPLY by
+        ``exp(−(attr − origin)² / (2·σ²))`` with ``σ = scale /
+        sqrt(2·ln(1/0.5))`` (ES's decay=0.5-at-scale parametrization).
+        Multiplicative, so zero stays zero and tombstones are untouched."""
+        attrs = self._attr_for_shards(attr_col)
+        sigma2 = scale * scale / (2.0 * np.log(2.0))
+        cands_d, cands_s, cands_u = [], [], []
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            fa = np.asarray(attr, dtype=np.float64)
+            scores *= np.exp(-((fa - origin) ** 2) / (2.0 * sigma2))
             d, s = sh._topk_from_scores(scores, k)
             cands_d.append(d)
             cands_s.append(s)
@@ -2014,6 +2116,50 @@ class ShardedSearcher:
             for k, v in part.items():
                 total[k] = total.get(k, 0) + v
         return total
+
+    def search_top_hits(self, text: str, attr_col: str = "lang", n: int = 3) -> list[tuple[str, int, int, float]]:
+        """Top-hits-per-bucket: for each ``attr_col`` value, the ``n``
+        best-scoring matched docs ((−score, doc) order).  Returns (value,
+        rank, doc_id, score) rows, values sorted ascending."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_top_hits.remote(qtids, qw, attr_col, n) for a in self.actors]
+        merged: dict[str, list[tuple[float, int]]] = {}
+        for part in ray.get(futs):
+            for v, hits in part.items():
+                merged.setdefault(v, []).extend(hits)
+        rows = []
+        for v in sorted(merged):
+            best = sorted(merged[v], key=lambda h: (-h[0], h[1]))[:n]
+            rows.extend((v, r, d, s) for r, (s, d) in enumerate(best, 1))
+        return rows
+
+    def search_decay(
+        self, text: str, k: int = 10, attr_col: str = "n_chars", origin: float = 1000.0, scale: float = 500.0
+    ) -> list[tuple[int, float, str]]:
+        """Function-score retrieval with a gauss decay on a numeric
+        doc-value (ES ``function_score``/``gauss``): BM25 × exp(−(attr −
+        origin)²/(2σ²)), decay 0.5 at ``scale`` from ``origin``, applied
+        inside each shard owner before local top-k."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_decay.remote(qtids, qw, k, attr_col, origin, scale) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
 
     def histogram(self, text: str, attr_col: str = "n_chars", width: int = 200, m: int = 1) -> list[tuple[int, int]]:
         """Histogram aggregation (ES ``histogram``) over the disjunctive

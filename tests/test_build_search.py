@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -490,6 +491,102 @@ def test_sharded_collapse_brute_force(built_index, reader, web_pages_path, oracl
             assert [(v, d) for v, (s, d) in want] == [(v, d) for v, d, _s, _u in got], text
             for (_, (es, _)), (_, _, gs, _) in zip(want, got):
                 assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        ss.shutdown()
+
+
+def test_sharded_top_hits_brute_force(built_index, web_pages_path, oracle_index):
+    """Top-hits-per-bucket must return, per attribute value, the first n
+    docs of the full (-score, doc) ranking restricted to that value."""
+    from splade_ray.oracle import oracle_search
+
+    index_dir, cfg = built_index
+    raw = pq.read_table(web_pages_path, columns=["url", "lang"])
+    lang_of = dict(zip(raw.column("url").to_pylist(), raw.column("lang").to_pylist()))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=web_pages_path)
+    try:
+        for text in generate_queries(8)["text"].to_pylist():
+            full = oracle_search(oracle_index, text, oracle_index.n_docs)
+            want: dict[str, list[tuple[int, float]]] = {}
+            for d, s in full:
+                v = lang_of[oracle_index.doc_ids[d]]
+                if len(want.setdefault(v, [])) < 3:
+                    want[v].append((d, round(s, 9)))
+            got = ss.search_top_hits(text, "lang", 3)
+            flat = []
+            for v in sorted(want):
+                flat.extend((v, r, d, s) for r, (d, s) in enumerate(want[v], 1))
+            assert [(v, r, d, round(s, 9)) for v, r, d, s in got] == flat, text
+    finally:
+        ss.shutdown()
+
+
+def _nc_of_url(u: str) -> int:
+    # url-derived so re-crawl rows (duplicate urls, different texts) carry
+    # the SAME doc-value — the fixture corpus is pre-dedup
+    return (len(u) * 131 + ord(u[-1])) % 997
+
+
+@pytest.fixture(scope="module")
+def numeric_corpus(web_pages_path, tmp_path_factory):
+    """web_pages + a numeric n_chars doc-value column (the fixture corpus
+    has none), for decay / histogram serving tests."""
+    tbl = pq.read_table(web_pages_path, columns=["url", "text"])
+    n_chars = pa.array([_nc_of_url(u) for u in tbl.column("url").to_pylist()], pa.int64())
+    out = str(tmp_path_factory.mktemp("numcorp") / "corpus.parquet")
+    pq.write_table(tbl.append_column("n_chars", n_chars), out)
+    return out
+
+
+def test_sharded_decay_brute_force(built_index, numeric_corpus, oracle_index):
+    """Gauss function-score must equal oracle BM25 × the closed-form decay
+    factor, re-ranked by (-score, doc)."""
+    import numpy as np
+
+    from splade_ray.oracle import oracle_search
+
+    index_dir, cfg = built_index
+    raw = pq.read_table(numeric_corpus, columns=["url", "n_chars"])
+    nc_of = dict(zip(raw.column("url").to_pylist(), raw.column("n_chars").to_pylist()))
+    origin, scale = 500.0, 200.0
+    sigma2 = scale * scale / (2.0 * np.log(2.0))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=numeric_corpus)
+    try:
+        for text in generate_queries(8)["text"].to_pylist():
+            full = oracle_search(oracle_index, text, oracle_index.n_docs)
+            resc = [
+                (d, s * float(np.exp(-((nc_of[oracle_index.doc_ids[d]] - origin) ** 2) / (2.0 * sigma2))))
+                for d, s in full
+            ]
+            want = sorted(resc, key=lambda r: (-r[1], r[0]))[:10]
+            got = ss.search_decay(text, 10, "n_chars", origin, scale)
+            assert [d for d, _s, _u in got] == [d for d, _ in want], text
+            for (gd, gs, _u), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-9), (text, gd, wd)
+    finally:
+        ss.shutdown()
+
+
+def test_sharded_histogram_brute_force(built_index, numeric_corpus, oracle_index):
+    """Histogram agg must equal brute-force floor(n_chars/width) counts
+    over the any-term match set."""
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    raw = pq.read_table(numeric_corpus, columns=["url", "n_chars"])
+    nc_of = dict(zip(raw.column("url").to_pylist(), raw.column("n_chars").to_pylist()))
+    tok = Tokenizer(cfg)
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=numeric_corpus)
+    try:
+        for text in generate_queries(6)["text"].to_pylist():
+            q = set(tok.tokenize(text))
+            want: dict[int, int] = {}
+            for d, toks in enumerate(oracle_index.tokens):
+                if q & set(toks):
+                    b = (nc_of[oracle_index.doc_ids[d]] // 150) * 150
+                    want[b] = want.get(b, 0) + 1
+            got = ss.histogram(text, "n_chars", 150, 1)
+            assert got == sorted(want.items()), text
     finally:
         ss.shutdown()
 

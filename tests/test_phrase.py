@@ -185,6 +185,24 @@ def test_suggesters_brute_force(corpus, cfg, built):
     assert reader.suggest_spelling("w001", 10, 2)  # fixture must produce hits
 
 
+def test_term_vectors_brute_force(corpus, cfg, built):
+    """Term-vectors API vs per-doc token counting + global df, incl.
+    unknown doc ids (skipped) and the empty request."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    req = [0, 3, 7, 7, 10**9]  # dup + unknown
+    got = reader.term_vectors(req)
+    want = []
+    for d in sorted({0, 3, 7}):
+        cnt: dict[str, int] = {}
+        for t in oidx.tokens[d]:
+            cnt[t] = cnt.get(t, 0) + 1
+        for t in sorted(cnt):
+            want.append((d, t, cnt[t], int(oidx.df[oidx.term_to_id[t]])))
+    assert got == want
+    assert reader.term_vectors([10**9]) == []
+
+
 def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
     """The forward stream is vocab-mode independent: hashed-vocab and
     shuffle-dedup builds must return the same phrase top-k."""
