@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental segment build + term-run merge; must equal the
         # single-build BM25 oracle
         "segment_merge_topk": q.segment_merge_topk,
+        # query-time federation over UNMERGED segments (dfs_query_then_fetch
+        # union stats) — must equal the single-build oracle exactly
+        "bm25_topk_federated": q.bm25_topk_federated,
         # exact-phrase retrieval from a forward-enabled (store_forward)
         # index: AND candidates + stream adjacency verify + BM25 ranking
         "phrase_topk": q.phrase_topk,
@@ -1046,6 +1049,7 @@ FROM ranked WHERE rank > 10 AND rank <= 20
         "bm25_topk_hashed": bm25,
         # merged segments must reproduce the single-build BM25 ranking
         "segment_merge_topk": bm25,
+        "bm25_topk_federated": bm25,
         # exact-phrase retrieval: same BM25 scoring restricted to docs whose
         # space-joined token stream contains the normalized phrase (tokens
         # are [a-z0-9]+, so single-space joining is collision-free)

@@ -717,22 +717,18 @@ def search_snippets_sharded(sf_dir: str) -> pd.DataFrame:
     ).sort_values(["query_id", "rank"], ignore_index=True)
 
 
-def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
-    """Incremental build: split the corpus into two segments, build each
-    with continued doc numbering, merge the term runs
-    (pipelines/merge.py), then answer the BM25 query set from the MERGED
-    index.  Must be rank- and score-identical to the single-build SQL
-    oracle — merge correctness is oracle-checked, not just tested."""
+def _ensure_doc_segments(sf_dir: str) -> tuple[str, str]:
+    """Split the documents corpus in two halves (by url order) and build
+    each as its own segment index with continued doc numbering; returns
+    the two segment dirs (idempotent — guarded on segB's meta)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-
-    from .merge import merge_segments
 
     base_dir = build_documents_index(sf_dir)
     corpus_path = os.path.join(base_dir, "corpus_input.parquet")
     out = os.path.join(base_dir, "segmented")
-    merged_dir = os.path.join(out, "merged")
-    if not os.path.exists(os.path.join(merged_dir, "_MANIFEST.json")):
+    a_idx, b_idx = os.path.join(out, "segA"), os.path.join(out, "segB")
+    if not os.path.exists(os.path.join(b_idx, "stats", "meta.json")):
         corpus = pq.read_table(corpus_path)
         urls = corpus.column("url")
         n = corpus.num_rows
@@ -742,13 +738,44 @@ def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
         pq.write_table(corpus.filter(pc.less(urls, split_url)), a_path)
         pq.write_table(corpus.filter(pc.greater_equal(urls, split_url)), b_path)
         n_a = pq.read_metadata(a_path).num_rows
-        build_index(a_path, os.path.join(out, "segA"), DOCS_CFG, doc_id_base=0)
-        build_index(b_path, os.path.join(out, "segB"), DOCS_CFG, doc_id_base=n_a)
-        merge_segments([os.path.join(out, "segA"), os.path.join(out, "segB")], merged_dir, DOCS_CFG)
+        build_index(a_path, a_idx, DOCS_CFG, doc_id_base=0)
+        build_index(b_path, b_idx, DOCS_CFG, doc_id_base=n_a)
+    return a_idx, b_idx
+
+
+def segment_merge_topk(sf_dir: str) -> pd.DataFrame:
+    """Incremental build: split the corpus into two segments, build each
+    with continued doc numbering, merge the term runs
+    (pipelines/merge.py), then answer the BM25 query set from the MERGED
+    index.  Must be rank- and score-identical to the single-build SQL
+    oracle — merge correctness is oracle-checked, not just tested."""
+    from .merge import merge_segments
+
+    a_idx, b_idx = _ensure_doc_segments(sf_dir)
+    merged_dir = os.path.join(os.path.dirname(a_idx), "merged")
+    if not os.path.exists(os.path.join(merged_dir, "_MANIFEST.json")):
+        merge_segments([a_idx, b_idx], merged_dir, DOCS_CFG)
     reader = IndexReader(merged_dir, DOCS_CFG)
     rows = []
     for qid, text in BM25_QUERIES:
         for rank, (internal_doc, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — query-time federation over the
+    two UNMERGED segment indexes (ES cross-index search with
+    dfs_query_then_fetch): union df/n_docs/avgdl merged vocab-bounded at
+    open, each segment scores under the global stats.  Must be rank- AND
+    score-identical to the single-build SQL oracle — no physical merge."""
+    from .search import FederatedReader
+
+    a_idx, b_idx = _ensure_doc_segments(sf_dir)
+    fr = FederatedReader([a_idx, b_idx], DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 

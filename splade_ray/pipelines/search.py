@@ -716,11 +716,19 @@ class IndexReader:
         consolidate: bool = True,
         consolidate_budget_bytes: int = 8 << 30,
         deletes: list[str] | None = None,
+        global_stats: dict | None = None,
     ):
         """``deletes``: urls to tombstone at load (Lucene semantics — docs
         excluded from every result, global stats unchanged until merge).
         When None, the index's ``deletes.json`` (written by
-        :func:`apply_deletes`) is honored if present."""
+        :func:`apply_deletes`) is honored if present.
+
+        ``global_stats``: override the corpus-level stats this segment
+        scores with — ``{"n_docs", "avgdl", "sum_dl", "df", "cf"?}`` with
+        ``df``/``cf`` dense arrays ALIGNED to this index's own (sorted)
+        vocab term ids.  This is the federation seam
+        (:class:`FederatedReader`): a segment scoring under the UNION
+        corpus stats is score-identical to the physically merged build."""
         stats_dir = os.path.join(index_dir, "stats")
         meta = read_json(os.path.join(stats_dir, "meta.json"))
         self.n_docs = meta["n_docs"]
@@ -744,6 +752,15 @@ class IndexReader:
                 self.cf = vocab.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             self.vocab_index, self.df = None, None
+        if global_stats is not None:
+            if self.vocab_index is None:
+                raise ValueError("global_stats override needs a sorted-vocab bm25 index")
+            self.n_docs = int(global_stats["n_docs"])
+            self.avgdl = float(global_stats["avgdl"])
+            self.sum_dl = int(global_stats["sum_dl"])
+            self.df = np.asarray(global_stats["df"], dtype=np.int64)
+            if global_stats.get("cf") is not None:
+                self.cf = np.asarray(global_stats["cf"], dtype=np.int64)
         self.cfg = cfg or DEFAULT_CONFIG
         self.tok = Tokenizer(self.cfg)
 
@@ -1445,6 +1462,72 @@ class IndexReader:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i]), self.url_of(int(docs[i]))) for i in order]
+
+
+class FederatedReader:
+    """Query-time federation over multiple segment indexes (the ES
+    cross-index / Lucene MultiReader shape with ``dfs_query_then_fetch``
+    statistics): the union df/cf/n_docs/sum_dl are one vocab-bounded
+    merge of the per-segment vocab tables, each segment then scores under
+    the GLOBAL stats via :class:`IndexReader`'s ``global_stats`` seam.
+    Because BM25 weights depend only on (tf, dl, global df, n_docs,
+    avgdl), the merged top-k is rank- AND score-identical to a single
+    build (or a physical :func:`~splade_ray.pipelines.merge.merge_segments`)
+    of the union corpus — federation is the query-time dual of the
+    physical merge, so segments can be searched the moment they land,
+    no merge required."""
+
+    def __init__(self, index_dirs: list[str], cfg: EngineConfig | None = None):
+        if not index_dirs:
+            raise ValueError("federated search needs at least one segment index")
+        vocabs, metas = [], []
+        for d in index_dirs:
+            stats_dir = os.path.join(d, "stats")
+            meta = read_json(os.path.join(stats_dir, "meta.json"))
+            if meta.get("encoder", "bm25") != "bm25" or meta.get("vocab_mode", "sorted") != "sorted":
+                raise ValueError("federated search needs sorted-vocab bm25 segments")
+            if meta.get("sum_dl") is None:
+                raise ValueError(
+                    "federated search needs sum_dl in every segment's meta "
+                    "(weight_mode='tf' builds) for exact global avgdl"
+                )
+            metas.append(meta)
+            vocabs.append(pq.read_table(os.path.join(stats_dir, "vocab.parquet")))
+        n_docs = int(sum(m["n_docs"] for m in metas))
+        sum_dl = int(sum(m["sum_dl"] for m in metas))
+        avgdl = sum_dl / n_docs
+        # union df/cf: one vocab-bounded hash merge
+        union_df: dict[str, int] = {}
+        union_cf: dict[str, int] = {}
+        with_cf = all("cf" in v.column_names for v in vocabs)
+        for v in vocabs:
+            terms = v.column("term").to_pylist()
+            dfs = v.column("df").to_numpy(zero_copy_only=False)
+            cfs = v.column("cf").to_numpy(zero_copy_only=False) if with_cf else None
+            for i, t in enumerate(terms):
+                union_df[t] = union_df.get(t, 0) + int(dfs[i])
+                if cfs is not None:
+                    union_cf[t] = union_cf.get(t, 0) + int(cfs[i])
+        self.readers = []
+        for d, v in zip(index_dirs, vocabs):
+            terms = v.column("term").to_pylist()
+            gs = {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "sum_dl": sum_dl,
+                "df": np.asarray([union_df[t] for t in terms], dtype=np.int64),
+                "cf": np.asarray([union_cf[t] for t in terms], dtype=np.int64) if with_cf else None,
+            }
+            self.readers.append(IndexReader(d, cfg, global_stats=gs))
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+    def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Merged top-k across all segments, usual (-score, doc)
+        tie-break (doc ids are globally unique via doc_id_base)."""
+        hits = [h for r in self.readers for h in r.search(text, k, method=method)]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
 
 
 class SearcherStage:

@@ -107,6 +107,35 @@ def test_merged_search_parity(built):
         assert rm.search(q, 10, method="wand") == rm.search(q, 10), q
 
 
+def test_federated_equals_full(built):
+    """Query-time federation over the two UNMERGED segments must be rank-
+    AND score-identical to the single full build (bm25 only — federation
+    recomputes BM25 impacts from union stats; neural impacts are stored,
+    not recomputable)."""
+    tmp, _, cfg = built
+    if cfg.encoder != "bm25":
+        import pytest as _pytest
+
+        _pytest.skip("federation applies to bm25 tf builds")
+    from splade_ray.pipelines.search import FederatedReader, IndexReader
+
+    rf = IndexReader(str(tmp / "full"), cfg)
+    fr = FederatedReader([str(tmp / "segA"), str(tmp / "segB")], cfg)
+    assert fr.n_docs == rf.n_docs
+    assert fr.avgdl == pytest.approx(rf.avgdl, rel=1e-15)
+    vocab = vocabulary()
+    queries = [
+        f"{vocab[3]} {vocab[40]}",
+        f"{vocab[7]} {vocab[7]} {vocab[11]}",
+        vocab[100],
+        f"{vocab[1]} {vocab[2]} {vocab[5]} {vocab[200]}",
+        "zzznotaword",
+    ]
+    for q in queries:
+        assert fr.search(q, 10) == rf.search(q, 10), q
+        assert fr.search(q, 10, method="wand") == rf.search(q, 10), q
+
+
 def test_merge_resume_skips_valid_shards(built):
     tmp, _, cfg = built
     from splade_ray.pipelines.merge import merge_segments
