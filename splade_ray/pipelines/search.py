@@ -1524,7 +1524,13 @@ class FederatedReader:
 
     def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
         """Merged top-k across all segments, usual (-score, doc)
-        tie-break (doc ids are globally unique via doc_id_base)."""
+        tie-break (doc ids are globally unique via doc_id_base).  Ranks,
+        scores and urls are identical to the single build; the internal
+        doc-id VALUES are per-build labels (Lucene semantics) — they
+        coincide with the single build's only when each segment's
+        doc_id_base equals the previous segments' deduplicated doc count
+        (ties still order identically either way, because doc ids stay
+        url-monotonic across ordered segments)."""
         hits = [h for r in self.readers for h in r.search(text, k, method=method)]
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
