@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk": q.lm_topk,
         # LM Jelinek-Mercer similarity (lambda=0.1) on the same seam
         "lm_jm_topk": q.lm_jm_topk,
+        # rescore API: BM25 top-30 window re-ranked by bm25 + 0.5*lm_dirichlet
+        "rescore_lm_topk": q.rescore_lm_topk,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -1019,6 +1021,37 @@ FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
         "bm25_topk_not": bm25_not,
         "more_like_this": mlt_sql,
         "lm_topk": lm_sql,
+        # rescore: bm25 window (rank<=30) LEFT JOIN the LM-Dirichlet score,
+        # combined 1.0*bm25 + 0.5*lm, window re-ranked
+        "rescore_lm_topk": bm25_ctes
+        + """
+, win AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= 30),
+lstats AS (SELECT (SELECT sum(dl) FROM dl) AS t_tokens),
+lcf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+lms AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * greatest(0.0,
+             ln(1 + tf.tf * s.t_tokens / (2000.0 * lcf.cf))
+             + ln(2000.0 / (dl.dl + 2000.0)))) AS lm_score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN lcf ON lcf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN lstats s
+  GROUP BY q.query_id, tf.doc_id
+),
+comb AS (
+  SELECT w.query_id, w.doc_id, w.score + 0.5 * coalesce(l.lm_score, 0.0) AS score
+  FROM win w LEFT JOIN lms l ON l.query_id = w.query_id AND l.doc_id = w.doc_id
+),
+rankedr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM rankedr WHERE rank <= 10
+""",
         "lm_jm_topk": jm_sql,
         "search_facets": facets,
         # histogram agg: floor(n_chars/200) buckets over the disjunctive

@@ -780,6 +780,34 @@ def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def rescore_lm_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — rescoring API (ES ``rescore``,
+    window 30, query_weight 1, rescore_weight 0.5): the BM25 top-window is
+    re-scored with the LM-Dirichlet similarity over the SAME stored index
+    (cross-similarity rescore) and the window re-ranked by the combined
+    score.  The second query touches only the window docs
+    (:meth:`IndexReader.scores_for_docs`) — the rescore cost is k-bounded,
+    never a second full scan."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    bm = IndexReader(index_dir, DOCS_CFG)
+    lm = IndexReader(index_dir, dataclasses.replace(DOCS_CFG, scoring="lm_dirichlet"))
+    rows = []
+    for qid, text in BM25_QUERIES:
+        window = bm.search(text, 30)
+        if not window:
+            continue
+        lm_scores = lm.scores_for_docs(text, [d for d, _s, _u in window])
+        combined = sorted(
+            ((d, 1.0 * s + 0.5 * lm_scores[d], u) for d, s, u in window),
+            key=lambda r: (-r[1], r[0]),
+        )[:BM25_K]
+        for rank, (_d, score, url) in enumerate(combined, 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 answered from the TERM-MAJOR salted index
     (groupby(term) shuffle + skew-aware salting, pipelines/term_index.py)

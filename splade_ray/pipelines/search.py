@@ -1214,6 +1214,30 @@ class IndexReader:
         :meth:`search_prefix` / :meth:`search_fuzzy`."""
         return self._search_expanded(self.expand_regexp(pattern), k, method)
 
+    def scores_for_docs(self, text: str, doc_ids) -> dict[int, float]:
+        """Exact per-doc scores of ``text`` under THIS reader's similarity
+        for an explicit doc set — the rescore primitive (ES ``rescore``
+        runs a second query over the top-window docs only): per shard one
+        bincount over the query postings, then a gather of the requested
+        docs.  Unmatched or unknown docs score 0.0; tombstoned docs 0.0."""
+        qtids, qw = self.encode_query(text)
+        docs = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        out = {int(d): 0.0 for d in docs}
+        if qtids.size == 0 or docs.size == 0:
+            return out
+        for sh in self.shards:
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            if sh.deleted_local.size:
+                scores[sh.deleted_local] = 0.0
+            for loc in np.flatnonzero(np.isin(sh.doc_ids, docs)):
+                out[int(sh.doc_ids[loc])] = float(scores[loc])
+        return out
+
     def suggest_completion(self, prefix: str, k: int = 10) -> list[tuple[str, int, int]]:
         """Completion suggester (ES ``completion`` over the term
         dictionary): vocab terms starting with ``prefix`` ranked by

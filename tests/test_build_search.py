@@ -591,6 +591,21 @@ def test_sharded_histogram_brute_force(built_index, numeric_corpus, oracle_index
         ss.shutdown()
 
 
+def test_scores_for_docs_matches_search(reader):
+    """The rescore primitive must return exactly the search scores for
+    ranked docs, 0.0 for unmatched and unknown docs."""
+    for text in generate_queries(10)["text"].to_pylist():
+        top = reader.search(text, 10)
+        if not top:
+            assert reader.scores_for_docs(text, [0, 1]) == {0: 0.0, 1: 0.0}
+            continue
+        docs = [d for d, _s, _u in top]
+        got = reader.scores_for_docs(text, docs + [10**9])
+        for d, s, _u in top:
+            assert got[d] == s, (text, d)
+        assert got[10**9] == 0.0
+
+
 def test_min_should_match_brute_force(reader, oracle_index):
     """Disjunctive boolean with a minimum_should_match floor must equal a
     brute-force distinct-term-overlap count over the oracle token lists,
