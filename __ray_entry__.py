@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
+        # rare-terms aggregation: long-tail (df <= n_docs/5) foreground terms
+        "rare_terms": q.rare_terms,
         # percolation (reverse search): broadcast query set, one streaming
         # map_batches pass over the documents table
         "percolate_matches": q.percolate_matches,
@@ -149,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": q.search_facets,
         # histogram aggregation over the match set (n_chars, interval 200)
         "search_histogram": q.search_histogram,
+        # adjacency matrix: pairwise co-match counts of named filters
+        "adjacency_matrix": q.adjacency_matrix,
         # exact distributed percentiles (histogram-refinement selection)
         "price_percentiles": q.price_percentiles,
         # term-vectors API: per-doc (term, tf, df) off the forward streams
@@ -357,6 +361,9 @@ FROM s ORDER BY doc_id
     completion_values = ", ".join(f"('{sid}', '{p}')" for sid, p in COMPLETION_PREFIXES)
     spell_values = ", ".join(f"('{sid}', '{t}')" for sid, t in SPELL_TERMS)
     termvec_values = ", ".join(f"({i})" for i in TERMVEC_DOC_IDS)
+    from splade_ray.pipelines.queries import ADJ_FILTERS
+
+    adj_values = ", ".join(f"('{n}', '{t}', {m})" for n, t, m in ADJ_FILTERS)
     # shared CTE chain: tokenized corpus + BM25 ranking + conjunctive qrels
     bm25_ctes = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1202,6 +1209,24 @@ FROM rankedd WHERE rank <= 10
 SELECT query_id, lang, rank, doc_id, round(score, 6) AS score_r
 FROM hits WHERE rank <= 3 ORDER BY 1, 2, 3
 """,
+        # adjacency matrix: distinct (filter, doc) matches self-joined on
+        # doc, count per ordered name pair (diagonal = per-filter counts)
+        "adjacency_matrix": f"""
+WITH fset(name, qtext, m) AS (VALUES {adj_values}),
+fterms AS (
+  SELECT DISTINCT name, m, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM fset
+),
+dtoks AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest({doc_toks}) AS term FROM documents)),
+fm AS (
+  SELECT f.name, t.doc_id
+  FROM fterms f JOIN dtoks t ON t.term = f.term
+  GROUP BY f.name, f.m, t.doc_id
+  HAVING count(*) >= f.m
+)
+SELECT a.name AS name_a, b.name AS name_b, count(*)::BIGINT AS n_docs
+FROM fm a JOIN fm b ON b.doc_id = a.doc_id AND b.name >= a.name
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # exact percentiles: quantile_disc over the same column
         "price_percentiles": """
 WITH agg AS (
@@ -1287,6 +1312,24 @@ rankedt AS (
 SELECT query_id, trank AS rank, term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df,
        round(jlh, 6) AS jlh_r
 FROM rankedt WHERE trank <= 10
+""",
+        # rare terms: foreground term presence in the top-50 sample, global
+        # df filter at floor(n_docs/5), (df, term) ranking
+        "rare_terms": bm25_ctes
+        + """
+, topdocs AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 50),
+fg AS (
+  SELECT t.query_id, x.term, count(DISTINCT x.doc_id)::BIGINT AS fg_df
+  FROM topdocs t JOIN toks x ON x.doc_id = t.doc_id
+  GROUP BY t.query_id, x.term
+),
+rt AS (
+  SELECT f.query_id, f.term, d.df::BIGINT AS bg_df, f.fg_df,
+         row_number() OVER (PARTITION BY f.query_id ORDER BY d.df ASC, f.term ASC) AS trank
+  FROM fg f JOIN df d ON d.term = f.term CROSS JOIN stats s
+  WHERE d.df <= floor(s.n_docs / 5)
+)
+SELECT query_id, trank AS rank, term, bg_df, fg_df FROM rt WHERE trank <= 10
 """,
         # ordered span-near: brute-force in-order position joins (any
         # (p1<p2[<p3]) combo with span-(m-1) <= slop), then the shared BM25

@@ -1100,6 +1100,23 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "term", "fg_df", "bg_df", "jlh_r"])
 
 
+def rare_terms(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, term, bg_df, fg_df) — rare-terms aggregation (ES
+    rare_terms, sampler-bounded): long-tail terms (global df ≤ n_docs/5)
+    present in each query's top-50 hits, ranked (df asc, term asc); the
+    same k-bounded foreground gather as significant_terms."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (term, bg_df, fg_df) in enumerate(reader.rare_terms(text, 50, reader.n_docs // 5, 10), 1):
+            rows.append((qid, rank, term, bg_df, fg_df))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "term", "bg_df", "fg_df"])
+
+
 NEAR_QUERIES: list[tuple[str, str, str, int]] = [
     ("nq1", "order", "scan", 3),
     ("nq2", "stream", "column", 2),
@@ -1341,6 +1358,31 @@ def price_percentiles(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"])
     got = exact_percentiles(ds, "l_extendedprice", PERCENTILE_QS, buckets=256, gather_limit=20_000)
     return pd.DataFrame(got, columns=["q", "value"])
+
+
+ADJ_FILTERS: list[tuple[str, str, int]] = [
+    ("a_order", "order scan", 1),
+    ("b_stream", "stream window", 2),
+    ("c_spark", "spark merge", 1),
+    ("d_oov", "zzznotaword", 1),  # matches nothing — absent from output
+]
+
+
+def adjacency_matrix(sf_dir: str) -> pd.DataFrame:
+    """(name_a, name_b, n_docs) — adjacency-matrix aggregation (ES
+    adjacency_matrix): pairwise co-match doc counts of named boolean
+    filters, computed per shard owner as one boolean match matrix + one
+    M×M matmul; M² cells per actor cross the network, never match sets."""
+    from .search import ShardedSearcher
+
+    ss = ShardedSearcher(build_documents_index(sf_dir), DOCS_CFG, num_actors=2)
+    try:
+        rows = ss.adjacency_matrix(ADJ_FILTERS)
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["name_a", "name_b", "n_docs"]).sort_values(
+        ["name_a", "name_b"], ignore_index=True
+    )
 
 
 def retrieval_metrics_at10(sf_dir: str) -> pd.DataFrame:

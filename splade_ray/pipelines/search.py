@@ -1436,17 +1436,39 @@ class IndexReader:
         term ids through one cached md5 pass over the vocab (vocab-bounded,
         never corpus-bounded).  Requires ``store_forward=True`` and a
         sorted (string) vocab."""
+        fgset = self._foreground_terms(text, k_docs)
+        if fgset is None:
+            return []
+        tids, fg_arr, n_fg = fgset
+        fg = fg_arr.astype(np.float64)
+        bg = self.df[tids].astype(np.float64)
+        fgp, bgp = fg / n_fg, bg / float(self.n_docs)
+        jlh = (fgp - bgp) * fgp / bgp
+        keep = jlh > 0
+        terms = self.vocab_index[tids[keep]]
+        rows = sorted(
+            zip(terms, fg_arr[keep], bg[keep], jlh[keep]),
+            key=lambda r: (-r[3], r[0]),
+        )[:k_terms]
+        return [(str(t), int(f), int(b), float(j)) for t, f, b, j in rows]
+
+    def _foreground_terms(self, text: str, k_docs: int) -> tuple[np.ndarray, np.ndarray, float] | None:
+        """(vocab tids, per-term distinct-doc counts, sample size) over the
+        query's top ``k_docs`` hits — the shared foreground gather of the
+        sampled-aggregation family (significant_terms / rare_terms).
+        k-bounded: only the top docs' forward streams are decoded, one
+        run-length pass per shard owner, hashes map back through the
+        cached vocab-hash table.  None when the query matches nothing."""
         if self.vocab_index is None:
-            raise ValueError("significant_terms needs a sorted-vocab BM25 index")
+            raise ValueError("sampled term aggregations need a sorted-vocab BM25 index")
         top = self.search(text, k_docs)
         if not top:
-            return []
+            return None
         docs = np.asarray(sorted(d for d, _s, _u in top), dtype=np.int64)
-        n_fg = float(docs.size)
         parts = []
         for sh in self.shards:
             if sh.fwd_stream is None:
-                raise ValueError("significant_terms requires an index built with store_forward=True")
+                raise ValueError("sampled term aggregations require an index built with store_forward=True")
             loc = np.flatnonzero(np.isin(sh.doc_ids, docs))
             if loc.size == 0:
                 continue
@@ -1460,24 +1482,28 @@ class IndexReader:
             first[1:] = (tok[1:] != tok[:-1]) | (ci[1:] != ci[:-1])
             parts.append(tok[first])
         if not parts:
-            return []
+            return None
         hashes, fg_df = np.unique(np.concatenate(parts), return_counts=True)
         hv_sorted, perm = self._vocab_hash_map()
-        idx = np.searchsorted(hv_sorted, hashes)
-        idx = np.minimum(idx, hv_sorted.size - 1)
+        idx = np.minimum(np.searchsorted(hv_sorted, hashes), hv_sorted.size - 1)
         known = hv_sorted[idx] == hashes
-        tids = perm[idx[known]]
-        fg = fg_df[known].astype(np.float64)
-        bg = self.df[tids].astype(np.float64)
-        fgp, bgp = fg / n_fg, bg / float(self.n_docs)
-        jlh = (fgp - bgp) * fgp / bgp
-        keep = jlh > 0
+        return perm[idx[known]], fg_df[known], float(docs.size)
+
+    def rare_terms(self, text: str, k_docs: int = 50, max_df: int = 50, k_terms: int = 10) -> list[tuple[str, int, int]]:
+        """Rare-terms aggregation (ES ``rare_terms``, sampler-bounded like
+        :meth:`significant_terms`): terms of the query's top ``k_docs``
+        hits whose GLOBAL df is at most ``max_df``, ranked by (df asc,
+        term asc).  Returns (term, bg_df, fg_df) rows — the long-tail dual
+        of a terms aggregation (which surfaces heads)."""
+        fgset = self._foreground_terms(text, k_docs)
+        if fgset is None:
+            return []
+        tids, fg_df, _n_fg = fgset
+        bg = self.df[tids]
+        keep = bg <= max_df
         terms = self.vocab_index[tids[keep]]
-        rows = sorted(
-            zip(terms, fg_df[known][keep], bg[keep], jlh[keep]),
-            key=lambda r: (-r[3], r[0]),
-        )[:k_terms]
-        return [(str(t), int(f), int(b), float(j)) for t, f, b, j in rows]
+        rows = sorted(zip(terms, bg[keep], fg_df[keep]), key=lambda r: (r[1], r[0]))[:k_terms]
+        return [(str(t), int(b), int(f)) for t, b, f in rows]
 
     def _merge_shard_topk(self, cands: list[tuple[np.ndarray, np.ndarray]], k: int) -> list[tuple[int, float, str]]:
         docs = np.concatenate([c[0] for c in cands]) if cands else np.zeros(0, np.int64)
@@ -1849,6 +1875,30 @@ class ShardScorerActor:
         d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
+
+    def adjacency_counts(self, filter_tids: list[np.ndarray], ms: np.ndarray) -> np.ndarray:
+        """Adjacency-matrix aggregation (ES ``adjacency_matrix``): for M
+        named boolean filters (filter i = "matches >= ms[i] distinct terms
+        of filter_tids[i]"), the M×M matrix of co-match doc counts over
+        THIS actor's shards.  One bincount per (shard, filter) builds an
+        n_local×M boolean match matrix; the pairwise counts are one
+        M×M matmul — the driver sums M² cells per actor, the match sets
+        never leave the shard owners."""
+        m_filters = len(filter_tids)
+        out = np.zeros((m_filters, m_filters), dtype=np.int64)
+        for sh in self.reader.shards:
+            mat = np.zeros((sh.n_local, m_filters), dtype=np.int64)
+            for fi, (tids, need) in enumerate(zip(filter_tids, ms)):
+                slices = sh._term_slices(np.asarray(tids, dtype=np.int64))
+                if not slices:
+                    continue
+                ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+                cnt = np.bincount(ids, minlength=sh.n_local)
+                if sh.deleted_local.size:
+                    cnt[sh.deleted_local] = 0
+                mat[:, fi] = cnt >= int(need)
+            out += mat.T @ mat
+        return out
 
     def score_top_hits(self, qtids: np.ndarray, qw: np.ndarray, attr_col: str, n: int) -> dict:
         """Top-hits-per-bucket (ES ``terms`` agg + ``top_hits``): this
@@ -2273,6 +2323,29 @@ class ShardedSearcher:
         order = np.lexsort((d, -s))[:k]
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def adjacency_matrix(self, filters: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
+        """Adjacency-matrix aggregation over named boolean filters
+        (``(name, text, min_should_match)`` triples): (name_a, name_b,
+        n_docs) rows for every a <= b pair with a nonzero intersection —
+        the ES ``adjacency_matrix`` response shape (diagonal = per-filter
+        counts).  Each actor ships M² cells.  A filter with any OOV-only
+        text matches nothing."""
+        names, tid_sets, ms = [], [], []
+        for name, text, m in filters:
+            qtids, _ = self.reader.encode_query(text)
+            names.append(name)
+            tid_sets.append(qtids)
+            ms.append(max(1, int(m)))
+        futs = [a.adjacency_counts.remote(tid_sets, np.asarray(ms)) for a in self.actors]
+        total = sum(ray.get(futs))
+        rows = []
+        for i, na in enumerate(names):
+            for j in range(i, len(names)):
+                c = int(total[i, j])
+                if c > 0:
+                    rows.append((na, names[j], c))
+        return rows
 
     def histogram(self, text: str, attr_col: str = "n_chars", width: int = 200, m: int = 1) -> list[tuple[int, int]]:
         """Histogram aggregation (ES ``histogram``) over the disjunctive

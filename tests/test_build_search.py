@@ -591,6 +591,40 @@ def test_sharded_histogram_brute_force(built_index, numeric_corpus, oracle_index
         ss.shutdown()
 
 
+def test_adjacency_matrix_brute_force(built_index, oracle_index):
+    """Pairwise filter co-match counts must equal brute-force set
+    intersections over the oracle token lists (incl. min_should_match
+    floors, the diagonal, and an OOV filter that vanishes)."""
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    tok = Tokenizer(cfg)
+    filters = [
+        ("a", "w0001 w0093", 1),
+        ("b", "w0042 w0010", 2),
+        ("c", "w0005", 1),
+        ("d", "zzznotaword", 1),
+    ]
+    sets = {}
+    for name, text, m in filters:
+        q = set(tok.tokenize(text))
+        sets[name] = {d for d, toks in enumerate(oracle_index.tokens) if len(q & set(toks)) >= m}
+    want = []
+    names = [f[0] for f in filters]
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            c = len(sets[a] & sets[b])
+            if c:
+                want.append((a, b, c))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2)
+    try:
+        got = ss.adjacency_matrix(filters)
+    finally:
+        ss.shutdown()
+    assert sorted(got) == sorted(want)
+    assert not any("d" in (a, b) for a, b, _ in got)
+
+
 def test_scores_for_docs_matches_search(reader):
     """The rescore primitive must return exactly the search scores for
     ranked docs, 0.0 for unmatched and unknown docs."""

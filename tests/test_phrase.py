@@ -203,6 +203,31 @@ def test_term_vectors_brute_force(corpus, cfg, built):
     assert reader.term_vectors([10**9]) == []
 
 
+def test_rare_terms_brute_force(corpus, cfg, built):
+    """Rare-terms aggregation vs a from-scratch recomputation: foreground
+    presence in the engine's top-50, global df filter, (df, term) order."""
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    reader = IndexReader(built, cfg)
+    max_df = 12
+    checked = 0
+    for q in ["w0001 w0093", "w0042 w0010", "w0005"]:
+        got = reader.rare_terms(q, 50, max_df, 10)
+        top = [d for d, _s, _u in reader.search(q, 50)]
+        fg: dict[str, int] = {}
+        for d in top:
+            for t in set(oidx.tokens[d]):
+                fg[t] = fg.get(t, 0) + 1
+        cands = [
+            (t, int(oidx.df[oidx.term_to_id[t]]), f)
+            for t, f in fg.items()
+            if int(oidx.df[oidx.term_to_id[t]]) <= max_df
+        ]
+        want = sorted(cands, key=lambda r: (r[1], r[0]))[:10]
+        assert got == want, q
+        checked += len(got)
+    assert checked > 5  # the zipf tail must actually surface rare terms
+
+
 def test_phrase_hashed_vocab_and_shuffle_dedup(corpus, cfg, tmp_path_factory):
     """The forward stream is vocab-mode independent: hashed-vocab and
     shuffle-dedup builds must return the same phrase top-k."""
