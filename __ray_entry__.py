@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_jm_topk": q.lm_jm_topk,
         # rescore API: BM25 top-30 window re-ranked by bm25 + 0.5*lm_dirichlet
         "rescore_lm_topk": q.rescore_lm_topk,
+        # analysis chain: StopFilter + minimal English stemmer at index AND
+        # query time (Lucene Analyzer seam; post-analysis df/dl/avgdl)
+        "analyzed_topk": q.analyzed_topk,
         # deep pagination via search_after cursor (page 2 = ranks 11-20)
         "bm25_topk_page2": q.bm25_topk_page2,
         # faceted match-set counts per lang (Lucene-facets aggregation)
@@ -407,6 +410,50 @@ SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
     )
+    # analyzed BM25: the light_en chain (stop filter BEFORE the ordered
+    # stem-rule chain — both defined once in splade_ray.tokenizer and
+    # replayed here verbatim) applied to docs and queries; df/dl/avgdl are
+    # post-analysis, so scores differ from the standard index by design
+    from splade_ray.pipelines.queries import ANALYZED_QUERIES
+    from splade_ray.tokenizer import LIGHT_EN_RULES, STOP_WORDS
+
+    def _stem_sql(expr: str) -> str:
+        for pat, rep in LIGHT_EN_RULES:
+            expr = f"regexp_replace({expr}, '{pat}', '{rep}')"
+        return expr
+
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    an_values = ", ".join(f"('{qid}', '{text}')" for qid, text in ANALYZED_QUERIES)
+    analyzed = f"""
+WITH qset(query_id, qtext) AS (VALUES {an_values}),
+qraw AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS t FROM qset),
+qterms AS (SELECT query_id, {_stem_sql('t')} AS term FROM qraw WHERE t NOT IN ({stop_sql})),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+raw AS (SELECT doc_id, unnest({doc_toks}) AS t FROM documents),
+toks AS (SELECT doc_id, {_stem_sql('t')} AS term FROM raw WHERE t NOT IN ({stop_sql})),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     boolean_and = (
         bm25_ctes
         + """
@@ -1060,6 +1107,7 @@ SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM rankedr WHERE rank <= 10
 """,
         "lm_jm_topk": jm_sql,
+        "analyzed_topk": analyzed,
         "search_facets": facets,
         # histogram agg: floor(n_chars/200) buckets over the disjunctive
         # match set (>= 1 query term)

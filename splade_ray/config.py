@@ -133,6 +133,15 @@ class EngineConfig:
     # lowercase, then split on runs of non-[a-z0-9]; empty tokens dropped.
     token_pattern: str = "[a-z0-9]+"
     lowercase: bool = True
+    # --- analysis chain (Lucene Analyzer seam) ---
+    # "standard": tokens as-is.  "light_en": StopFilter (fixed English
+    # stoplist, applied BEFORE stemming — Lucene's StandardAnalyzer order)
+    # followed by a minimal suffix stemmer (Lucene EnglishMinimalStemFilter
+    # flavor: ies→y, sses→ss, drop trailing s/ing/ed) defined as an ordered
+    # regexp_replace chain so the DuckDB oracle replays it exactly.
+    # Doc length (dl) counts post-stop tokens, matching Lucene norms that
+    # count post-analysis positions.
+    analyzer: str = "standard"
 
     # --- dedup strategy ---
     # "broadcast": dedup winners (url -> max warc_ts, doc_id) are computed
@@ -171,6 +180,7 @@ class EngineConfig:
         assert self.dedup_mode in ("auto", "broadcast", "shuffle")
         assert self.broadcast_row_limit > 0
         assert self.vocab_mode in ("sorted", "hashed")
+        assert self.analyzer in ("standard", "light_en")
         assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
         assert self.neural_backend in ("hash", "torch")
         # the forward stream is the md5 token sequence — defined by the

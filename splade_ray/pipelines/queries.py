@@ -265,6 +265,45 @@ def lm_jm_topk(sf_dir: str) -> pd.DataFrame:
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 
+ANALYZED_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, analyzer="light_en")
+# query variants whose light_en stems land on corpus base terms:
+# sparks->spark, joins->join, tables->tabl(==table), merging->merg(==merge),
+# valued->valu(==value), hashes->hash, sorted->sort, queries->query; 'the',
+# 'a', 'and', 'in' are stopped on both sides.
+ANALYZED_QUERIES: list[tuple[str, str]] = [
+    ("a0", "the sparks joins tables"),
+    ("a1", "merging streams in windows"),
+    ("a2", "a customer valued orders"),
+    ("a3", "hashes and sorted queries"),
+]
+
+
+def analyzed_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — BM25 top-10 under the
+    ``light_en`` analysis chain (the Lucene Analyzer seam: StopFilter
+    before a minimal English stemmer, ``tokenizer.LIGHT_EN_RULES``).
+
+    The index is BUILT with ``analyzer="light_en"`` so stop tokens never
+    enter the postings: df, dl and avgdl are all post-analysis (Lucene
+    norms count post-analysis positions), which shifts every BM25 score
+    relative to the standard index — the oracle replays the identical
+    stop list + ordered regexp_replace chain in SQL.  Query-side analysis
+    rides the same Tokenizer, so inflected queries ('joins', 'merging',
+    'queries') conflate onto the corpus stems."""
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{ANALYZED_DOCS_CFG}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_anidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, ANALYZED_DOCS_CFG)
+    reader = IndexReader(out, ANALYZED_DOCS_CFG)
+    rows = []
+    for qid, text in ANALYZED_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def more_like_this(sf_dir: str) -> pd.DataFrame:
     """More-like-this: each seed doc reduces to its 5 highest-tf·idf terms
     (idf off the index's global df; term-asc tie-break so SQL replays the

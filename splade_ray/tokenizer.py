@@ -58,6 +58,33 @@ def extract_text_batch(html_col: pa.Array) -> pa.Array:
         return pa.array(out, type=pa.string())
 
 
+# --- Lucene-Analyzer-style chain (config.analyzer == "light_en") ---
+# StopFilter list: a fixed English stoplist (subset of Lucene's
+# EnglishAnalyzer ENGLISH_STOP_WORDS_SET), applied BEFORE stemming —
+# StandardAnalyzer filter order, and it keeps stop tokens from being
+# mangled by the stemmer ("this" -> "thi").
+STOP_WORDS: frozenset = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+# Minimal English stemmer (Lucene EnglishMinimalStemFilter flavor) as an
+# ORDERED regexp_replace chain — each rule rewrites the previous rule's
+# output.  The SAME chain runs in three engines: Python ``re`` (per-token
+# fallback), Arrow RE2 (once per unique vocab term per batch), and the
+# DuckDB oracle's regexp_replace (both are RE2 with ``\\1`` backrefs), so
+# analyzed indexes stay SQL-replayable.
+LIGHT_EN_RULES: list = [
+    (r"^([a-z0-9]{2,})ies$", r"\1y"),  # queries -> query
+    (r"^([a-z0-9]{2,})sses$", r"\1ss"),  # classes -> class
+    (r"^([a-z0-9]{2,}[^su])s$", r"\1"),  # joins -> join (not ss/us)
+    (r"^([a-z0-9]{4,})ing$", r"\1"),  # joining -> join
+    (r"^([a-z0-9]{3,})ed$", r"\1"),  # joined -> join
+    # Porter step-5a flavor: final-e deletion so 'merge' (doc) and
+    # 'merging' (query) conflate to the same stem 'merg'
+    (r"^([a-z0-9]{4,})e$", r"\1"),  # merge -> merg
+]
+
+
 class Tokenizer:
     """Regex tokenizer; compile once, reuse across batches (stateful-stage
     pattern: construct in an actor's ``__init__``)."""
@@ -66,11 +93,54 @@ class Tokenizer:
         self.config = config
         self.pattern = re.compile(config.token_pattern)
         self.lowercase = config.lowercase
+        self.analyzer = getattr(config, "analyzer", "standard")
+        self._stem_rules = (
+            [(re.compile(p), r) for p, r in LIGHT_EN_RULES]
+            if self.analyzer == "light_en"
+            else None
+        )
+
+    def _analyze_tokens(self, toks: list) -> list:
+        """Per-token Python analysis chain (fallback path): stop filter
+        then the stem rule chain.  Mirrors :meth:`_analyze_codes`."""
+        out = []
+        for t in toks:
+            if t in STOP_WORDS:
+                continue
+            for pat, rep in self._stem_rules:
+                t = pat.sub(rep, t)
+            out.append(t)
+        return out
+
+    def _analyze_codes(
+        self, codes: np.ndarray, rows: np.ndarray, vocab: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """Vectorized analysis chain over dictionary codes: the stop mask
+        and the stem chain touch only the per-batch UNIQUE vocab (RE2 in
+        C++), then one gather remaps every occurrence — no per-token
+        Python, same zero-object contract as :meth:`tokenize_codes`."""
+        if len(vocab) == 0 or codes.size == 0:
+            return codes, rows, vocab
+        stop = pc.is_in(vocab, value_set=pa.array(sorted(STOP_WORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        stemmed = vocab
+        for pat, rep in LIGHT_EN_RULES:
+            stemmed = pc.replace_substring_regex(stemmed, pattern=pat, replacement=rep)
+        if isinstance(stemmed, pa.ChunkedArray):
+            stemmed = stemmed.combine_chunks()
+        dic = stemmed.dictionary_encode()
+        remap = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~stop[codes]
+        return remap[codes][keep], rows[keep], dic.dictionary
 
     def tokenize(self, text: str) -> list[str]:
         if self.lowercase:
             text = text.lower()
-        return self.pattern.findall(text)
+        toks = self.pattern.findall(text)
+        if self._stem_rules is not None:
+            toks = self._analyze_tokens(toks)
+        return toks
 
     def split_pattern(self) -> str | None:
         """Invert a ``[chars]+`` token pattern into its separator pattern
@@ -126,6 +196,8 @@ class Tokenizer:
         if empty.any():
             keep = codes != int(np.nonzero(empty)[0][0])
             codes, rows = codes[keep], rows[keep]
+        if self._stem_rules is not None:
+            codes, rows, vocab = self._analyze_codes(codes, rows, vocab)
         dls = np.bincount(rows, minlength=n).astype(np.int64)
         return codes, rows, vocab, dls
 
@@ -181,8 +253,11 @@ class Tokenizer:
         counts = np.zeros(len(texts), dtype=np.int64)
         lower = self.lowercase
         findall = self.pattern.findall
+        analyze = self._analyze_tokens if self._stem_rules is not None else None
         for i, t in enumerate(texts):
             toks = findall((t or "").lower() if lower else (t or ""))
+            if analyze is not None:
+                toks = analyze(toks)
             tokens.extend(toks)
             counts[i] = len(toks)
         return tokens, counts.astype(np.int32)
