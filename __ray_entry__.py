@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_segments": q.index_segments,
         # field collapsing: best hit per source (Lucene grouping/collapse)
         "collapse_topk": q.collapse_topk,
+        # nested block-join: chunks indexed as child docs, parent takes its
+        # best child's BM25 (ToParentBlockJoinQuery, ScoreMode.Max)
+        "block_join_topk": q.block_join_topk,
         # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
         "boosted_topk": q.boosted_topk,
         # TermStatistics (df + totalTermFreq) served off the stored index
@@ -1108,6 +1111,53 @@ FROM rankedr WHERE rank <= 10
 """,
         "lm_jm_topk": jm_sql,
         "analyzed_topk": analyzed,
+        # nested block-join: BM25 over the chunk corpus (chunk-level
+        # df/dl/avgdl — the nested-document model), parent = max child,
+        # winning child reported with (-score, chunk_idx) tie-break,
+        # parents ranked by (-score, doc_id); chunking CTE identical to
+        # the doc_chunks oracle (window 16, stride 12)
+        "block_join_topk": f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+dtoks AS (SELECT doc_id, {doc_toks} AS ts FROM documents),
+base AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(ts) - 16, 0) / 12.0) AS INT) END AS n_chunks
+  FROM dtoks
+),
+idx AS (SELECT doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM base),
+chunks AS (SELECT doc_id, chunk_idx, ts[chunk_idx*12 + 1 : least(chunk_idx*12 + 16, n)] AS ct FROM idx),
+ctoks AS (SELECT doc_id, chunk_idx, unnest(ct) AS term FROM chunks),
+tf AS (SELECT doc_id, chunk_idx, term, count(*)::DOUBLE AS tf FROM ctoks GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, chunk_idx, count(*)::DOUBLE AS dl FROM ctoks GROUP BY 1, 2),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cscores AS (
+  SELECT q.query_id, tf.doc_id, tf.chunk_idx,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.chunk_idx = tf.chunk_idx
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, chunk_idx, score,
+         row_number() OVER (PARTITION BY query_id, doc_id ORDER BY round(score, 6) DESC, chunk_idx ASC) AS rc
+  FROM cscores
+),
+parents AS (
+  SELECT query_id, doc_id, chunk_idx, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM best WHERE rc = 1
+)
+SELECT query_id, rank, doc_id, chunk_idx, round(score, 6) AS score_r
+FROM parents WHERE rank <= 10
+""",
         "search_facets": facets,
         # histogram agg: floor(n_chars/200) buckets over the disjunctive
         # match set (>= 1 query term)

@@ -472,6 +472,94 @@ def boosted_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def _chunk_index_dir(sf_dir: str) -> str:
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|chunks_v1".encode()).hexdigest()[:12]
+    return os.path.join("/tmp/splade_ray_cache", f"docs_cidx_{key}")
+
+
+def build_chunk_index(sf_dir: str) -> str:
+    """Nested-document (Lucene block-join) corpus: each document is split
+    into fixed token windows (window 16, stride 12 — the SAME deterministic
+    chunking as :func:`doc_chunks` and its SQL oracle) and every chunk is
+    indexed as its own child document.
+
+    Child url = ``doc://{doc_id:010d}#c{chunk_idx:04d}`` so the engine's
+    lexicographic url order == (parent, chunk_idx) order: all chunks of a
+    parent are a contiguous internal doc-id block, exactly Lucene's
+    parent/child block layout, and internal-id tie-breaks equal parent-id
+    tie-breaks.  The ``parent`` doc-value column rides the corpus parquet
+    for the collapse/join step."""
+    from .textops import ChunkStage
+
+    out = _chunk_index_dir(sf_dir)
+    corpus_path = os.path.join(out, "corpus_input.parquet")
+    if not os.path.exists(corpus_path):
+        os.makedirs(out, exist_ok=True)
+        chunker = ChunkStage(window=16, stride=12)
+
+        def to_chunk_corpus(batch: pa.Table) -> pa.Table:
+            ch = chunker(batch)
+            ids = ch.column("doc_id").to_numpy(zero_copy_only=False)
+            cix = ch.column("chunk_idx").to_numpy(zero_copy_only=False)
+            urls = pa.array(
+                [f"doc://{d:010d}#c{c:04d}" for d, c in zip(ids, cix)], type=pa.string()
+            )
+            # parent lang rides each chunk (doc_id is ascending within the
+            # source parquet, so a searchsorted gather suffices)
+            bids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            lang = batch.column("lang").take(pa.array(np.searchsorted(bids, ids)))
+            n = len(ch)
+            return pa.table(
+                {
+                    "url": urls,
+                    "warc_ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+                    "text": ch.column("chunk_text"),
+                    "lang": lang,
+                    "parent": pa.array(ids.astype(np.int64), type=pa.int64()),
+                }
+            )
+
+        tmp = corpus_path + ".tmp"
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+            to_chunk_corpus, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_path)
+    build_index(corpus_path, out, DOCS_CFG)
+    return out
+
+
+def block_join_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, chunk_idx, score_r) — nested block-join
+    retrieval (Lucene ToParentBlockJoinQuery, ScoreMode.Max): BM25 scores
+    the CHILD chunks (df/dl/avgdl are all chunk-corpus statistics — the
+    nested-document model), each parent takes its best child's score, and
+    parents are ranked by (-score, parent).  Served by the shard owners
+    via the collapse kernel keyed on the ``parent`` doc-value: each actor
+    ships |parents-with-matches| cells, child match sets never cross the
+    network.  ``chunk_idx`` reports the winning child (Lucene's matching
+    child hit)."""
+    from .search import ShardedSearcher
+
+    index_dir = build_chunk_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            # the collapse merge already ships one cell per matched parent;
+            # rank parents on the 6-decimal score (the repo-wide compare
+            # precision) so fp32-engine vs fp64-oracle epsilon can't flip
+            # equal-score parents — ties break by parent id on both sides
+            hits = ss.search_collapse(text, 1 << 30, "parent")
+            ranked = sorted(hits, key=lambda h: (-round(h[2], 6), int(h[0])))[:BM25_K]
+            for rank, (parent, _d, score, url) in enumerate(ranked, 1):
+                cidx = int(url.rsplit("#c", 1)[1])
+                rows.append((qid, rank, int(parent), cidx, round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "chunk_idx", "score_r"])
+
+
 SYNONYM_QUERIES: list[tuple[str, list[list[str]]]] = [
     ("y0", [["data", "index"], ["query"]]),
     ("y1", [["spark", "stream"]]),

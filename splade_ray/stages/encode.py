@@ -179,7 +179,10 @@ _REF_CACHE_MAX = 8  # broadcasts per build are few; bound so long-lived
 
 
 def cached_tokenizer(cfg: EngineConfig) -> Tokenizer:
-    key = (cfg.token_pattern, cfg.lowercase)
+    # key on EVERY field that changes token output — omitting one silently
+    # serves a stale tokenizer to any same-worker build with a different
+    # analysis config (found the hard way with analyzer="light_en")
+    key = (cfg.token_pattern, cfg.lowercase, cfg.analyzer)
     tok = _TOK_CACHE.get(key)
     if tok is None:
         tok = _TOK_CACHE[key] = Tokenizer(cfg)

@@ -67,31 +67,72 @@ def test_rules_are_sql_replayable_literals():
 
 
 @pytest.fixture(scope="module")
-def analyzed_index(ray_session, web_pages_path, tmp_path_factory):
+def inflected_corpus(tmp_path_factory):
+    """Synthetic corpus WITH stopwords and inflections (the fixture web
+    pages use a w#### vocabulary on which light_en is a no-op)."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    content = [
+        "join", "joins", "joined", "joining", "merge", "merges", "merging",
+        "table", "tables", "query", "queries", "hash", "hashes", "sort",
+        "sorted", "stream", "streams", "window", "windows", "value", "valued",
+        "class", "classes", "status", "spark",
+    ]
+    stops = sorted(STOP_WORDS)
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(5, 40))
+        words = [
+            content[int(rng.integers(len(content)))]
+            if rng.random() > 0.35
+            else stops[int(rng.integers(len(stops)))]
+            for _ in range(n)
+        ]
+        rows.append(" ".join(words))
+    urls = [f"doc://{i:06d}" for i in range(300)]
+    tbl = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.array(np.zeros(300, dtype=np.int64), type=pa.timestamp("us")),
+            "text": pa.array(rows),
+            "lang": pa.array(["en"] * 300),
+        }
+    )
+    path = str(tmp_path_factory.mktemp("inflected") / "corpus.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def analyzed_index(ray_session, inflected_corpus, tmp_path_factory):
     from splade_ray.pipelines.build import build_index
 
-    cfg = EngineConfig(shard_size=500, num_buckets=16, zone_docs=125, analyzer="light_en")
+    cfg = EngineConfig(shard_size=64, num_buckets=4, zone_docs=32, analyzer="light_en")
     out = str(tmp_path_factory.mktemp("aidx") / "idx")
-    build_index(web_pages_path, out, cfg)
+    build_index(inflected_corpus, out, cfg)
     return out, cfg
 
 
-def test_analyzed_rank_identity(analyzed_index, web_pages_path):
+def test_analyzed_rank_identity(analyzed_index, inflected_corpus):
     import pyarrow.parquet as pq
 
     from splade_ray.pipelines.search import IndexReader
 
     index_dir, cfg = analyzed_index
-    oracle = build_oracle_index(pq.read_table(web_pages_path), cfg)
+    oracle = build_oracle_index(pq.read_table(inflected_corpus), cfg)
     reader = IndexReader(index_dir, cfg)
-    assert reader.n_docs == oracle.n_docs
+    assert reader.n_docs == oracle.n_docs == 300
     assert reader.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
-    # stop words never enter the postings
-    assert not (set(reader.vocab_index) & STOP_WORDS)
+    # stop words never enter the postings; inflections conflate
+    vocab = set(reader.vocab_index)
+    assert not (vocab & STOP_WORDS)
+    assert "joins" not in vocab and "join" in vocab
+    assert "tables" not in vocab and "tabl" in vocab  # table/tables -> tabl
     queries = [
         "the sparks joins tables",
         "merging streams in windows",
-        "a customer valued orders",
+        "a valued query",
         "hashes and sorted queries",
         "the a an to",  # fully stopped -> empty result
         "zzznotawords spark",
@@ -104,9 +145,10 @@ def test_analyzed_rank_identity(analyzed_index, web_pages_path):
             assert gs == pytest.approx(es, rel=1e-9)
         wand = reader.search(text, 10, method="wand")
         assert [(d, s) for d, s, _ in wand] == [(d, s) for d, s, _ in got], text
+    assert reader.search("the a an to", 10) == []
 
 
-def test_analyzed_dl_excludes_stopwords(analyzed_index, web_pages_path):
+def test_analyzed_dl_excludes_stopwords(analyzed_index, inflected_corpus):
     """dl stored in the analyzed index counts post-analysis tokens only."""
     import os
 
@@ -114,11 +156,8 @@ def test_analyzed_dl_excludes_stopwords(analyzed_index, web_pages_path):
 
     index_dir, cfg = analyzed_index
     tok = Tokenizer(cfg)
-    src = pq.read_table(web_pages_path, columns=["url", "text"])
-    # fixture recrawls: keep one row per url like the dedup stage does
-    texts = {}
-    for u, t in zip(src["url"].to_pylist(), src["text"].to_pylist()):
-        texts[u] = t  # dedup winner has identical text for fixture recrawls
+    src = pq.read_table(inflected_corpus, columns=["url", "text"])
+    texts = dict(zip(src["url"].to_pylist(), src["text"].to_pylist()))
     docs = []
     pdir = os.path.join(index_dir, "postings")
     for f in sorted(os.listdir(pdir)):
@@ -127,6 +166,7 @@ def test_analyzed_dl_excludes_stopwords(analyzed_index, web_pages_path):
     tbl = pa.concat_tables(docs)
     urls = tbl["url"].to_pylist()
     dls = tbl["dl"].to_numpy(zero_copy_only=False)
-    sample = np.linspace(0, len(urls) - 1, 50).astype(int)
-    for i in sample:
-        assert dls[i] == len(tok.tokenize(texts[urls[i]])), urls[i]
+    assert len(urls) == 300
+    for u, d in zip(urls, dls):
+        assert d == len(tok.tokenize(texts[u])), u
+        assert d <= len(Tokenizer(EngineConfig()).tokenize(texts[u]))
