@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": q.search_facets,
         # histogram aggregation over the match set (n_chars, interval 200)
         "search_histogram": q.search_histogram,
+        # exact cardinality agg: distinct sources in the match set
+        "search_cardinality": q.search_cardinality,
+        # composite aggregation with after-key paging over (lang, source)
+        "composite_buckets": q.composite_buckets,
+        # matrix_stats: per-type moments/covariance/correlation (events)
+        "matrix_stats": q.matrix_stats,
         # adjacency matrix: pairwise co-match counts of named filters
         "adjacency_matrix": q.adjacency_matrix,
         # exact distributed percentiles (histogram-refinement selection)
@@ -215,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q.embedding_near_dups,
         # similarity search
         "knn_cosine": q.knn_cosine,
+        # filtered vector search: cosine top-k under a label pre-filter
+        "knn_cosine_filtered": q.knn_cosine_filtered,
+        # SemDeDup: k-means clusters, within-cluster cosine dedup
+        "semdedup_kept": q.semdedup_kept,
         # IVF with nprobe == n_clusters: exhaustive, same oracle
         "knn_cosine_ivf": q.knn_cosine_ivf,
         # IVF from the on-disk per-cluster partition layout (save/load,
@@ -301,8 +311,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return ops
 
 
+# deterministic distributed Lloyd k-means (k=4, 3 iterations, min-id
+# seeding) unrolled into SQL — shared by the kmeans_clusters and
+# semdedup_kept oracles
+_KMEANS_CTES = """
+WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   unnest(range(len(embedding))) AS dim FROM embeddings),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT 4),
+c0 AS (SELECT i.cl, e.dim, e.x AS c FROM ids i JOIN ev e USING (vec_id)),
+d1 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c0 c USING (dim) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
+c1 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a1 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c1f AS (SELECT c0.cl, c0.dim, coalesce(c1.c, c0.c) AS c FROM c0 LEFT JOIN c1 USING (cl, dim)),
+d2 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c1f c USING (dim) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2),
+c2 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a2 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c2f AS (SELECT c1f.cl, c1f.dim, coalesce(c2.c, c1f.c) AS c FROM c1f LEFT JOIN c2 USING (cl, dim)),
+d3 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c2f c USING (dim) GROUP BY 1, 2),
+a3 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d3),
+c3 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a3 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
+c3f AS (SELECT c2f.cl, c2f.dim, coalesce(c3.c, c2f.c) AS c FROM c2f LEFT JOIN c3 USING (cl, dim)),
+d4 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
+       FROM ev JOIN c3f c USING (dim) GROUP BY 1, 2),
+a4 AS (SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d4)"""
+
+
 def oracle_sql() -> dict[str, str]:
-    from splade_ray.pipelines.queries import BM25_QUERIES
+    from splade_ray.pipelines.queries import BM25_QUERIES, COMPOSITE_PAGE_SIZE
     from splade_ray.pipelines.textops import LANG_PROFILES
 
     doc_toks = _TOK_SQL.format(col="text")
@@ -1168,6 +1207,32 @@ FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q
 JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        # exact cardinality: distinct source values per match set
+        "search_cardinality": bm25_ctes
+        + """
+SELECT m.query_id, count(DISTINCT d.source)::BIGINT AS n_sources
+FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY 1
+""",
+        # composite agg paging: page = zero-based bucket ordinal / page size
+        # in (lang, source) composite-key order — identical to the engine's
+        # repeated after-key cursor application
+        "composite_buckets": f"""
+SELECT (row_number() OVER (ORDER BY lang, source) - 1) // {COMPOSITE_PAGE_SIZE} AS page,
+       lang, source, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+        # matrix stats: population moments; corr is scale-invariant so the
+        # sample/population distinction cancels
+        "matrix_stats": """
+WITH b AS (SELECT event_type, value AS x, extract(hour FROM ts)::DOUBLE AS y FROM events)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(x), 6) AS mean_value, round(var_pop(x), 6) AS var_value,
+       round(avg(y), 6) AS mean_hour, round(var_pop(y), 6) AS var_hour,
+       round(covar_pop(x, y), 6) AS cov_vh, round(corr(x, y), 6) AS corr_vh
+FROM b GROUP BY event_type ORDER BY event_type
+""",
         "hybrid_topk": hybrid,
         # page 2 == the full ranking's rank 11..20 window
         "bm25_topk_page2": bm25_ctes
@@ -1772,6 +1837,21 @@ ranked AS (
 SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
 """,
+        # filtered kNN: same queries, corpus restricted BEFORE ranking
+        "knn_cosine_filtered": """
+WITH q AS (SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+scores AS (
+  SELECT q.query_vec_id, e.vec_id, list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.label = 3
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scores
+)
+SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
+""",
         # revenue summed in exact integer 1e-4 units (2-decimal money data):
         # bit-identical to the engine regardless of accumulation order
         "lineitem_agg": """
@@ -1981,32 +2061,27 @@ FROM aug ORDER BY doc_id
         # Lloyd k-means unrolled: init = 4 smallest vec_ids, 3 centroid
         # updates (empty clusters carry the previous centroid), final
         # assignment; squared euclidean, min-cluster ties
-        "kmeans_clusters": """
-WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                   unnest(range(len(embedding))) AS dim FROM embeddings),
-ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
-        FROM embeddings ORDER BY vec_id LIMIT 4),
-c0 AS (SELECT i.cl, e.dim, e.x AS c FROM ids i JOIN ev e USING (vec_id)),
-d1 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
-       FROM ev JOIN c0 c USING (dim) GROUP BY 1, 2),
-a1 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d1),
-c1 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a1 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
-c1f AS (SELECT c0.cl, c0.dim, coalesce(c1.c, c0.c) AS c FROM c0 LEFT JOIN c1 USING (cl, dim)),
-d2 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
-       FROM ev JOIN c1f c USING (dim) GROUP BY 1, 2),
-a2 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d2),
-c2 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a2 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
-c2f AS (SELECT c1f.cl, c1f.dim, coalesce(c2.c, c1f.c) AS c FROM c1f LEFT JOIN c2 USING (cl, dim)),
-d3 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
-       FROM ev JOIN c2f c USING (dim) GROUP BY 1, 2),
-a3 AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d3),
-c3 AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM a3 a JOIN ev e USING (vec_id) WHERE a.rn = 1 GROUP BY 1, 2),
-c3f AS (SELECT c2f.cl, c2f.dim, coalesce(c3.c, c2f.c) AS c FROM c2f LEFT JOIN c3 USING (cl, dim)),
-d4 AS (SELECT ev.vec_id, c.cl, sum((ev.x - c.c) * (ev.x - c.c)) AS dist
-       FROM ev JOIN c3f c USING (dim) GROUP BY 1, 2),
-a4 AS (SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d4)
+        "kmeans_clusters": _KMEANS_CTES
+        + """
 SELECT vec_id, cl AS cluster, round(dist, 6) AS dist
 FROM a4 WHERE rn = 1 ORDER BY vec_id
+""",
+        # SemDeDup: same unrolled k-means fit; a vector is dropped iff a
+        # smaller-id vector in its cluster is >= 0.98 cosine-similar
+        "semdedup_kept": _KMEANS_CTES
+        + """
+, asg AS (SELECT vec_id, cl FROM a4 WHERE rn = 1),
+emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN emb2 ea ON ea.vec_id = a.vec_id
+  JOIN emb2 eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.98
+)
+SELECT s.vec_id, s.cl AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg s LEFT JOIN dropped d USING (vec_id) ORDER BY s.vec_id
 """,
         # vector aggregate: element-wise mean per label, long format
         "label_centroids": """

@@ -397,6 +397,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int | None = None,
+    return_centroids: bool = False,
 ):
     """Distributed Lloyd k-means with a DETERMINISTIC spec so the whole
     algorithm is SQL-replayable (the classic iterative-algorithm shape):
@@ -449,8 +450,11 @@ def kmeans_assign(
         nz = cnt > 0
         cent = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], cent)
     ref = ray.put(cent)
-    return ds.map_batches(
+    out = ds.map_batches(
         _kmeans_batch,
         fn_kwargs={"cent_ref": ref, "emit": "out", "id_col": id_col, "emb_col": emb_col},
         batch_format="pyarrow",
     )
+    if return_centroids:
+        return out, cent
+    return out

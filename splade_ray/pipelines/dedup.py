@@ -1067,3 +1067,101 @@ def embedding_near_dup_pairs(
             {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64), "cosine": pd.Series(dtype=np.float64)}
         )
     return out.drop_duplicates(["id_a", "id_b"], ignore_index=True).sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------- SemDeDup
+def semdedup(
+    ds: Dataset,
+    *,
+    k: int = 4,
+    iters: int = 3,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering the embedding space first, then running the quadratic
+    cosine verify ONLY inside each cluster.
+
+    - Cluster: the deterministic distributed Lloyd k-means of
+      :func:`splade_ray.pipelines.ann.kmeans_assign` (min-id seeding,
+      ``iters`` unrolled iterations — the whole fit is SQL-replayable).
+      At production scale ``k`` is chosen ~n/1000 so every cluster stays
+      matmul-sized; the fit cost is k·d combiner cells per block.
+    - Verify: centroids broadcast once via ``ray.put``; ONE extra pass
+      re-derives each vector's cluster inside ``map_batches`` (no join
+      against the assignment — the fit is deterministic, recomputing is
+      cheaper than shuffling n assignment rows), vectors exchange on
+      ~1k COARSE cluster-hash buckets, and each cluster segment runs one
+      unit-vector matmul.
+    - Drop rule (deterministic): a vector is dropped iff some SMALLER-id
+      vector in the SAME cluster has cosine >= threshold with it — the
+      paper's keep-one-representative policy with id order standing in
+      for its centroid-distance order, which makes the exact output
+      reproducible in SQL (an EXISTS over within-cluster pairs).
+
+    Returns (vec_id, cluster, kept 0/1) for every vector, id-sorted.
+    """
+    from .ann import _as_matrix, _kmeans_dists, kmeans_assign
+
+    _, cent = kmeans_assign(
+        ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col, return_centroids=True
+    )
+    cent_ref = ray.put(cent)
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        C = ray.get(cent_ref)
+        emb = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # bit-identical to the fit's own assignment kernel (same float
+        # reduction order, min-cluster-index ties)
+        cl, _ = _kmeans_dists(emb, C)
+        cl = cl.astype(np.int64)
+        norm = np.linalg.norm(emb, axis=1)
+        norm[norm == 0] = 1.0
+        unit = emb / norm[:, None]
+        n, dim = unit.shape
+        offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        bucket = (splitmix64(cl.astype(np.uint64)) % np.uint64(_PAIR_BUCKETS)).astype(np.int32)
+        return pa.table(
+            {
+                "cl_bucket": pa.array(bucket),
+                "cl": pa.array(cl),
+                id_col: pa.array(ids),
+                "unit": pa.ListArray.from_arrays(pa.array(offs), pa.array(unit.reshape(-1))),
+            }
+        )
+
+    schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()), ("kept", pa.int64())])
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        cl = g.column("cl").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        U = (
+            g.column("unit").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(g.num_rows, -1)
+        )
+        order = np.lexsort((ids, cl))
+        cl, ids, U = cl[order], ids[order], U[order]
+        bounds = np.r_[0, np.nonzero(np.diff(cl) != 0)[0] + 1, np.int64(cl.size)]
+        kept = np.ones(cl.size, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ln = int(e - s)
+            if ln < 2:
+                continue
+            S = U[s:e] @ U[s:e].T
+            # dropped iff any EARLIER (smaller-id) vector in the cluster
+            # is >= threshold similar; ids ascend within the segment
+            drop = (np.triu(S >= threshold, k=1)).any(axis=0)
+            kept[s:e][drop] = 0
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(cl), "kept": pa.array(kept)})
+
+    out = (
+        ds.map_batches(assign_bucket, batch_format="pyarrow")
+        .groupby("cl_bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(id_col, ignore_index=True)

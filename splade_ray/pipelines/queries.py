@@ -1416,6 +1416,133 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
 
 
+def search_cardinality(sf_dir: str) -> pd.DataFrame:
+    """(query_id, n_sources) — cardinality aggregation (ES ``cardinality``,
+    exact flavor) over each query's disjunctive match set: the number of
+    distinct ``source`` values among matching docs.  Each shard owner
+    ships only its locally-seen value set (bounded by |sources|, not by
+    the match size); the driver unions the keys — the same merge the
+    facet module already performs, so the match set never crosses the
+    network.  The approximate path for unbounded-cardinality fields is
+    the HLL sketch (``approx_distinct_trigrams``)."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            f = ss.facets(text, m=1, attr_col="source")
+            if f:
+                rows.append((qid, len(f)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "n_sources"])
+
+
+COMPOSITE_PAGE_SIZE = 10
+
+
+def composite_buckets(sf_dir: str) -> pd.DataFrame:
+    """(page, lang, source, n_docs) — composite aggregation with after-key
+    paging (ES ``composite``): ALL (lang, source) buckets of the corpus,
+    streamed out in pages of ``COMPOSITE_PAGE_SIZE`` in composite-key
+    order, each page resuming strictly after the previous page's last key
+    (the ``after`` cursor).
+
+    Engine shape: the bucket table is computed in ONE streaming pass —
+    per-batch Arrow group_by partials (each block ships at most
+    |lang|x|source| cells) reduced on the driver — then the after-key
+    cursor pages over it exactly as a client would: every page re-applies
+    ``key > after`` rather than slicing, so the cursor semantics (the
+    bit that matters for resumable extraction at scale) are executed,
+    not simulated."""
+    ds = _docs(sf_dir, columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([("lang", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    buckets = (
+        parts.groupby(["lang", "source"], sort=True)["lang_count"]
+        .sum()
+        .reset_index()
+        .rename(columns={"lang_count": "n_docs"})
+    )
+    keys = list(buckets.itertuples(index=False, name=None))  # sorted (lang, source, n)
+    rows = []
+    after: tuple | None = None
+    page = 0
+    while True:
+        if after is None:
+            chunk = keys[:COMPOSITE_PAGE_SIZE]
+        else:
+            chunk = [t for t in keys if (t[0], t[1]) > after][:COMPOSITE_PAGE_SIZE]
+        if not chunk:
+            break
+        rows.extend((page, lang, src, int(n)) for lang, src, n in chunk)
+        after = (chunk[-1][0], chunk[-1][1])
+        page += 1
+    return pd.DataFrame(rows, columns=["page", "lang", "source", "n_docs"])
+
+
+def matrix_stats(sf_dir: str) -> pd.DataFrame:
+    """Per event_type matrix stats (ES ``matrix_stats``) between ``value``
+    and hour-of-day: count, means, population variances, covariance and
+    correlation.  One streaming pass: per-batch moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) keyed by dictionary-encoded event_type —
+    a fixed 6·|types| cells per block — summed on the driver; nothing
+    shuffles.  Hour-of-day keeps the second moment small so the
+    sum-of-squares form stays well-conditioned (the raw-epoch variant
+    would need centered partials)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dic = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = dic.dictionary
+        x = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.hour(batch.column("ts")).to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(types)
+        return pa.table(
+            {
+                "event_type": types,
+                "n": np.bincount(codes, minlength=m).astype(np.int64),
+                "sx": np.bincount(codes, weights=x, minlength=m),
+                "sy": np.bincount(codes, weights=y, minlength=m),
+                "sxx": np.bincount(codes, weights=x * x, minlength=m),
+                "syy": np.bincount(codes, weights=y * y, minlength=m),
+                "sxy": np.bincount(codes, weights=x * y, minlength=m),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type", sort=True).sum().reset_index()
+    n = agg["n"].to_numpy().astype(np.float64)
+    mx, my = agg["sx"] / n, agg["sy"] / n
+    vx = agg["sxx"] / n - mx * mx
+    vy = agg["syy"] / n - my * my
+    cov = agg["sxy"] / n - mx * my
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "mean_value": mx.round(6),
+            "var_value": vx.round(6),
+            "mean_hour": my.round(6),
+            "var_hour": vy.round(6),
+            "cov_vh": cov.round(6),
+            "corr_vh": corr.round(6),
+        }
+    )
+
+
 def doc_term_vectors(sf_dir: str) -> pd.DataFrame:
     """(doc_id, term, tf, df) — term-vectors API (ES _termvectors): per-doc
     term stats for a fixed doc set, decoded k-bounded from the requested
@@ -1867,6 +1994,40 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     qrows = ds.sort("vec_id").limit(5).to_pandas()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
     out = brute_force_topk(ds, Q, k=10)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "score_r"]]
+
+
+def semdedup_kept(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, cluster, kept) — SemDeDup semantic dedup (Abbas et al.
+    2023): deterministic k-means (k=4, 3 iterations, min-id seeding) over
+    the embedding table, then within-cluster cosine >= 0.98 against any
+    smaller-id cluster member drops a vector.  The oracle unrolls the
+    same Lloyd iterations in SQL (as in ``kmeans_clusters``) and replays
+    the drop rule as an EXISTS over within-cluster pairs."""
+    from .dedup import semdedup
+
+    return semdedup(_emb(sf_dir), k=4, iters=3, threshold=0.98)
+
+
+def knn_cosine_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered vector search (ES ``knn`` with ``filter``): brute-force
+    cosine top-10 of the first 5 query vectors against ONLY the corpus
+    vectors with ``label = 3`` — a pre-filter, so the candidate mask is
+    applied inside each scoring batch before the matmul (the ANN analogue
+    of the metadata-filtered BM25 path ``bm25_topk_filtered``)."""
+    import pyarrow.compute as pc
+
+    from .ann import brute_force_topk
+
+    ds = _emb(sf_dir)
+    qrows = ds.sort("vec_id").limit(5).to_pandas()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    filtered = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("label"), 3)), batch_format="pyarrow"
+    )
+    out = brute_force_topk(filtered, Q, k=10)
     out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
     out["score_r"] = out["score"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "score_r"]]
