@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-field BM25 with field boosts (per-field term-major indexes,
         # additive scatter-gather)
         "bm25_fields_topk": q.bm25_fields_topk,
+        # true BM25F: field-normalized tfs combined BEFORE one saturation
+        "bm25f_topk": q.bm25f_topk,
         # tombstone deletes: per-query top-1 removed, stats unchanged
         "bm25_topk_deleted": q.bm25_topk_deleted,
         # segments + tombstones + PURGING merge: stats recomputed over the
@@ -159,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_histogram": q.search_histogram,
         # exact cardinality agg: distinct sources in the match set
         "search_cardinality": q.search_cardinality,
+        # seeded deterministic random ranking over the match set
+        "random_topk": q.random_topk,
         # composite aggregation with after-key paging over (lang, source)
         "composite_buckets": q.composite_buckets,
         # matrix_stats: per-type moments/covariance/correlation (events)
@@ -1206,6 +1210,21 @@ SELECT m.query_id, (d.n_chars // 200) * 200 AS bucket_lo, count(*)::BIGINT AS n_
 FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
 JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # seeded random_score: md5('seed|doc_id')/2^64 uniform per match
+        "random_topk": bm25_ctes
+        + """
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM (
+  SELECT m.query_id, m.doc_id,
+         CAST(md5_number_lower('rnd7|' || m.doc_id) AS DOUBLE) / 18446744073709551616.0 AS score,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY CAST(md5_number_lower('rnd7|' || m.doc_id) AS DOUBLE) / 18446744073709551616.0 DESC,
+                    m.doc_id ASC) AS rank
+  FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+)
+WHERE rank <= 10
 """,
         # exact cardinality: distinct source values per match set
         "search_cardinality": bm25_ctes
@@ -2468,6 +2487,49 @@ scores AS (
   JOIN fdf d ON d.term = q.term AND d.field = t.field
   JOIN fdl l ON l.doc_id = t.doc_id AND l.field = t.field
   JOIN fstats s ON s.field = t.field
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # true BM25F: per-field normalized boosted tfs SUM per (doc, term),
+    # then one shared saturation; combined df == whole-document df since
+    # title/body partition the token stream
+    oracles["bm25f_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+base AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+f AS (
+  SELECT doc_id, 'title' AS field, l[1:{queries_mod_title_toks}] AS fl FROM base
+  UNION ALL
+  SELECT doc_id, 'body', l[{queries_mod_title_toks + 1}:] FROM base
+),
+ftoks AS (SELECT doc_id, field, unnest(fl) AS term FROM f),
+ftf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT field, doc_id, len(fl)::DOUBLE AS dl FROM f),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM fdl GROUP BY field),
+nstats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+cdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftf GROUP BY term),
+comb AS (
+  SELECT q.query_id, t.doc_id, q.term, any_value(q.qtf) AS qtf,
+         sum((CASE WHEN t.field = 'title' THEN 2.0 ELSE 1.0 END) * t.tf
+             / (0.25 + 0.75 * l.dl / s.avgdl)) AS w
+  FROM qtf q
+  JOIN ftf t ON t.term = q.term
+  JOIN fdl l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN fstats s ON s.field = t.field
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT c.query_id, c.doc_id,
+         sum(c.qtf * ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * 2.2 * c.w / (c.w + 1.2)) AS score
+  FROM comb c JOIN cdf d ON d.term = c.term CROSS JOIN nstats n
   GROUP BY 1, 2
 ),
 ranked AS (

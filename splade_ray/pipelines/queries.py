@@ -1063,6 +1063,65 @@ def bm25_fields_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def bm25f_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — true BM25F (Robertson/Zaragoza
+    'simple BM25F'; Lucene ``BM25FQuery`` combined-field semantics): the
+    per-field LENGTH-NORMALIZED boosted tfs are summed per (doc, term)
+    FIRST — w = Σ_f boost_f·tf_f/(1−b+b·dl_f/avgdl_f) — and ONE shared
+    saturation idf·(k1+1)·w/(w+k1) is applied to the combined value.
+    Contrast ``bm25_fields_topk``, which saturates per field and adds the
+    per-field BM25 scores.  idf uses the combined df (docs whose ANY
+    field contains the term; fields partition the token stream, so it
+    equals the whole-document df) over the shared corpus size.
+
+    Served off the per-field doc-sharded indexes' raw-tf posting sidecars
+    + field dls — at cluster scale each shard owner combines its local
+    field postings (fields are co-sharded by doc) and ships k rows."""
+    from ..tokenizer import Tokenizer
+
+    for f in _FIELD_BOOSTS:
+        _field_reader(sf_dir, f)  # ensures the per-field index dirs exist
+    base = build_documents_index(sf_dir)
+    readers = {f: IndexReader(os.path.join(base, f"field_{f}"), DOCS_CFG) for f in _FIELD_BOOSTS}
+    n_docs = next(iter(readers.values())).n_docs
+    tok = Tokenizer(DOCS_CFG)
+    k1, b = DOCS_CFG.k1, DOCS_CFG.b
+    rows = []
+    for qid, text in BM25_QUERIES:
+        toks = tok.tokenize(text)
+        if not toks:
+            continue
+        uniq, qtfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for t, qn in zip(uniq, qtfs):
+            w = np.zeros(n_docs, dtype=np.float64)
+            matched = np.zeros(n_docs, dtype=bool)
+            for f, boost in _FIELD_BOOSTS.items():
+                r = readers[f]
+                tid = int(r.vocab_index.get_indexer(np.asarray([t], dtype=object))[0])
+                if tid < 0:
+                    continue
+                for sh in r.shards:
+                    for _qi, s, e, _tid in sh._term_slices(np.asarray([tid], dtype=np.int64)):
+                        local = sh.post_local[s:e]
+                        tf = sh.post_tf[s:e].astype(np.float64)
+                        g = sh.doc_ids[local]
+                        norm = (1.0 - b) + b * sh.dl[local] / r.avgdl
+                        np.add.at(w, g, boost * tf / norm)
+                        matched[g] = True
+            df = float(matched.sum())
+            if df == 0.0:
+                continue
+            idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+            nz = np.flatnonzero(matched)
+            scores[nz] += float(qn) * idf * (k1 + 1.0) * w[nz] / (w[nz] + k1)
+        nz = np.flatnonzero(scores)
+        take = nz[np.lexsort((nz, -scores[nz]))][:BM25_K]
+        for rank, d in enumerate(take, 1):
+            rows.append((qid, rank, int(d), round(float(scores[d]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_hashed(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 from a HASHED-VOCAB build (vocab_mode="hashed": term ids
     are 63-bit hashes, no term strings past the tokenizer — the 10^12-doc
@@ -1414,6 +1473,35 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     finally:
         ss.shutdown()
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
+
+
+RANDOM_SCORE_SEED = "rnd7"
+
+
+def random_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — function_score random_score
+    (ES seeded deterministic random ranking, used for sampled relevance
+    audits): each matching doc (>= 1 query term) scores
+    md5('seed|doc_id')/2^64 — an md5-replayable uniform in [0,1) — and the
+    top 10 by (-score, doc_id) are returned.  Per-doc hashing is
+    driver-free in spirit: the hash depends only on the doc id, so at
+    scale each shard owner hashes its own match set and ships k rows."""
+    from .metrics import min_should_match
+    from ..functions.hashing import md5_u64
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        ext = np.asarray(_external_ids(reader, min_should_match(reader, text, 1)), dtype=np.int64)
+        if ext.size == 0:
+            continue
+        h = md5_u64([f"{RANDOM_SCORE_SEED}|{d}" for d in ext])
+        score = h.astype(np.float64) / float(2**64)
+        order = np.lexsort((ext, -score))[:BM25_K]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, rank, int(ext[i]), round(float(score[i]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
 def search_cardinality(sf_dir: str) -> pd.DataFrame:
