@@ -163,10 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cardinality": q.search_cardinality,
         # seeded deterministic random ranking over the match set
         "random_topk": q.random_topk,
+        # terms agg: per-shard top-S merge + doc_count_error_upper_bound
+        "terms_agg_shards": q.terms_agg_shards,
         # composite aggregation with after-key paging over (lang, source)
         "composite_buckets": q.composite_buckets,
         # matrix_stats: per-type moments/covariance/correlation (events)
         "matrix_stats": q.matrix_stats,
+        # date_histogram + moving_fn pipeline agg (gap-free day axis)
+        "events_moving_avg": q.events_moving_avg,
         # adjacency matrix: pairwise co-match counts of named filters
         "adjacency_matrix": q.adjacency_matrix,
         # exact distributed percentiles (histogram-refinement selection)
@@ -345,7 +349,12 @@ a4 AS (SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id ORDER BY 
 
 
 def oracle_sql() -> dict[str, str]:
-    from splade_ray.pipelines.queries import BM25_QUERIES, COMPOSITE_PAGE_SIZE
+    from splade_ray.pipelines.queries import (
+        BM25_QUERIES,
+        COMPOSITE_PAGE_SIZE,
+        TERMS_AGG_SHARD_SIZE,
+        TERMS_AGG_TOP,
+    )
     from splade_ray.pipelines.textops import LANG_PROFILES
 
     doc_toks = _TOK_SQL.format(col="text")
@@ -1226,6 +1235,33 @@ FROM (
 )
 WHERE rank <= 10
 """,
+        # ES terms-agg distributed approximation incl. its error-bound
+        # contract, replayed exactly: shard = doc_id // 2000 (the
+        # deterministic physical layout), per-shard top-5 by (df desc,
+        # term asc), merged count = sum over reporting shards, error =
+        # sum of non-reporting TRUNCATED shards' smallest returned count
+        "terms_agg_shards": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+sdf AS (SELECT doc_id // 2000 AS sh, term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1, 2),
+nterm AS (SELECT sh, count(*) AS n_terms FROM sdf GROUP BY sh),
+tops AS (SELECT *, row_number() OVER (PARTITION BY sh ORDER BY df DESC, term ASC) AS rn FROM sdf),
+rep AS (SELECT sh, term, df FROM tops WHERE rn <= {TERMS_AGG_SHARD_SIZE}),
+smin AS (SELECT r.sh, min(r.df) AS mincnt, (n.n_terms > {TERMS_AGG_SHARD_SIZE}) AS truncated
+         FROM rep r JOIN nterm n USING (sh) GROUP BY r.sh, n.n_terms),
+cand AS (SELECT DISTINCT term FROM rep),
+allsh AS (SELECT DISTINCT sh FROM sdf),
+merged AS (
+  SELECT c.term,
+         sum(coalesce(r.df, 0))::BIGINT AS doc_count,
+         sum(CASE WHEN r.term IS NULL AND s.truncated THEN s.mincnt ELSE 0 END)::BIGINT AS err_bound
+  FROM cand c CROSS JOIN allsh a
+  LEFT JOIN rep r ON r.sh = a.sh AND r.term = c.term
+  JOIN smin s ON s.sh = a.sh
+  GROUP BY c.term
+),
+ranked AS (SELECT *, row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rk FROM merged)
+SELECT term, doc_count, err_bound FROM ranked WHERE rk <= {TERMS_AGG_TOP} ORDER BY rk
+""",
         # exact cardinality: distinct source values per match set
         "search_cardinality": bm25_ctes
         + """
@@ -1241,6 +1277,19 @@ GROUP BY 1 ORDER BY 1
 SELECT (row_number() OVER (ORDER BY lang, source) - 1) // {COMPOSITE_PAGE_SIZE} AS page,
        lang, source, count(*)::BIGINT AS n_docs
 FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+        # date_histogram + trailing 3-day moving mean on a gap-free axis
+        "events_moving_avg": """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT min(day) FROM c) AS TIMESTAMP),
+                                     CAST((SELECT max(day) FROM c) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n_events FROM axis a LEFT JOIN c USING (day))
+SELECT CAST(day AS TIMESTAMP) AS day, n_events,
+       round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+FROM series ORDER BY day
 """,
         # matrix stats: population moments; corr is scale-invariant so the
         # sample/population distinction cancels

@@ -1475,6 +1475,49 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
 
 
+TERMS_AGG_SHARD_SIZE = 5  # per-shard bucket budget (small -> visible error bounds)
+TERMS_AGG_TOP = 10
+
+
+def terms_agg_shards(sf_dir: str) -> pd.DataFrame:
+    """(term, doc_count, err_bound) — the ES ``terms`` aggregation's
+    distributed approximation WITH its honesty contract: every shard
+    returns only its local top-``shard_size`` terms by df, the
+    coordinator sums counts over the shards that reported each candidate,
+    and ``doc_count_error_upper_bound`` = Σ over non-reporting shards of
+    that shard's smallest returned count (0 for a shard that returned
+    its entire term list — it omitted nothing).  Top
+    ``TERMS_AGG_TOP`` by (merged count desc, term asc).
+
+    The per-shard dfs come straight off the postings segment lengths
+    (zero decoding); term-asc tie-breaks are term-id order because the
+    vocab is sorted.  Deterministic shard layout (doc_id // shard_size)
+    makes the whole approximation — including the error bounds —
+    SQL-replayable, which is the point: the oracle checks the
+    approximation's exact contract, not just its happy path."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    S = TERMS_AGG_SHARD_SIZE
+    per_shard: list[dict[int, int]] = []
+    mins: list[tuple[int, bool]] = []  # (min reported count, shard was truncated)
+    for sh in reader.shards:
+        dfs = np.diff(sh.term_ptr)
+        tids = sh.term_ids
+        order = np.lexsort((tids, -dfs))[:S]
+        top = {int(tids[i]): int(dfs[i]) for i in order}
+        per_shard.append(top)
+        truncated = tids.size > S
+        mins.append((min(top.values()) if top else 0, truncated))
+    cand = sorted(set().union(*[set(t) for t in per_shard]))
+    rows = []
+    for tid in cand:
+        cnt = sum(t.get(tid, 0) for t in per_shard)
+        err = sum(m for t, (m, trunc) in zip(per_shard, mins) if tid not in t and trunc)
+        rows.append((str(reader.vocab_index[tid]), cnt, err))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows[:TERMS_AGG_TOP], columns=["term", "doc_count", "err_bound"])
+
+
 RANDOM_SCORE_SEED = "rnd7"
 
 
@@ -1573,6 +1616,37 @@ def composite_buckets(sf_dir: str) -> pd.DataFrame:
         after = (chunk[-1][0], chunk[-1][1])
         page += 1
     return pd.DataFrame(rows, columns=["page", "lang", "source", "n_docs"])
+
+
+def events_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, mavg3) — date_histogram + moving-average pipeline
+    aggregation (ES ``date_histogram`` + ``moving_fn``): daily event
+    counts on a GAP-FREE day axis (empty days emit 0, the
+    min_doc_count=0 contract) and a trailing 3-day mean including the
+    current bucket.  One streaming pass of per-batch day-count partials
+    (bounded by the date span per block); the pipeline stage runs on the
+    bucket series, which is coordinator-sized by construction."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        t = pa.table({"day": days})
+        return t.group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0)
+    mavg = series.rolling(3, min_periods=1).mean()
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": series.to_numpy().astype("int64"),
+            "mavg3": mavg.round(6).to_numpy(),
+        }
+    )
 
 
 def matrix_stats(sf_dir: str) -> pd.DataFrame:
