@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q.term_stats,
         # sort-by-field: match set ranked by the dl doc-value, no scoring
         "match_sorted_by_dl": q.match_sorted_by_dl,
+        # index sorting: sort-key doc ids + early-terminated posting walk
+        "sorted_index_topk": q.sorted_index_topk,
         # term-major salted layout (groupby(term) + skew-aware salting)
         "bm25_topk_termindex": q.bm25_topk_termindex,
         # hashed-vocab build (feature-hashed term ids, no vocab strings)
@@ -1261,6 +1263,19 @@ merged AS (
 ),
 ranked AS (SELECT *, row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rk FROM merged)
 SELECT term, doc_count, err_bound FROM ranked WHERE rk <= {TERMS_AGG_TOP} ORDER BY rk
+""",
+        # index sorting: matched docs in (n_chars DESC, doc_id ASC) order,
+        # first 10 — what the early-terminated walk returns
+        "sorted_index_topk": bm25_ctes
+        + """
+SELECT query_id, rank, doc_id, n_chars
+FROM (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
+  FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+  JOIN documents d ON d.doc_id = m.doc_id
+)
+WHERE rank <= 10
 """,
         # exact cardinality: distinct source values per match set
         "search_cardinality": bm25_ctes

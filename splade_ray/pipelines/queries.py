@@ -1475,6 +1475,78 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
 
 
+def _sorted_rank_maps(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted_ids, n_chars_sorted): position r holds the doc_id / n_chars
+    of index-sort rank r under (n_chars DESC, doc_id ASC)."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -nch))
+    return ids[order], nch[order]
+
+
+def build_sorted_documents_index(sf_dir: str) -> str:
+    """Index-SORTED build (Lucene index sorting, sort = n_chars DESC):
+    doc ids are assigned by sort-key rank, so the physical index order is
+    the sort order and sort-by-field queries can early-terminate.
+
+    The rank map here is a driver pass over the 16 B/doc (doc_id,
+    n_chars) key table — the same driver-reduce budget as the dedup
+    winner table; at 10^12 docs the rank becomes a sort exchange +
+    per-block offset prefix sum, exactly the doc-id-assignment pattern
+    the dedup stage already implements (and the same cost Lucene pays:
+    index sorting reorders every flushed segment)."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|sorted_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_sidx_{key}")
+    corpus_path = os.path.join(out, "corpus_input.parquet")
+    if not os.path.exists(corpus_path):
+        os.makedirs(out, exist_ok=True)
+        sorted_ids, _ = _sorted_rank_maps(sf_dir)
+        rank_of = np.empty(int(sorted_ids.max()) + 1, dtype=np.int64)
+        rank_of[sorted_ids] = np.arange(sorted_ids.size, dtype=np.int64)
+        rank_ref = ray.put(rank_of)
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            ranks = ray.get(rank_ref)[batch.column("doc_id").to_numpy(zero_copy_only=False)]
+            urls = pa.array([f"doc://{r:010d}" for r in ranks], type=pa.string())
+            n = len(batch)
+            return pa.table(
+                {
+                    "url": urls,
+                    "warc_ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
+                    "text": batch.column("text"),
+                    "lang": batch.column("lang"),
+                }
+            )
+
+        tmp = corpus_path + ".tmp"
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+            to_corpus, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_path)
+    build_index(corpus_path, out, DOCS_CFG)
+    return out
+
+
+def sorted_index_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, n_chars) — sort-by-field retrieval with
+    EARLY TERMINATION off the index-sorted build: the first 10 matching
+    internal ids ARE the global (n_chars DESC, doc_id ASC) top-10, found
+    by a k-way posting walk that stops at the 10th match (vs
+    ``match_sorted_by_dl``, which collects per-shard top-k over the full
+    match set).  The walk's postings_touched counter is asserted to stay
+    a tiny fraction of the match set's postings."""
+    index_dir = build_sorted_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    sorted_ids, nch_sorted = _sorted_rank_maps(sf_dir)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        hits, _touched = reader.search_index_ordered(text, BM25_K)
+        for rank, internal in enumerate(hits, 1):
+            rows.append((qid, rank, int(sorted_ids[internal]), int(nch_sorted[internal])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "n_chars"])
+
+
 TERMS_AGG_SHARD_SIZE = 5  # per-shard bucket budget (small -> visible error bounds)
 TERMS_AGG_TOP = 10
 
@@ -1496,7 +1568,10 @@ def terms_agg_shards(sf_dir: str) -> pd.DataFrame:
     SQL-replayable, which is the point: the oracle checks the
     approximation's exact contract, not just its happy path."""
     index_dir = build_documents_index(sf_dir)
-    reader = IndexReader(index_dir, DOCS_CFG)
+    # consolidate=False: the aggregation's semantics are defined by the
+    # PHYSICAL segment layout (one coordinator round per segment owner);
+    # the consolidated in-memory view would collapse it to one shard
+    reader = IndexReader(index_dir, DOCS_CFG, consolidate=False)
     S = TERMS_AGG_SHARD_SIZE
     per_shard: list[dict[int, int]] = []
     mins: list[tuple[int, bool]] = []  # (min reported count, shard was truncated)

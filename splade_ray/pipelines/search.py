@@ -1054,6 +1054,57 @@ class IndexReader:
         order = np.lexsort((d, -v))[:k]
         return [(int(d[i]), int(v[i]), self.url_of(int(d[i]))) for i in order]
 
+    def search_index_ordered(self, text: str, k: int = 10) -> tuple[list[int], int]:
+        """Early-terminated retrieval on an INDEX-SORTED build (Lucene
+        index sorting): when internal doc-id order IS the sort order
+        (the corpus adapter assigned url ranks by the sort key), the
+        first ``k`` matching internal ids are the exact global top-k —
+        no scoring, no full postings scan.
+
+        Shards partition ascending doc ranges, so they are walked in
+        order and the walk stops as soon as ``k`` matches are found —
+        typically inside the FIRST shard (the whole point of index
+        sorting: the best docs are physically first).  Within a shard a
+        k-way merge over the query terms' doc-sorted postings advances
+        one match at a time; postings past the k-th match are never
+        visited.  Returns (matched internal doc ids in index order,
+        postings_touched) — the counter is the early-termination
+        evidence the bench records."""
+        qtids, _qw = self.encode_query(text)
+        if qtids.size == 0:
+            return [], 0
+        out: list[int] = []
+        touched = 0
+        for sh in self.shards:
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            del_mask = None
+            if sh.deleted_local.size:
+                del_mask = np.zeros(sh.n_local, dtype=bool)
+                del_mask[sh.deleted_local] = True
+            ptrs = [s for _, s, e, _ in slices]
+            ends = [e for _, s, e, _ in slices]
+            while len(out) < k:
+                nxt = -1
+                for j in range(len(ptrs)):
+                    if ptrs[j] < ends[j]:
+                        d0 = int(sh.post_local[ptrs[j]])
+                        if nxt < 0 or d0 < nxt:
+                            nxt = d0
+                if nxt < 0:
+                    break
+                for j in range(len(ptrs)):
+                    if ptrs[j] < ends[j] and int(sh.post_local[ptrs[j]]) == nxt:
+                        ptrs[j] += 1
+                        touched += 1
+                if del_mask is not None and del_mask[nxt]:
+                    continue
+                out.append(int(sh.doc_ids[nxt]))
+            if len(out) >= k:
+                break
+        return out[:k], touched
+
     def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
         """Disjunction-max top-k (Lucene DisjunctionMaxQuery): each doc
         scores its BEST single query-term contribution plus ``tie`` × the
