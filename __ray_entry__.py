@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg_shards": q.terms_agg_shards,
         # composite aggregation with after-key paging over (lang, source)
         "composite_buckets": q.composite_buckets,
+        # exact percentile_ranks of n_chars over each match set
+        "percentile_ranks": q.percentile_ranks,
+        # incremental-crawl dedup: new batch vs broadcast fingerprint set
+        "incremental_dedup_kept": q.incremental_dedup_kept,
         # matrix_stats: per-type moments/covariance/correlation (events)
         "matrix_stats": q.matrix_stats,
         # date_histogram + moving_fn pipeline agg (gap-free day axis)
@@ -1284,6 +1288,28 @@ SELECT m.query_id, count(DISTINCT d.source)::BIGINT AS n_sources
 FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
 JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY 1
+""",
+        # exact percentile_ranks: % of matched docs with n_chars <= value
+        "percentile_ranks": bm25_ctes
+        + """
+SELECT query_id, value, round(pct, 6) AS pct FROM (
+  SELECT m.query_id, v.value,
+         100.0 * sum(CASE WHEN d.n_chars <= v.value THEN 1 ELSE 0 END) / count(*) AS pct
+  FROM (SELECT DISTINCT q.query_id, t.doc_id FROM qterms q JOIN tf t ON t.term = q.term) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  CROSS JOIN (VALUES (500), (1000), (1500)) v(value)
+  GROUP BY 1, 2
+) ORDER BY query_id, value
+""",
+        # incremental dedup: new batch (last 20% of ids) kept iff text is
+        # unseen in the existing 80% and it is the min-id holder within
+        # the batch
+        "incremental_dedup_kept": """
+WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
+newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
+oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
+cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
+SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
 """,
         # composite agg paging: page = zero-based bucket ordinal / page size
         # in (lang, source) composite-key order — identical to the engine's

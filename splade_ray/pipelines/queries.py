@@ -1647,6 +1647,105 @@ def search_cardinality(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "n_sources"])
 
 
+PCTRANK_VALUES = (500, 1000, 1500)
+
+
+def percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    """(query_id, value, pct) — percentile_ranks aggregation (ES
+    ``percentile_ranks``, exact flavor): for each fixed n_chars value,
+    the percentage of each query's matching docs (>= 1 term) whose
+    n_chars is <= that value.  Per-shard counting shape: each owner
+    ships |values| counters + its match size; here the doc-value gather
+    rides the same column-pruned read as ``search_facets``."""
+    from .metrics import min_should_match
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = np.zeros(int(ids.max()) + 1 if ids.size else 0, dtype=np.int64)
+    nch[ids] = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        ext = np.asarray(_external_ids(reader, min_should_match(reader, text, 1)), dtype=np.int64)
+        if ext.size == 0:
+            continue
+        vals = nch[ext]
+        for v in PCTRANK_VALUES:
+            pct = 100.0 * float((vals <= v).sum()) / float(vals.size)
+            rows.append((qid, v, round(pct, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "value", "pct"])
+
+
+INCR_DEDUP_CUT_FRAC = 0.8
+
+
+def incremental_dedup_kept(sf_dir: str) -> pd.DataFrame:
+    """(doc_id) — incremental-crawl ingestion dedup: the last 20% of doc
+    ids play the NEW batch, the first 80% the already-indexed corpus.  A
+    new doc is kept iff (a) no existing doc has identical text and (b) it
+    is the smallest-id holder of its text within the new batch.
+
+    Engine shape: the existing corpus's content-hash fingerprint set is a
+    column-pruned read broadcast ONCE via ``ray.put`` (8 B/doc — the
+    fingerprint sidecar an incremental indexer keeps); the new batch
+    streams through one map_batches membership filter, and the
+    within-batch election reuses the exact-dedup coarse-bucket kernel.
+    At 10^12 existing docs the broadcast becomes the shuffle-mode semi
+    join, the same auto-switch as ``resolve_dedup_mode``."""
+    from .dedup import add_content_hash
+    from ..functions.hashing import hash_strings
+
+    n_total = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    cut = int(n_total * INCR_DEDUP_CUT_FRAC)
+
+    existing = _docs(sf_dir, columns=["doc_id", "text"]).filter(
+        expr=f"doc_id < {cut}"
+    )
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        h = hash_strings(np.asarray(batch.column("text").to_pylist(), dtype=object))
+        return pa.table({"h": pa.array(h.astype(np.int64))})
+
+    fps = existing.map_batches(fingerprint, batch_format="pyarrow").to_pandas()["h"].to_numpy()
+    fp_ref = ray.put(np.sort(fps.astype(np.int64)))
+
+    def filter_new(batch: pa.Table) -> pa.Table:
+        b = add_content_hash(batch)
+        h = b.column("content_hash").to_numpy(zero_copy_only=False)
+        fp = ray.get(fp_ref)
+        pos = np.minimum(np.searchsorted(fp, h), max(fp.size - 1, 0))
+        dup_existing = (fp[pos] == h) if fp.size else np.zeros(h.size, bool)
+        return b.filter(pa.array(~dup_existing))
+
+    def elect(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        h = g.column("content_hash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        keep = np.ones(order.size, dtype=bool)
+        keep[1:] = h[order][1:] != h[order][:-1]
+        return pa.table({"doc_id": pa.array(ids[order][keep])})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..functions.hashing import splitmix64
+
+        return batch.append_column(
+            "hbucket", pa.array((splitmix64(h) % np.uint64(1024)).astype(np.int32))
+        )
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .filter(expr=f"doc_id >= {cut}")
+        .map_batches(filter_new, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(elect, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 COMPOSITE_PAGE_SIZE = 10
 
 
