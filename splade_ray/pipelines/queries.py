@@ -1475,39 +1475,47 @@ def search_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "bucket_lo", "n_docs"])
 
 
-def _sorted_rank_maps(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted_ids, n_chars_sorted): position r holds the doc_id / n_chars
-    of index-sort rank r under (n_chars DESC, doc_id ASC)."""
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"])
-    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    nch = tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ids, -nch))
-    return ids[order], nch[order]
-
-
 def build_sorted_documents_index(sf_dir: str) -> str:
     """Index-SORTED build (Lucene index sorting, sort = n_chars DESC):
     doc ids are assigned by sort-key rank, so the physical index order is
     the sort order and sort-by-field queries can early-terminate.
 
-    The rank map here is a driver pass over the 16 B/doc (doc_id,
-    n_chars) key table — the same driver-reduce budget as the dedup
-    winner table; at 10^12 docs the rank becomes a sort exchange +
-    per-block offset prefix sum, exactly the doc-id-assignment pattern
-    the dedup stage already implements (and the same cost Lucene pays:
-    index sorting reorders every flushed segment)."""
-    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|sorted_v1".encode()).hexdigest()[:12]
+    The rank assignment is FULLY DISTRIBUTED — the composite sort key
+    (n_chars DESC, doc_id ASC) packs into one monotone int64, rank =
+    :func:`scan.ordered_prefix_sum` of ones over it (ONE sort exchange +
+    one block-summary reduce + one streaming offset pass — the canonical
+    distributed zip-with-index, and the same cost Lucene pays: index
+    sorting reorders every flushed segment).  The original doc_id and the
+    sort value ride the corpus as doc-value columns, so serving resolves
+    hits with k-bounded point reads."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|sorted_v2".encode()).hexdigest()[:12]
     out = os.path.join("/tmp/splade_ray_cache", f"docs_sidx_{key}")
     corpus_path = os.path.join(out, "corpus_input.parquet")
     if not os.path.exists(corpus_path):
         os.makedirs(out, exist_ok=True)
-        sorted_ids, _ = _sorted_rank_maps(sf_dir)
-        rank_of = np.empty(int(sorted_ids.max()) + 1, dtype=np.int64)
-        rank_of[sorted_ids] = np.arange(sorted_ids.size, dtype=np.int64)
-        rank_ref = ray.put(rank_of)
+        from .scan import ordered_prefix_sum
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+            # monotone composite: (n_chars DESC, doc_id ASC) -> one int64
+            skey = ((np.int64(1) << np.int64(20)) - nch) << np.int64(40) | did
+            ones = np.ones(len(batch), dtype=np.int64)
+            return batch.append_column("sort_key", pa.array(skey)).append_column(
+                "one", pa.array(ones)
+            )
+
+        ranked = ordered_prefix_sum(
+            _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+                keyed, batch_format="pyarrow"
+            ),
+            "one",
+            "sort_key",
+            out_col="cum",
+        )
 
         def to_corpus(batch: pa.Table) -> pa.Table:
-            ranks = ray.get(rank_ref)[batch.column("doc_id").to_numpy(zero_copy_only=False)]
+            ranks = batch.column("cum").to_numpy(zero_copy_only=False).astype(np.int64) - 1
             urls = pa.array([f"doc://{r:010d}" for r in ranks], type=pa.string())
             n = len(batch)
             return pa.table(
@@ -1516,13 +1524,13 @@ def build_sorted_documents_index(sf_dir: str) -> str:
                     "warc_ts": pa.array(np.zeros(n, dtype=np.int64), type=pa.timestamp("us")),
                     "text": batch.column("text"),
                     "lang": batch.column("lang"),
+                    "orig_id": batch.column("doc_id"),
+                    "n_chars": batch.column("n_chars"),
                 }
             )
 
         tmp = corpus_path + ".tmp"
-        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
-            to_corpus, batch_format="pyarrow"
-        ).write_parquet(tmp)
+        ranked.map_batches(to_corpus, batch_format="pyarrow").write_parquet(tmp)
         os.rename(tmp, corpus_path)
     build_index(corpus_path, out, DOCS_CFG)
     return out
@@ -1534,16 +1542,41 @@ def sorted_index_topk(sf_dir: str) -> pd.DataFrame:
     internal ids ARE the global (n_chars DESC, doc_id ASC) top-10, found
     by a k-way posting walk that stops at the 10th match (vs
     ``match_sorted_by_dl``, which collects per-shard top-k over the full
-    match set).  The walk's postings_touched counter is asserted to stay
-    a tiny fraction of the match set's postings."""
+    match set).  Hits resolve to (orig doc_id, n_chars) via a k-bounded
+    url-predicate point read of the corpus doc-values — the same pattern
+    the sharded snippet path uses."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
     index_dir = build_sorted_documents_index(sf_dir)
     reader = IndexReader(index_dir, DOCS_CFG)
-    sorted_ids, nch_sorted = _sorted_rank_maps(sf_dir)
-    rows = []
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    per_query: dict[str, list[int]] = {}
+    all_urls: set[str] = set()
     for qid, text in BM25_QUERIES:
         hits, _touched = reader.search_index_ordered(text, BM25_K)
-        for rank, internal in enumerate(hits, 1):
-            rows.append((qid, rank, int(sorted_ids[internal]), int(nch_sorted[internal])))
+        per_query[qid] = hits
+        all_urls.update(f"doc://{r:010d}" for r in hits)
+    if all_urls:
+        tbl = pads.dataset(corpus).to_table(
+            columns=["url", "orig_id", "n_chars"],
+            filter=pc.field("url").isin(sorted(all_urls)),
+        )
+        by_url = {
+            u: (int(o), int(c))
+            for u, o, c in zip(
+                tbl.column("url").to_pylist(),
+                tbl.column("orig_id").to_pylist(),
+                tbl.column("n_chars").to_pylist(),
+            )
+        }
+    else:
+        by_url = {}
+    rows = []
+    for qid, _text in BM25_QUERIES:
+        for rank, internal in enumerate(per_query.get(qid, []), 1):
+            o, c = by_url[f"doc://{internal:010d}"]
+            rows.append((qid, rank, o, c))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "n_chars"])
 
 
