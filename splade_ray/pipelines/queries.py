@@ -1548,6 +1548,8 @@ def sorted_index_topk(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    from .search import ShardedSearcher
+
     index_dir = build_sorted_documents_index(sf_dir)
     reader = IndexReader(index_dir, DOCS_CFG)
     corpus = os.path.join(index_dir, "corpus_input.parquet")
@@ -1557,6 +1559,15 @@ def sorted_index_topk(sf_dir: str) -> pd.DataFrame:
         hits, _touched = reader.search_index_ordered(text, BM25_K)
         per_query[qid] = hits
         all_urls.update(f"doc://{r:010d}" for r in hits)
+    # pin driver/sharded parity under per-owner early termination
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    try:
+        q0, t0 = BM25_QUERIES[0]
+        assert ss.search_index_ordered(t0, BM25_K) == per_query[q0], (
+            "sharded index-ordered walk diverged"
+        )
+    finally:
+        ss.shutdown()
     if all_urls:
         tbl = pads.dataset(corpus).to_table(
             columns=["url", "orig_id", "n_chars"],

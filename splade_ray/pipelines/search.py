@@ -1073,37 +1073,7 @@ class IndexReader:
         qtids, _qw = self.encode_query(text)
         if qtids.size == 0:
             return [], 0
-        out: list[int] = []
-        touched = 0
-        for sh in self.shards:
-            slices = sh._term_slices(qtids)
-            if not slices:
-                continue
-            del_mask = None
-            if sh.deleted_local.size:
-                del_mask = np.zeros(sh.n_local, dtype=bool)
-                del_mask[sh.deleted_local] = True
-            ptrs = [s for _, s, e, _ in slices]
-            ends = [e for _, s, e, _ in slices]
-            while len(out) < k:
-                nxt = -1
-                for j in range(len(ptrs)):
-                    if ptrs[j] < ends[j]:
-                        d0 = int(sh.post_local[ptrs[j]])
-                        if nxt < 0 or d0 < nxt:
-                            nxt = d0
-                if nxt < 0:
-                    break
-                for j in range(len(ptrs)):
-                    if ptrs[j] < ends[j] and int(sh.post_local[ptrs[j]]) == nxt:
-                        ptrs[j] += 1
-                        touched += 1
-                if del_mask is not None and del_mask[nxt]:
-                    continue
-                out.append(int(sh.doc_ids[nxt]))
-            if len(out) >= k:
-                break
-        return out[:k], touched
+        return _ordered_walk(self.shards, qtids, k)
 
     def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
         """Disjunction-max top-k (Lucene DisjunctionMaxQuery): each doc
@@ -1683,6 +1653,45 @@ def apply_deletes(index_dir: str, urls: list[str]) -> int:
     return len(merged)
 
 
+def _ordered_walk(shards, qtids: np.ndarray, k: int) -> tuple[list[int], int]:
+    """First ``k`` matching internal doc ids in index order via a k-way
+    posting merge that never visits postings past the k-th match.  Shards
+    are walked in doc-range order; shared by the local reader and the
+    shard-owner actors (each actor walks only its own shards, so its
+    result is ≤ k ids and the driver merge is k·|actors| cells)."""
+    out: list[int] = []
+    touched = 0
+    for sh in shards:
+        slices = sh._term_slices(qtids)
+        if not slices:
+            continue
+        del_mask = None
+        if sh.deleted_local.size:
+            del_mask = np.zeros(sh.n_local, dtype=bool)
+            del_mask[sh.deleted_local] = True
+        ptrs = [s for _, s, e, _ in slices]
+        ends = [e for _, s, e, _ in slices]
+        while len(out) < k:
+            nxt = -1
+            for j in range(len(ptrs)):
+                if ptrs[j] < ends[j]:
+                    d0 = int(sh.post_local[ptrs[j]])
+                    if nxt < 0 or d0 < nxt:
+                        nxt = d0
+            if nxt < 0:
+                break
+            for j in range(len(ptrs)):
+                if ptrs[j] < ends[j] and int(sh.post_local[ptrs[j]]) == nxt:
+                    ptrs[j] += 1
+                    touched += 1
+            if del_mask is not None and del_mask[nxt]:
+                continue
+            out.append(int(sh.doc_ids[nxt]))
+        if len(out) >= k:
+            break
+    return out[:k], touched
+
+
 def best_snippet_window(th: np.ndarray, qh: np.ndarray, W: int) -> tuple[int, int, int]:
     """Best W-token window over one doc's md5 token stream: (start, end,
     n_hits) with the most query-term occurrence positions inside the
@@ -1981,6 +1990,12 @@ class ShardScorerActor:
                 out.setdefault(sv[i], []).append((float(sc[j]), int(docs[j])))
         return out
 
+    def index_ordered(self, qtids: np.ndarray, k: int):
+        """First-k index-order matches among THIS actor's shards: the walk
+        stops at the actor-local k-th match, so at most k ids (plus the
+        postings_touched counter) ever leave the owner."""
+        return _ordered_walk(self.reader.shards, qtids, k)
+
     def score_decay(
         self, qtids: np.ndarray, qw: np.ndarray, k: int, attr_col: str, origin: float, scale: float
     ):
@@ -2254,6 +2269,20 @@ class ShardedSearcher:
         order = np.lexsort((d, -s))[:k]
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_index_ordered(self, text: str, k: int = 10) -> list[int]:
+        """Early-terminated sort-by-field retrieval on the sharded path
+        (index-sorted builds): every owner walks its own doc-range shards
+        and stops at its local k-th match, the driver merges ≤ k internal
+        ids per actor by id (= index order) — identical results to
+        :meth:`IndexReader.search_index_ordered`, with per-owner early
+        termination."""
+        qtids, _qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.index_ordered.remote(qtids, k) for a in self.actors]
+        ids = sorted(i for part, _t in ray.get(futs) for i in part)
+        return ids[:k]
 
     def search_prefix(self, prefix: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
         """Wildcard top-k on the sharded path: the driver expands the

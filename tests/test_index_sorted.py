@@ -67,6 +67,20 @@ def test_index_ordered_walk_matches_brute_force(sorted_index, sorted_corpus):
             assert touched < total, (query, touched, total)
 
 
+def test_index_ordered_sharded_equals_local(sorted_index):
+    from splade_ray.pipelines.search import IndexReader, ShardedSearcher
+
+    index_dir, cfg = sorted_index
+    reader = IndexReader(index_dir, cfg)
+    ss = ShardedSearcher(index_dir, cfg, num_actors=3)
+    try:
+        for query in ["common", "common w000", "rare", "zzznope"]:
+            local, _ = reader.search_index_ordered(query, 10)
+            assert ss.search_index_ordered(query, 10) == local, query
+    finally:
+        ss.shutdown()
+
+
 def test_index_ordered_skips_tombstones(sorted_index, sorted_corpus):
     from splade_ray.pipelines.search import IndexReader, apply_deletes
 
