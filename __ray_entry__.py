@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_topk": q.random_topk,
         # terms agg: per-shard top-S merge + doc_count_error_upper_bound
         "terms_agg_shards": q.terms_agg_shards,
+        # phrase / did-you-mean suggester (per-position term correction)
+        "suggest_phrase": q.suggest_phrase,
         # composite aggregation with after-key paging over (lang, source)
         "composite_buckets": q.composite_buckets,
         # exact percentile_ranks of n_chars over each match set
@@ -424,6 +426,15 @@ FROM s ORDER BY doc_id
 
     completion_values = ", ".join(f"('{sid}', '{p}')" for sid, p in COMPLETION_PREFIXES)
     spell_values = ", ".join(f"('{sid}', '{t}')" for sid, t in SPELL_TERMS)
+    from splade_ray.pipelines.queries import PHRASE_SUGGEST_QUERIES
+    from splade_ray.tokenizer import Tokenizer as _Tok
+
+    _ptok = _Tok()
+    phrase_suggest_values = ", ".join(
+        f"('{sid}', {pos}, '{t}')"
+        for sid, text in PHRASE_SUGGEST_QUERIES
+        for pos, t in enumerate(_ptok.tokenize(text))
+    )
     termvec_values = ", ".join(f"({i})" for i in TERMVEC_DOC_IDS)
     from splade_ray.pipelines.queries import ADJ_FILTERS
 
@@ -1524,6 +1535,31 @@ SELECT sid, rnk AS rank, term, cf, df FROM hits WHERE rnk <= 10 ORDER BY 1, 2
 """,
         # term suggester: levenshtein<=2 over the dictionary, exact term
         # excluded, (distance, -df, term) ranking
+        # phrase / did-you-mean: per-position best correction (or self)
+        "suggest_phrase": f"""
+WITH pset(sid, pos, tok) AS (VALUES {phrase_suggest_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+best AS (
+  SELECT p.sid, p.pos, v.term, levenshtein(v.term, p.tok)::BIGINT AS dist, v.df,
+         row_number() OVER (
+           PARTITION BY p.sid, p.pos
+           ORDER BY levenshtein(v.term, p.tok) ASC, v.df DESC, v.term ASC) AS rnk
+  FROM pset p JOIN vocab v
+    ON levenshtein(v.term, p.tok) <= 2 AND v.term <> p.tok
+  WHERE p.tok NOT IN (SELECT term FROM vocab)
+),
+invocab AS (SELECT p.sid, p.pos, p.tok AS sug, CAST(0 AS BIGINT) AS dist, v.df
+            FROM pset p JOIN vocab v ON v.term = p.tok)
+SELECT p.sid, p.pos, p.tok AS token,
+       coalesce(i.sug, b.term, p.tok) AS suggestion,
+       coalesce(i.dist, b.dist, -1)::BIGINT AS dist,
+       coalesce(i.df, b.df, 0)::BIGINT AS df
+FROM pset p
+LEFT JOIN invocab i USING (sid, pos)
+LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b USING (sid, pos)
+ORDER BY sid, pos
+""",
         "suggest_spelling": f"""
 WITH sset(sid, qterm) AS (VALUES {spell_values}),
 toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),

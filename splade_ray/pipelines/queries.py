@@ -1254,6 +1254,39 @@ PERC_QUERIES: list[tuple[str, str, str]] = [
 ]
 
 
+PHRASE_SUGGEST_QUERIES: list[tuple[str, str]] = [
+    ("dm0", "spakr joni ordr"),
+    ("dm1", "window batch streem"),
+    ("dm2", "fast hash join"),  # fully in-vocab -> identity
+    ("dm3", "custoner lyne zzzzzzzz"),  # last token has no correction
+]
+
+
+def suggest_phrase(sf_dir: str) -> pd.DataFrame:
+    """(sid, pos, token, suggestion, dist, df) — phrase / did-you-mean
+    suggester (ES ``phrase`` suggester, term-by-term mode): every query
+    token keeps itself when in-vocab (dist 0), otherwise takes the best
+    correction within 2 classical Levenshtein edits by (distance asc, df
+    desc, term asc) — the term suggester's ranking applied per position;
+    tokens with no candidate keep themselves with dist = -1."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for sid, text in PHRASE_SUGGEST_QUERIES:
+        for pos, t in enumerate(reader.tok.tokenize(text)):
+            tid = int(reader.vocab_index.get_indexer(np.asarray([t], dtype=object))[0])
+            if tid >= 0:
+                rows.append((sid, pos, t, t, 0, int(reader.df[tid])))
+                continue
+            cands = reader.suggest_spelling(t, k=1, max_edits=2)
+            if cands:
+                st, d, df = cands[0]
+                rows.append((sid, pos, t, st, int(d), int(df)))
+            else:
+                rows.append((sid, pos, t, t, -1, 0))
+    return pd.DataFrame(rows, columns=["sid", "pos", "token", "suggestion", "dist", "df"])
+
+
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
     """(query_id, doc_id) — percolation (ES percolate / reverse search):
     six registered boolean queries matched against the streaming documents
