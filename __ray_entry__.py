@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nested block-join: chunks indexed as child docs, parent takes its
         # best child's BM25 (ToParentBlockJoinQuery, ScoreMode.Max)
         "block_join_topk": q.block_join_topk,
+        # children agg: matching CHILD chunk counts per parent lang
+        "children_agg": q.children_agg,
         # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
         "boosted_topk": q.boosted_topk,
         # TermStatistics (df + totalTermFreq) served off the stored index
@@ -1226,6 +1228,26 @@ parents AS (
 )
 SELECT query_id, rank, doc_id, chunk_idx, round(score, 6) AS score_r
 FROM parents WHERE rank <= 10
+""",
+        # children agg: matching chunks (>= 1 query term) per parent lang
+        "children_agg": f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT DISTINCT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+dtoks AS (SELECT doc_id, {doc_toks} AS ts FROM documents),
+base AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(ts) - 16, 0) / 12.0) AS INT) END AS n_chunks
+  FROM dtoks
+),
+idx AS (SELECT doc_id, ts, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM base),
+chunks AS (SELECT doc_id, chunk_idx, ts[chunk_idx*12 + 1 : least(chunk_idx*12 + 16, n)] AS ct FROM idx),
+ctoks AS (SELECT DISTINCT doc_id, chunk_idx, unnest(ct) AS term FROM chunks),
+m AS (SELECT DISTINCT q.query_id, c.doc_id, c.chunk_idx
+      FROM qterms q JOIN ctoks c ON c.term = q.term)
+SELECT m.query_id, d.lang, count(*)::BIGINT AS n_chunks
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "search_facets": facets,
         # histogram agg: floor(n_chars/200) buckets over the disjunctive

@@ -560,6 +560,28 @@ def block_join_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "chunk_idx", "score_r"])
 
 
+def children_agg(sf_dir: str) -> pd.DataFrame:
+    """(query_id, lang, n_chunks) — children aggregation (ES ``children``
+    under a terms bucket) on the nested chunk index: counts of MATCHING
+    CHILD chunks per parent ``lang`` (the parent attribute rides every
+    child as a doc-value, Lucene's join-field denormalization).  Served
+    by the shard owners' facet kernel — child match sets never leave
+    them."""
+    from .search import ShardedSearcher
+
+    index_dir = build_chunk_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for lang, n in sorted(ss.facets(text, m=1, attr_col="lang").items()):
+                rows.append((qid, lang, int(n)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "lang", "n_chunks"])
+
+
 SYNONYM_QUERIES: list[tuple[str, list[list[str]]]] = [
     ("y0", [["data", "index"], ["query"]]),
     ("y1", [["spark", "stream"]]),
