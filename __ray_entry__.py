@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_corpus": q.curated_corpus,
         # deterministic 80/10/10 train/val/test assignment
         "dataset_splits": q.dataset_splits,
+        # temperature-weighted per-language mixture sampling
+        "mixture_sample": q.mixture_sample,
         # count-min-sketch term counts (additive-combiner sketch)
         "cms_counts": q.cms_counts,
         # per-label embedding centroids (vector aggregate, long format)
@@ -2258,6 +2260,15 @@ FROM (SELECT label, unnest(embedding) AS v,
              unnest(range(len(embedding))) AS dim
       FROM embeddings)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # mixture sampling in lockstep with queries.mixture_sample
+        "mixture_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CASE lang WHEN 'en' THEN 4294967296.0 WHEN 'de' THEN 2147483648.0
+                WHEN 'es' THEN 1073741824.0 WHEN 'fr' THEN 536870912.0
+                WHEN 'zh' THEN 268435456.0 ELSE 0.0 END
+ORDER BY doc_id
 """,
         # split thresholds in lockstep with queries.dataset_splits
         "dataset_splits": """

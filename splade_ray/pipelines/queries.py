@@ -1309,6 +1309,30 @@ def suggest_phrase(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["sid", "pos", "token", "suggestion", "dist", "df"])
 
 
+MIXTURE_WEIGHTS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.0625}
+
+
+def mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang) — training-mixture sampling: each language keeps a
+    deterministic fraction of its docs (the temperature-weighted source
+    mixing every pre-training pipeline runs before packing).  The accept
+    test is the same multiplicative integer hash as ``dataset_splits``
+    (u = (doc_id·K) mod 2^32; keep iff u < w·2^32) so the exact sample is
+    SQL-replayable and shuffle-free — one streaming vectorized pass."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    wmap = MIXTURE_WEIGHTS
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        langs = batch.column("lang").to_pylist()
+        thr = np.asarray([wmap.get(l, 0.0) for l in langs]) * float(1 << 32)
+        return batch.filter(pa.array(u.astype(np.float64) < thr))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
     """(query_id, doc_id) — percolation (ES percolate / reverse search):
     six registered boolean queries matched against the streaming documents
