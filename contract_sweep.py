@@ -68,7 +68,7 @@ def _match(got: pd.DataFrame, want: pd.DataFrame) -> bool:
     return True
 
 
-def sweep(sf_dir: str) -> dict:
+def sweep(sf_dir: str, only: list[str] | None = None) -> dict:
     import duckdb
 
     import __ray_entry__ as entrymod
@@ -80,6 +80,8 @@ def sweep(sf_dir: str) -> dict:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in set(only)}
     report: dict = {"sf_dir": sf_dir, "ok": 0, "fail": 0, "queries": {}}
     for name in sorted(queries):
         t0 = time.perf_counter()
@@ -106,6 +108,7 @@ def sweep(sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None  # optional query-name filter for spot-checks
     import ray
 
     if not ray.is_initialized():
@@ -118,6 +121,6 @@ if __name__ == "__main__":
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    out = sweep(sf_dir)
+    out = sweep(sf_dir, only)
     print(json.dumps(out))
     ray.shutdown()

@@ -72,6 +72,117 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", nbu
     )
 
 
+# ------------------------------------------------------- incremental dedup
+def incremental_dedup(
+    existing: Dataset,
+    new: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    existing_rows: int | None = None,
+    broadcast_row_limit: int = 30_000_000,
+    nbuckets: int = _PAIR_BUCKETS,
+) -> Dataset:
+    """Incremental-crawl ingestion dedup: rows of ``new`` kept iff (a) no
+    row of ``existing`` has identical text and (b) they are the min-id
+    holder of their text within ``new``.  Returns a Dataset of kept ids.
+
+    Two executions behind one auto-switch (same contract as
+    :func:`splade_ray.pipelines.build.resolve_dedup_mode`):
+
+    * ``broadcast`` — the existing corpus's 64-bit content-hash
+      fingerprint set (8 B/doc, the sidecar an incremental indexer keeps)
+      is ``ray.put`` ONCE and the new batch streams through one
+      membership filter; right for existing corpora whose fingerprint
+      array fits a worker heap.
+    * ``shuffle`` — the 10^12-doc path: BOTH sides are tagged and
+      unioned, exchanged ONCE on COARSE content-hash buckets (equal
+      texts always share a hash → one bucket), and each bucket runs a
+      vectorized semi-join (drop new texts present among existing) +
+      min-id election.  No corpus-sized object ever lands on one node.
+
+    Both modes elect and semi-join on the TEXT itself (hash only routes
+    the exchange / prunes the broadcast filter), the collision-proof
+    convention of :func:`exact_dedup`.  ``auto`` picks broadcast when
+    ``existing_rows`` (caller-supplied footer count, else a metadata
+    ``existing.count()``) is at most ``broadcast_row_limit``."""
+    if mode == "auto":
+        n_existing = existing_rows if existing_rows is not None else existing.count()
+        mode = "broadcast" if n_existing <= broadcast_row_limit else "shuffle"
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown incremental dedup mode: {mode!r}")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = batch.column("content_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "hbucket", pa.array((splitmix64(h) % np.uint64(nbuckets)).astype(np.int32))
+        )
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        kept = g.sort_values(id_col, kind="mergesort").drop_duplicates(text_col, keep="first")
+        return kept[[id_col]]
+
+    if mode == "broadcast":
+        def fingerprint(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column(text_col).to_pylist())
+            return pa.table({"h": pa.array(h.astype(np.int64))})
+
+        fps = (
+            existing.map_batches(fingerprint, batch_format="pyarrow")
+            .to_pandas()["h"]
+            .to_numpy()
+        )
+        fp_ref = ray.put(np.sort(fps.astype(np.int64)))
+
+        def filter_new(batch: pa.Table) -> pa.Table:
+            b = add_content_hash(batch, text_col)
+            h = b.column("content_hash").to_numpy(zero_copy_only=False)
+            fp = ray.get(fp_ref)
+            pos = np.minimum(np.searchsorted(fp, h), max(fp.size - 1, 0))
+            dup_existing = (fp[pos] == h) if fp.size else np.zeros(h.size, bool)
+            return b.filter(pa.array(~dup_existing))
+
+        return (
+            new.map_batches(filter_new, batch_format="pyarrow")
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("hbucket")
+            .map_groups(elect, batch_format="pandas")
+        )
+
+    # shuffle: tag + union, ONE coarse-bucket exchange, per-bucket semi-join
+    def tag(is_new: int):
+        def f(batch: pa.Table) -> pa.Table:
+            b = add_content_hash(batch, text_col)
+            ids = (
+                b.column(id_col).cast(pa.int64())
+                if id_col in b.column_names
+                else pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+            )
+            out = pa.table(
+                {
+                    id_col: ids,
+                    text_col: b.column(text_col),
+                    "content_hash": b.column("content_hash"),
+                    "is_new": pa.array(np.full(b.num_rows, is_new, dtype=np.int8)),
+                }
+            )
+            return bucketize(out)
+
+        return f
+
+    def semi_join_elect(g: pd.DataFrame) -> pd.DataFrame:
+        newg = g[g["is_new"] == 1]
+        old_texts = g.loc[g["is_new"] == 0, text_col]
+        if len(old_texts):
+            newg = newg[~newg[text_col].isin(old_texts)]
+        return elect(newg)
+
+    tagged = new.map_batches(tag(1), batch_format="pyarrow").union(
+        existing.map_batches(tag(0), batch_format="pyarrow")
+    )
+    return tagged.groupby("hbucket").map_groups(semi_join_elect, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- minhash/LSH
 class MinHashStage:
     """map_batches(pyarrow) actor: (id, text) → (id, sig list<int64>).

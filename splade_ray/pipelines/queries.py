@@ -1803,69 +1803,31 @@ def percentile_ranks(sf_dir: str) -> pd.DataFrame:
 INCR_DEDUP_CUT_FRAC = 0.8
 
 
-def incremental_dedup_kept(sf_dir: str) -> pd.DataFrame:
+def incremental_dedup_kept(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """(doc_id) — incremental-crawl ingestion dedup: the last 20% of doc
     ids play the NEW batch, the first 80% the already-indexed corpus.  A
     new doc is kept iff (a) no existing doc has identical text and (b) it
     is the smallest-id holder of its text within the new batch.
 
-    Engine shape: the existing corpus's content-hash fingerprint set is a
-    column-pruned read broadcast ONCE via ``ray.put`` (8 B/doc — the
-    fingerprint sidecar an incremental indexer keeps); the new batch
-    streams through one map_batches membership filter, and the
-    within-batch election reuses the exact-dedup coarse-bucket kernel.
-    At 10^12 existing docs the broadcast becomes the shuffle-mode semi
-    join, the same auto-switch as ``resolve_dedup_mode``."""
-    from .dedup import add_content_hash
-    from ..functions.hashing import hash_strings
+    Engine shape: :func:`splade_ray.pipelines.dedup.incremental_dedup`
+    behind the same auto-switch as ``resolve_dedup_mode`` — broadcast of
+    the existing fingerprint set (``ray.put`` once, 8 B/doc) while the
+    existing corpus fits the limit, else the tag+union shuffle semi-join
+    on coarse content-hash buckets (nothing corpus-sized on one node).
+    ``mode`` forces a path for the broadcast==shuffle parity checks."""
+    from .dedup import incremental_dedup
+    from ..config import DEFAULT_CONFIG
 
     n_total = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     cut = int(n_total * INCR_DEDUP_CUT_FRAC)
 
-    existing = _docs(sf_dir, columns=["doc_id", "text"]).filter(
-        expr=f"doc_id < {cut}"
-    )
-
-    def fingerprint(batch: pa.Table) -> pa.Table:
-        h = hash_strings(np.asarray(batch.column("text").to_pylist(), dtype=object))
-        return pa.table({"h": pa.array(h.astype(np.int64))})
-
-    fps = existing.map_batches(fingerprint, batch_format="pyarrow").to_pandas()["h"].to_numpy()
-    fp_ref = ray.put(np.sort(fps.astype(np.int64)))
-
-    def filter_new(batch: pa.Table) -> pa.Table:
-        b = add_content_hash(batch)
-        h = b.column("content_hash").to_numpy(zero_copy_only=False)
-        fp = ray.get(fp_ref)
-        pos = np.minimum(np.searchsorted(fp, h), max(fp.size - 1, 0))
-        dup_existing = (fp[pos] == h) if fp.size else np.zeros(h.size, bool)
-        return b.filter(pa.array(~dup_existing))
-
-    def elect(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        h = g.column("content_hash").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))
-        keep = np.ones(order.size, dtype=bool)
-        keep[1:] = h[order][1:] != h[order][:-1]
-        return pa.table({"doc_id": pa.array(ids[order][keep])})
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        h = batch.column("content_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        from ..functions.hashing import splitmix64
-
-        return batch.append_column(
-            "hbucket", pa.array((splitmix64(h) % np.uint64(1024)).astype(np.int32))
-        )
-
-    out = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .filter(expr=f"doc_id >= {cut}")
-        .map_batches(filter_new, batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby("hbucket")
-        .map_groups(elect, batch_format="pyarrow")
-        .to_pandas()
-    )
+    out = incremental_dedup(
+        _docs(sf_dir, columns=["doc_id", "text"]).filter(expr=f"doc_id < {cut}"),
+        _docs(sf_dir, columns=["doc_id", "text"]).filter(expr=f"doc_id >= {cut}"),
+        mode=mode,
+        existing_rows=cut,
+        broadcast_row_limit=DEFAULT_CONFIG.broadcast_row_limit,
+    ).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
 
 
