@@ -160,10 +160,7 @@ def run_bench() -> dict:
     tdir = os.path.join(INDEX_DIR, "term_index")
     build_term_index(os.path.join(INDEX_DIR, "doc_terms"), os.path.join(INDEX_DIR, "stats"), tdir, cfg)
     treader = TermIndexReader(tdir, os.path.join(INDEX_DIR, "stats"), cfg)
-    dt = rd.read_parquet(os.path.join(INDEX_DIR, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
-    dl = np.zeros(summary["n_docs"], dtype=np.int64)
-    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
-    treader.set_doc_lengths(dl)
+    treader.load_doc_lengths()
     lat_t_ex, lat_t_wand = [], []
     for text in queries[:50]:
         t = time.perf_counter()

@@ -969,7 +969,7 @@ def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
     from ..state.lineage import read_json as _read_json
 
     man = _read_json(os.path.join(tdir, "_MANIFEST.json"))
-    if man is None or man.get("format") != 2:
+    if man is None or man.get("format") != 3:
         build_term_index(
             os.path.join(base, "doc_terms"),
             os.path.join(base, "stats"),
@@ -979,10 +979,7 @@ def bm25_topk_termindex(sf_dir: str) -> pd.DataFrame:
             max_salts=8,
         )
     reader = TermIndexReader(tdir, os.path.join(base, "stats"), DOCS_CFG)
-    dt = rd.read_parquet(os.path.join(base, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
-    dl = np.zeros(reader.n_docs, dtype=np.int64)
-    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
-    reader.set_doc_lengths(dl)
+    reader.load_doc_lengths()
     rows = []
     for qid, text in BM25_QUERIES:
         for rank, (doc, score) in enumerate(reader.search(text, BM25_K), 1):
@@ -1056,16 +1053,13 @@ def _field_reader(sf_dir: str, field: str):
     build_index(corpus_path, fdir, DOCS_CFG)
     tdir = os.path.join(fdir, "term_index")
     man = _read_json(os.path.join(tdir, "_MANIFEST.json"))
-    if man is None or man.get("format") != 2:
+    if man is None or man.get("format") != 3:
         build_term_index(
             os.path.join(fdir, "doc_terms"), os.path.join(fdir, "stats"), tdir, DOCS_CFG,
             salt_block_postings=512, max_salts=8,
         )
     reader = TermIndexReader(tdir, os.path.join(fdir, "stats"), DOCS_CFG)
-    dt = rd.read_parquet(os.path.join(fdir, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
-    dl = np.zeros(reader.n_docs, dtype=np.int64)
-    dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
-    reader.set_doc_lengths(dl)
+    reader.load_doc_lengths()
     return reader
 
 

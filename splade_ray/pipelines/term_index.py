@@ -172,6 +172,16 @@ def build_term_index(
         .map_groups(build_runs_in_bucket, batch_format="pyarrow")
         .write_parquet(os.path.join(out_dir, "runs"))
     )
+    # dl sidecar: (doc_id, dl) only — the BM25 length normalization a
+    # reader needs at open, WITHOUT re-scanning doc_terms (whose tids/tfs
+    # lists are ~50x the bytes) or staging the corpus-sized dense array
+    # through the driver.  Streamed shard-parallel; readers scatter-fill
+    # their dense slice worker-side (per-doc-range chunks at 10^10 docs).
+    shutil.rmtree(os.path.join(out_dir, "dl"), ignore_errors=True)
+    (
+        ray.data.read_parquet(doc_terms_dir, columns=["doc_id", "dl"])
+        .write_parquet(os.path.join(out_dir, "dl"))
+    )
     summary = {
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
@@ -180,8 +190,9 @@ def build_term_index(
         "salted_terms": int((salts > 1).sum()),
         "layout": "term-major-salted",
         # bump when the run encoding changes (2: first delta relative to
-        # min_doc) so cached builds in older formats rebuild
-        "format": 2,
+        # min_doc; 3: + dl sidecar) so cached builds in older formats
+        # rebuild
+        "format": 3,
     }
     atomic_write_json(os.path.join(out_dir, "_MANIFEST.json"), summary)
     return summary
@@ -257,6 +268,18 @@ class TermIndexReader:
         self._post_df = self.df[np.repeat(self.term_ids, np.diff(self.term_ptr))]
         self.post_w: np.ndarray | None = None
         self.tok = Tokenizer(self.cfg)
+        self._term_index_dir = term_index_dir
+
+    def load_doc_lengths(self):
+        """Load the dl sidecar written by :func:`build_term_index`
+        (format >= 3) and precompute BM25 weights — the reader-local path:
+        2 int columns, column-pruned, scatter-filled where the reader
+        runs, never staged through a driver DataFrame."""
+        tbl = pq.read_table(os.path.join(self._term_index_dir, "dl"))
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.zeros(int(ids.max()) + 1 if ids.size else 0, dtype=np.int64)
+        dl[ids] = tbl.column("dl").to_numpy(zero_copy_only=False)
+        self.set_doc_lengths(dl)
 
     def set_doc_lengths(self, dl: np.ndarray):
         """Precompute float64 BM25 weights per posting (identical formula
@@ -297,6 +320,44 @@ class TermIndexReader:
             self.zone_zid = np.zeros(0, np.int64)
             self.zone_max = np.zeros(0, np.float64)
             self.zone_ptr = np.zeros(self.term_ids.size + 1, np.int64)
+        # per-term flatness summary (zone-max median / max / count), built
+        # ONCE here so queries can skip the full zone-bound union+bincount
+        # when pruning cannot win (flat corpora) — the pre-check the
+        # doc-sharded reader gained in round 2, without paying zone_bounds
+        # first.  One lexsort over the zone table, O(#query terms) at
+        # query time.
+        nterm = self.term_ids.size
+        seg_lens = np.diff(self.zone_ptr)
+        if self.zone_max.size:
+            owner = np.repeat(np.arange(nterm, dtype=np.int64), seg_lens)
+            order = np.lexsort((self.zone_max, owner))
+            zm_sorted = self.zone_max[order]
+            mid = self.zone_ptr[:-1] + seg_lens // 2
+            self.term_zone_med = np.where(seg_lens > 0, zm_sorted[np.minimum(mid, self.zone_max.size - 1)], 0.0)
+            last = np.maximum(self.zone_ptr[1:] - 1, 0)
+            self.term_zone_max = np.where(seg_lens > 0, zm_sorted[last], 0.0)
+        else:
+            self.term_zone_med = np.zeros(nterm, np.float64)
+            self.term_zone_max = np.zeros(nterm, np.float64)
+        self.term_zone_cnt = seg_lens
+
+    def flatness(self, tids: np.ndarray, qw: np.ndarray) -> tuple[float, float, int]:
+        """(Σ qw·zone-median, Σ qw·zone-max, max per-term zone count) over
+        the query terms this reader holds — the O(#terms) proxy for the
+        bound distribution's flatness.  Medians of sums are approximated
+        by sums of medians; the proxy only decides whether to SKIP pruning
+        (both paths stay exact), so the approximation cannot cost
+        correctness."""
+        slices = self._term_slices(tids)
+        if not slices:
+            return 0.0, 0.0, 0
+        idx = np.asarray([p for _i, _s, _e, p in slices], dtype=np.int64)
+        w = np.asarray([qw[i] for i, _s, _e, _p in slices], dtype=np.float64)
+        return (
+            float(self.term_zone_med[idx] @ w),
+            float(self.term_zone_max[idx] @ w),
+            int(self.term_zone_cnt[idx].max()),
+        )
 
     def _query_terms(self, text: str) -> tuple[np.ndarray, np.ndarray]:
         toks = self.tok.tokenize(text)
@@ -393,8 +454,13 @@ class TermIndexReader:
         holds — the per-partition contribution of a term-partitioned
         deployment.  Score order is irrelevant for Σ qw·w, so partials from
         disjoint term ranges sum exactly to the full score."""
-        assert self.post_w is not None, "call set_doc_lengths first"
         tids, qw = self._query_terms(text)
+        return self.score_partial_terms(tids, qw)
+
+    def score_partial_terms(self, tids: np.ndarray, qw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """:meth:`score_partial` on ALREADY-parsed query terms — lets the
+        WAND flatness fallback reuse the parse instead of re-tokenizing."""
+        assert self.post_w is not None, "call set_doc_lengths first"
         if tids.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         slices = self._term_slices(tids)
@@ -473,6 +539,7 @@ def search_term_partitioned(
     method: str = "exhaustive",
     top_zones: int = 32,
     fallback_frac: float = 0.5,
+    flatness_frac: float = 0.85,
 ) -> list[tuple[int, float]]:
     """Scatter-gather over TERM-partitioned readers (each holding a
     disjoint term-id range): per-partition partial scores sum exactly —
@@ -491,6 +558,25 @@ def search_term_partitioned(
     (same rule as ShardIndex.score_wand).  Rank-identical to exhaustive."""
     if method == "wand":
         qterms = [r._query_terms(text) for r in readers]
+
+        def exhaustive() -> list[tuple[int, float]]:
+            # fallback reuses the parsed query terms — no re-tokenize
+            cand, scores = _merge_partials(
+                [r.score_partial_terms(t, w) for r, (t, w) in zip(readers, qterms)]
+            )
+            return _topk_list(cand, scores, k)
+
+        # cheap flatness pre-check (O(#query terms), no zone materialize):
+        # when the summed zone-median proxy is within ``flatness_frac`` of
+        # the summed zone-max proxy the bound distribution is flat and
+        # pruning cannot win — go straight to exhaustive without paying
+        # zone_bounds.
+        flat = [r.flatness(t, w) for r, (t, w) in zip(readers, qterms)]
+        med_sum = sum(f[0] for f in flat)
+        max_sum = sum(f[1] for f in flat)
+        nzones = max((f[2] for f in flat), default=0)
+        if nzones <= top_zones or med_sum >= flatness_frac * max_sum:
+            return exhaustive()
         bounds = [r.zone_bounds(t, w) for r, (t, w) in zip(readers, qterms)]
         allz = np.concatenate([b[0] for b in bounds]) if bounds else np.zeros(0, np.int64)
         if allz.size == 0:
@@ -499,8 +585,8 @@ def search_term_partitioned(
         ub = np.bincount(inv, weights=np.concatenate([b[1] for b in bounds]))
         order = np.argsort(-ub, kind="stable")
         uz, ub = uz[order], ub[order]
-        if uz.size <= top_zones or ub[uz.size // 2] >= 0.85 * ub[0]:
-            return search_term_partitioned(readers, text, k, method="exhaustive")
+        if uz.size <= top_zones or ub[uz.size // 2] >= flatness_frac * ub[0]:
+            return exhaustive()
         z1 = uz[:top_zones]
         cand1, sc1 = _merge_partials([r.score_zones(t, w, z1) for r, (t, w) in zip(readers, qterms)])
         sel = None
@@ -509,7 +595,7 @@ def search_term_partitioned(
             # ub >= t keeps boundary ties exact under the (-score, doc_id) rule
             sel = ub[top_zones:] >= t_kth
         if sel is None or int(sel.sum()) > fallback_frac * (uz.size - top_zones):
-            return search_term_partitioned(readers, text, k, method="exhaustive")
+            return exhaustive()
         z2 = uz[top_zones:][sel]
         cand2, sc2 = _merge_partials([r.score_zones(t, w, z2) for r, (t, w) in zip(readers, qterms)])
         # a doc lives in exactly one zone → phase sets are disjoint

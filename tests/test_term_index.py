@@ -31,15 +31,28 @@ def term_index(built_index, tmp_path_factory):
         salt_block_postings=200,  # small so head terms actually salt
         max_salts=8,
     )
+    # the reader loads doc lengths from the build's dl sidecar itself —
+    # no driver-side doc_terms scan
     reader = TermIndexReader(out, os.path.join(index_dir, "stats"), cfg)
+    reader.load_doc_lengths()
     dt = ray.data.read_parquet(os.path.join(index_dir, "doc_terms"), columns=["doc_id", "dl"]).to_pandas()
     dt = dt.sort_values("doc_id")
     dl = np.zeros(summary["n_docs"], dtype=np.int64)
     dl[dt["doc_id"].to_numpy()] = dt["dl"].to_numpy()
-    reader.set_doc_lengths(dl)
     # breadcrumbs for the term-partitioned test
     reader._tdir, reader._stats_dir, reader._dl = out, os.path.join(index_dir, "stats"), dl
     return reader, summary
+
+
+def test_dl_sidecar_equals_doc_terms_scan(term_index, built_index):
+    """load_doc_lengths (dl sidecar) must produce the exact weights the
+    driver-side doc_terms scan did."""
+    index_dir, cfg = built_index
+    full, _ = term_index
+    other = TermIndexReader(full._tdir, full._stats_dir, cfg)
+    other.set_doc_lengths(full._dl)
+    assert np.array_equal(full.post_doc, other.post_doc)
+    assert np.array_equal(full.post_w, other.post_w)
 
 
 def test_head_terms_salted(term_index):
@@ -93,7 +106,9 @@ def test_term_index_wand_equals_exhaustive(term_index):
     for q in generate_queries(40)["text"].to_pylist():
         a = [(d, round(s, 9)) for d, s in full.search(q, 10)]
         b = [(d, round(s, 9)) for d, s in full.search(q, 10, method="wand")]
-        c = [(d, round(s, 9)) for d, s in search_term_partitioned([full], q, 10, method="wand", top_zones=2)]
+        # flatness_frac=2.0 disables the flat short-circuit so phase-2
+        # pruning genuinely runs at top_zones=2
+        c = [(d, round(s, 9)) for d, s in search_term_partitioned([full], q, 10, method="wand", top_zones=2, flatness_frac=2.0)]
         assert a == b == c, q
 
 
@@ -115,5 +130,5 @@ def test_term_partitioned_wand_equals_exhaustive(term_index, built_index):
     for q in generate_queries(30)["text"].to_pylist():
         a = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10)]
         b = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand")]
-        c = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand", top_zones=2)]
+        c = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand", top_zones=2, flatness_frac=2.0)]
         assert a == b == c, q
