@@ -486,6 +486,48 @@ SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
     )
+    # neural (hash-expansion) retrieval: join doc tokens to the sidecar
+    # model table, replay max-pool → per-doc top-k sparsify → f32 impact
+    # storage → doc-only BoW scoring.  OOV query tokens still hash to an
+    # identity tid (the sidecar includes the query tokens), matching the
+    # engine's encode_query_bow.
+    from splade_ray.pipelines.queries import NEURAL_DOCS_CFG, NEURAL_EXPANSION_SIDECAR
+
+    neural_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+exp AS (SELECT term, j, tid, weight FROM read_parquet('{NEURAL_EXPANSION_SIDECAR}')),
+qtoks AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS t FROM qset),
+qbow AS (
+  SELECT q.query_id, e.tid, count(*)::DOUBLE AS qtf
+  FROM qtoks q JOIN exp e ON e.term = q.t AND e.j = 0
+  GROUP BY 1, 2
+),
+dtoks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, unnest({doc_toks}) AS t FROM documents)),
+pooled AS (
+  SELECT d.doc_id, e.tid, max(e.weight) AS w
+  FROM dtoks d JOIN exp e ON e.term = d.t
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT doc_id, tid, w FROM (
+    SELECT doc_id, tid, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tid ASC) AS rn
+    FROM pooled WHERE w > {NEURAL_DOCS_CFG.min_weight}
+  ) WHERE rn <= {NEURAL_DOCS_CFG.doc_top_k}
+),
+scores AS (
+  SELECT q.query_id, k.doc_id, sum(q.qtf * CAST(k.w AS REAL)) AS score
+  FROM qbow q JOIN kept k ON k.tid = q.tid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # analyzed BM25: the light_en chain (stop filter BEFORE the ordered
     # stem-rule chain — both defined once in splade_ray.tokenizer and
     # replayed here verbatim) applied to docs and queries; df/dl/avgdl are
@@ -877,12 +919,12 @@ scores AS (
 per_src AS (
   SELECT sc.query_id, d.source, sc.doc_id, sc.score,
          row_number() OVER (PARTITION BY sc.query_id, d.source
-                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rs
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC) AS rs
   FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
 ),
 ranked AS (
   SELECT query_id, source, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM per_src WHERE rs = 1
 )
 SELECT query_id, rank, source, doc_id, round(score, 6) AS score_r
@@ -1397,6 +1439,13 @@ FROM ranked WHERE rank > 10 AND rank <= 20
         # merged segments must reproduce the single-build BM25 ranking
         "segment_merge_topk": bm25,
         "bm25_topk_federated": bm25,
+        # SPLADE-style hash-expansion retrieval: the deterministic model's
+        # token-level expansion table (term, j, tid, weight) is a sidecar
+        # written by the query (j=0 = identity dim); the oracle replays
+        # max-pool per (doc, tid), per-doc top-k sparsify (weight DESC,
+        # tid ASC ties), f32 impact storage (CAST AS REAL) and doc-only
+        # BoW scoring Σ qtf·w relationally
+        "neural_topk": neural_sql,
         # exact-phrase retrieval: same BM25 scoring restricted to docs whose
         # space-joined token stream contains the normalized phrase (tokens
         # are [a-z0-9]+, so single-space joining is collision-free)

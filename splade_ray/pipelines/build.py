@@ -254,6 +254,9 @@ class IndexBuilder:
             "encoder": self.cfg.encoder,
             "vocab_mode": self.cfg.vocab_mode,
             "value_dtype": self.cfg.neural_value_dtype if self.cfg.encoder == "neural" else "tf",
+            # layout provenance: num_buckets=1 builds keep internal doc id
+            # == url rank, the precondition index-sorted serving checks
+            "num_buckets": self.cfg.num_buckets,
         }
         if with_buckets:
             # per-bucket doc counts: the tiny aggregate behind the

@@ -1316,11 +1316,23 @@ def mixture_sample(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, columns=["doc_id", "lang"])
     wmap = MIXTURE_WEIGHTS
 
+    import pyarrow.compute as pc
+
+    w_keys = pa.array(list(wmap.keys()), type=pa.string())
+    w_vals = np.asarray(list(wmap.values()), dtype=np.float64)
+
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         u = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
-        langs = batch.column("lang").to_pylist()
-        thr = np.asarray([wmap.get(l, 0.0) for l in langs]) * float(1 << 32)
+        # dictionary gather instead of a per-row dict lookup: index_in maps
+        # each lang to its weight slot (miss → weight 0)
+        slot = (
+            pc.fill_null(pc.index_in(batch.column("lang"), w_keys), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = np.where(slot >= 0, w_vals[np.maximum(slot, 0)], 0.0)
+        thr = w * float(1 << 32)
         return batch.filter(pa.array(u.astype(np.float64) < thr))
 
     out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
@@ -1402,15 +1414,60 @@ def near_topk(sf_dir: str) -> pd.DataFrame:
 
 NEURAL_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, encoder="neural")
 
+# fixed path so the STATIC oracle SQL can read_parquet it; regenerated by
+# neural_topk for whatever sf corpus the oracle is about to check
+NEURAL_EXPANSION_SIDECAR = "/tmp/splade_ray_cache/neural_expansion.parquet"
+
+
+def write_neural_expansion_sidecar(sf_dir: str, cfg: EngineConfig = NEURAL_DOCS_CFG) -> str:
+    """Materialize the deterministic fake-MLM's expansion table —
+    (term, j, tid, weight) for every distinct corpus token plus the
+    contract query tokens (j=0 is the identity dim, weight 1.0) — so the
+    SQL oracle can replay pooling → sparsify → BoW scoring as relational
+    ops.  The table is the MODEL (token-level weights), not engine output:
+    the oracle recomputes per-doc max-pool, top-k and score sums itself."""
+    from ..stages.neural import expand_token_hashes
+    from ..functions.hashing import hash_strings
+    from ..tokenizer import Tokenizer
+
+    base = build_documents_index(sf_dir)
+    vocab = pq.read_table(os.path.join(base, "stats", "vocab.parquet"), columns=["term"])
+    terms = set(vocab.column("term").to_pylist())
+    tok = Tokenizer(cfg)
+    for _qid, text in BM25_QUERIES:
+        terms.update(tok.tokenize(text))
+    terms_arr = np.asarray(sorted(terms), dtype=object)
+    uh = hash_strings(terms_arr, seed=cfg.neural_seed)
+    tids, weights = expand_token_hashes(uh, cfg)  # expansion-major: all j=0 first
+    E, n = cfg.neural_expansions, terms_arr.size
+    tbl = pa.table(
+        {
+            "term": pa.array(np.tile(terms_arr, E), type=pa.string()),
+            "j": pa.array(np.repeat(np.arange(E, dtype=np.int32), n)),
+            "tid": pa.array(tids.astype(np.int64)),
+            "weight": pa.array(weights),
+        }
+    )
+    os.makedirs(os.path.dirname(NEURAL_EXPANSION_SIDECAR), exist_ok=True)
+    tmp = NEURAL_EXPANSION_SIDECAR + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, NEURAL_EXPANSION_SIDECAR)
+    return NEURAL_EXPANSION_SIDECAR
+
 
 def neural_topk(sf_dir: str) -> pd.DataFrame:
     """(query_id, rank, doc_id, score_r) — SPLADE-style hash-expansion
-    index + doc-only BoW top-10 (model scoring: no SQL oracle; the pytest
-    oracle in tests/test_neural.py is the correctness gate)."""
+    index + doc-only BoW top-10.  SQL-oracled via the expansion-table
+    sidecar (:func:`write_neural_expansion_sidecar`): the oracle joins
+    doc tokens to the token-level model table and replays max-pool,
+    per-doc top-k sparsify and Σ qtf·w scoring relationally; the pytest
+    rank-identity oracle in tests/test_neural.py stays as the second
+    gate."""
     key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{NEURAL_DOCS_CFG}".encode()).hexdigest()[:12]
     out = os.path.join("/tmp/splade_ray_cache", f"docs_nidx_{key}")
     corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
     build_index(corpus_path, out, NEURAL_DOCS_CFG)
+    write_neural_expansion_sidecar(sf_dir, NEURAL_DOCS_CFG)
     reader = IndexReader(out, NEURAL_DOCS_CFG)
     rows = []
     for qid, text in BM25_QUERIES:
@@ -1571,7 +1628,16 @@ def build_sorted_documents_index(sf_dir: str) -> str:
         def keyed(batch: pa.Table) -> pa.Table:
             did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
             nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
-            # monotone composite: (n_chars DESC, doc_id ASC) -> one int64
+            # monotone composite: (n_chars DESC, doc_id ASC) -> one int64.
+            # Packing holds only for nch < 2^20 and did < 2^40 — fail
+            # loudly instead of silently corrupting the sort order
+            # (ADVICE r3): widen the packing before indexing bigger docs.
+            if nch.size and (int(nch.max()) >= (1 << 20) or int(did.max()) >= (1 << 40)):
+                raise ValueError(
+                    "sorted-index composite key overflow: need n_chars < 2^20 "
+                    f"and doc_id < 2^40, got max n_chars={int(nch.max())}, "
+                    f"max doc_id={int(did.max())}"
+                )
             skey = ((np.int64(1) << np.int64(20)) - nch) << np.int64(40) | did
             ones = np.ones(len(batch), dtype=np.int64)
             return batch.append_column("sort_key", pa.array(skey)).append_column(

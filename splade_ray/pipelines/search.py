@@ -1073,7 +1073,34 @@ class IndexReader:
         qtids, _qw = self.encode_query(text)
         if qtids.size == 0:
             return [], 0
+        if not self._ordered_layout_ok():
+            raise ValueError(
+                "search_index_ordered needs shards covering ascending "
+                "disjoint doc-id ranges (a num_buckets=1 index-sorted "
+                "build); this index's shard layout does not guarantee "
+                "that, so 'first k in index order' would be wrong"
+            )
         return _ordered_walk(self.shards, qtids, k)
+
+    def _ordered_layout_ok(self) -> bool:
+        """True iff shards cover strictly ascending disjoint doc-id ranges
+        (each shard internally sorted) — the precondition of the ordered
+        walk.  Checked directly from the loaded layout (stronger than a
+        manifest flag: covers merged/bucketed indexes too) and cached."""
+        ok = getattr(self, "_ordered_ok", None)
+        if ok is None:
+            ok = True
+            prev_max = -1
+            for sh in self.shards:
+                ids = sh.doc_ids
+                if ids.size == 0:
+                    continue
+                if int(ids[0]) <= prev_max or (ids.size > 1 and not bool(np.all(ids[1:] > ids[:-1]))):
+                    ok = False
+                    break
+                prev_max = int(ids[-1])
+            self._ordered_ok = ok
+        return ok
 
     def search_dismax(self, text: str, k: int = 10, tie: float = 0.0) -> list[tuple[int, float, str]]:
         """Disjunction-max top-k (Lucene DisjunctionMaxQuery): each doc
@@ -1567,27 +1594,31 @@ class FederatedReader:
         n_docs = int(sum(m["n_docs"] for m in metas))
         sum_dl = int(sum(m["sum_dl"] for m in metas))
         avgdl = sum_dl / n_docs
-        # union df/cf: one vocab-bounded hash merge
-        union_df: dict[str, int] = {}
-        union_cf: dict[str, int] = {}
+        # union df/cf: one Arrow concat + group_by-sum (vocab-bounded, no
+        # per-term Python — at vocab_mode="hashed" scale the dict loop this
+        # replaces was seconds of driver time per open), then a vectorized
+        # hash-gather back to each segment's vocab order
         with_cf = all("cf" in v.column_names for v in vocabs)
-        for v in vocabs:
-            terms = v.column("term").to_pylist()
-            dfs = v.column("df").to_numpy(zero_copy_only=False)
-            cfs = v.column("cf").to_numpy(zero_copy_only=False) if with_cf else None
-            for i, t in enumerate(terms):
-                union_df[t] = union_df.get(t, 0) + int(dfs[i])
-                if cfs is not None:
-                    union_cf[t] = union_cf.get(t, 0) + int(cfs[i])
+        cols = ["term", "df"] + (["cf"] if with_cf else [])
+        union = pa.concat_tables([v.select(cols) for v in vocabs])
+        aggs = [("df", "sum")] + ([("cf", "sum")] if with_cf else [])
+        merged = union.group_by("term").aggregate(aggs)
+        union_index = pd.Index(merged.column("term").to_pylist())
+        m_df = merged.column("df_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        m_cf = (
+            merged.column("cf_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+            if with_cf
+            else None
+        )
         self.readers = []
         for d, v in zip(index_dirs, vocabs):
-            terms = v.column("term").to_pylist()
+            pos = union_index.get_indexer(v.column("term").to_pylist())
             gs = {
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "sum_dl": sum_dl,
-                "df": np.asarray([union_df[t] for t in terms], dtype=np.int64),
-                "cf": np.asarray([union_cf[t] for t in terms], dtype=np.int64) if with_cf else None,
+                "df": m_df[pos],
+                "cf": m_cf[pos] if with_cf else None,
             }
             self.readers.append(IndexReader(d, cfg, global_stats=gs))
         self.n_docs = n_docs
@@ -1896,7 +1927,11 @@ class ShardScorerActor:
                 continue
             vals = np.asarray([str(v) for v in attr[nz]], dtype=object)
             docs, sc = sh.doc_ids[nz], scores[nz]
-            order = np.lexsort((docs, -sc, vals))
+            # winner election on the 6-decimal score (the repo-wide compare
+            # precision) with doc-id tie-break, so engine and SQL oracle
+            # agree even when two docs tie at 6 decimals but differ at fp
+            # epsilon (ADVICE r3: block_join winning-child asymmetry)
+            order = np.lexsort((docs, -np.round(sc, 6), vals))
             sv = vals[order]
             first = np.ones(sv.size, dtype=bool)
             first[1:] = sv[1:] != sv[:-1]
@@ -1904,7 +1939,7 @@ class ShardScorerActor:
                 j = order[i]
                 cand = (float(sc[j]), int(docs[j]))
                 prev = out.get(sv[i])
-                if prev is None or (-cand[0], cand[1]) < (-prev[0], prev[1]):
+                if prev is None or (-round(cand[0], 6), cand[1]) < (-round(prev[0], 6), prev[1]):
                     out[sv[i]] = cand
         return {v: (s, d, self.reader.url_of(d)) for v, (s, d) in out.items()}
 
@@ -2142,9 +2177,11 @@ class ShardedSearcher:
         for part in ray.get(futs):
             for v, (s, d, u) in part.items():
                 prev = best.get(v)
-                if prev is None or (-s, d) < (-prev[0], prev[1]):
+                # 6-decimal compare with doc-id tie-break, matching the
+                # per-shard election and the SQL oracles
+                if prev is None or (-round(s, 6), d) < (-round(prev[0], 6), prev[1]):
                     best[v] = (s, d, u)
-        ranked = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:k]
+        ranked = sorted(best.items(), key=lambda kv: (-round(kv[1][0], 6), kv[1][1]))[:k]
         return [(v, d, s, u) for v, (s, d, u) in ranked]
 
     def search_boosted(
