@@ -175,8 +175,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_buckets": q.composite_buckets,
         # exact percentile_ranks of n_chars over each match set
         "percentile_ranks": q.percentile_ranks,
-        # incremental-crawl dedup: new batch vs broadcast fingerprint set
+        # incremental-crawl dedup: new batch vs existing corpus, broadcast
+        # fingerprint set / shuffle semi-join auto-switch
         "incremental_dedup_kept": q.incremental_dedup_kept,
+        # the FULL ingestion loop: dedup the new batch, build it as a
+        # second segment (continued doc numbering), federate queries —
+        # rank+score identical to one build over existing ∪ kept-new
+        "incremental_ingest_topk": q.incremental_ingest_topk,
         # matrix_stats: per-type moments/covariance/correlation (events)
         "matrix_stats": q.matrix_stats,
         # date_histogram + moving_fn pipeline agg (gap-free day axis)
@@ -1387,6 +1392,47 @@ newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
 oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
 cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
 SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
+""",
+        # full ingestion loop: BM25 over existing(80%) ∪ dedup-kept new(20%)
+        # — same dedup election CTE as incremental_dedup_kept, then the
+        # standard BM25 CTEs over the union corpus
+        "incremental_ingest_topk": f"""
+WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
+newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
+oldb AS (SELECT doc_id, text FROM documents, n WHERE doc_id < n.cut),
+cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb)),
+keptn AS (SELECT min(doc_id) AS doc_id FROM cand GROUP BY text),
+corpus AS (
+  SELECT doc_id, text FROM oldb
+  UNION ALL
+  SELECT d.doc_id, d.text FROM documents d JOIN keptn k ON k.doc_id = d.doc_id
+),
+qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """,
         # composite agg paging: page = zero-based bucket ordinal / page size
         # in (lang, source) composite-key order — identical to the engine's

@@ -1891,6 +1891,52 @@ def incremental_dedup_kept(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def incremental_ingest_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — the FULL continuous-crawl
+    ingestion loop, end-to-end: the first 80% of doc ids are the already
+    indexed corpus (segment A); the last 20% arrive as a new crawl batch,
+    pass through :func:`splade_ray.pipelines.dedup.incremental_dedup`
+    (broadcast/shuffle auto-switch), and the survivors build a SECOND
+    segment with continued doc numbering; queries then federate over both
+    segments (no physical merge — the segment is searchable the moment it
+    lands).  Must be rank- AND score-identical to a single BM25 build
+    over (existing ∪ kept-new) — the oracle recomputes the dedup election
+    and the union-corpus BM25 in SQL.
+
+    This is the production shape at 10^12 docs: dedup exchange → segment
+    build (both streaming) → query-time federation, nothing re-indexed."""
+    base_dir = build_documents_index(sf_dir)
+    corpus_path = os.path.join(base_dir, "corpus_input.parquet")
+    out = os.path.join(base_dir, "incremental")
+    a_idx, b_idx = os.path.join(out, "segA"), os.path.join(out, "segB")
+    if not os.path.exists(os.path.join(b_idx, "stats", "meta.json")):
+        import pyarrow.compute as pc
+
+        kept = incremental_dedup_kept(sf_dir)["doc_id"].to_numpy()
+        corpus = pq.read_table(corpus_path)
+        ids = np.asarray(
+            [int(u.removeprefix("doc://")) for u in corpus.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        n_total = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        cut = int(n_total * INCR_DEDUP_CUT_FRAC)
+        os.makedirs(out, exist_ok=True)
+        a_path, b_path = os.path.join(out, "a.parquet"), os.path.join(out, "b.parquet")
+        pq.write_table(corpus.filter(pa.array(ids < cut)), a_path)
+        pq.write_table(corpus.filter(pa.array(np.isin(ids, kept))), b_path)
+        n_a = pq.read_metadata(a_path).num_rows
+        build_index(a_path, a_idx, DOCS_CFG, doc_id_base=0)
+        build_index(b_path, b_idx, DOCS_CFG, doc_id_base=n_a)
+    from .search import FederatedReader
+
+    fr = FederatedReader([a_idx, b_idx], DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 COMPOSITE_PAGE_SIZE = 10
 
 
