@@ -85,6 +85,25 @@ def test_entry_smoke():
     assert set(out.columns) == {"query_id", "rank", "doc_id", "score_r"}
 
 
+def test_contract_md_matches_registry():
+    """CONTRACT.md must name exactly queries().keys() with the right
+    oracle flag — the staleness guard (ADVICE r3: the doc lagged the
+    registry by three queries)."""
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CONTRACT.md")
+    with open(path) as f:
+        text = f.read()
+    listed = dict(re.findall(r"^\| `([a-z0-9_]+)` \| (SQL|rows-only) \|", text, re.M))
+    assert set(listed) == set(QUERIES), (
+        f"CONTRACT.md stale: missing={sorted(set(QUERIES) - set(listed))}, "
+        f"extra={sorted(set(listed) - set(QUERIES))} — regenerate per the header"
+    )
+    for name, flag in listed.items():
+        want = "SQL" if name in ORACLES else "rows-only"
+        assert flag == want, f"CONTRACT.md: {name} marked {flag}, registry says {want}"
+
+
 def test_registry_exposes_all_ops(ray_session):
     import __ray_entry__ as e
 
