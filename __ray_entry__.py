@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_segments": q.index_segments,
         # field collapsing: best hit per source (Lucene grouping/collapse)
         "collapse_topk": q.collapse_topk,
+        # diversified_sampler + top hits: at most 2 docs per source in the
+        # final top-k (per-owner bounded per-source top-2 candidate ship)
+        "diversified_topk": q.diversified_topk,
         # nested block-join: chunks indexed as child docs, parent takes its
         # best child's BM25 (ToParentBlockJoinQuery, ScoreMode.Max)
         "block_join_topk": q.block_join_topk,
@@ -101,6 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SPLADE-style hash-expansion encoder index (model scoring — no SQL
         # oracle; gated by the pytest rank-identity oracle instead)
         "neural_topk": q.neural_topk,
+        # upsert lifecycle: revised docs land as a new segment, stale
+        # versions tombstoned at query time, frozen union stats (pre-merge)
+        "upsert_topk": q.upsert_topk,
         # incremental segment build + term-run merge; must equal the
         # single-build BM25 oracle
         "segment_merge_topk": q.segment_merge_topk,
@@ -208,6 +214,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # custom partial+final aggregate, seeded sampling, collect_set,
         # sessionization (A4, K5/K6, D4, streaming-shaped)
         "running_stats": q.running_stats,
+        # weighted_avg agg: language-importance-weighted mean doc length
+        "weighted_avg_chars": q.weighted_avg_chars,
+        # string_stats agg: length stats + Shannon char entropy, exact
+        "string_stats_text": q.string_stats_text,
+        # multi_terms agg: top composite (lang, source) buckets + avg sub-agg
+        "multi_terms_counts": q.multi_terms_counts,
+        # boxplot agg (exact): per-lang five-number summary via grouped
+        # histogram-refinement selection (no sort of the data)
+        "boxplot_chars": q.boxplot_chars,
+        # median_absolute_deviation agg (exact): two grouped selections
+        "mad_chars": q.mad_chars,
         "deterministic_sample": q.deterministic_sample,
         # per-stratum (lang) deterministic sampling — training-data rebalance
         "stratified_sample": q.stratified_sample,
@@ -935,6 +952,84 @@ ranked AS (
 SELECT query_id, rank, source, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 5
 """
+    # diversified_sampler: per-source cap of 2 (rs <= 2), survivors ranked
+    # globally — same match-score CTEs as collapse, different election
+    diversified_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+per_src AS (
+  SELECT sc.query_id, d.source, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC) AS rs
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, source, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM per_src WHERE rs <= 2
+)
+SELECT query_id, rank, doc_id, source, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # upsert lifecycle (pre-merge): stats frozen over originals ∪ revisions
+    # (rowid disambiguates the two versions of an updated doc), candidates
+    # restricted to live rows (revision replaces its stale original)
+    upsert_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+f AS (
+  SELECT doc_id, text, doc_id * 2 AS rowid, (doc_id % 10 != 0) AS live FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' update revision pass' AS text, doc_id * 2 + 1 AS rowid, TRUE AS live
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (SELECT rowid, unnest({_TOK_SQL.format(col="text")}) AS term FROM f),
+tf AS (SELECT rowid, term, count(*)::DOUBLE AS tf FROM toks GROUP BY rowid, term),
+dl AS (SELECT rowid, count(*)::DOUBLE AS dl FROM toks GROUP BY rowid),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, f.doc_id, tf.rowid,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.rowid = tf.rowid
+  JOIN f ON f.rowid = tf.rowid AND f.live
+  CROSS JOIN stats s
+  GROUP BY q.query_id, f.doc_id, tf.rowid
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # rank-feature boost: matched docs gain 0.5*ln(1 + n_chars/1000)
     boosted_sql = f"""
 WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
@@ -1190,6 +1285,8 @@ SELECT b.shard, b.n_docs::BIGINT AS n_docs,
 FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
 """,
         "collapse_topk": collapse_sql,
+        "diversified_topk": diversified_sql,
+        "upsert_topk": upsert_sql,
         "boosted_topk": boosted_sql,
         "term_stats": term_stats_sql,
         "match_sorted_by_dl": match_sorted_sql,
@@ -1996,6 +2093,87 @@ WITH r AS (
   FROM documents
 )
 SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3 ORDER BY lang, rank
+""",
+        # weighted_avg: integer lang weights, one exact double division
+        "weighted_avg_chars": """
+SELECT source,
+       round(sum(n_chars * w) / sum(w), 6) AS wavg_chars,
+       sum(w)::BIGINT AS w_sum
+FROM (SELECT source, n_chars,
+             CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'es' THEN 2
+                       WHEN 'fr' THEN 3 WHEN 'zh' THEN 5 ELSE 0 END AS w
+      FROM documents)
+GROUP BY source ORDER BY source
+""",
+        # string_stats: length stats + Shannon entropy of the character
+        # distribution (base 2) over the whole text field
+        "string_stats_text": """
+WITH chars AS (
+  SELECT unnest(string_split(text, '')) AS c FROM documents WHERE length(text) > 0
+),
+freq AS (SELECT c, count(*)::DOUBLE AS n FROM chars GROUP BY c),
+tot AS (SELECT sum(n) AS t FROM freq),
+lens AS (
+  SELECT count(*)::BIGINT AS count, min(length(text))::BIGINT AS min_length,
+         max(length(text))::BIGINT AS max_length,
+         round(sum(length(text))::DOUBLE / count(*), 6) AS avg_length
+  FROM documents
+)
+SELECT l.count, l.min_length, l.max_length, l.avg_length,
+       round((SELECT -sum(n / t.t * log2(n / t.t)) FROM freq, tot t), 6) AS entropy
+FROM lens l
+""",
+        # multi_terms: top composite buckets by doc_count (ties lang, source)
+        "multi_terms_counts": """
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, lang, source LIMIT 10
+""",
+        # boxplot (exact, percentile_disc rank = max(1, ceil(q*n)) — spelled
+        # out with explicit row_number ranks, immune to quantile_disc
+        # rounding semantics)
+        "boxplot_chars": """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS min_chars,
+       max(CASE WHEN rk = greatest(1, ceil(0.25 * n)) THEN n_chars END)::BIGINT AS q1_chars,
+       max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN n_chars END)::BIGINT AS median_chars,
+       max(CASE WHEN rk = greatest(1, ceil(0.75 * n)) THEN n_chars END)::BIGINT AS q3_chars,
+       max(CASE WHEN rk = n THEN n_chars END)::BIGINT AS max_chars
+FROM r GROUP BY lang ORDER BY lang
+""",
+        # median_absolute_deviation (exact): disc-median of |x - disc-median|
+        "mad_chars": """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+med AS (
+  SELECT lang, max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN n_chars END)::BIGINT AS med
+  FROM r GROUP BY lang
+),
+dev AS (
+  SELECT d.lang, abs(d.n_chars - m.med) AS dv
+  FROM documents d JOIN med m USING (lang)
+),
+r2 AS (
+  SELECT lang, dv,
+         row_number() OVER (PARTITION BY lang ORDER BY dv) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM dev
+)
+SELECT r2.lang, any_value(m.med) AS median_chars,
+       max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN dv END)::BIGINT AS mad_chars
+FROM r2 JOIN med m ON m.lang = r2.lang
+GROUP BY r2.lang ORDER BY r2.lang
 """,
         # exact distributed quantiles (percentile_cont semantics)
         "chars_quantiles": """

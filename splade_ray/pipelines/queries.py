@@ -18,6 +18,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -451,6 +452,30 @@ def collapse_topk(sf_dir: str) -> pd.DataFrame:
     finally:
         ss.shutdown()
     return pd.DataFrame(rows, columns=["query_id", "rank", "source", "doc_id", "score_r"])
+
+
+def diversified_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, source, score_r) — diversified top-k (ES
+    ``diversified_sampler`` + top hits, max_docs_per_value=2 on
+    ``source``): at most 2 docs per source survive, survivors ranked by
+    (-score, doc_id), top 10.  Shard owners each ship ≤ |sources|·2
+    cells (their local per-source top-2, which provably contains every
+    global per-source top-2) — the match set never crosses the network."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (doc, score, _u, src) in enumerate(
+                ss.search_diversified(text, BM25_K, "source", per_value=2), 1
+            ):
+                rows.append((qid, rank, doc, src, round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "source", "score_r"])
 
 
 def boosted_topk(sf_dir: str) -> pd.DataFrame:
@@ -1937,6 +1962,57 @@ def incremental_ingest_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+UPSERT_SUFFIX = " update revision pass"
+
+
+def upsert_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — document UPSERT lifecycle (ES
+    ``_update`` / re-crawl refresh, pre-merge): every 10th doc is
+    re-crawled with revised text (original + ``UPSERT_SUFFIX``).  The
+    revisions land as a NEW segment; the stale versions are tombstoned in
+    the base segment at query time (no rewrite of the base index), and
+    federated search serves the union — the new revision is searchable
+    the moment its segment lands, the stale version never surfaces.
+
+    Statistics follow Lucene tombstone semantics: union df/n_docs/avgdl
+    are frozen over BOTH versions until a physical merge purges the
+    tombstones (`bm25_topk_merged_purged` certifies the post-merge half
+    of the lifecycle).  The SQL oracle recomputes exactly that: stats
+    over originals ∪ revisions, candidates restricted to live rows."""
+    from .search import FederatedReader
+    from ..state.lineage import read_json
+
+    base = build_documents_index(sf_dir)
+    corpus_path = os.path.join(base, "corpus_input.parquet")
+    b_idx = os.path.join(base, "upsert", "segB")
+    if not os.path.exists(os.path.join(b_idx, "stats", "meta.json")):
+        corpus = pq.read_table(corpus_path)
+        ids = np.asarray(
+            [int(u.removeprefix("doc://")) for u in corpus.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        upd = corpus.filter(pa.array(ids % 10 == 0))
+        new_text = pc.binary_join_element_wise(upd.column("text"), UPSERT_SUFFIX, "")
+        upd = upd.set_column(upd.schema.get_field_index("text"), "text", new_text)
+        if "n_chars" in upd.column_names:
+            upd = upd.set_column(
+                upd.schema.get_field_index("n_chars"), "n_chars", pc.utf8_length(new_text).cast(pa.int64())
+            )
+        os.makedirs(os.path.dirname(b_idx), exist_ok=True)
+        b_path = os.path.join(base, "upsert", "b.parquet")
+        pq.write_table(upd, b_path)
+        n_base = int(read_json(os.path.join(base, "stats", "meta.json"))["n_docs"])
+        build_index(b_path, b_idx, DOCS_CFG, doc_id_base=n_base)
+
+    stale_urls = pq.read_table(os.path.join(base, "upsert", "b.parquet"), columns=["url"])
+    fr = FederatedReader([base, b_idx], DOCS_CFG, deletes=[stale_urls.column("url").to_pylist(), None])
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 COMPOSITE_PAGE_SIZE = 10
 
 
@@ -3238,6 +3314,166 @@ def running_stats(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.reset_index(drop=True)
+
+
+# language-importance weights for the weighted_avg aggregation (integers so
+# sum(w·v)/sum(w) is exact float64 regardless of accumulation order)
+LANG_WEIGHTS = {"en": 1, "de": 2, "es": 2, "fr": 3, "zh": 5}
+
+
+def weighted_avg_chars(sf_dir: str) -> pd.DataFrame:
+    """(source, wavg_chars, w_sum) — ES ``weighted_avg`` aggregation: per
+    source, the average of n_chars weighted by a language-importance
+    table.  Per-batch partials carry (sum(w·v), sum(w)) per source — the
+    combiner discipline of ``running_stats`` — and the 5-key weight
+    lookup is a vectorized dictionary gather, never a per-row dict hit."""
+    ds = _docs(sf_dir, columns=["source", "lang", "n_chars"])
+    w_keys = pa.array(list(LANG_WEIGHTS), pa.string())
+    w_vals = np.array([0] + list(LANG_WEIGHTS.values()), dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.fill_null(pc.index_in(batch.column("lang"), w_keys), -1).to_numpy(zero_copy_only=False)
+        w = w_vals[idx.astype(np.int64) + 1]
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_numpy(zero_copy_only=False),
+                "wv": w * batch.column("n_chars").to_numpy(zero_copy_only=False),
+                "w": w,
+            }
+        )
+        out = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("source", sort=True).sum()
+    return pd.DataFrame(
+        {
+            "source": g.index,
+            "wavg_chars": (g["wv"] / g["w"]).round(6).to_numpy(),
+            "w_sum": g["w"].to_numpy().astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+def string_stats_text(sf_dir: str) -> pd.DataFrame:
+    """1 row (count, min_length, max_length, avg_length, entropy) — ES
+    ``string_stats`` (show_distribution-grade exactness) over the text
+    field: length stats plus the Shannon entropy (base 2) of the corpus's
+    character distribution.  Per-batch partials are (len stats, char-code
+    frequency vector via one utf-32 reinterpret + np.unique) — fixed-size
+    per block, merged on the driver; the text never crosses the network."""
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+        codes = np.frombuffer("".join(t or "" for t in texts).encode("utf-32-le"), dtype=np.uint32)
+        vals, counts = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array([int(lens.size)], pa.int64()),
+                "sum_len": pa.array([int(lens.sum())], pa.int64()),
+                "min_len": pa.array([int(lens.min()) if lens.size else 0], pa.int64()),
+                "max_len": pa.array([int(lens.max()) if lens.size else 0], pa.int64()),
+                "codes": pa.array([vals.astype(np.int64)], pa.list_(pa.int64())),
+                "counts": pa.array([counts.astype(np.int64)], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    codes = np.concatenate([np.asarray(c) for c in parts["codes"]])
+    counts = np.concatenate([np.asarray(c) for c in parts["counts"]])
+    freq = pd.Series(counts).groupby(codes).sum().to_numpy().astype(np.float64)
+    p = freq / freq.sum()
+    entropy = float(-(p * np.log2(p)).sum())
+    n = int(parts["n"].sum())
+    return pd.DataFrame(
+        {
+            "count": [n],
+            "min_length": [int(parts["min_len"].min())],
+            "max_length": [int(parts["max_len"].max())],
+            "avg_length": [round(float(parts["sum_len"].sum()) / n, 6)],
+            "entropy": [round(entropy, 6)],
+        }
+    )
+
+
+def multi_terms_counts(sf_dir: str) -> pd.DataFrame:
+    """(lang, source, doc_count, avg_chars) — ES ``multi_terms``
+    aggregation: top-10 composite (lang, source) buckets by doc_count
+    (ties by lang, source) with an avg sub-aggregation.  Per-batch
+    partial groupby (count + sum partials) → one bounded driver combine,
+    the ``running_stats`` combiner shape on a composite key."""
+    ds = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (
+            df.groupby(["lang", "source"], sort=False)["n_chars"]
+            .agg(n="size", s="sum")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["lang", "source"], sort=True).sum().reset_index()
+    g = g.sort_values(["n", "lang", "source"], ascending=[False, True, True], kind="mergesort").head(10)
+    return pd.DataFrame(
+        {
+            "lang": g["lang"].to_numpy(),
+            "source": g["source"].to_numpy(),
+            "doc_count": g["n"].to_numpy().astype(np.int64),
+            "avg_chars": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+BOXPLOT_QS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def boxplot_chars(sf_dir: str) -> pd.DataFrame:
+    """(lang, min_chars, q1_chars, median_chars, q3_chars, max_chars) — ES
+    ``boxplot`` aggregation (exact flavor) per lang over n_chars:
+    percentile_disc semantics (rank = max(1, ceil(q·n))) computed by
+    grouped histogram-refinement selection — ~2-4 streaming count passes,
+    O(groups·qs·buckets) partials per block, never a sort of the data."""
+    from .quantile import grouped_exact_percentiles
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    trip = grouped_exact_percentiles(ds, "lang", "n_chars", list(BOXPLOT_QS))
+    byg: dict[str, dict[float, int]] = {}
+    for g, q, v in trip:
+        byg.setdefault(g, {})[q] = int(v)
+    rows = [
+        (g, d[0.0], d[0.25], d[0.5], d[0.75], d[1.0]) for g, d in sorted(byg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["lang", "min_chars", "q1_chars", "median_chars", "q3_chars", "max_chars"]
+    )
+
+
+def mad_chars(sf_dir: str) -> pd.DataFrame:
+    """(lang, median_chars, mad_chars) — ES ``median_absolute_deviation``
+    (exact flavor) per lang: disc-median of |n_chars − disc-median|, two
+    grouped histogram-refinement selections with the 5-entry median table
+    broadcast into one derived-column streaming pass between them."""
+    from .quantile import grouped_exact_percentiles
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+    med = {g: v for g, _q, v in grouped_exact_percentiles(ds, "lang", "n_chars", [0.5])}
+    m_keys = pa.array(list(med), pa.string())
+    m_vals = np.array([np.nan] + [float(v) for v in med.values()], dtype=np.float64)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        idx = pc.fill_null(pc.index_in(batch.column("lang"), m_keys), -1).to_numpy(zero_copy_only=False)
+        m = m_vals[idx.astype(np.int64) + 1]
+        d = np.abs(batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64) - m)
+        return pa.table({"lang": batch.column("lang"), "dev": pa.array(d, pa.float64())})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow")
+    mad = {g: v for g, _q, v in grouped_exact_percentiles(devs, "lang", "dev", [0.5])}
+    rows = [(g, int(med[g]), int(mad[g])) for g in sorted(med)]
+    return pd.DataFrame(rows, columns=["lang", "median_chars", "mad_chars"])
 
 
 def deterministic_sample(sf_dir: str) -> pd.DataFrame:

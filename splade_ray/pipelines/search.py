@@ -1575,9 +1575,21 @@ class FederatedReader:
     physical merge, so segments can be searched the moment they land,
     no merge required."""
 
-    def __init__(self, index_dirs: list[str], cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        index_dirs: list[str],
+        cfg: EngineConfig | None = None,
+        deletes: list[list[str] | None] | None = None,
+    ):
+        """``deletes``: optional per-segment tombstone url lists applied at
+        load (Lucene upsert semantics: a re-crawled url's STALE version is
+        tombstoned in its old segment while the new revision lives in a
+        later segment; union statistics stay frozen over both versions
+        until a physical merge purges the tombstones)."""
         if not index_dirs:
             raise ValueError("federated search needs at least one segment index")
+        if deletes is not None and len(deletes) != len(index_dirs):
+            raise ValueError("deletes must have one (possibly None) entry per segment")
         vocabs, metas = [], []
         for d in index_dirs:
             stats_dir = os.path.join(d, "stats")
@@ -1611,7 +1623,7 @@ class FederatedReader:
             else None
         )
         self.readers = []
-        for d, v in zip(index_dirs, vocabs):
+        for i, (d, v) in enumerate(zip(index_dirs, vocabs)):
             pos = union_index.get_indexer(v.column("term").to_pylist())
             gs = {
                 "n_docs": n_docs,
@@ -1620,7 +1632,9 @@ class FederatedReader:
                 "df": m_df[pos],
                 "cf": m_cf[pos] if with_cf else None,
             }
-            self.readers.append(IndexReader(d, cfg, global_stats=gs))
+            self.readers.append(
+                IndexReader(d, cfg, global_stats=gs, deletes=(deletes[i] if deletes else None))
+            )
         self.n_docs = n_docs
         self.avgdl = avgdl
 
@@ -1943,6 +1957,45 @@ class ShardScorerActor:
                     out[sv[i]] = cand
         return {v: (s, d, self.reader.url_of(d)) for v, (s, d) in out.items()}
 
+    def score_diversified(
+        self, qtids: np.ndarray, qw: np.ndarray, attr_col: str, per_value: int = 2
+    ) -> dict:
+        """Diversity-capped candidates (ES ``diversified_sampler``): this
+        actor's top ``per_value`` scoring docs PER attribute value over its
+        full match set.  Each value's GLOBAL top ``per_value`` docs are
+        necessarily inside some owner's local top ``per_value`` for that
+        value, so the driver merge over |values|·per_value cells per actor
+        is exact — the match set never leaves the shard owners."""
+        attrs = self._attr_for_shards(attr_col)
+        out: dict[str, list[tuple[float, int]]] = {}
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            vals = np.asarray([str(v) for v in attr[nz]], dtype=object)
+            docs, sc = sh.doc_ids[nz], scores[nz]
+            # repo-wide 6-decimal compare with doc-id tie-break (same
+            # election as score_collapse / the SQL oracles)
+            order = np.lexsort((docs, -np.round(sc, 6), vals))
+            sv = vals[order]
+            starts = np.r_[0, np.flatnonzero(sv[1:] != sv[:-1]) + 1, sv.size]
+            for gi in range(starts.size - 1):
+                lo, hi = starts[gi], min(starts[gi] + per_value, starts[gi + 1])
+                cand = out.setdefault(sv[lo], [])
+                cand.extend((float(sc[order[i]]), int(docs[order[i]])) for i in range(lo, hi))
+        for v, cand in out.items():
+            cand.sort(key=lambda sd: (-round(sd[0], 6), sd[1]))
+            del cand[per_value:]
+        return {
+            v: [(s, d, self.reader.url_of(d)) for s, d in cand] for v, cand in out.items()
+        }
+
     def score_boosted(
         self, qtids: np.ndarray, qw: np.ndarray, k: int, attr_col: str, boost: float, pivot: float
     ):
@@ -2183,6 +2236,31 @@ class ShardedSearcher:
                     best[v] = (s, d, u)
         ranked = sorted(best.items(), key=lambda kv: (-round(kv[1][0], 6), kv[1][1]))[:k]
         return [(v, d, s, u) for v, (s, d, u) in ranked]
+
+    def search_diversified(
+        self, text: str, k: int = 10, attr_col: str = "source", per_value: int = 2
+    ) -> list[tuple[int, float, str, str]]:
+        """Diversified top-k (ES ``diversified_sampler`` + top hits): at
+        most ``per_value`` docs per ``attr_col`` value survive, survivors
+        ranked by (-score, doc_id), top ``k``.  Shard owners each ship
+        ≤ |values|·per_value cells; the driver re-elects per value then
+        ranks — exact, because a value's global top ``per_value`` is a
+        subset of the union of local top ``per_value`` sets.  Returns
+        (doc_id, score, url, value) rows."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_diversified.remote(qtids, qw, attr_col, per_value) for a in self.actors]
+        best: dict[str, list[tuple[float, int, str]]] = {}
+        for part in ray.get(futs):
+            for v, cand in part.items():
+                best.setdefault(v, []).extend(cand)
+        rows = []
+        for v, cand in best.items():
+            cand.sort(key=lambda c: (-round(c[0], 6), c[1]))
+            rows.extend((d, s, u, v) for s, d, u in cand[:per_value])
+        rows.sort(key=lambda r: (-round(r[1], 6), r[0]))
+        return rows[:k]
 
     def search_boosted(
         self, text: str, k: int = 10, attr_col: str = "n_chars", boost: float = 0.5, pivot: float = 1000.0

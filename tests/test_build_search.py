@@ -495,6 +495,36 @@ def test_sharded_collapse_brute_force(built_index, reader, web_pages_path, oracl
         ss.shutdown()
 
 
+def test_sharded_diversified_brute_force(built_index, web_pages_path, oracle_index):
+    """Diversified sampling (per-value cap 2) must equal a brute-force
+    cap-2-per-value election over the full match set followed by a global
+    (-score, doc_id) ranking."""
+    from splade_ray.oracle import oracle_search
+
+    index_dir, cfg = built_index
+    raw = pq.read_table(web_pages_path, columns=["url", "lang"])
+    lang_of = dict(zip(raw.column("url").to_pylist(), raw.column("lang").to_pylist()))
+    ss = ShardedSearcher(index_dir, cfg, num_actors=2, corpus_path=web_pages_path)
+    try:
+        for text in generate_queries(10)["text"].to_pylist():
+            full = oracle_search(oracle_index, text, oracle_index.n_docs)
+            per_v: dict[str, list[tuple[float, int]]] = {}
+            for d, s in sorted(full, key=lambda ds_: (-ds_[1], ds_[0])):
+                v = lang_of[oracle_index.doc_ids[d]]
+                if len(per_v.setdefault(v, [])) < 2:
+                    per_v[v].append((s, d))
+            want = sorted(
+                ((s, d, v) for v, cand in per_v.items() for s, d in cand),
+                key=lambda sdv: (-sdv[0], sdv[1]),
+            )[:4]
+            got = ss.search_diversified(text, 4, "lang", per_value=2)
+            assert [(d, v) for _s, d, v in want] == [(d, v) for d, _s, _u, v in got], text
+            for (es, _, _), (_, gs, _, _) in zip(want, got):
+                assert gs == pytest.approx(es, rel=1e-9)
+    finally:
+        ss.shutdown()
+
+
 def test_sharded_top_hits_brute_force(built_index, web_pages_path, oracle_index):
     """Top-hits-per-bucket must return, per attribute value, the first n
     docs of the full (-score, doc) ranking restricted to that value."""

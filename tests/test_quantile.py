@@ -54,3 +54,52 @@ def test_quantiles_validation(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     with pytest.raises(ValueError):
         exact_percentiles(empty, "x", [0.5])
+
+
+def _want_grouped(groups: np.ndarray, vals: np.ndarray, qs):
+    out = {}
+    for g in np.unique(groups):
+        a = np.sort(vals[groups == g])
+        for q in qs:
+            out[(g, q)] = float(a[max(1, math.ceil(q * a.size)) - 1])
+    return out
+
+
+def _check_grouped(groups, vals, qs, **kw):
+    from splade_ray.pipelines.quantile import grouped_exact_percentiles
+
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(groups.astype(str)), "x": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    got = grouped_exact_percentiles(ds, "g", "x", qs, **kw)
+    want = _want_grouped(groups.astype(str), vals, qs)
+    assert len(got) == len(want)
+    for g, q, v in got:
+        assert v == want[(g, q)], (g, q, v, want[(g, q)])
+
+
+def test_grouped_quantiles_small_group_fast_path(ray_session):
+    rng = np.random.default_rng(3)
+    groups = rng.integers(0, 4, size=5_000)
+    vals = rng.normal(100.0 * groups, 25.0, size=5_000)
+    _check_grouped(groups, vals, [0.0, 0.25, 0.5, 0.75, 1.0])
+
+
+def test_grouped_quantiles_forced_refinement(ray_session):
+    """gather_limit below every group size forces the histogram-refinement
+    rounds (the 100-TB path) for all targets — values must still be the
+    exact per-group order statistics."""
+    rng = np.random.default_rng(5)
+    groups = rng.integers(0, 3, size=9_000)
+    vals = rng.uniform(0, 1e6, size=9_000)
+    _check_grouped(groups, vals, [0.1, 0.5, 0.9], buckets=16, gather_limit=50)
+
+
+def test_grouped_quantiles_skewed_sizes(ray_session):
+    """One giant group above gather_limit + one tiny group below it: the
+    fast path and the refinement path coexist in one call."""
+    rng = np.random.default_rng(9)
+    groups = np.r_[np.zeros(8_000, dtype=np.int64), np.ones(40, dtype=np.int64)]
+    vals = np.r_[rng.normal(0, 1, 8_000), rng.normal(50, 1, 40)]
+    order = rng.permutation(groups.size)
+    _check_grouped(groups[order], vals[order], [0.25, 0.5, 0.75], buckets=32, gather_limit=500)
