@@ -113,9 +113,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-time federation over UNMERGED segments (dfs_query_then_fetch
         # union stats) — must equal the single-build oracle exactly
         "bm25_topk_federated": q.bm25_topk_federated,
+        # ES custom routing: one owning shard per routing key, SHARD-LOCAL
+        # stats (the query_then_fetch default) — oracle recomputes BM25
+        # over each routing value's sub-corpus alone
+        "routing_topk": q.routing_topk,
+        # snapshot → content-addressed repo → sha256-verified restore →
+        # serve from the restored copy; second snapshot reuses every blob
+        "snapshot_restore_topk": q.snapshot_restore_topk,
+        # 2-replica sharded serving with a primary killed mid-stream —
+        # failover promotion must be rank-invisible
+        "bm25_topk_replicated": q.bm25_topk_replicated,
         # exact-phrase retrieval from a forward-enabled (store_forward)
         # index: AND candidates + stream adjacency verify + BM25 ranking
         "phrase_topk": q.phrase_topk,
+        # Lucene query_string grammar (+must/-not/should, phrases, boosts)
+        # composed onto the BM25/phrase kernels; oracle generated from the
+        # same parsed clause table
+        "query_string_topk": q.query_string_topk,
         # proximity (NEAR/w) retrieval: min-gap verify over merged
         # occurrence positions in the forward streams
         "near_topk": q.near_topk,
@@ -225,6 +239,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boxplot_chars": q.boxplot_chars,
         # median_absolute_deviation agg (exact): two grouped selections
         "mad_chars": q.mad_chars,
+        # t_test agg (welch): all-pairs lang comparison from moment partials
+        "ttest_langs": q.ttest_langs,
+        # avg_bucket + bucket_selector + max_bucket pipeline aggs
+        "bucket_pipeline_stats": q.bucket_pipeline_stats,
+        # cumulative_cardinality pipeline agg (exact): first-seen-user
+        # election via one user_id hash exchange, gap-free day axis
+        "cumulative_cardinality_users": q.cumulative_cardinality_users,
+        # date_histogram + derivative pipeline agg
+        "events_histogram_derivative": q.events_histogram_derivative,
         "deterministic_sample": q.deterministic_sample,
         # per-stratum (lang) deterministic sampling — training-data rebalance
         "stratified_sample": q.stratified_sample,
@@ -439,6 +462,20 @@ FROM s ORDER BY doc_id
     from splade_ray.pipelines.queries import _FIELD_TITLE_TOKS as queries_mod_title_toks
 
     phrase_values = ", ".join(f"('{qid}', '{text}')" for qid, text in PHRASE_QUERIES)
+    # query_string clause table: generated through the ENGINE's parser so
+    # the oracle pins the grammar, not a hand-transcription of it
+    from splade_ray.pipelines.queries import QS_QUERIES, ROUTING_QUERIES
+    from splade_ray.pipelines.search import parse_query_string
+
+    routing_values = ", ".join(
+        f"('{qid}', '{text}', '{src}')" for qid, text, src in ROUTING_QUERIES
+    )
+
+    qs_values = ", ".join(
+        f"('{qid}', {cid}, '{role}', {boost}, {str(kind == 'phrase').upper()}, '{text}')"
+        for qid, qs in QS_QUERIES
+        for cid, (role, kind, text, boost) in enumerate(parse_query_string(qs))
+    )
     near_values = ", ".join(f"('{qid}', '{ta}', '{tb}', {w})" for qid, ta, tb, w in NEAR_QUERIES)
 
     def _span_row(qid: str, text: str, slop: int) -> str:
@@ -741,7 +778,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -772,7 +809,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1582,6 +1619,46 @@ FROM ranked WHERE rank > 10 AND rank <= 20
         # merged segments must reproduce the single-build BM25 ranking
         "segment_merge_topk": bm25,
         "bm25_topk_federated": bm25,
+        # restored-from-snapshot serving and replicated-failover serving
+        # must both be rank-identical to the live single-index oracle
+        "snapshot_restore_topk": bm25,
+        "bm25_topk_replicated": bm25,
+        # custom routing: BM25 with SHARD-LOCAL stats — n_docs/avgdl/df all
+        # recomputed over the routing value's sub-corpus alone
+        "routing_topk": f"""
+WITH rset(query_id, qtext, src) AS (VALUES {routing_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM rset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (
+  SELECT d.doc_id, d.source, unnest({doc_toks.replace("text", "d.text")}) AS term
+  FROM documents d WHERE d.source IN (SELECT DISTINCT src FROM rset)
+),
+tf AS (SELECT doc_id, source, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, source, term),
+dl AS (SELECT doc_id, source, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id, source),
+stats AS (SELECT source, count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl GROUP BY source),
+df AS (SELECT source, term, count(*)::DOUBLE AS df FROM tf GROUP BY source, term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM rset r
+  JOIN qtf q ON q.query_id = r.query_id
+  JOIN tf ON tf.term = q.term AND tf.source = r.src
+  JOIN df ON df.term = q.term AND df.source = r.src
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.source = r.src
+  JOIN stats s ON s.source = r.src
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+""",
         # SPLADE-style hash-expansion retrieval: the deterministic model's
         # token-level expansion table (term, j, tid, weight) is a sidecar
         # written by the query (j=0 = identity dim); the oracle replays
@@ -1858,6 +1935,71 @@ SELECT query_id, trank AS rank, term, bg_df, fg_df FROM rt WHERE trank <= 10
         # ordered span-near: brute-force in-order position joins (any
         # (p1<p2[<p3]) combo with span-(m-1) <= slop), then the shared BM25
         # CTE chain restricted to matches — the engine's chain DP must agree
+        # query_string composition: clause table from the engine's parser;
+        # per-clause conjunctive term match (+ phrase substring verify over
+        # the joined token string), must/should/must_not election,
+        # boost-weighted clause-score sum
+        "query_string_topk": f"""
+WITH cl(query_id, cid, role, boost, is_phrase, ctext) AS (VALUES {qs_values}),
+ctf AS (
+  SELECT query_id, cid, term, count(*)::DOUBLE AS qtf
+  FROM (SELECT query_id, cid, unnest({_TOK_SQL.format(col="ctext")}) AS term FROM cl)
+  GROUP BY query_id, cid, term
+),
+cmeta AS (
+  SELECT c.query_id, c.cid, c.role, c.boost,
+         (SELECT count(*) FROM ctf t WHERE t.query_id = c.query_id AND t.cid = c.cid) AS n_terms
+  FROM cl c
+),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+cscore AS (
+  SELECT c.query_id, c.cid, tf.doc_id,
+         sum(c.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score,
+         count(DISTINCT tf.term) AS hit_terms
+  FROM ctf c
+  JOIN tf ON tf.term = c.term
+  JOIN df ON df.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.query_id, c.cid, tf.doc_id
+),
+pnorm AS (
+  SELECT query_id, cid, ' ' || array_to_string({_TOK_SQL.format(col="ctext")}, ' ') || ' ' AS pat
+  FROM cl WHERE is_phrase
+),
+docstr AS (SELECT doc_id, ' ' || array_to_string(l, ' ') || ' ' AS s FROM toksl),
+cmatch AS (
+  SELECT sc.query_id, sc.cid, sc.doc_id, sc.score
+  FROM cscore sc
+  JOIN cmeta m ON m.query_id = sc.query_id AND m.cid = sc.cid
+  LEFT JOIN pnorm p ON p.query_id = sc.query_id AND p.cid = sc.cid
+  LEFT JOIN docstr j ON p.pat IS NOT NULL AND j.doc_id = sc.doc_id
+  WHERE sc.hit_terms = m.n_terms AND (p.pat IS NULL OR position(p.pat IN j.s) > 0)
+),
+qmeta AS (SELECT query_id, count(*) FILTER (WHERE role = 'must') AS n_must FROM cl GROUP BY query_id),
+agg AS (
+  SELECT c.query_id, c.doc_id,
+         sum(CASE WHEN m.role = 'must' THEN 1 ELSE 0 END) AS mh,
+         sum(CASE WHEN m.role = 'should' THEN 1 ELSE 0 END) AS sh,
+         sum(CASE WHEN m.role = 'not' THEN 1 ELSE 0 END) AS nh,
+         sum(CASE WHEN m.role <> 'not' THEN m.boost * c.score ELSE 0 END) AS score
+  FROM cmatch c JOIN cmeta m ON m.query_id = c.query_id AND m.cid = c.cid
+  GROUP BY c.query_id, c.doc_id
+),
+ranked AS (
+  SELECT a.query_id, a.doc_id, a.score,
+         row_number() OVER (PARTITION BY a.query_id ORDER BY a.score DESC, a.doc_id ASC) AS rank
+  FROM agg a JOIN qmeta q ON q.query_id = a.query_id
+  WHERE a.nh = 0 AND ((q.n_must > 0 AND a.mh = q.n_must) OR (q.n_must = 0 AND a.sh > 0))
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+""",
         "span_near_topk": f"""
 WITH sset(query_id, t1, t2, t3, slop) AS (VALUES {span_values}),
 qterms AS (
@@ -2174,6 +2316,57 @@ SELECT r2.lang, any_value(m.med) AS median_chars,
        max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN dv END)::BIGINT AS mad_chars
 FROM r2 JOIN med m ON m.lang = r2.lang
 GROUP BY r2.lang ORDER BY r2.lang
+""",
+        # t_test agg (welch, unpaired): all lang pairs
+        "ttest_langs": """
+WITH g AS (SELECT lang, count(*)::DOUBLE AS n, avg(n_chars) AS m, var_samp(n_chars) AS v
+           FROM documents GROUP BY lang)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_r
+FROM g a JOIN g b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+""",
+        # avg_bucket + bucket_selector + max_bucket pipeline aggs over
+        # a terms(lang)/avg(n_chars) bucket series
+        "bucket_pipeline_stats": """
+WITH g AS (SELECT lang, count(*)::BIGINT AS doc_count, avg(n_chars) AS a FROM documents GROUP BY lang),
+ov AS (SELECT avg(a) AS overall FROM g),
+mx AS (SELECT lang FROM g ORDER BY a DESC, lang ASC LIMIT 1)
+SELECT g.lang, g.doc_count, round(g.a, 6) AS avg_chars_r,
+       g.a > (SELECT overall FROM ov) AS selected,
+       g.lang = (SELECT lang FROM mx) AS is_max
+FROM g ORDER BY g.lang
+""",
+        # cumulative_cardinality (exact): first-seen users per day,
+        # cumulative distinct count, gap-free axis
+        "cumulative_cardinality_users": """
+WITH f AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day FROM events GROUP BY user_id),
+c AS (SELECT day, count(*)::BIGINT AS nu FROM f GROUP BY day),
+b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS hi FROM events),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (SELECT a.day, coalesce(c.nu, 0)::BIGINT AS new_users FROM axis a LEFT JOIN c USING (day))
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+FROM series ORDER BY day
+""",
+        # date_histogram + derivative (ES emits none for the first bucket)
+        "events_histogram_derivative": """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT min(day) FROM c) AS TIMESTAMP),
+                                     CAST((SELECT max(day) FROM c) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+series AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n_events FROM axis a LEFT JOIN c USING (day)),
+d AS (SELECT CAST(day AS TIMESTAMP) AS day, n_events,
+             (n_events - lag(n_events) OVER (ORDER BY day))::BIGINT AS deriv
+      FROM series)
+SELECT day, n_events, deriv FROM d WHERE deriv IS NOT NULL ORDER BY day
 """,
         # exact distributed quantiles (percentile_cont semantics)
         "chars_quantiles": """

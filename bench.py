@@ -98,7 +98,32 @@ def run_bench() -> dict:
     docs_per_s = summary["n_docs"] / build_s
 
     if os.environ.get("GRAFT_SCALING_ONLY"):
-        # scaling protocol: the measured job is the index build alone
+        # scaling protocol: the measured job is the index build alone, plus
+        # a serving-side throughput probe (the SearcherStage actor pool
+        # sized to the CPU budget — query scaling rides actor count)
+        import ray.data as rd
+
+        from splade_ray.pipelines.search import SearcherStage
+
+        # work scales with the actor pool so steady-state throughput
+        # dominates the (parallel, roughly CPU-count-independent) pool
+        # spawn + per-actor index load on BOTH sides of the pair
+        n_actors = max(1, NUM_CPUS)
+        n_q = 2000 * n_actors
+        qtbl = generate_queries(n_q)
+        # materialize the query blocks BEFORE the timed pass: the actor
+        # pool occupies every CPU slot, so upstream repartition tasks
+        # would starve behind it at small NUM_CPUS
+        qds = rd.from_arrow(qtbl).repartition(max(32, 2 * n_actors)).materialize()
+        t = time.perf_counter()
+        qds.map_batches(
+            SearcherStage,
+            fn_constructor_args=(INDEX_DIR, 10, "exhaustive", cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.query_batch_size,
+            concurrency=n_actors,
+        ).count()
+        batch_qps = n_q / (time.perf_counter() - t)
         result = {
             "metric": "index_build_seconds",
             "value": round(build_s, 3),
@@ -108,6 +133,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "bench_docs": summary["n_docs"],
             "docs_per_sec": round(docs_per_s, 1),
+            "query_batch_qps": round(batch_qps, 1),
             "stage_timings": summary.get("timings"),
             "build_policy": f"best_of_{len(build_runs)}",
             "build_runs_s": build_runs,
@@ -297,7 +323,7 @@ def run_scaling() -> dict:
     rlo = run(lo)
     rhi = run(hi)
     eff = (rhi["docs_per_sec"] / rlo["docs_per_sec"]) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -309,6 +335,12 @@ def run_scaling() -> dict:
         "bench_docs": rlo["bench_docs"],
         "stage_timings": {str(lo): rlo.get("stage_timings"), str(hi): rhi.get("stage_timings")},
     }
+    if rlo.get("query_batch_qps") and rhi.get("query_batch_qps"):
+        out["query_qps"] = {str(lo): rlo["query_batch_qps"], str(hi): rhi["query_batch_qps"]}
+        out["query_scaling_efficiency"] = round(
+            (rhi["query_batch_qps"] / rlo["query_batch_qps"]) / (hi / lo), 3
+        )
+    return out
 
 
 if __name__ == "__main__":

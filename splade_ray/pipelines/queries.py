@@ -13,7 +13,9 @@ BOTH sides; ranking happens before rounding with the deterministic
 from __future__ import annotations
 
 import hashlib
+import math
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -242,9 +244,26 @@ def lm_topk(sf_dir: str) -> pd.DataFrame:
     reader = IndexReader(index_dir, lm_cfg)
     rows = []
     for qid, text in BM25_QUERIES:
-        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+        for rank, (_d, score, url) in enumerate(_rounded_topk(reader, text), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+def _rounded_topk(reader: IndexReader, text: str, k: int = None, margin: int = 50):
+    """Top-k under the ROUND-6 score order ((-round(score, 6), doc_id)).
+
+    The LM similarities compress score ranges enough that distinct docs
+    land within fp epsilon of each other — a raw-float rank order then
+    depends on the oracle's summation order (DuckDB aggregation is
+    run-to-run order-unstable), so the contract for these queries ranks on
+    the 6-decimal score, the same convention as collapse/diversified.  The
+    engine fetches k+margin raw candidates and re-ranks rounded; ties
+    crossing the raw boundary deeper than ``margin`` would need >margin
+    docs within 1e-6 of the kth score."""
+    k = k or BM25_K
+    cand = reader.search(text, k + margin)
+    cand.sort(key=lambda r: (-round(r[1], 6), r[0]))
+    return cand[:k]
+
 
 def lm_jm_topk(sf_dir: str) -> pd.DataFrame:
     """Jelinek-Mercer query likelihood (Lucene LMJelinekMercerSimilarity,
@@ -258,7 +277,7 @@ def lm_jm_topk(sf_dir: str) -> pd.DataFrame:
     reader = IndexReader(index_dir, jm_cfg)
     rows = []
     for qid, text in BM25_QUERIES:
-        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+        for rank, (_d, score, url) in enumerate(_rounded_topk(reader, text), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
@@ -3913,3 +3932,321 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_value"] = out["sum_value"].round(6)
     return out.sort_values(["window_start", "event_type"], ignore_index=True)
+
+
+# ---------------------------------------------- statistical / pipeline aggs
+
+
+def ttest_langs(sf_dir: str) -> pd.DataFrame:
+    """(lang_a, lang_b, t_r) — ES ``t_test`` aggregation (unpaired,
+    heteroscedastic = Welch) of n_chars between every pair of languages:
+    t = (m₁−m₂) / sqrt(v₁/n₁ + v₂/n₂) with sample variances.  One
+    streaming pass of per-batch moment partials (n, Σx, Σx²) keyed by
+    lang — fixed |langs|·3 cells per block — then the all-pairs t matrix
+    on the driver (|langs|² cells).  Nothing shuffles."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dic = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(dic.dictionary)
+        return pa.table(
+            {
+                "lang": dic.dictionary,
+                "n": np.bincount(codes, minlength=m).astype(np.int64),
+                "sx": np.bincount(codes, weights=x, minlength=m),
+                "sxx": np.bincount(codes, weights=x * x, minlength=m),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", sort=True)
+        .sum()
+    )
+    langs = list(g.index)
+    n = g["n"].to_numpy().astype(np.float64)
+    mean = g["sx"].to_numpy() / n
+    # sample variance from raw moments; hour-scale magnitudes keep the
+    # sum-of-squares form well-conditioned at the 6-decimal contract
+    var = (g["sxx"].to_numpy() - n * mean * mean) / (n - 1.0)
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            t = (mean[i] - mean[j]) / math.sqrt(var[i] / n[i] + var[j] / n[j])
+            rows.append((langs[i], langs[j], round(float(t), 6)))
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "t_r"])
+
+
+def bucket_pipeline_stats(sf_dir: str) -> pd.DataFrame:
+    """(lang, doc_count, avg_chars_r, selected, is_max) — ES pipeline
+    aggregations over a terms(lang) + avg(n_chars) bucket series:
+    ``avg_bucket`` (the cross-bucket mean), ``bucket_selector`` (keep
+    flag: bucket avg above the cross-bucket mean) and ``max_bucket``
+    (is_max marks the winning bucket, ties by lang).  The bucket series
+    is coordinator-sized by construction; partials are the
+    ``running_stats`` combiner shape."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dic = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(dic.dictionary)
+        return pa.table(
+            {
+                "lang": dic.dictionary,
+                "n": np.bincount(codes, minlength=m).astype(np.int64),
+                "sx": np.bincount(codes, weights=x, minlength=m),
+            }
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", sort=True)
+        .sum()
+    )
+    avg = g["sx"].to_numpy() / g["n"].to_numpy()
+    overall = float(avg.mean())
+    imax = int(np.lexsort((np.asarray(g.index, dtype=object), -avg))[0])
+    return pd.DataFrame(
+        {
+            "lang": g.index,
+            "doc_count": g["n"].to_numpy().astype(np.int64),
+            "avg_chars_r": np.round(avg, 6),
+            "selected": avg > overall,
+            "is_max": np.arange(len(avg)) == imax,
+        }
+    ).reset_index(drop=True)
+
+
+def cumulative_cardinality_users(sf_dir: str) -> pd.DataFrame:
+    """(day, new_users, cum_users) — ES ``cumulative_cardinality``
+    pipeline aggregation (exact flavor) over a daily date_histogram of
+    events: per day, the number of users seen for the FIRST time and the
+    cumulative distinct-user count, on a gap-free day axis.
+
+    Scale shape: per-batch (user → min/max day) partials, ONE hash
+    exchange on user_id (`groupby.map_groups` — users co-locate, first
+    day per user is a per-group min), then per-day first-seen counts
+    re-aggregated as bounded partials; the cumulative sum runs on the
+    coordinator-sized bucket series.  The raw event stream never
+    re-crosses the network and no per-user table lands on the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        t = pa.table({"user_id": batch.column("user_id"), "day": days})
+        return t.group_by(["user_id"]).aggregate([("day", "min"), ("day", "max")])
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_min", alias_name="first_day"), Max("day_max", alias_name="last_day"))
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("first_day")})
+        out = t.group_by(["day"]).aggregate([("day", "count")])
+        # ride the axis hi-bound along as a zero-count row (the gap-free
+        # day axis must span ALL event days, not just first-seen days)
+        hi = pc.max(batch.column("last_day"))
+        return pa.concat_tables(
+            [out, pa.table({"day": pa.array([hi.as_py()], pa.date32()), "day_count": pa.array([0], pa.int64())})]
+        )
+
+    parts = firsts.map_batches(day_partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "new_users": series.to_numpy().astype("int64"),
+            "cum_users": series.cumsum().to_numpy().astype("int64"),
+        }
+    )
+
+
+def events_histogram_derivative(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, deriv) — date_histogram + ``derivative`` pipeline
+    aggregation: daily event counts on a gap-free axis and the
+    first-difference bucket series.  ES emits no derivative for the first
+    bucket, so the result starts at the second day.  Same one-pass
+    day-count partial shape as ``events_moving_avg``."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0)
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": series.to_numpy().astype("int64"),
+            "deriv": series.diff().to_numpy(),
+        }
+    ).iloc[1:]
+    out["deriv"] = out["deriv"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------------- lifecycle / resilience
+
+
+def snapshot_restore_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES snapshot/restore lifecycle:
+    the built index is snapshotted into a content-addressed repository
+    (incremental blobs + named manifest), restored into a FRESH directory
+    with per-blob sha256 verification, and BM25 served from the restored
+    copy — rank-identical to the live index, so the oracle is the plain
+    BM25 SQL.  A second snapshot reuses every blob (the incremental
+    contract), which this query asserts."""
+    from ..state.snapshot import restore_index, snapshot_index
+
+    index_dir = build_documents_index(sf_dir)
+    repo = index_dir + "_snaprepo"
+    m1 = snapshot_index(index_dir, repo, "s1")
+    m2 = snapshot_index(index_dir, repo, "s2")
+    if m2["reused_blobs"] != m2["n_files"]:
+        raise AssertionError("second snapshot must reuse every blob")
+    restored = index_dir + "_restored"
+    shutil.rmtree(restored, ignore_errors=True)
+    restore_index(repo, "s1", restored)
+
+    reader = IndexReader(restored, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def bm25_topk_replicated(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — replicated sharded serving with
+    MID-QUERY failover: every shard group runs 2 scorer replicas, one
+    primary is killed between queries, and the searcher promotes the
+    replica on ``RayActorError`` (ES replica promotion).  Results must be
+    rank-identical to the plain BM25 oracle — failover is invisible."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, replication=2)
+    rows = []
+    try:
+        for i, (qid, text) in enumerate(BM25_QUERIES):
+            if i == 2:  # kill a primary mid-stream; queries must not notice
+                ray.kill(ss.replica_groups[0][0])
+            for rank, (_d, score, url) in enumerate(ss.search(text, BM25_K), 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+QS_QUERIES: list[tuple[str, str]] = [
+    ("qs0", "+spark join -order"),
+    ("qs1", '"hash join" fast^2'),
+    ("qs2", '+"window batch" stream'),
+    ("qs3", "vector^3 query scan"),
+    ("qs4", "+customer +value -zzznotaword"),  # OOV must_not is a no-op
+    ("qs5", "+zzznotaword spark"),  # OOV must -> empty on both sides
+    ("qs6", 'data^0.5 merge "small table"'),
+]
+
+
+def query_string_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene/ES ``query_string``
+    retrieval: ``+must`` / ``-must_not`` / bare should terms, quoted
+    phrases and ``^boost`` factors parsed by the engine's mini-grammar
+    (``search.parse_query_string``) and composed per shard onto the
+    existing BM25 / phrase kernels.  The SQL oracle is generated from the
+    SAME parsed clause table, so grammar and scoring contract are pinned
+    end-to-end: match = all musts ∧ (≥1 should when no musts) ∧ no
+    must_nots; score = Σ boost·clause_bm25 over matched scoring clauses."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, qs in QS_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_query_string(qs, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    # one query routes through the scatter-gather path to pin
+    # driver/sharded parity under the clause composition
+    from .search import ShardedSearcher
+
+    ss = ShardedSearcher(out, PHRASE_DOCS_CFG, num_actors=2)
+    try:
+        sharded = [
+            (QS_QUERIES[1][0], r, int(u.removeprefix("doc://")), round(s, 6))
+            for r, (_d, s, u) in enumerate(ss.search_query_string(QS_QUERIES[1][1], BM25_K), 1)
+        ]
+    finally:
+        ss.shutdown()
+    assert sharded == [r for r in rows if r[0] == QS_QUERIES[1][0]], "sharded query_string diverged"
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+ROUTING_QUERIES: list[tuple[str, str, str]] = [
+    ("r0", "spark join order", "src3"),
+    ("r1", "window batch stream", "src7"),
+    ("r2", "fast hash join", "src15"),
+    ("r3", "data data merge", "src3"),
+    ("r4", "customer line value", "src7"),
+]
+
+
+def _routed_segment(sf_dir: str, src: str) -> str:
+    """Build (cached) the routed shard for one routing value: the corpus
+    filtered to ``source == src`` at scan level (predicate pushdown — the
+    routing key bounds what ever leaves storage), indexed standalone so
+    its statistics are SHARD-LOCAL."""
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|routed|{src}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_ridx_{key}")
+    cpath = os.path.join(out, "corpus_input.parquet")
+    if not os.path.exists(cpath):
+        os.makedirs(out, exist_ok=True)
+        full = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+        tmp = cpath + ".tmp"
+        rd.read_parquet(full).filter(expr=f"source == '{src}'").write_parquet(tmp)
+        os.rename(tmp, cpath)
+    build_index(cpath, out, DOCS_CFG)
+    return out
+
+
+def routing_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES custom routing: docs are
+    routed to shards by a key (here ``source``) and a routed query
+    consults ONLY the owning shard, scored with SHARD-LOCAL statistics
+    (per-shard idf / avgdl — the ES DEFAULT ``query_then_fetch``
+    semantics, unlike the ``dfs_query_then_fetch`` union stats that
+    ``bm25_topk_federated`` replays).  The oracle recomputes BM25 over
+    each routing value's sub-corpus alone, so the shard-local-stats
+    contract is value-checked, not just asserted.
+
+    Scale shape: routing bounds a query's fan-out to one shard group no
+    matter how many nodes the index spans — the standard multi-tenant /
+    per-domain isolation pattern — and the routed build is a scan-level
+    filter, so only the owning tenant's bytes ever leave storage."""
+    rows = []
+    for qid, text, src in ROUTING_QUERIES:
+        reader = IndexReader(_routed_segment(sf_dir, src), DOCS_CFG)
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])

@@ -473,26 +473,94 @@ class ShardIndex:
 
         ``qtids``/``qweights`` are the phrase's UNIQUE term ids + counts;
         ``h_seq`` the md5 hash of each phrase token in order."""
+        matched = self._phrase_match_locals(qtids, h_seq)
+        if matched.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return self._restricted_bag_topk(self._term_slices(qtids), qweights, matched, k)
+
+    def _phrase_match_locals(self, qtids: np.ndarray, h_seq: np.ndarray) -> np.ndarray:
+        """Local ids of docs whose forward stream holds the phrase tokens
+        CONSECUTIVELY: boolean-AND candidates from the postings, then one
+        vectorized window-compare over the candidates' md5 streams.  The
+        matching half of :meth:`phrase_topk`, shared with the
+        query_string composer."""
         if self.fwd_stream is None:
             raise ValueError("phrase search requires an index built with store_forward=True")
         slices = self._term_slices(qtids)
         if len(slices) < qtids.size:  # a phrase term has no postings here
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return np.zeros(0, np.int64)
         cand = self._and_candidates(slices, qtids.size)
         if cand.size == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return cand
         # windows of length m over each candidate's stream, all at once
         m = h_seq.size
         starts, cidx = self._candidate_windows(cand, m)
         if starts.size == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return np.zeros(0, np.int64)
         ok = self.fwd_stream[starts] == h_seq[0]
         for j in range(1, m):
             if not ok.any():
                 break
             ok &= self.fwd_stream[starts + j] == h_seq[j]
-        matched = cand[np.unique(cidx[ok])]
-        return self._restricted_bag_topk(slices, qweights, matched, k)
+        return cand[np.unique(cidx[ok])]
+
+    def _qs_clause(self, c: dict) -> tuple[np.ndarray, np.ndarray]:
+        """(score vector, match mask) over local docs for ONE query_string
+        clause.  Term clauses match when the doc holds ALL the clause's
+        tokens (single-token clauses: tf > 0); phrase clauses additionally
+        verify consecutiveness against the forward streams.  The vector is
+        the BM25 bag score of the clause's terms, zeroed outside the mask
+        (Lucene: a clause scores only where it matches)."""
+        qtids, qw = c["qtids"], c["qw"]
+        slices = self._term_slices(qtids)
+        vec = np.zeros(self.n_local, dtype=np.float64)
+        if slices:
+            ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([self.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            vec = np.bincount(ids, weights=w, minlength=self.n_local).astype(np.float64)
+        if c.get("h_seq") is not None:
+            mask = np.zeros(self.n_local, dtype=bool)
+            mask[self._phrase_match_locals(qtids, c["h_seq"])] = True
+        elif qtids.size <= 1:
+            mask = vec > 0.0
+        else:  # multi-token bare clause: conjunctive bag over its tokens
+            mask = np.zeros(self.n_local, dtype=bool)
+            if len(slices) == qtids.size:
+                mask[self._and_candidates(slices, qtids.size)] = True
+        return np.where(mask, vec, 0.0), mask
+
+    def score_query_string(self, spec: list[dict], k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``query_string`` composition over this shard: MUST /
+        SHOULD / MUST_NOT clauses of term and phrase kind with per-clause
+        boosts.  Match set = AND of must masks (when musts exist, shoulds
+        are optional — the Lucene BooleanQuery contract) else OR of should
+        masks; must_not masks subtract and never score.  Score = Σ
+        boost·clause_bm25 over the must+should clauses the doc matches."""
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        must: np.ndarray | None = None
+        should = np.zeros(self.n_local, dtype=bool)
+        has_should = False
+        excl = np.zeros(self.n_local, dtype=bool)
+        for c in spec:
+            if c["role"] == "not":
+                excl |= self._qs_clause(c)[1]
+                continue
+            vec, mask = self._qs_clause(c)
+            scores += vec * float(c["boost"])
+            if c["role"] == "must":
+                must = mask if must is None else (must & mask)
+            else:
+                has_should = True
+                should |= mask
+        if must is not None:
+            allow = must
+        elif has_should:
+            allow = should
+        else:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        if excl.any():
+            allow = allow & ~excl
+        return self._topk_from_scores(np.where(allow, scores, 0.0), k)
 
     def _and_candidates(self, slices, n_terms: int) -> np.ndarray:
         """Local ids of docs holding ALL ``n_terms`` query terms (per-term
@@ -696,6 +764,26 @@ class ShardIndex:
             ids1, w1 = np.concatenate([ids1, ids2]), np.concatenate([w1, w2])
         scores = np.bincount(ids1, weights=w1, minlength=self.n_local)
         return self._topk_from_scores(scores, k)
+
+
+# Lucene query_string mini-syntax: optional +/- sign, quoted phrase or bare
+# term, optional ^boost.  (AND/OR connectives are out of scope — the
+# default_operator=OR grammar with explicit +/- occurrence flags.)
+_QS_CLAUSE_RE = re.compile(r'([+\-]?)(?:"([^"]*)"|([^\s"]+?))(?:\^(\d+(?:\.\d+)?))?(?=\s|$)')
+
+
+def parse_query_string(qstring: str) -> list[tuple[str, str, str, float]]:
+    """Parse a Lucene ``query_string`` expression into (role, kind, text,
+    boost) clauses — role ∈ {must, should, not}, kind ∈ {term, phrase}.
+    Supported syntax: ``+required``, ``-prohibited``, bare optional terms,
+    ``"quoted phrases"`` and ``clause^2.5`` boosts, whitespace-separated."""
+    out = []
+    for m in _QS_CLAUSE_RE.finditer(qstring):
+        sign, phrase, term, boost = m.groups()
+        role = {"+": "must", "-": "not"}.get(sign, "should")
+        kind = "term" if phrase is None else "phrase"
+        out.append((role, kind, phrase if term is None else term, float(boost or 1.0)))
+    return out
 
 
 class IndexReader:
@@ -1435,6 +1523,53 @@ class IndexReader:
         cands = [sh.phrase_topk(qtids, qw, h_seq, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def search_query_string(self, qstring: str, k: int = 10) -> list[tuple[int, float, str]]:
+        """Lucene/ES ``query_string`` retrieval: ``+must``, ``-must_not``,
+        bare should terms, ``"quoted phrases"`` and ``^boost`` factors,
+        composed onto the existing BM25 / phrase kernels per shard.
+
+        Contract: docs must satisfy every must clause (when none exist, at
+        least one should clause) and no must_not clause; the score is the
+        boost-weighted sum of the BM25 bag scores of the must+should
+        clauses the doc matches, (-score, doc_id) ties.  A clause with an
+        OOV token can never match: as a must that empties the result, as a
+        should it's dropped, as a must_not it excludes nothing.  Phrase
+        clauses need ``store_forward=True`` builds."""
+        spec = self.build_query_string_spec(qstring)
+        if spec is None:
+            return []
+        cands = [sh.score_query_string(spec, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def build_query_string_spec(self, qstring: str) -> list[dict] | None:
+        """Parse + vocab-encode a query_string into the shard kernels'
+        clause spec (query-side state only — shared by the local and the
+        scatter-gather serving paths).  None ⇔ the query can match nothing
+        (an OOV must clause, or no scoring clause survives)."""
+        from ..functions.hashing import md5_u64
+
+        spec = []
+        for role, kind, text, boost in parse_query_string(qstring):
+            toks = self.tok.tokenize(text)
+            if not toks:
+                continue
+            qtids, qw = self.encode_query(text)
+            known_all = qtids.size > 0 and int(qw.sum()) == len(toks)
+            if not known_all:
+                if role == "must":
+                    return None  # an unmatchable must clause empties the query
+                continue  # OOV should never matches; OOV must_not excludes nothing
+            spec.append(
+                {
+                    "role": role,
+                    "qtids": qtids,
+                    "qw": qw,
+                    "boost": boost,
+                    "h_seq": md5_u64(toks) if kind == "phrase" else None,
+                }
+            )
+        return spec if any(c["role"] != "not" for c in spec) else None
+
     def search_near(self, term_a: str, term_b: str, window: int, k: int = 10) -> list[tuple[int, float, str]]:
         """Proximity top-k (requires ``store_forward=True``): docs where
         the two (distinct, single-token) terms occur within ``window``
@@ -1784,6 +1919,21 @@ class ShardScorerActor:
         for sh in self.reader.shards:
             fn = sh.score_wand if method == "wand" else sh.score_exhaustive
             d, s = fn(qtids, qw, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
+    def score_query_string(self, spec: list[dict], k: int):
+        """query_string scatter leg: the driver parses/encodes ONCE, each
+        pinned shard composes the clause masks locally (phrase verify
+        included when the shard stores forward streams) and ships ≤ k
+        candidates."""
+        cands_d, cands_s, cands_u = [], [], []
+        for sh in self.reader.shards:
+            d, s = sh.score_query_string(spec, k)
             cands_d.append(d)
             cands_s.append(s)
             cands_u.extend(self.reader.url_of(int(x)) for x in d)
@@ -2157,7 +2307,13 @@ class ShardScorerActor:
 class ShardedSearcher:
     """Driver-side scatter-gather over per-shard scorer actors — the
     multi-node deployment shape (each actor would be scheduled on the node
-    owning its partition)."""
+    owning its partition).
+
+    ``replication > 1`` spawns that many identical scorer actors per shard
+    group (on a real cluster: replicas pinned to distinct nodes); a query
+    fans out to each group's primary and fails over per group to the next
+    replica on ``RayActorError`` (ES replica-shard promotion), so results
+    are identical whether or not a replica died."""
 
     def __init__(
         self,
@@ -2165,6 +2321,7 @@ class ShardedSearcher:
         cfg: EngineConfig = DEFAULT_CONFIG,
         num_actors: int | None = None,
         corpus_path: str | None = None,
+        replication: int = 1,
     ):
         self.cfg = cfg
         pdir = os.path.join(index_dir, "postings")
@@ -2183,9 +2340,34 @@ class ShardedSearcher:
             # the documents-index adapter caches its corpus inside index_dir
             cand = os.path.join(index_dir, "corpus_input.parquet")
             corpus_path = cand if os.path.exists(cand) else None
-        self.actors = [ShardScorerActor.remote(index_dir, g, cfg_kwargs, corpus_path) for g in groups]
+        self.replica_groups = [
+            [
+                ShardScorerActor.remote(index_dir, g, cfg_kwargs, corpus_path)
+                for _ in range(max(1, replication))
+            ]
+            for g in groups
+        ]
+        self.actors = [reps[0] for reps in self.replica_groups]
         # query-side state (vocab) loaded once locally, no shards
         self.reader = IndexReader(index_dir, cfg, shard_ids=[])
+
+    def _scatter(self, make_fut):
+        """Call ``make_fut(actor)`` on each group's primary; on actor death
+        retry the SAME call on the group's next live replica.  Exhausting a
+        group's replicas re-raises (data loss is loud, never silent)."""
+        futs = [(gi, 0, make_fut(reps[0])) for gi, reps in enumerate(self.replica_groups)]
+        out = []
+        for gi, ri, fut in futs:
+            while True:
+                try:
+                    out.append(ray.get(fut))
+                    break
+                except ray.exceptions.RayActorError:
+                    ri += 1
+                    if ri >= len(self.replica_groups[gi]):
+                        raise
+                    fut = make_fut(self.replica_groups[gi][ri])
+        return out
 
     def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
         qtids, qw = self.reader.encode_query(text)
@@ -2198,15 +2380,39 @@ class ShardedSearcher:
             from ..functions.hashing import md5_u64
 
             h_seq = md5_u64(toks)
-            futs = [a.score_phrase.remote(qtids, qw, h_seq, k) for a in self.actors]
+            parts = self._scatter(lambda a: a.score_phrase.remote(qtids, qw, h_seq, k))
         else:
-            futs = [a.score.remote(qtids, qw, k, method) for a in self.actors]
+            parts = self._scatter(lambda a: a.score.remote(qtids, qw, k, method))
         docs, scores, urls = [], [], []
-        for d, s, u in ray.get(futs):
+        for d, s, u in parts:
             docs.append(d)
             scores.append(s)
             urls.extend(u)
         if not docs:  # empty index: zero shards, zero actors
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_query_string(self, qstring: str, k: int = 10) -> list[tuple[int, float, str]]:
+        """query_string over the actor shards: parse/encode once on the
+        driver, scatter the clause spec, gather ≤ k candidates per group
+        (with replica failover) — identical results to
+        :meth:`IndexReader.search_query_string`."""
+        spec = self.reader.build_query_string_spec(qstring)
+        if spec is None:
+            return []
+        parts = self._scatter(lambda a: a.score_query_string.remote(spec, k))
+        docs, scores, urls = [], [], []
+        for d, s, u in parts:
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
             return []
         d = np.concatenate(docs)
         s = np.concatenate(scores)
@@ -2559,6 +2765,8 @@ class ShardedSearcher:
         return [(b * width, total[b]) for b in sorted(total)]
 
     def shutdown(self):
-        for a in self.actors:
-            ray.kill(a)
+        for reps in getattr(self, "replica_groups", [self.actors]):
+            for a in reps:
+                ray.kill(a)
+        self.replica_groups = []
         self.actors = []
