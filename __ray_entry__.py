@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composed onto the BM25/phrase kernels; oracle generated from the
         # same parsed clause table
         "query_string_topk": q.query_string_topk,
+        # match_phrase_prefix (search-as-you-type): last token expands to
+        # the first 50 prefix terms in term order (the ES cap)
+        "phrase_prefix_topk": q.phrase_prefix_topk,
         # proximity (NEAR/w) retrieval: min-gap verify over merged
         # occurrence positions in the forward streams
         "near_topk": q.near_topk,
@@ -241,6 +244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_chars": q.mad_chars,
         # t_test agg (welch): all-pairs lang comparison from moment partials
         "ttest_langs": q.ttest_langs,
+        # top_metrics agg: per-lang metric of the max-doc_id doc (argmax
+        # combiner partials)
+        "top_metrics_by_lang": q.top_metrics_by_lang,
         # avg_bucket + bucket_selector + max_bucket pipeline aggs
         "bucket_pipeline_stats": q.bucket_pipeline_stats,
         # cumulative_cardinality pipeline agg (exact): first-seen-user
@@ -475,6 +481,11 @@ FROM s ORDER BY doc_id
         f"('{qid}', {cid}, '{role}', {boost}, {str(kind == 'phrase').upper()}, '{text}')"
         for qid, qs in QS_QUERIES
         for cid, (role, kind, text, boost) in enumerate(parse_query_string(qs))
+    )
+    from splade_ray.pipelines.queries import MPP_QUERIES
+
+    mpp_values = ", ".join(
+        f"('{qid}', '{t.rsplit(' ', 1)[0]}', '{t.rsplit(' ', 1)[1]}')" for qid, t in MPP_QUERIES
     )
     near_values = ", ".join(f"('{qid}', '{ta}', '{tb}', {w})" for qid, ta, tb, w in NEAR_QUERIES)
 
@@ -1935,6 +1946,52 @@ SELECT query_id, trank AS rank, term, bg_df, fg_df FROM rt WHERE trank <= 10
         # ordered span-near: brute-force in-order position joins (any
         # (p1<p2[<p3]) combo with span-(m-1) <= slop), then the shared BM25
         # CTE chain restricted to matches — the engine's chain DP must agree
+        # match_phrase_prefix: expansion = first 50 prefix terms in term
+        # order (row_number over distinct corpus tokens == the engine's
+        # sorted-vocab slice); match = head then expansion adjacent;
+        # score = head-term BM25 bag
+        "phrase_prefix_topk": f"""
+WITH pset(query_id, head, pre) AS (VALUES {mpp_values}),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+vocab AS (SELECT DISTINCT term FROM toks),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT p.query_id, v.term,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY v.term) AS rn
+    FROM pset p JOIN vocab v ON v.term LIKE p.pre || '%'
+  ) WHERE rn <= 50
+),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT p.query_id, f1.doc_id
+  FROM pset p
+  JOIN flat f1 ON f1.tok = p.head
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.i = f1.i + 1
+  JOIN exp e ON e.query_id = p.query_id AND e.term = f2.tok
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT m.query_id, m.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM pmatch m
+  JOIN pset p ON p.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = p.head
+  JOIN df ON df.term = p.head
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+""",
         # query_string composition: clause table from the engine's parser;
         # per-clause conjunctive term match (+ phrase substring verify over
         # the joined token string), must/should/must_not election,
@@ -2316,6 +2373,14 @@ SELECT r2.lang, any_value(m.med) AS median_chars,
        max(CASE WHEN rk = greatest(1, ceil(0.5 * n)) THEN dv END)::BIGINT AS mad_chars
 FROM r2 JOIN med m ON m.lang = r2.lang
 GROUP BY r2.lang ORDER BY r2.lang
+""",
+        # top_metrics agg: per-bucket metric of the max-sort-key doc
+        "top_metrics_by_lang": """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id DESC) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY lang
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

@@ -98,32 +98,11 @@ def run_bench() -> dict:
     docs_per_s = summary["n_docs"] / build_s
 
     if os.environ.get("GRAFT_SCALING_ONLY"):
-        # scaling protocol: the measured job is the index build alone, plus
-        # a serving-side throughput probe (the SearcherStage actor pool
-        # sized to the CPU budget — query scaling rides actor count)
-        import ray.data as rd
-
-        from splade_ray.pipelines.search import SearcherStage
-
-        # work scales with the actor pool so steady-state throughput
-        # dominates the (parallel, roughly CPU-count-independent) pool
-        # spawn + per-actor index load on BOTH sides of the pair
-        n_actors = max(1, NUM_CPUS)
-        n_q = 2000 * n_actors
-        qtbl = generate_queries(n_q)
-        # materialize the query blocks BEFORE the timed pass: the actor
-        # pool occupies every CPU slot, so upstream repartition tasks
-        # would starve behind it at small NUM_CPUS
-        qds = rd.from_arrow(qtbl).repartition(max(32, 2 * n_actors)).materialize()
-        t = time.perf_counter()
-        qds.map_batches(
-            SearcherStage,
-            fn_constructor_args=(INDEX_DIR, 10, "exhaustive", cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.query_batch_size,
-            concurrency=n_actors,
-        ).count()
-        batch_qps = n_q / (time.perf_counter() - t)
+        # scaling protocol: the measured job is the index build alone
+        # (the serving-side pair runs separately — GRAFT_SERVING_ONLY —
+        # on the bench-sized index, where per-replica load is seconds;
+        # the 1.2M scaling index costs minutes per replica to load, which
+        # would measure init, not serving)
         result = {
             "metric": "index_build_seconds",
             "value": round(build_s, 3),
@@ -133,7 +112,6 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "bench_docs": summary["n_docs"],
             "docs_per_sec": round(docs_per_s, 1),
-            "query_batch_qps": round(batch_qps, 1),
             "stage_timings": summary.get("timings"),
             "build_policy": f"best_of_{len(build_runs)}",
             "build_runs_s": build_runs,
@@ -292,6 +270,58 @@ def run_bench() -> dict:
     return result
 
 
+def run_serving() -> dict:
+    """GRAFT_SERVING_ONLY: replicated-serving throughput at this CPU count
+    — one full-replica SearcherStage actor per CPU (the scale-by-replicas
+    serving shape), round-robin batch dispatch, measured AFTER every
+    replica is ready so the pair compares steady-state query throughput,
+    not index-load time.  The index is shared by both sides of the pair
+    (NUM_CPUS-independent path + build stage guards)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import generate_queries
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import SearcherStage
+
+    cfg = EngineConfig(shard_size=4096)
+    corpus = _ensure_corpus()
+    idx = f"/tmp/graft_bench/index_serving_{BENCH_DOCS}"
+    build_index(corpus, idx, cfg)
+    n_actors = max(1, NUM_CPUS)
+    n_q = int(os.environ.get("GRAFT_SERVING_QPA", "2000")) * n_actors
+    qtbl = generate_queries(n_q)
+    B = cfg.query_batch_size
+    batches = [qtbl.slice(i, B) for i in range(0, n_q, B)]
+    RemoteSearcher = ray.remote(SearcherStage)
+    actors = [RemoteSearcher.remote(idx, 10, "exhaustive", cfg) for _ in range(n_actors)]
+    ray.get([a.__ray_ready__.remote() for a in actors])
+    t = time.perf_counter()
+    ray.get([actors[i % n_actors].__call__.remote(b) for i, b in enumerate(batches)])
+    wall = time.perf_counter() - t
+    ray.shutdown()
+    return {
+        "metric": "serving_qps",
+        "value": round(n_q / wall, 1),
+        "unit": "qps",
+        "num_cpus": NUM_CPUS,
+        "n_queries": n_q,
+        "bench_docs": BENCH_DOCS,
+        "wall_s": round(wall, 2),
+    }
+
+
 def run_scaling() -> dict:
     # the scaling criterion needs a compute-dominated job: 8x the default
     # corpus so the fixed floor (~2 s serial dedup-winners reduce + ~2 s of
@@ -335,16 +365,32 @@ def run_scaling() -> dict:
         "bench_docs": rlo["bench_docs"],
         "stage_timings": {str(lo): rlo.get("stage_timings"), str(hi): rhi.get("stage_timings")},
     }
-    if rlo.get("query_batch_qps") and rhi.get("query_batch_qps"):
-        out["query_qps"] = {str(lo): rlo["query_batch_qps"], str(hi): rhi["query_batch_qps"]}
-        out["query_scaling_efficiency"] = round(
-            (rhi["query_batch_qps"] / rlo["query_batch_qps"]) / (hi / lo), 3
-        )
+    # serving-side pair: fresh processes on the SHARED bench-sized index,
+    # steady-state qps (replica init excluded) — see run_serving
+    def serve(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SERVING_ONLY="1")
+        env.pop("GRAFT_SCALING_ONLY", None)
+        stdout = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(stdout.strip().splitlines()[-1])
+
+    slo = serve(lo)
+    shi = serve(hi)
+    out["serving_qps"] = {str(lo): slo["value"], str(hi): shi["value"]}
+    out["serving_scaling_efficiency"] = round((shi["value"] / slo["value"]) / (hi / lo), 3)
     return out
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_SERVING_ONLY"):
+        print(json.dumps(run_serving()))
     else:
         print(json.dumps(run_bench()))

@@ -4250,3 +4250,50 @@ def routing_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+MPP_QUERIES: list[tuple[str, str]] = [
+    ("mp0", "hash jo"),
+    ("mp1", "window ba"),
+    ("mp2", "customer l"),
+    ("mp3", "data zz"),  # no vocab term starts with zz -> empty on both sides
+    ("mp4", "fast s"),  # broad prefix exercises the max_expansions=50 cap
+]
+
+
+def phrase_prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``match_phrase_prefix``
+    (search-as-you-type): the last token expands to the first 50 vocab
+    terms with that prefix IN TERM ORDER (the ES max_expansions cap —
+    replayed in SQL as row_number over the distinct corpus terms), a doc
+    matches when head + any expansion occur consecutively, and matched
+    docs rank by the head terms' BM25 bag score."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text in MPP_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_phrase_prefix(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def top_metrics_by_lang(sf_dir: str) -> pd.DataFrame:
+    """(lang, doc_id, n_chars) — ES ``top_metrics`` aggregation: per lang
+    bucket, the n_chars metric of the doc with the largest doc_id (sort
+    doc_id DESC, the "latest doc's value" shape).  Per-batch ARGMAX
+    partials — one (max-key row) per lang per block — then the same
+    argmax over the bounded partial set on the driver; nothing shuffles
+    and the metric column never leaves the block that owns the winner."""
+    ds = _docs(sf_dir, columns=["lang", "doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx = df.groupby("lang", sort=False)["doc_id"].idxmax()
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    win = parts.loc[parts.groupby("lang", sort=True)["doc_id"].idxmax()]
+    return win.sort_values("lang", ignore_index=True)[["lang", "doc_id", "n_chars"]]

@@ -504,6 +504,26 @@ class ShardIndex:
             ok &= self.fwd_stream[starts + j] == h_seq[j]
         return cand[np.unique(cidx[ok])]
 
+    def phrase_prefix_topk(
+        self,
+        variants: list[tuple[np.ndarray, np.ndarray]],
+        head_tids: np.ndarray,
+        head_qw: np.ndarray,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """match_phrase_prefix within this shard: a doc matches when ANY
+        expansion variant (head tokens + one expansion term) occurs
+        consecutively; matched docs rank by the BM25 bag score of the HEAD
+        terms (the deterministic scoring contract the SQL oracle replays).
+        ``variants`` = (unique term ids, md5 sequence) per expansion."""
+        mask = np.zeros(self.n_local, dtype=bool)
+        for qtids, h_seq in variants:
+            mask[self._phrase_match_locals(qtids, h_seq)] = True
+        matched = np.flatnonzero(mask)
+        if matched.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return self._restricted_bag_topk(self._term_slices(head_tids), head_qw, matched, k)
+
     def _qs_clause(self, c: dict) -> tuple[np.ndarray, np.ndarray]:
         """(score vector, match mask) over local docs for ONE query_string
         clause.  Term clauses match when the doc holds ALL the clause's
@@ -1569,6 +1589,38 @@ class IndexReader:
                 }
             )
         return spec if any(c["role"] != "not" for c in spec) else None
+
+    def search_phrase_prefix(
+        self, text: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float, str]]:
+        """match_phrase_prefix (ES search-as-you-type): the LAST token is
+        a prefix; it expands to the first ``max_expansions`` vocab terms
+        with that prefix IN TERM ORDER (the ES cap), and a doc matches
+        when the head tokens + any expansion occur consecutively (forward
+        streams verify, per variant).  Matched docs rank by the BM25 bag
+        score of the HEAD terms — a deterministic scoring contract the
+        SQL oracle replays exactly (ES's own phrase-freq scoring is
+        expansion-dependent).  OOV head ⇒ no match anywhere ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("phrase_prefix takes >= 1 head token + a prefix")
+        head, pre = toks[:-1], toks[-1]
+        exp_tids = self.expand_prefix(pre)[:max_expansions]
+        if exp_tids.size == 0:
+            return []
+        head_tids, head_qw = self.encode_query(" ".join(head))
+        if head_tids.size == 0 or int(head_qw.sum()) != len(head):
+            return []  # an OOV head token can never match
+        variants = []
+        for tid in exp_tids:
+            term = str(self.vocab_index[int(tid)])
+            seq = head + [term]
+            qtids, _qw = self.encode_query(" ".join(seq))
+            variants.append((qtids, md5_u64(seq)))
+        cands = [sh.phrase_prefix_topk(variants, head_tids, head_qw, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
 
     def search_near(self, term_a: str, term_b: str, window: int, k: int = 10) -> list[tuple[int, float, str]]:
         """Proximity top-k (requires ``store_forward=True``): docs where
