@@ -71,6 +71,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": q.fuzzy_topk,
         # regexp retrieval: full-match dictionary scan (Lucene RegexpQuery)
         "regexp_topk": q.regexp_topk,
+        # wildcard retrieval: */? glob with a literal-prefix range seek
+        "wildcard_topk": q.wildcard_topk,
+        # boosting query: negative clause demotes (multiplies), not excludes
+        "boosting_topk": q.boosting_topk,
+        # terms_set: per-doc minimum_should_match from a doc-value field
+        "terms_set_topk": q.terms_set_topk,
         # disjunction-max scoring (Lucene DisMax, tie_breaker=0.3)
         "dismax_topk": q.dismax_topk,
         # synonym groups: member tfs blend BEFORE saturation (SynonymQuery)
@@ -139,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered span-near with slop (SpanNearQuery): in-order chain DP
         # over the forward streams, latest-start segmented prefix max
         "span_near_topk": q.span_near_topk,
+        # span-first (SpanFirstQuery): term within the first N positions,
+        # verified against only the stream heads of the candidates
+        "span_first_topk": q.span_first_topk,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -1153,6 +1162,162 @@ SELECT query_id, rank, doc_id, dl FROM ranked WHERE rank <= 10
     from splade_ray.pipelines.queries import REGEXP_QUERIES
 
     regexp_values = ", ".join(f"('{qid}', '{p}')" for qid, p in REGEXP_QUERIES)
+    # wildcard: the engine's glob translates mechanically to SQL LIKE
+    # (* -> %, ? -> _) so the oracle pins the same term-match set
+    from splade_ray.pipelines.queries import WILDCARD_QUERIES
+
+    wildcard_values = ", ".join(
+        f"('{qid}', '{p.replace('*', '%').replace('?', '_')}')" for qid, p in WILDCARD_QUERIES
+    )
+    wildcard_sql = f"""
+WITH wset(query_id, pat) AS (VALUES {wildcard_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+expand AS (SELECT w.query_id, d.term, d.df FROM wset w JOIN df d ON d.term LIKE w.pat),
+scores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM expand e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # boosting query: positive-clause BM25, multiplied by negative_boost on
+    # docs matching any negative-clause term
+    from splade_ray.pipelines.queries import BOOSTING_QUERIES
+
+    boosting_values = ", ".join(
+        f"('{qid}', '{p}', '{n}', {nb})" for qid, p, n, nb in BOOSTING_QUERIES
+    )
+    boosting_sql = f"""
+WITH bset(query_id, ptext, ntext, nb) AS (VALUES {boosting_values}),
+pterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="ptext")}) AS term FROM bset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM pterms GROUP BY query_id, term),
+nterms AS (SELECT DISTINCT query_id, unnest({_TOK_SQL.format(col="ntext")}) AS term FROM bset),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+negdoc AS (SELECT DISTINCT n.query_id, tf.doc_id FROM nterms n JOIN tf ON tf.term = n.term),
+scores0 AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+scores AS (
+  SELECT s0.query_id, s0.doc_id,
+         s0.score * CASE WHEN nd.doc_id IS NOT NULL THEN b.nb ELSE 1.0 END AS score
+  FROM scores0 s0
+  JOIN bset b ON b.query_id = s0.query_id
+  LEFT JOIN negdoc nd ON nd.query_id = s0.query_id AND nd.doc_id = s0.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # span_first: term at token position < end, single-term BM25 ranking
+    from splade_ray.pipelines.queries import SPAN_FIRST_QUERIES
+
+    span_first_values = ", ".join(
+        f"('{qid}', '{t}', {e})" for qid, t, e in SPAN_FIRST_QUERIES
+    )
+    span_first_sql = f"""
+WITH fset(query_id, term, pend) AS (VALUES {span_first_values}),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+fmatch AS (
+  SELECT DISTINCT f.query_id, f.term, fl.doc_id
+  FROM fset f JOIN flat fl ON fl.tok = f.term AND fl.i < f.pend
+),
+scores AS (
+  SELECT m.query_id, m.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM fmatch m
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = m.term
+  JOIN df ON df.term = m.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # terms_set: per-doc minimum = 1 + (n_chars mod 3); unit-weight
+    # expanded-OR BM25 over the set terms the doc holds
+    from splade_ray.pipelines.queries import TERMS_SET_QUERIES
+
+    terms_set_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in TERMS_SET_QUERIES for t in terms
+    )
+    terms_set_sql = f"""
+WITH tset(query_id, term) AS (VALUES {terms_set_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+matched AS (
+  SELECT t.query_id, tf.doc_id, count(DISTINCT t.term) AS n_matched
+  FROM tset t JOIN tf ON tf.term = t.term GROUP BY 1, 2
+),
+keep AS (
+  SELECT m.query_id, m.doc_id
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE m.n_matched >= 1 + d.n_chars % 3
+),
+scores AS (
+  SELECT t.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tset t
+  JOIN tf ON tf.term = t.term
+  JOIN df ON df.term = t.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN keep k ON k.query_id = s.query_id AND k.doc_id = s.doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     regexp_sql = f"""
 WITH xset(query_id, pat) AS (VALUES {regexp_values}),
 toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
@@ -1315,6 +1480,10 @@ ORDER BY p.query_id
         "prefix_topk": prefix_sql,
         "fuzzy_topk": fuzzy_sql,
         "regexp_topk": regexp_sql,
+        "wildcard_topk": wildcard_sql,
+        "boosting_topk": boosting_sql,
+        "span_first_topk": span_first_sql,
+        "terms_set_topk": terms_set_sql,
         "dismax_topk": dismax_sql,
         "synonym_topk": synonym_sql,
         "explain_scores": explain_sql,

@@ -4297,3 +4297,110 @@ def top_metrics_by_lang(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     win = parts.loc[parts.groupby("lang", sort=True)["doc_id"].idxmax()]
     return win.sort_values("lang", ignore_index=True)[["lang", "doc_id", "n_chars"]]
+
+
+# wildcard (Lucene WildcardQuery) patterns: * = any run, ? = one char.
+# Oracle-side each pattern translates to SQL LIKE (* -> %, ? -> _).
+WILDCARD_QUERIES: list[tuple[str, str]] = [
+    ("w0", "s?a*"),   # scan, small, spark
+    ("w1", "*er*"),   # customer, filter, merge, order
+    ("w2", "ta?le"),  # table
+    ("w3", "zz*"),    # no matching terms -> empty on both sides
+]
+
+
+def wildcard_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene WildcardQuery top-10:
+    the ``*``/``?`` glob expands against the sorted term dictionary with a
+    literal-prefix range seek (two binary searches bound the scan — the
+    FST prefix-seek shape) + one compiled-regex verify over the bounded
+    slice, then scores as an expanded OR (unit weight, per-term idf)
+    through the unchanged BM25 kernels."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, pat in WILDCARD_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_wildcard(pat, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# boosting query: (query_id, positive text, negative text, negative_boost)
+BOOSTING_QUERIES: list[tuple[str, str, str, float]] = [
+    ("bq0", "spark join", "slow", 0.5),
+    ("bq1", "window stream", "small", 0.4),
+    ("bq2", "fast hash", "zzznotaword", 0.5),  # OOV negative demotes nothing
+    ("bq3", "the table", "big", 0.25),
+]
+
+
+def boosting_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene/ES ``boosting`` query
+    top-10: the positive clause's BM25 bag score, multiplied by
+    ``negative_boost`` on docs that also match any negative-clause term
+    (demotion, not exclusion — contrast ``bm25_topk_not``).  The demotion
+    happens inside each shard's scorer before local top-k."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, pos, neg, nb in BOOSTING_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_boosting(pos, neg, nb, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# span_first: (query_id, term, end) — term must occur at position < end
+SPAN_FIRST_QUERIES: list[tuple[str, str, int]] = [
+    ("sf0", "spark", 3),
+    ("sf1", "table", 2),
+    ("sf2", "value", 1),
+    ("sf3", "zzznotaword", 5),  # OOV -> empty on both sides
+]
+
+
+def span_first_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene SpanFirstQuery top-10
+    from the forward-enabled index: postings candidates, then a verify
+    that reads ONLY the first ``end`` positions of each candidate's md5
+    token stream (one flat gather); matches rank by the term's BM25."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, term, end in SPAN_FIRST_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_span_first(term, end, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# terms_set: (query_id, term list); per-doc minimum = 1 + (n_chars mod 3)
+TERMS_SET_QUERIES: list[tuple[str, list[str]]] = [
+    ("ts0", ["spark", "join", "order", "window"]),
+    ("ts1", ["fast", "slow", "big", "small", "value"]),
+    ("ts2", ["customer", "merge", "zzznotaword"]),
+]
+
+
+def terms_set_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``terms_set`` query with a
+    per-doc ``minimum_should_match_field``: a doc matches when it holds at
+    least ``1 + (n_chars mod 3)`` DISTINCT terms of the set (the corpus has
+    no native msm field, so the minimum is synthesized from the n_chars
+    doc-value — the SQL oracle replays the same expression), ranked by the
+    unit-weight expanded-OR BM25 bag.  Served scatter-gather: each shard
+    owner applies its own docs' minima from the attribute sidecar."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, terms in TERMS_SET_QUERIES:
+            for rank, (_d, score, url) in enumerate(ss.search_terms_set(terms, BM25_K), 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])

@@ -700,6 +700,65 @@ class ShardIndex:
         matched = cand[np.unique(cidx[ok])]
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
+    def span_first_topk(
+        self, qtids: np.ndarray, qweights: np.ndarray, h_term: int, end: int, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``SpanFirstQuery`` top-k: docs whose token stream holds
+        the term at some position < ``end`` (a title/lead-paragraph
+        restriction), BM25-bag-ranked with the usual (-score, doc)
+        tie-break.  Candidates come from the inverted postings; the verify
+        reads ONLY the first min(end, len) positions of each candidate's
+        forward stream — one flat gather, no per-candidate loop."""
+        if self.fwd_stream is None:
+            raise ValueError("span-first search requires an index built with store_forward=True")
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        lens = self.fwd_ptr[cand + 1] - self.fwd_ptr[cand]
+        nwin = np.minimum(lens, np.int64(end))
+        tot = int(nwin.sum())
+        if tot == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        csum = np.cumsum(nwin)
+        starts = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(csum - nwin, nwin)
+            + np.repeat(self.fwd_ptr[cand], nwin)
+        )
+        cidx = np.repeat(np.arange(cand.size, dtype=np.int64), nwin)
+        ok = self.fwd_stream[starts] == np.uint64(h_term)
+        matched = cand[np.unique(cidx[ok])]
+        return self._restricted_bag_topk(slices, qweights, matched, k)
+
+    def score_boosting(
+        self,
+        qtids: np.ndarray,
+        qweights: np.ndarray,
+        neg_tids: np.ndarray,
+        negative_boost: float,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene/ES ``boosting`` query: the positive clause's BM25 bag
+        score, MULTIPLIED by ``negative_boost`` on docs that match ANY
+        negative-clause term (demotion, not exclusion — contrast
+        :meth:`IndexReader.search_not`).  Multiplicative on a zero-safe
+        score vector, so tombstoned / unmatched docs stay out of the
+        top-k."""
+        slices = self._term_slices(qtids)
+        if not slices:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+        w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+        scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        neg = self._term_slices(neg_tids)
+        if neg:
+            neg_ids = np.unique(np.concatenate([self.post_local[s:e] for _, s, e, _ in neg]))
+            scores[neg_ids] *= float(negative_boost)
+        return self._topk_from_scores(scores, k)
+
     def _gather_zones(self, slices, zones: np.ndarray, qweights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(local ids, query-weighted impacts) of every posting inside
         ``zones`` — one searchsorted + flat gather per query term for ALL
@@ -1370,6 +1429,59 @@ class IndexReader:
         :meth:`search_prefix` / :meth:`search_fuzzy`."""
         return self._search_expanded(self.expand_regexp(pattern), k, method)
 
+    def expand_wildcard(self, pattern: str) -> np.ndarray:
+        """Term ids of vocab terms matching a Lucene ``WildcardQuery``
+        pattern (``*`` = any sequence, ``?`` = exactly one char).  The
+        literal prefix before the first wildcard bounds the dictionary
+        scan to a CONTIGUOUS sorted-vocab range (two binary searches —
+        the prefix-seek Lucene performs on its FST), then one compiled
+        fnmatch-regex pass verifies the bounded slice.  The working set is
+        a vocab RANGE, never the corpus — at a 10^9-term dictionary the
+        range seek is what keeps ``ab*c?`` from scanning every term."""
+        if self.vocab_index is None:
+            raise ValueError(
+                "wildcard queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        import fnmatch
+        import re as _re
+
+        pat = pattern.lower()
+        lit = _re.split(r"[*?]", pat, maxsplit=1)[0]
+        lo = int(self.vocab_index.searchsorted(lit, side="left")) if lit else 0
+        hi = (
+            int(self.vocab_index.searchsorted(lit + "\U0010ffff", side="left"))
+            if lit
+            else len(self.vocab_index)
+        )
+        if lo >= hi:
+            return np.zeros(0, np.int64)
+        sl = self.vocab_index[lo:hi]
+        hit = np.asarray(sl.str.fullmatch(fnmatch.translate(pat)), dtype=bool)
+        return (np.flatnonzero(hit) + lo).astype(np.int64)
+
+    def search_wildcard(self, pattern: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Wildcard top-k (Lucene WildcardQuery): ``*``/``?`` glob over
+        the term dictionary, expanded-OR semantics identical to
+        :meth:`search_prefix` / :meth:`search_regexp` — each matched term
+        carries unit query weight and its OWN idf."""
+        return self._search_expanded(self.expand_wildcard(pattern), k, method)
+
+    def search_boosting(
+        self, positive: str, negative: str, negative_boost: float = 0.5, k: int = 10
+    ) -> list[tuple[int, float, str]]:
+        """Boosting-query top-k (Lucene ``BoostingQuery`` / ES
+        ``boosting``): docs matching the positive clause rank by its BM25
+        bag score, DEMOTED by ``negative_boost`` (multiplied, not
+        excluded) when they also match any negative-clause term.  An OOV
+        negative demotes nothing; tie-break (-score, doc_id) as always."""
+        qtids, qw = self.encode_query(positive)
+        if qtids.size == 0:
+            return []
+        neg_tids, _ = self.encode_query(negative)
+        cands = [sh.score_boosting(qtids, qw, neg_tids, negative_boost, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
     def scores_for_docs(self, text: str, doc_ids) -> dict[int, float]:
         """Exact per-doc scores of ``text`` under THIS reader's similarity
         for an explicit doc set — the rescore primitive (ES ``rescore``
@@ -1654,6 +1766,24 @@ class IndexReader:
             return []  # at least one span token is OOV
         h_seq = md5_u64(toks)
         cands = [sh.span_near_topk(qtids, qw, h_seq, slop, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def search_span_first(self, term: str, end: int, k: int = 10) -> list[tuple[int, float, str]]:
+        """Span-first top-k (Lucene ``SpanFirstQuery``, requires
+        ``store_forward=True``): docs where the (single-token) term occurs
+        at a token position strictly below ``end`` — the "match in the
+        title / lead" restriction — BM25-ranked on the term with the usual
+        (-score, doc) tie-break.  OOV term ⇒ no match anywhere ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(term)
+        if len(toks) != 1:
+            raise ValueError(f"span-first takes one term, got {toks!r}")
+        qtids, qw = self.encode_query(toks[0])
+        if qtids.size == 0:
+            return []
+        h = int(md5_u64(toks)[0])
+        cands = [sh.span_first_topk(qtids, qw, h, int(end), k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
     def significant_terms(
@@ -2226,6 +2356,37 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_terms_set(self, qtids: np.ndarray, k: int, attr_col: str, mod: int):
+        """``terms_set`` scatter leg (ES terms_set with a per-DOC
+        ``minimum_should_match_field``): a doc matches when it contains at
+        least ``required`` DISTINCT of the query terms, where ``required =
+        1 + (doc_value mod ``mod``)`` — the corpus carries no native
+        msm field, so the per-doc minimum is synthesized from the numeric
+        doc-value sidecar (the SQL oracle replays the same expression).
+        Matched docs score the unit-weight expanded-OR BM25 bag (each term
+        its own idf), computed and top-k'd inside the shard owner."""
+        attrs = self._attr_for_shards(attr_col)
+        qw = np.ones(qtids.size, np.float64)
+        cands_d, cands_s, cands_u = [], [], []
+        for sh, attr in zip(self.reader.shards, attrs):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            cnt = np.bincount(ids, minlength=sh.n_local)
+            if sh.deleted_local.size:
+                cnt[sh.deleted_local] = 0
+            required = 1 + (np.asarray(attr, dtype=np.int64) % np.int64(mod))
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            d, s = sh._topk_from_scores(np.where(cnt >= required, scores, 0.0), k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def adjacency_counts(self, filter_tids: list[np.ndarray], ms: np.ndarray) -> np.ndarray:
         """Adjacency-matrix aggregation (ES ``adjacency_matrix``): for M
         named boolean filters (filter i = "matches >= ms[i] distinct terms
@@ -2530,6 +2691,39 @@ class ShardedSearcher:
         if qtids.size == 0:
             return []
         futs = [a.score_boosted.remote(qtids, qw, k, attr_col, boost, pivot) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_terms_set(
+        self, terms: list[str], k: int = 10, attr_col: str = "n_chars", mod: int = 3
+    ) -> list[tuple[int, float, str]]:
+        """``terms_set`` retrieval (ES terms_set query with a per-doc
+        ``minimum_should_match_field``): docs containing at least
+        ``1 + (doc_value mod mod)`` DISTINCT of ``terms`` rank by the
+        unit-weight expanded-OR BM25 bag over the term set.  The driver
+        encodes the term set once; each shard owner applies ITS docs'
+        minima and ships ≤ k candidates."""
+        tids = []
+        for t in terms:
+            q, _ = self.reader.encode_query(t)
+            if q.size:
+                tids.append(int(q[0]))
+        qtids = np.unique(np.asarray(tids, dtype=np.int64))
+        if qtids.size == 0:
+            return []
+        futs = [a.score_terms_set.remote(qtids, k, attr_col, mod) for a in self.actors]
         docs, scores, urls = [], [], []
         for d, s, u in ray.get(futs):
             docs.append(d)
