@@ -263,6 +263,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_cardinality_users": q.cumulative_cardinality_users,
         # date_histogram + derivative pipeline agg
         "events_histogram_derivative": q.events_histogram_derivative,
+        # extended_stats agg: count/min/max/sum/avg/sos + population
+        # variance/std + ±2σ bounds, five-scalar combiner partials
+        "extended_stats_chars": q.extended_stats_chars,
+        # cumulative_sum + serial_diff + normalize pipeline aggs on one
+        # date_histogram bucket series
+        "events_daily_pipeline": q.events_daily_pipeline,
+        # range agg over the n_chars doc-value (vectorized searchsorted)
+        "range_chars_agg": q.range_chars_agg,
+        # filters agg: named overlapping filters, one streaming pass
+        "filters_agg_events": q.filters_agg_events,
+        # auto_date_histogram: ladder-chosen interval <= 12 buckets
+        "auto_date_histogram": q.auto_date_histogram,
         "deterministic_sample": q.deterministic_sample,
         # per-stratum (lang) deterministic sampling — training-data rebalance
         "stratified_sample": q.stratified_sample,
@@ -2550,6 +2562,70 @@ SELECT lang, doc_id, n_chars FROM (
          row_number() OVER (PARTITION BY lang ORDER BY doc_id DESC) AS rn
   FROM documents
 ) WHERE rn = 1 ORDER BY lang
+""",
+        # extended_stats agg: population variance/std + ±2σ bounds
+        "extended_stats_chars": """
+SELECT lang, count(*)::BIGINT AS n_docs, min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars, sum(n_chars)::BIGINT AS sum_chars,
+       round(avg(n_chars), 6) AS avg_chars_r,
+       sum(n_chars * n_chars)::BIGINT AS sos_chars,
+       round(var_pop(n_chars), 6) AS var_r,
+       round(stddev_pop(n_chars), 6) AS std_r,
+       round(avg(n_chars) - 2 * stddev_pop(n_chars), 6) AS std_lower_r,
+       round(avg(n_chars) + 2 * stddev_pop(n_chars), 6) AS std_upper_r
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        # cumulative_sum + serial_diff(1) + normalize(percent_of_sum)
+        # pipeline aggs on one gap-free date_histogram series
+        "events_daily_pipeline": """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n FROM axis a LEFT JOIN c USING (day))
+SELECT CAST(day AS TIMESTAMP) AS day, n AS n_events,
+       sum(n) OVER (ORDER BY day)::BIGINT AS cum_n,
+       coalesce(n - lag(n) OVER (ORDER BY day), 0)::BIGINT AS diff_n,
+       round(100.0 * n / (SELECT sum(n) FROM s), 6) AS pct_r
+FROM s ORDER BY day
+""",
+        # range agg over n_chars: [0,200), [200,400), [400,*)
+        "range_chars_agg": """
+WITH b AS (
+  SELECT CASE WHEN n_chars < 200 THEN '0-200'
+              WHEN n_chars < 400 THEN '200-400'
+              ELSE '400-*' END AS bucket, n_chars
+  FROM documents
+)
+SELECT bucket, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars_r
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+        # filters agg: three named (overlapping) filters
+        "filters_agg_events": """
+SELECT 'big' AS name, count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value_r
+FROM events WHERE value >= 50
+UNION ALL
+SELECT 'clicks', count(*)::BIGINT, round(avg(value), 6) FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'errors', count(*)::BIGINT, round(avg(value), 6) FROM events WHERE event_type = 'error'
+ORDER BY name
+""",
+        # auto_date_histogram: smallest ladder interval with <= 12
+        # epoch-floored buckets over the data span
+        "auto_date_histogram": f"""
+WITH b AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+iv AS (
+  SELECT CASE
+    {" ".join(f"WHEN hi // ({s}::BIGINT * 1000000) - lo // ({s}::BIGINT * 1000000) + 1 <= 12 THEN {s}" for s in [60, 300, 1800, 3600, 10800, 43200, 86400])}
+    ELSE 604800 END AS sec
+  FROM b
+)
+SELECT make_timestamp((epoch_us(ts) // (iv.sec::BIGINT * 1000000)) * iv.sec::BIGINT * 1000000) AS bucket_ts,
+       iv.sec::BIGINT AS interval_sec, count(*)::BIGINT AS n_events
+FROM events, iv GROUP BY 1, 2 ORDER BY 1
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

@@ -4404,3 +4404,202 @@ def terms_set_topk(sf_dir: str) -> pd.DataFrame:
     finally:
         ss.shutdown()
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def extended_stats_chars(sf_dir: str) -> pd.DataFrame:
+    """(lang, n_docs, min_chars, max_chars, sum_chars, avg_chars_r,
+    sos_chars, var_r, std_r, std_lower_r, std_upper_r) — ES
+    ``extended_stats`` aggregation per lang bucket: count/min/max/sum/avg
+    plus sum-of-squares, POPULATION variance/std (the ES default) and the
+    ±2σ std_deviation_bounds.  One per-batch combiner partial carries
+    (n, sum, sumsq, min, max) per lang — five scalars per bucket per
+    block, so the driver combine is bounded by |langs|·|blocks| no matter
+    the corpus size."""
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "v": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("lang", sort=False)["v"]
+        out = g.agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        out["ss"] = g.apply(lambda x: float(np.dot(x, x))).to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    )
+    avg = g["s"] / g["n"]
+    var = g["ss"] / g["n"] - avg * avg  # population variance (ES default)
+    std = np.sqrt(np.maximum(var, 0.0))
+    return pd.DataFrame(
+        {
+            "lang": g.index,
+            "n_docs": g["n"].to_numpy().astype(np.int64),
+            "min_chars": g["mn"].to_numpy().astype(np.int64),
+            "max_chars": g["mx"].to_numpy().astype(np.int64),
+            "sum_chars": g["s"].to_numpy().astype(np.int64),
+            "avg_chars_r": avg.round(6).to_numpy(),
+            "sos_chars": g["ss"].to_numpy().astype(np.int64),
+            "var_r": var.round(6).to_numpy(),
+            "std_r": std.round(6).to_numpy(),
+            "std_lower_r": (avg - 2 * std).round(6).to_numpy(),
+            "std_upper_r": (avg + 2 * std).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def events_daily_pipeline(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, cum_n, diff_n, pct_r) — a date_histogram bucket
+    series carrying THREE ES pipeline aggregations at once:
+    ``cumulative_sum`` (running total), ``serial_diff`` lag 1 (first
+    bucket coalesced to 0 on both sides), and ``normalize``/
+    percent_of_sum (bucket share of the total, in percent).  The heavy
+    pass is one per-batch day-count partial; the window math runs on the
+    bounded bucket series (|days| rows), exactly where ES's pipeline aggs
+    run — on the reduced bucket list, never the raw events."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0)
+    n = series.to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": n,
+            "cum_n": np.cumsum(n),
+            "diff_n": np.diff(n, prepend=n[:1]),  # first bucket -> 0
+            "pct_r": np.round(100.0 * n / n.sum(), 6),
+        }
+    ).reset_index(drop=True)
+
+
+# ES range-agg bucket edges over n_chars: [0,200), [200,400), [400, inf)
+RANGE_CHARS_EDGES: list[int] = [0, 200, 400]
+
+
+def range_chars_agg(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_docs, avg_chars_r) — ES ``range`` aggregation over the
+    n_chars doc-value with buckets [0,200), [200,400), [400,*): per-batch
+    ``np.searchsorted`` against the edge list assigns buckets vectorized;
+    (count, sum) partials combine on the driver (3 buckets × blocks)."""
+    ds = _docs(sf_dir, columns=["n_chars"])
+    edges = np.asarray(RANGE_CHARS_EDGES, dtype=np.int64)
+    labels = [
+        f"{lo}-{hi}" for lo, hi in zip(RANGE_CHARS_EDGES, RANGE_CHARS_EDGES[1:])
+    ] + [f"{RANGE_CHARS_EDGES[-1]}-*"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="right") - 1
+        n = np.bincount(b, minlength=len(labels))
+        s = np.bincount(b, weights=v.astype(np.float64), minlength=len(labels))
+        return pa.table(
+            {"bucket": pa.array(labels), "n": pa.array(n, pa.int64()), "s": pa.array(s)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bucket", sort=False).sum().reindex(labels)
+    g = g[g["n"] > 0]
+    return pd.DataFrame(
+        {
+            "bucket": g.index,
+            "n_docs": g["n"].to_numpy().astype(np.int64),
+            "avg_chars_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+# ES filters agg: named filter -> predicate over the events table
+FILTERS_AGG_SPECS: list[tuple[str, str]] = [
+    ("clicks", "event_type = 'click'"),
+    ("errors", "event_type = 'error'"),
+    ("big", "value >= 50"),
+]
+
+
+def filters_agg_events(sf_dir: str) -> pd.DataFrame:
+    """(name, n_events, avg_value_r) — ES ``filters`` aggregation: three
+    NAMED filters evaluated in one streaming pass (filters may overlap, so
+    this is not a groupby — each batch emits one (count, sum) partial per
+    filter from vectorized boolean masks; the driver combines 3×blocks
+    cells)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        masks = [et == "click", et == "error", v >= 50]
+        return pa.table(
+            {
+                "name": pa.array([n for n, _ in FILTERS_AGG_SPECS]),
+                "n": pa.array([int(m.sum()) for m in masks], pa.int64()),
+                "s": pa.array([float(v[m].sum()) for m in masks]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("name", sort=True).sum()
+    return pd.DataFrame(
+        {
+            "name": g.index,
+            "n_events": g["n"].to_numpy().astype(np.int64),
+            "avg_value_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+# auto_date_histogram interval ladder (seconds) and bucket target
+AUTO_HIST_LADDER: list[int] = [60, 300, 1800, 3600, 10800, 43200, 86400, 604800]
+AUTO_HIST_TARGET: int = 12
+
+
+def auto_date_histogram(sf_dir: str) -> pd.DataFrame:
+    """(bucket_ts, interval_sec, n_events) — ES ``auto_date_histogram``:
+    the interval is CHOSEN from a fixed ladder (1m, 5m, 30m, 1h, 3h, 12h,
+    1d, 7d) as the smallest whose epoch-floored bucket count over the data
+    span stays ≤ 12 buckets.  Pass 1 is a min/max-ts aggregate (combiner
+    partials); pass 2 re-buckets with the chosen interval — the same
+    two-phase shape ES uses when it downgrades the interval during
+    reduction.  The SQL oracle replays the ladder choice from the same
+    epoch-microsecond arithmetic."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(us.min())]), "hi": pa.array([int(us.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    iv = AUTO_HIST_LADDER[-1]
+    for cand in AUTO_HIST_LADDER:
+        w = cand * 1_000_000
+        if hi // w - lo // w + 1 <= AUTO_HIST_TARGET:
+            iv = cand
+            break
+    w = iv * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b, n = np.unique(us // w, return_counts=True)
+        return pa.table({"b": pa.array(b, pa.int64()), "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("b", sort=True)["n"].sum()
+    return pd.DataFrame(
+        {
+            "bucket_ts": pd.to_datetime(g.index.to_numpy() * w, unit="us"),
+            "interval_sec": np.full(len(g), iv, dtype=np.int64),
+            "n_events": g.to_numpy().astype(np.int64),
+        }
+    ).reset_index(drop=True)
