@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg_events": q.filters_agg_events,
         # auto_date_histogram: ladder-chosen interval <= 12 buckets
         "auto_date_histogram": q.auto_date_histogram,
+        # crawl-URL canonicalization (Arrow-RE2 chain) + per-host rollup
+        "host_agg": q.host_agg,
+        # _reindex with a script transform into a fresh index; BM25 serves
+        # from the destination corpus's own statistics
+        "reindex_topk": q.reindex_topk,
         "deterministic_sample": q.deterministic_sample,
         # per-stratum (lang) deterministic sampling — training-data rebalance
         "stratified_sample": q.stratified_sample,
@@ -2626,6 +2631,84 @@ iv AS (
 SELECT make_timestamp((epoch_us(ts) // (iv.sec::BIGINT * 1000000)) * iv.sec::BIGINT * 1000000) AS bucket_ts,
        iv.sec::BIGINT AS interval_sec, count(*)::BIGINT AS n_events
 FROM events, iv GROUP BY 1, 2 ORDER BY 1
+""",
+        # crawl-URL canonicalization + per-host rollup: the oracle
+        # synthesizes the same messy URLs and replays the normalize chain
+        # (lowercase scheme/host, default-port drop, trailing-slash strip,
+        # utm_* param removal, fragment drop) in DuckDB's RE2
+        "host_agg": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+          ELSE source || '.example.com' END) ||
+    (CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0 THEN ':443'
+          WHEN doc_id % 2 = 1 AND doc_id % 7 = 0 THEN ':80' ELSE '' END) ||
+    '/p/' || doc_id || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || (doc_id % 10)
+          WHEN doc_id % 6 = 3 THEN '?id=' || (doc_id % 10) || '&utm_medium=rss'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 9 = 0 THEN '#ref' ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+n AS (
+  SELECT doc_id, n_chars, url, host,
+    scheme || '://' || host ||
+    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443') THEN ''
+          ELSE ':' || port END) ||
+    (CASE WHEN path = '' THEN '/' ELSE regexp_replace(path, '(.)/$', '\\1') END) ||
+    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS norm_url
+  FROM (SELECT *, regexp_replace(regexp_replace(query, 'utm_[^&]*&', '', 'g'),
+                                 '&?utm_[^&]*$', '') AS q2 FROM p)
+)
+SELECT host, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN url <> norm_url THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       round(avg(n_chars), 6) AS avg_chars_r
+FROM n GROUP BY host ORDER BY host
+""",
+        # reindex with a script transform: BM25 over the DESTINATION
+        # corpus (en docs truncated to their first 25 tokens) — stats are
+        # the transformed corpus's own
+        "reindex_topk": f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, list_slice({doc_toks}, 1, 25) AS l FROM documents WHERE lang = 'en'),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_r
+FROM ranked WHERE rank <= 10
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

@@ -4603,3 +4603,118 @@ def auto_date_histogram(sf_dir: str) -> pd.DataFrame:
             "n_events": g.to_numpy().astype(np.int64),
         }
     ).reset_index(drop=True)
+
+
+def host_agg(sf_dir: str) -> pd.DataFrame:
+    """(host, n_docs, n_changed, avg_chars_r) — Common-Crawl URL
+    canonicalization + per-host rollup: each doc's (synthetic, messy)
+    crawl URL — mixed-case hosts, explicit default ports, trailing
+    slashes, ``utm_*`` tracking params, fragments — is canonicalized by
+    the vectorized Arrow-RE2 chain in
+    :func:`splade_ray.functions.urls.normalize_urls`, then docs roll up
+    per canonical HOST with a changed-url counter.  The per-batch partial
+    carries (count, changed, sum_chars) per host, so the driver combine is
+    |hosts|·|blocks|-bounded.  The SQL oracle synthesizes the same messy
+    URLs and replays the exact normalize chain in DuckDB's RE2."""
+    from ..functions.urls import normalize_urls
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_numpy(zero_copy_only=False)
+        # messy-crawl fixture synthesis (per-row python is fine HERE: this
+        # fabricates the test input; the kernel under test is vectorized)
+        messy = pa.array(
+            [
+                ("https" if i % 2 == 0 else "http")
+                + "://"
+                + (f"{s.upper()}.Example.COM" if i % 3 == 0 else f"{s}.example.com")
+                + (":443" if i % 2 == 0 and i % 5 == 0 else (":80" if i % 2 == 1 and i % 7 == 0 else ""))
+                + f"/p/{i}"
+                + ("/" if i % 4 == 0 else "")
+                + (
+                    f"?utm_source=feed&id={i % 10}"
+                    if i % 6 == 0
+                    else (f"?id={i % 10}&utm_medium=rss" if i % 6 == 3 else "")
+                )
+                + ("#ref" if i % 9 == 0 else "")
+                for i, s in zip(ids, srcs)
+            ],
+            pa.string(),
+        )
+        norm = normalize_urls(messy)
+        host = pc.extract_regex(norm, pattern=r"^[a-z][a-z0-9+.-]*://(?P<h>[^/:?#]+)").field("h")
+        df = pd.DataFrame(
+            {
+                "host": host.to_numpy(zero_copy_only=False),
+                "n": 1,
+                "chg": pc.not_equal(messy, norm).to_numpy(zero_copy_only=False).astype(np.int64),
+                "s": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby("host", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("host", sort=True).sum()
+    return pd.DataFrame(
+        {
+            "host": g.index,
+            "n_docs": g["n"].to_numpy().astype(np.int64),
+            "n_changed": g["chg"].to_numpy().astype(np.int64),
+            "avg_chars_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def reindex_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``_reindex`` with a script
+    transform: the source index's corpus streams through a map_batches
+    transform (keep ``lang = 'en'``, truncate each doc to its first 25
+    tokens — all Arrow kernels: regex trim + split + list_slice +
+    binary_join, no per-row Python) into a NEW index directory, and BM25
+    serves from the destination.  df/N/avgdl are the TRANSFORMED corpus's
+    own statistics, which is exactly what the SQL oracle recomputes over
+    ``list_slice(tokens, 1, 25)`` of the en docs."""
+    src_dir = build_documents_index(sf_dir)
+    corpus_path = os.path.join(src_dir, "corpus_input.parquet")
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|reindex_v1".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_reidx_{key}")
+    dst_corpus = os.path.join(out, "corpus_input.parquet")
+    if not os.path.exists(dst_corpus):
+        os.makedirs(out, exist_ok=True)
+
+        def transform(batch: pa.Table) -> pa.Table:
+            t = pc.utf8_lower(batch.column("text"))
+            t = pc.replace_substring_regex(t, r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+            toks = pc.split_pattern_regex(t, "[^a-z0-9]+")
+            t25 = pc.binary_join(pc.list_slice(toks, 0, 25), " ")
+            cols = {name: batch.column(name) for name in batch.column_names}
+            cols["text"] = t25
+            return pa.table(cols)
+
+        tmp = dst_corpus + ".tmp"
+        (
+            rd.read_parquet(corpus_path)
+            .filter(expr="lang == 'en'")
+            .map_batches(transform, batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        os.rename(tmp, dst_corpus)
+    build_index(dst_corpus, out, DOCS_CFG)
+    reader = IndexReader(out, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        # truncation makes identical 25-token docs, so exact score ties at
+        # 6 decimals are EXPECTED — rank on rounded scores with doc-id
+        # tie-break (the collapse/block_join convention), over a 2k window
+        # so the rounded boundary is stable
+        cands = [
+            (round(score, 6), int(url.removeprefix("doc://")))
+            for _d, score, url in reader.search(text, 2 * BM25_K)
+        ]
+        cands.sort(key=lambda r: (-r[0], r[1]))
+        for rank, (score_r, did) in enumerate(cands[:BM25_K], 1):
+            rows.append((qid, rank, did, score_r))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
