@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental-crawl dedup: new batch vs existing corpus, broadcast
         # fingerprint set / shuffle semi-join auto-switch
         "incremental_dedup_kept": q.incremental_dedup_kept,
+        # same kept set, forced through the Bloom-pruned exchange: a Bloom
+        # over the NEW batch's hashes prunes the existing side to ~|dups|
+        "incremental_dedup_bloom": q.incremental_dedup_bloom,
         # the FULL ingestion loop: dedup the new batch, build it as a
         # second segment (continued doc numbering), federate queries —
         # rank+score identical to one build over existing ∪ kept-new
@@ -275,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg_events": q.filters_agg_events,
         # auto_date_histogram: ladder-chosen interval <= 12 buckets
         "auto_date_histogram": q.auto_date_histogram,
+        # geotile_grid agg at zoom 3 (web-mercator tiles, ln(tan+sec) form)
+        "geotile_grid": q.geotile_grid,
+        # geo_distance rings (haversine, R=6371 km) around a fixed origin
+        "geo_distance_ranges": q.geo_distance_ranges,
+        # scripted_metric: arbitrary map/combine/reduce over doc values
+        "scripted_metric_agg": q.scripted_metric_agg,
         # crawl-URL canonicalization (Arrow-RE2 chain) + per-host rollup
         "host_agg": q.host_agg,
         # _reindex with a script transform into a fresh index; BM25 serves
@@ -1724,6 +1733,13 @@ oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
 cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
 SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
 """,
+        "incremental_dedup_bloom": """
+WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
+newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
+oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
+cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
+SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
+""",
         # full ingestion loop: BM25 over existing(80%) ∪ dedup-kept new(20%)
         # — same dedup election CTE as incremental_dedup_kept, then the
         # standard BM25 CTEs over the union corpus
@@ -2709,6 +2725,49 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score_r
 FROM ranked WHERE rank <= 10
+""",
+        # geotile_grid at zoom 3: the synthesized 0.5-degree lattice keeps
+        # every point far from tile boundaries, so float64 trig agrees
+        "geotile_grid": """
+WITH g AS (
+  SELECT event_id, value,
+         -60.0 + (event_id % 120) + 0.5 AS lat,
+         -180.0 + ((event_id * 7) % 360) + 0.5 AS lon
+  FROM events
+),
+tl AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT) AS xtile,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8) AS BIGINT) AS ytile,
+         value
+  FROM g
+)
+SELECT xtile, ytile, count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value_r
+FROM tl GROUP BY xtile, ytile ORDER BY xtile, ytile
+""",
+        # geo_distance rings: haversine (R=6371 km) from (48.5, 2.5)
+        "geo_distance_ranges": """
+WITH g AS (
+  SELECT radians(-60.0 + (event_id % 120) + 0.5) AS rlat,
+         radians(-180.0 + ((event_id * 7) % 360) + 0.5) AS rlon
+  FROM events
+),
+d AS (
+  SELECT 2.0 * 6371.0 * asin(sqrt(
+           sin((rlat - radians(48.5)) / 2.0) * sin((rlat - radians(48.5)) / 2.0)
+           + cos(radians(48.5)) * cos(rlat)
+             * sin((rlon - radians(2.5)) / 2.0) * sin((rlon - radians(2.5)) / 2.0)
+         )) AS km
+  FROM g
+)
+SELECT CASE WHEN km < 1000 THEN '0-1000' WHEN km < 3000 THEN '1000-3000'
+            WHEN km < 8000 THEN '3000-8000' ELSE '8000-*' END AS bucket,
+       count(*)::BIGINT AS n_events
+FROM d GROUP BY 1 ORDER BY 1
+""",
+        # scripted_metric: the free-form map/combine/reduce slot
+        "scripted_metric_agg": """
+SELECT lang, sum((n_chars % 7) * 2 + (doc_id % 3))::BIGINT AS metric
+FROM documents GROUP BY lang ORDER BY lang
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

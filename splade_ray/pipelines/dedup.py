@@ -109,7 +109,7 @@ def incremental_dedup(
     if mode == "auto":
         n_existing = existing_rows if existing_rows is not None else existing.count()
         mode = "broadcast" if n_existing <= broadcast_row_limit else "shuffle"
-    if mode not in ("broadcast", "shuffle"):
+    if mode not in ("broadcast", "shuffle", "bloom"):
         raise ValueError(f"unknown incremental dedup mode: {mode!r}")
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -148,6 +148,46 @@ def incremental_dedup(
             .groupby("hbucket")
             .map_groups(elect, batch_format="pandas")
         )
+
+    if mode == "bloom":
+        # The 10^12-existing × small-daily-crawl shape: the NEW batch is the
+        # small side, so a Bloom filter over ITS content hashes (16 bits/row,
+        # k=4 → FP ≈ 0.24%) broadcasts at 1/4 the size of the raw hash set
+        # and PRUNES THE EXISTING SIDE of the exchange to ≈ |true dups| + FP
+        # rows — the existing corpus never moves.  FPs only inflate the
+        # exchange; the per-bucket TEXT semi-join below removes them, so the
+        # kept set is bit-identical to shuffle mode (tested).  At cluster
+        # scale the per-block bit arrays tree-reduce; here the driver ORs
+        # the bounded partials.
+        n_new = new.count()
+        mbits = 1 << max(10, int(np.ceil(np.log2(max(1, 16 * n_new)))))
+        seeds = np.arange(1, 5, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+        def bloom_partial(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column(text_col).to_pylist())
+            bits = np.zeros(mbits // 64, dtype=np.uint64)
+            for s in seeds:
+                idx = splitmix64(h ^ s) % np.uint64(mbits)
+                np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63)))
+            return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+        parts = new.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()["bits"]
+        bits = np.zeros(mbits // 64, dtype=np.uint64)
+        for blob in parts:
+            bits |= np.frombuffer(blob, dtype=np.uint64)
+        bits_ref = ray.put(bits)
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column(text_col).to_pylist())
+            bf = ray.get(bits_ref)
+            keep = np.ones(h.size, dtype=bool)
+            for s in seeds:
+                idx = splitmix64(h ^ s) % np.uint64(mbits)
+                keep &= ((bf[(idx >> np.uint64(6)).astype(np.int64)] >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+            return batch.filter(pa.array(keep))
+
+        existing = existing.map_batches(prefilter, batch_format="pyarrow")
+        # fall through: the pruned existing side joins the shuffle exchange
 
     # shuffle: tag + union, ONE coarse-bucket exchange, per-bucket semi-join
     def tag(is_new: int):

@@ -1935,6 +1935,17 @@ def incremental_dedup_kept(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def incremental_dedup_bloom(sf_dir: str) -> pd.DataFrame:
+    """(doc_id) — :func:`incremental_dedup_kept` forced through the BLOOM
+    path: a Bloom filter over the NEW batch's content hashes (16 bits/row,
+    k=4) broadcasts at a quarter of the raw hash-set size and prunes the
+    EXISTING side of the exchange to ≈ |true dups| + 0.24% FP rows — the
+    10^12-doc corpus never moves; false positives die in the per-bucket
+    TEXT semi-join, so the kept set (and the SQL oracle) is identical to
+    the broadcast/shuffle modes."""
+    return incremental_dedup_kept(sf_dir, mode="bloom")
+
+
 def incremental_ingest_topk(sf_dir: str) -> pd.DataFrame:
     """(query_id, rank, doc_id, score_r) — the FULL continuous-crawl
     ingestion loop, end-to-end: the first 80% of doc ids are the already
@@ -4718,3 +4729,104 @@ def reindex_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (score_r, did) in enumerate(cands[:BM25_K], 1):
             rows.append((qid, rank, did, score_r))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# geo: events carry no coordinates, so a deterministic lattice is
+# synthesized from event_id (0.5-degree offsets keep every point far from
+# any tile/range boundary; both sides derive the SAME lattice)
+GEO_ZOOM: int = 3  # 8x8 web-mercator tiles
+
+
+def _geo_latlon(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = -60.0 + (event_id % 120).astype(np.float64) + 0.5
+    lon = -180.0 + ((event_id * 7) % 360).astype(np.float64) + 0.5
+    return lat, lon
+
+
+def geotile_grid(sf_dir: str) -> pd.DataFrame:
+    """(xtile, ytile, n_events, avg_value_r) — ES ``geotile_grid``
+    aggregation at zoom 3: web-mercator tile keys from the synthesized
+    event lattice, per-tile count + value average.  The mercator y uses
+    the ln(tan+sec) form so DuckDB replays it verbatim; per-batch partials
+    carry (count, sum) per tile — 64 cells max, combine is trivial."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"])
+    n_tiles = 1 << GEO_ZOOM
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(eid)
+        xt = np.floor((lon + 180.0) / 360.0 * n_tiles).astype(np.int64)
+        rad = np.deg2rad(lat)
+        yt = np.floor((1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * n_tiles).astype(np.int64)
+        df = pd.DataFrame({"xtile": xt, "ytile": yt, "n": 1, "s": v})
+        out = df.groupby(["xtile", "ytile"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["xtile", "ytile"], sort=True).sum().reset_index()
+    return pd.DataFrame(
+        {
+            "xtile": g["xtile"].astype(np.int64),
+            "ytile": g["ytile"].astype(np.int64),
+            "n_events": g["n"].to_numpy().astype(np.int64),
+            "avg_value_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    )
+
+
+GEO_ORIGIN: tuple[float, float] = (48.5, 2.5)  # on the lattice, Paris-ish
+GEO_RANGES_KM: list[float] = [1000.0, 3000.0, 8000.0]
+
+
+def geo_distance_ranges(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_events) — ES ``geo_distance`` aggregation: events bucket
+    by haversine distance (R=6371 km) from the origin into
+    [0,1000), [1000,3000), [3000,8000), [8000,*) km rings.  Vectorized
+    trig per batch, four-cell partials; the SQL oracle computes the same
+    float64 haversine."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+    olat, olon = np.deg2rad(GEO_ORIGIN[0]), np.deg2rad(GEO_ORIGIN[1])
+    edges = np.asarray(GEO_RANGES_KM)
+    labels = ["0-1000", "1000-3000", "3000-8000", "8000-*"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(eid)
+        rlat, rlon = np.deg2rad(lat), np.deg2rad(lon)
+        a = np.sin((rlat - olat) / 2.0) ** 2 + np.cos(olat) * np.cos(rlat) * np.sin((rlon - olon) / 2.0) ** 2
+        d = 2.0 * 6371.0 * np.arcsin(np.sqrt(a))
+        b = np.searchsorted(edges, d, side="right")
+        n = np.bincount(b, minlength=4)
+        return pa.table({"bucket": pa.array(labels), "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bucket", sort=True)["n"].sum()
+    g = g[g > 0]
+    return pd.DataFrame({"bucket": g.index, "n_events": g.to_numpy().astype(np.int64)}).reset_index(
+        drop=True
+    )
+
+
+def scripted_metric_agg(sf_dir: str) -> pd.DataFrame:
+    """(lang, metric) — ES ``scripted_metric`` aggregation: an arbitrary
+    user map/combine/reduce — here map = ``(n_chars % 7) * 2 + (doc_id %
+    3)``, combine = per-batch per-lang sums, reduce = sum of partials —
+    demonstrating the free-form combiner slot every per-batch partial in
+    this file instantiates.  The oracle replays the script in SQL."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "m": (nc % 7) * 2 + (ids % 3),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).sum().reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("lang", sort=True)["m"].sum()
+    return pd.DataFrame({"lang": g.index, "metric": g.to_numpy().astype(np.int64)}).reset_index(drop=True)

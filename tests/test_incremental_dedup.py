@@ -1,5 +1,5 @@
-"""Incremental-crawl dedup: broadcast and shuffle modes must elect the
-exact same kept set, and both must match a brute-force pandas truth."""
+"""Incremental-crawl dedup: broadcast, shuffle and bloom modes must elect
+the exact same kept set, and all must match a brute-force pandas truth."""
 
 import numpy as np
 import pandas as pd
@@ -44,7 +44,7 @@ def _truth(corpus: pd.DataFrame, cut: int = 96) -> list[int]:
     return sorted(cand.groupby("text")["doc_id"].min())
 
 
-@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle", "bloom"])
 def test_incremental_dedup_matches_truth(ray_session, corpus, mode):
     import ray.data as rd
 
@@ -85,5 +85,7 @@ def test_query_wrapper_modes_agree(ray_session, sf_dir):
 
     b = incremental_dedup_kept(sf_dir, mode="broadcast")
     s = incremental_dedup_kept(sf_dir, mode="shuffle")
+    bl = incremental_dedup_kept(sf_dir, mode="bloom")
     pd.testing.assert_frame_equal(b, s)
+    pd.testing.assert_frame_equal(b, bl)
     assert len(b) > 0
