@@ -284,6 +284,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_ranges": q.geo_distance_ranges,
         # scripted_metric: arbitrary map/combine/reduce over doc values
         "scripted_metric_agg": q.scripted_metric_agg,
+        # bucket_sort pipeline agg: sort+paginate the reduced bucket list
+        "bucket_sort_page": q.bucket_sort_page,
+        # moving_percentiles: trailing 7-bucket median over the day series
+        "moving_percentiles_daily": q.moving_percentiles_daily,
+        # corpus-driven stopword discovery (df/N threshold, analyzer prep)
+        "stopword_discovery": q.stopword_discovery,
+        # web-graph PageRank, 3 power iterations over a synthetic link
+        # fixture; each iteration one edge-partitioned contribution shuffle
+        "link_pagerank": q.link_pagerank,
         # crawl-URL canonicalization (Arrow-RE2 chain) + per-host rollup
         "host_agg": q.host_agg,
         # _reindex with a script transform into a fresh index; BM25 serves
@@ -2768,6 +2777,57 @@ FROM d GROUP BY 1 ORDER BY 1
         "scripted_metric_agg": """
 SELECT lang, sum((n_chars % 7) * 2 + (doc_id % 3))::BIGINT AS metric
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        # bucket_sort: page 2 (from=5, size=5) of the terms(source) series
+        # sorted by the ROUNDED avg metric (both sides sort post-rounding)
+        "bucket_sort_page": """
+WITH g AS (SELECT source, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars_r
+           FROM documents GROUP BY source),
+r AS (SELECT *, row_number() OVER (ORDER BY avg_chars_r DESC, source ASC) AS rk FROM g)
+SELECT source, n_docs, avg_chars_r FROM r WHERE rk BETWEEN 6 AND 10 ORDER BY rk
+""",
+        # moving_percentiles: trailing 7-bucket linear-interp median
+        "moving_percentiles_daily": """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::DOUBLE AS n FROM axis a LEFT JOIN c USING (day))
+SELECT CAST(day AS TIMESTAMP) AS day,
+       round(quantile_cont(n, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p50_r
+FROM s ORDER BY day
+""",
+        # stopword discovery: df/N > 0.30 terms, (df DESC, term ASC)
+        "stopword_discovery": f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, df, round(df / n.n, 6) AS df_frac_r
+FROM dft, n WHERE df / n.n > 0.30 ORDER BY df DESC, term ASC
+""",
+        # PageRank: 3 unrolled power iterations (kmeans discipline), the
+        # same deterministic link fixture, top-50 on rounded ranks
+        "link_pagerank": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+c1 AS (SELECT e.dst, sum(r0.pr / od.d) AS s FROM e JOIN r0 ON r0.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r1 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.s, 0) AS pr FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+c2 AS (SELECT e.dst, sum(r1.pr / od.d) AS s FROM e JOIN r1 ON r1.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r2 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.s, 0) AS pr FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id),
+c3 AS (SELECT e.dst, sum(r2.pr / od.d) AS s FROM e JOIN r2 ON r2.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id),
+rk AS (SELECT doc_id, pr, row_number() OVER (ORDER BY round(pr, 6) DESC, doc_id ASC) AS rn FROM r3)
+SELECT doc_id, round(pr, 6) AS pr_r FROM rk WHERE rn <= 50 ORDER BY doc_id
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

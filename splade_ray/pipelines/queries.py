@@ -4830,3 +4830,156 @@ def scripted_metric_agg(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     g = parts.groupby("lang", sort=True)["m"].sum()
     return pd.DataFrame({"lang": g.index, "metric": g.to_numpy().astype(np.int64)}).reset_index(drop=True)
+
+
+def bucket_sort_page(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, avg_chars_r) — ES ``bucket_sort`` pipeline
+    aggregation: the terms(source)/avg(n_chars) bucket series sorted by
+    (avg DESC, source ASC), then ``from=5, size=5`` (page 2) — sort and
+    truncation happen on the REDUCED bucket list (20 sources), after one
+    per-batch (count, sum) combiner pass over the corpus."""
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_numpy(zero_copy_only=False),
+                "n": 1,
+                "s": batch.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        return pa.Table.from_pandas(df.groupby("source", sort=False).sum().reset_index(), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("source", sort=False).sum()
+    out = pd.DataFrame(
+        {
+            "source": g.index,
+            "n_docs": g["n"].to_numpy().astype(np.int64),
+            "avg_chars_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    )
+    out = out.sort_values(["avg_chars_r", "source"], ascending=[False, True], ignore_index=True)
+    return out.iloc[5:10].reset_index(drop=True)
+
+
+def moving_percentiles_daily(sf_dir: str) -> pd.DataFrame:
+    """(day, p50_r) — ES ``moving_percentiles`` pipeline aggregation: the
+    7-bucket trailing median of the daily-count date_histogram series
+    (linear-interpolation percentile, the percentiles-agg default shape).
+    Heavy pass = one per-batch day-count partial; the windowed quantile
+    runs over the bounded bucket series."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    n = counts.reindex(full, fill_value=0).to_numpy().astype(np.float64)
+    p50 = pd.Series(n).rolling(7, min_periods=1).quantile(0.5, interpolation="linear")
+    return pd.DataFrame({"day": pd.to_datetime(full), "p50_r": p50.round(6).to_numpy()})
+
+
+STOPWORD_DF_FRAC: float = 0.30
+
+
+def stopword_discovery(sf_dir: str) -> pd.DataFrame:
+    """(term, df, df_frac_r) — corpus-driven stopword discovery (the
+    analyzer-building curation step): terms whose document frequency
+    exceeds 30% of the corpus, ordered by (df DESC, term ASC).  One fused
+    per-batch pass computes per-term distinct-doc partials (unique per
+    batch, then a vocab-bounded combine) — the same A1 stats discipline as
+    the index build's df pass."""
+    from ..stages.stats import compute_vocab
+
+    def doc_terms_shim(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import term_count_table
+        from ..tokenizer import Tokenizer
+
+        terms, tfs, dls = term_count_table(batch.column("text").to_pylist(), Tokenizer())
+        return pa.table({"terms": terms, "dl": pa.array(dls)})
+
+    ds = _docs(sf_dir, columns=["text"]).map_batches(doc_terms_shim, batch_format="pyarrow")
+    vocab = compute_vocab(ds)
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    frac = vocab["df"] / n_docs
+    out = pd.DataFrame(
+        {
+            "term": vocab["term"][frac > STOPWORD_DF_FRAC],
+            "df": vocab["df"][frac > STOPWORD_DF_FRAC].astype(np.int64),
+            "df_frac_r": frac[frac > STOPWORD_DF_FRAC].round(6),
+        }
+    )
+    return out.sort_values(["df", "term"], ascending=[False, True], ignore_index=True)
+
+
+# deterministic synthetic link graph: doc i links to (i*3+1) % N and
+# (i*7+2) % N (self-links dropped) — the web-graph fixture both sides derive
+PAGERANK_DAMPING: float = 0.85
+PAGERANK_ITERS: int = 3
+
+
+def link_pagerank(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pr_r) — web-graph PageRank over a deterministic link
+    fixture, 3 power iterations at damping 0.85 from the uniform start
+    (every doc has out-degree >= 1, so no dangling-mass term).  Each
+    iteration is ONE contribution shuffle: rank/outdeg ships along edges
+    and sums per destination — the classic edge-partitioned power step,
+    with the edge list streamed, never driver-resident.  Exactly
+    :data:`PAGERANK_ITERS` iterations unroll into the SQL oracle's CTE
+    chain (the ``kmeans_clusters`` discipline).  Returns the top 50 docs
+    by (pr DESC, doc_id ASC)."""
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+
+    # out-degree: one count exchange (bounded combiner partials per batch)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s, c = np.unique(batch.column("src").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"src": pa.array(s), "c": pa.array(c.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("src", sort=True)["c"]
+        .sum()
+    )
+    outdeg = np.zeros(n_docs, dtype=np.float64)
+    outdeg[deg.index.to_numpy()] = deg.to_numpy()
+    # rank vectors are N floats — at 10^10 docs these become a doc-keyed
+    # Dataset joined per iteration; here N is driver-bounded and the heavy
+    # side (the edge list) still streams through map_batches each pass
+    rank = np.full(n_docs, 1.0 / n_docs)
+    for _ in range(PAGERANK_ITERS):
+        rank_ref = ray.put(rank / np.maximum(outdeg, 1.0))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = ray.get(rank_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            d, inv = np.unique(dst, return_inverse=True)
+            s = np.bincount(inv, weights=w[src])
+            return pa.table({"dst": pa.array(d), "s": pa.array(s)})
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        acc = parts.groupby("dst", sort=True)["s"].sum()
+        nxt = np.full(n_docs, (1.0 - PAGERANK_DAMPING) / n_docs)
+        nxt[acc.index.to_numpy()] += PAGERANK_DAMPING * acc.to_numpy()
+        rank = nxt
+
+    # select on 6-decimal-rounded ranks with doc-id tie-break so the
+    # boundary is fp-stable against the SQL oracle
+    order = np.lexsort((np.arange(n_docs), -np.round(rank, 6)))[:50]
+    return pd.DataFrame(
+        {"doc_id": order.astype(np.int64), "pr_r": np.round(rank[order], 6)}
+    ).sort_values(["doc_id"], ignore_index=True)
