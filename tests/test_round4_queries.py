@@ -1,0 +1,96 @@
+"""Round-4 query-surface invariants: each new operator cross-checked
+against an established kernel on the fixture index (not just the SQL
+oracles at sf scale)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_index(ray_session, tmp_path_factory):
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import write_web_pages
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("r4idx")
+    corpus = str(root / "web.parquet")
+    out = str(root / "idx")
+    cfg = EngineConfig(shard_size=400, num_buckets=4, store_forward=True)
+    write_web_pages(corpus, 1200)
+    # the attr-sidecar path (terms_set) needs a numeric doc value
+    tbl = pq.read_table(corpus)
+    tbl = tbl.append_column("n_chars", pc.utf8_length(tbl.column("text")).cast(pa.int64()))
+    pq.write_table(tbl, corpus)
+    build_index(corpus, out, cfg)
+    return IndexReader(out, cfg), out, cfg, corpus
+
+
+def test_wildcard_equals_regexp(fixture_index):
+    """A glob translates mechanically to an anchored regexp — both
+    expansions must produce identical term-id sets and identical top-k."""
+    reader, *_ = fixture_index
+    for glob, rx in [("w00?5", "w00.5"), ("w01*", "w01.*"), ("*9", ".*9"), ("zz*", "zz.*")]:
+        tg = reader.expand_wildcard(glob)
+        tr = reader.expand_regexp(rx)
+        assert tg.tolist() == tr.tolist(), glob
+        assert reader.search_wildcard(glob, 10) == reader.search_regexp(rx, 10)
+
+
+def test_wildcard_prefix_special_case(fixture_index):
+    """`pre*` must equal the dedicated PrefixQuery expansion."""
+    reader, *_ = fixture_index
+    assert reader.expand_wildcard("w003*").tolist() == reader.expand_prefix("w003").tolist()
+    assert reader.search_wildcard("w003*", 10) == reader.search_prefix("w003", 10)
+
+
+def test_boosting_neutral_equals_search(fixture_index):
+    """negative_boost=1.0 demotes nothing -> identical to plain BM25; an
+    OOV negative likewise; nb=0 annihilates every doc matching the
+    negative clause."""
+    reader, *_ = fixture_index
+    q = "w0001 w0012"
+    assert reader.search_boosting(q, "w0005", 1.0, 10) == reader.search(q, 10)
+    assert reader.search_boosting(q, "qqqqzzz", 0.5, 10) == reader.search(q, 10)
+    demoted = reader.search_boosting(q, "w0001", 0.0, 10)
+    kept_docs = {d for d, _, _ in demoted}
+    for d, s, u in reader.search(q, 200):
+        if d in kept_docs:
+            # survivors must NOT match the negative term (score would be 0)
+            assert reader.scores_for_docs("w0001", [d])[d] == 0.0
+
+
+def test_span_first_wide_window_equals_term_match(fixture_index):
+    """span_first with end >= max dl degenerates to the plain term match
+    set (same docs, same scores)."""
+    reader, *_ = fixture_index
+    wide = reader.search_span_first("w0007", 10_000, 25)
+    plain = reader.search("w0007", 25)
+    assert wide == plain
+    # end=1: strictly first-token matches, a subset of the plain match set
+    first = reader.search_span_first("w0007", 1, 25)
+    plain_docs = {d for d, _, _ in plain}
+    assert {d for d, _, _ in first} <= plain_docs or len(plain) == 25
+
+
+def test_terms_set_min_one_equals_expanded_or(fixture_index):
+    """mod=1 forces required=1 for every doc -> identical to the
+    unit-weight expanded-OR bag over the term set."""
+    from splade_ray.pipelines.search import ShardedSearcher
+
+    reader, out, cfg, corpus = fixture_index
+    terms = ["w0001", "w0012", "w0033"]
+    ss = ShardedSearcher(out, cfg, num_actors=2, corpus_path=corpus)
+    try:
+        got = ss.search_terms_set(terms, 10, attr_col="n_chars", mod=1)
+    finally:
+        ss.shutdown()
+    tids = np.unique(
+        np.concatenate([reader.encode_query(t)[0] for t in terms])
+    ).astype(np.int64)
+    want = reader._search_expanded(tids, 10, "exhaustive")
+    assert [(d, round(s, 9)) for d, s, _ in got] == [(d, round(s, 9)) for d, s, _ in want]
