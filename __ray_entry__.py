@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-graph PageRank, 3 power iterations over a synthetic link
         # fixture; each iteration one edge-partitioned contribution shuffle
         "link_pagerank": q.link_pagerank,
+        # data-stream retrieval: 5 daily backing indices, a warc_ts range
+        # opens only days [1,3) — index-level time pruning + federation
+        "datastream_topk": q.datastream_topk,
         # crawl-URL canonicalization (Arrow-RE2 chain) + per-host rollup
         "host_agg": q.host_agg,
         # _reindex with a script transform into a fresh index; BM25 serves
@@ -2828,6 +2831,40 @@ c3 AS (SELECT e.dst, sum(r2.pr / od.d) AS s FROM e JOIN r2 ON r2.doc_id = e.src 
 r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id),
 rk AS (SELECT doc_id, pr, row_number() OVER (ORDER BY round(pr, 6) DESC, doc_id ASC) AS rn FROM r3)
 SELECT doc_id, round(pr, 6) AS pr_r FROM rk WHERE rn <= 50 ORDER BY doc_id
+""",
+        # data-stream time pruning: BM25 recomputed over exactly the docs
+        # whose day index (doc_id*5//N) falls in the selected [1,3) window
+        "datastream_topk": f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sel AS (SELECT doc_id, text FROM documents, nn WHERE doc_id * 5 // nn.n >= 1 AND doc_id * 5 // nn.n < 3),
+toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term FROM sel),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
 """,
         # t_test agg (welch, unpaired): all lang pairs
         "ttest_langs": """

@@ -4983,3 +4983,65 @@ def link_pagerank(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": order.astype(np.int64), "pr_r": np.round(rank[order], 6)}
     ).sort_values(["doc_id"], ignore_index=True)
+
+
+# data-stream fixture: 5 daily backing indices; the range query touches
+# days 1-2 only
+DATASTREAM_DAYS: int = 5
+DATASTREAM_SELECT: tuple[int, int] = (1, 3)  # [lo, hi) day window
+
+
+def _ensure_datastream_segments(sf_dir: str) -> list[str]:
+    """Partition the corpus into DATASTREAM_DAYS contiguous doc-id ranges
+    ("daily backing indices" — day d holds doc_id·D//N == d, stamped
+    warc_ts = 2024-03-01 + d days) and build each as its own segment index
+    with continued doc numbering.  Idempotent on the last segment's meta."""
+    base_dir = build_documents_index(sf_dir)
+    corpus_path = os.path.join(base_dir, "corpus_input.parquet")
+    out = os.path.join(base_dir, "datastream")
+    dirs = [os.path.join(out, f"day{d}") for d in range(DATASTREAM_DAYS)]
+    if not os.path.exists(os.path.join(dirs[-1], "stats", "meta.json")):
+        corpus = pq.read_table(corpus_path)
+        ids = np.asarray(
+            [int(u.removeprefix("doc://")) for u in corpus.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        n = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+        day = ids * DATASTREAM_DAYS // n
+        os.makedirs(out, exist_ok=True)
+        base = 0
+        day0 = np.datetime64("2024-03-01", "us").astype(np.int64)
+        for d in range(DATASTREAM_DAYS):
+            part = corpus.filter(pa.array(day == d))
+            ts = np.full(part.num_rows, day0 + d * 86_400_000_000, dtype=np.int64)
+            part = part.set_column(
+                part.schema.get_field_index("warc_ts"),
+                "warc_ts",
+                pa.array(ts).cast(pa.timestamp("us")),
+            )
+            p = os.path.join(out, f"day{d}.parquet")
+            pq.write_table(part, p)
+            build_index(p, dirs[d], DOCS_CFG, doc_id_base=base)
+            base += part.num_rows
+    return dirs
+
+
+def datastream_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES data-stream retrieval with
+    index-level TIME PRUNING: the corpus lives as 5 daily backing indices
+    and a warc_ts range filter selects days [1, 3) — only THOSE two
+    segment directories are opened (the manifest-level pruning a crawl
+    store does before any postings I/O; unselected days cost nothing).
+    The survivors federate under union df/N/avgdl (dfs_query_then_fetch),
+    so scores equal a from-scratch BM25 over exactly the in-range docs —
+    which is what the SQL oracle recomputes."""
+    from .search import FederatedReader
+
+    dirs = _ensure_datastream_segments(sf_dir)
+    lo, hi = DATASTREAM_SELECT
+    fr = FederatedReader(dirs[lo:hi], DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
