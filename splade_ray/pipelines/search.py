@@ -783,7 +783,15 @@ class ShardIndex:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         return np.concatenate(ids_parts), np.concatenate(w_parts)
 
-    def score_wand(self, qtids: np.ndarray, qweights: np.ndarray, k: int, top_zones: int = 32, fallback_frac: float = 0.5) -> tuple[np.ndarray, np.ndarray]:
+    def score_wand(
+        self,
+        qtids: np.ndarray,
+        qweights: np.ndarray,
+        k: int,
+        top_zones: int = 32,
+        fallback_frac: float = 0.5,
+        min_zone_mult: float = 4.0,
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned top-k (two-phase vectorized WAND variant).
 
         Zones are aligned doc-id ranges, so a doc's *entire* score lies
@@ -796,7 +804,17 @@ class ShardIndex:
         distribution is flat (pruning keeps > ``fallback_frac`` of the
         zones), it scores everything — degenerating to the exhaustive
         kernel plus a small bound-evaluation overhead instead of a slow
-        chunked walk.  Identical top-k to exhaustive (tested)."""
+        chunked walk.  Identical top-k to exhaustive (tested).
+
+        ``min_zone_mult``: pruning is only ECONOMICAL when phase 1 touches
+        a small fraction of the shard — the candidate-scoped zone gather
+        costs ~2× the dense bincount per posting touched (measured,
+        BENCH r4), so a shard with fewer than ``min_zone_mult·top_zones``
+        zones answers exhaustively without computing any bounds.  Pass 0
+        to force the pruning path (tests)."""
+        nzones = (self.n_local + self.zone_docs - 1) // self.zone_docs
+        if nzones <= min_zone_mult * top_zones:
+            return self.score_exhaustive(qtids, qweights, k)
         slices = self._term_slices(qtids)
         if not slices:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)

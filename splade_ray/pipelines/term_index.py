@@ -483,6 +483,11 @@ class TermIndexReader:
 
 
 def _merge_partials(parts: list[tuple[np.ndarray, np.ndarray]]) -> tuple[np.ndarray, np.ndarray]:
+    if len(parts) == 1:
+        # each partial is already per-doc accumulated (unique candidates) —
+        # a single-reader merge is the identity, and the unique+bincount
+        # below costs more than the whole scoring pass (BENCH r4)
+        return parts[0]
     ids = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     if ids.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -540,6 +545,7 @@ def search_term_partitioned(
     top_zones: int = 32,
     fallback_frac: float = 0.5,
     flatness_frac: float = 0.85,
+    min_zone_mult: float = 8.0,
 ) -> list[tuple[int, float]]:
     """Scatter-gather over TERM-partitioned readers (each holding a
     disjoint term-id range): per-partition partial scores sum exactly —
@@ -570,12 +576,17 @@ def search_term_partitioned(
         # when the summed zone-median proxy is within ``flatness_frac`` of
         # the summed zone-max proxy the bound distribution is flat and
         # pruning cannot win — go straight to exhaustive without paying
-        # zone_bounds.
+        # zone_bounds.  ``min_zone_mult·top_zones`` is the ECONOMY guard:
+        # zone gathers cost ~2× the dense bincount per posting touched
+        # (BENCH r4: at 142 zones even 23% phase-1 coverage lost to
+        # exhaustive), so pruning needs phase 1 under ~1/min_zone_mult of
+        # the corpus before the machinery can pay for itself.  Pass 0 to
+        # force the pruning path (tests).
         flat = [r.flatness(t, w) for r, (t, w) in zip(readers, qterms)]
         med_sum = sum(f[0] for f in flat)
         max_sum = sum(f[1] for f in flat)
         nzones = max((f[2] for f in flat), default=0)
-        if nzones <= top_zones or med_sum >= flatness_frac * max_sum:
+        if nzones <= max(top_zones, min_zone_mult * top_zones) or med_sum >= flatness_frac * max_sum:
             return exhaustive()
         bounds = [r.zone_bounds(t, w) for r, (t, w) in zip(readers, qterms)]
         allz = np.concatenate([b[0] for b in bounds]) if bounds else np.zeros(0, np.int64)

@@ -94,3 +94,21 @@ def test_terms_set_min_one_equals_expanded_or(fixture_index):
     ).astype(np.int64)
     want = reader._search_expanded(tids, 10, "exhaustive")
     assert [(d, round(s, 9)) for d, s, _ in got] == [(d, round(s, 9)) for d, s, _ in want]
+
+
+def test_shard_wand_pruning_path_rank_identical(fixture_index):
+    """Force the two-phase pruning machinery (min_zone_mult=0, tiny
+    top_zones) on every shard and pin it rank- and score-identical to
+    exhaustive — the economy guard must only REROUTE, never change
+    results."""
+    reader, *_ = fixture_index
+    queries = ["w0001 w0012", "w0005", "w0033 w0007 w0001", "zzz w0002"]
+    for q in queries:
+        qtids, qw = reader.encode_query(q)
+        if qtids.size == 0:
+            continue
+        for sh in reader.shards:
+            ex = sh.score_exhaustive(qtids, qw, 10)
+            pr = sh.score_wand(qtids, qw, 10, top_zones=1, min_zone_mult=0)
+            assert ex[0].tolist() == pr[0].tolist(), q
+            np.testing.assert_allclose(ex[1], pr[1], atol=1e-12)

@@ -108,7 +108,7 @@ def test_term_index_wand_equals_exhaustive(term_index):
         b = [(d, round(s, 9)) for d, s in full.search(q, 10, method="wand")]
         # flatness_frac=2.0 disables the flat short-circuit so phase-2
         # pruning genuinely runs at top_zones=2
-        c = [(d, round(s, 9)) for d, s in search_term_partitioned([full], q, 10, method="wand", top_zones=2, flatness_frac=2.0)]
+        c = [(d, round(s, 9)) for d, s in search_term_partitioned([full], q, 10, method="wand", top_zones=2, flatness_frac=2.0, min_zone_mult=0)]
         assert a == b == c, q
 
 
@@ -130,5 +130,5 @@ def test_term_partitioned_wand_equals_exhaustive(term_index, built_index):
     for q in generate_queries(30)["text"].to_pylist():
         a = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10)]
         b = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand")]
-        c = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand", top_zones=2, flatness_frac=2.0)]
+        c = [(d, round(s, 9)) for d, s in search_term_partitioned(parts, q, 10, method="wand", top_zones=2, flatness_frac=2.0, min_zone_mult=0)]
         assert a == b == c, q
