@@ -1199,13 +1199,29 @@ SELECT query_id, rank, doc_id, dl FROM ranked WHERE rank <= 10
     # re.fullmatch exactly on the shared pattern subset used here
     from splade_ray.pipelines.queries import REGEXP_QUERIES
 
+    # broadcast/shuffle/bloom incremental dedup share ONE oracle by
+    # construction (identical kept-set contract) — a single constant so a
+    # future edit cannot desynchronize the modes
+    incr_dedup_sql = """
+WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
+newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
+oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
+cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
+SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
+"""
     regexp_values = ", ".join(f"('{qid}', '{p}')" for qid, p in REGEXP_QUERIES)
     # wildcard: the engine's glob translates mechanically to SQL LIKE
     # (* -> %, ? -> _) so the oracle pins the same term-match set
     from splade_ray.pipelines.queries import WILDCARD_QUERIES
 
+    def _glob_to_like(p: str) -> str:
+        # Lucene wildcard -> SQL LIKE: * -> %, ? -> _; literal %, _ and \
+        # in the glob are escaped so LIKE (ESCAPE '\') treats them verbatim
+        esc = p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        return esc.replace("*", "%").replace("?", "_")
+
     wildcard_values = ", ".join(
-        f"('{qid}', '{p.replace('*', '%').replace('?', '_')}')" for qid, p in WILDCARD_QUERIES
+        f"('{qid}', '{_glob_to_like(p)}')" for qid, p in WILDCARD_QUERIES
     )
     wildcard_sql = f"""
 WITH wset(query_id, pat) AS (VALUES {wildcard_values}),
@@ -1214,7 +1230,7 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, te
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-expand AS (SELECT w.query_id, d.term, d.df FROM wset w JOIN df d ON d.term LIKE w.pat),
+expand AS (SELECT w.query_id, d.term, d.df FROM wset w JOIN df d ON d.term LIKE w.pat ESCAPE '\'),
 scores AS (
   SELECT e.query_id, tf.doc_id,
          sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
@@ -1738,20 +1754,8 @@ SELECT query_id, value, round(pct, 6) AS pct FROM (
         # incremental dedup: new batch (last 20% of ids) kept iff text is
         # unseen in the existing 80% and it is the min-id holder within
         # the batch
-        "incremental_dedup_kept": """
-WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
-newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
-oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
-cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
-SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
-""",
-        "incremental_dedup_bloom": """
-WITH n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
-newb AS (SELECT doc_id, text FROM documents, n WHERE doc_id >= n.cut),
-oldb AS (SELECT DISTINCT text FROM documents, n WHERE doc_id < n.cut),
-cand AS (SELECT doc_id, text FROM newb WHERE text NOT IN (SELECT text FROM oldb))
-SELECT min(doc_id) AS doc_id FROM cand GROUP BY text ORDER BY doc_id
-""",
+        "incremental_dedup_kept": incr_dedup_sql,
+        "incremental_dedup_bloom": incr_dedup_sql,
         # full ingestion loop: BM25 over existing(80%) ∪ dedup-kept new(20%)
         # — same dedup election CTE as incremental_dedup_kept, then the
         # standard BM25 CTEs over the union corpus
@@ -2696,8 +2700,8 @@ n AS (
           ELSE ':' || port END) ||
     (CASE WHEN path = '' THEN '/' ELSE regexp_replace(path, '(.)/$', '\\1') END) ||
     (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS norm_url
-  FROM (SELECT *, regexp_replace(regexp_replace(query, 'utm_[^&]*&', '', 'g'),
-                                 '&?utm_[^&]*$', '') AS q2 FROM p)
+  FROM (SELECT *, regexp_replace(regexp_replace('&' || query, '&utm_[^&]*', '', 'g'),
+                                 '^&', '') AS q2 FROM p)
 )
 SELECT host, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN url <> norm_url THEN 1 ELSE 0 END)::BIGINT AS n_changed,

@@ -66,9 +66,14 @@ def normalize_urls(urls: pa.Array) -> pa.Array:
         pc.equal(path, ""), "/", pc.replace_substring_regex(path, r"(.)/$", r"\1")
     )
 
-    # utm_* params out (mid-list then tail), dangling separators trimmed
-    q = pc.replace_substring_regex(query, r"utm_[^&]*&", "")
-    q = pc.replace_substring_regex(q, r"&?utm_[^&]*$", "")
+    # utm_* params out.  Anchor to the PARAM boundary: prepend '&' so every
+    # param starts with '&', strip '&utm_<value>' ([^&]* stops at the next
+    # separator, so consecutive utm params fall in one pass and a non-utm
+    # param whose name or VALUE merely contains 'utm_' is untouched), then
+    # drop the sentinel separator.
+    q = pc.binary_join_element_wise("&", query, "")
+    q = pc.replace_substring_regex(q, r"&utm_[^&]*", "")
+    q = pc.replace_substring_regex(q, r"^&", "")
     query_part = pc.if_else(
         pc.equal(q, ""), "", pc.binary_join_element_wise("?", q, "")
     )

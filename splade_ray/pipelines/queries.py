@@ -4719,13 +4719,21 @@ def reindex_topk(sf_dir: str) -> pd.DataFrame:
     for qid, text in BM25_QUERIES:
         # truncation makes identical 25-token docs, so exact score ties at
         # 6 decimals are EXPECTED — rank on rounded scores with doc-id
-        # tie-break (the collapse/block_join convention), over a 2k window
-        # so the rounded boundary is stable
-        cands = [
-            (round(score, 6), int(url.removeprefix("doc://")))
-            for _d, score, url in reader.search(text, 2 * BM25_K)
-        ]
-        cands.sort(key=lambda r: (-r[0], r[1]))
+        # tie-break (the collapse/block_join convention).  The window
+        # DOUBLES until the boundary rounded-tie group is provably inside
+        # it (last fetched score rounds strictly below the kth rounded
+        # score, or the match set is exhausted), so the selection is exact
+        # at any scale, not a 2k heuristic.
+        win = 2 * BM25_K
+        while True:
+            fetched = reader.search(text, win)
+            cands = [(round(s, 6), int(u.removeprefix("doc://"))) for _d, s, u in fetched]
+            cands.sort(key=lambda r: (-r[0], r[1]))
+            if len(fetched) < win or (
+                len(cands) > BM25_K and cands[-1][0] < cands[BM25_K - 1][0]
+            ):
+                break
+            win *= 2
         for rank, (score_r, did) in enumerate(cands[:BM25_K], 1):
             rows.append((qid, rank, did, score_r))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])

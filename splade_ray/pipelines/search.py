@@ -1461,7 +1461,6 @@ class IndexReader:
                 "wildcard queries need the sorted-string vocab "
                 "(encoder='bm25', vocab_mode='sorted')"
             )
-        import fnmatch
         import re as _re
 
         pat = pattern.lower()
@@ -1474,8 +1473,15 @@ class IndexReader:
         )
         if lo >= hi:
             return np.zeros(0, np.int64)
+        # Lucene WildcardQuery semantics: ONLY * and ? are special; every
+        # other char (incl. '[', regex metachars) is literal — so translate
+        # by hand rather than fnmatch.translate, whose [seq] classes would
+        # diverge from both Lucene and the SQL LIKE oracle.
+        rx = "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pat
+        )
         sl = self.vocab_index[lo:hi]
-        hit = np.asarray(sl.str.fullmatch(fnmatch.translate(pat)), dtype=bool)
+        hit = np.asarray(sl.str.fullmatch(rx), dtype=bool)
         return (np.flatnonzero(hit) + lo).astype(np.int64)
 
     def search_wildcard(self, pattern: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:

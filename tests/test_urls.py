@@ -17,6 +17,12 @@ CASES = [
     ("https://a.b/x?id=1&utm_c=9", "https://a.b/x?id=1"),
     # utm in the middle keeps both neighbors
     ("https://a.b/x?utm_a=1&id=2&utm_b=3", "https://a.b/x?id=2"),
+    # consecutive utm params fall in one pass
+    ("https://a.b/x?utm_a=1&utm_b=2&id=3", "https://a.b/x?id=3"),
+    # 'utm_' inside a non-utm param NAME or VALUE is untouched
+    ("https://a.b/x?next=page_utm_a&id=1", "https://a.b/x?next=page_utm_a&id=1"),
+    ("https://a.b/x?xutm_b=1", "https://a.b/x?xutm_b=1"),
+    ("https://a.b/x?autm_x=1&b=2", "https://a.b/x?autm_x=1&b=2"),
     # empty path canonicalizes to '/' (RFC 3986 §6.2.3)
     ("https://a.b", "https://a.b/"),
     ("https://a.b/", "https://a.b/"),
