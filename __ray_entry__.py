@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_topk": q.regexp_topk,
         # wildcard retrieval: */? glob with a literal-prefix range seek
         "wildcard_topk": q.wildcard_topk,
+        # match_bool_prefix: head BM25 should-clauses + constant-score
+        # prefix on the trailing token (no position constraint)
+        "bool_prefix_topk": q.bool_prefix_topk,
+        # pinned query: given ids promoted to the head, organic tail
+        "pinned_topk": q.pinned_topk,
         # boosting query: negative clause demotes (multiplies), not excludes
         "boosting_topk": q.boosting_topk,
         # terms_set: per-doc minimum_should_match from a doc-value field
@@ -385,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q.mixture_sample,
         # count-min-sketch term counts (additive-combiner sketch)
         "cms_counts": q.cms_counts,
+        # DSIR importance weights (hashed n-gram features, target=en)
+        "dsir_weights": q.dsir_weights,
         # per-label embedding centroids (vector aggregate, long format)
         "label_centroids": q.label_centroids,
         # distributed Lloyd k-means (iterative algorithm, unrolled oracle)
@@ -585,7 +592,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 ),
 nq AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM qterms GROUP BY query_id),
@@ -639,7 +646,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -683,7 +690,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -704,7 +711,7 @@ SELECT query_id, doc_id FROM qrels ORDER BY query_id, doc_id
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM (
   SELECT s.query_id, s.doc_id, s.score,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 9) DESC, s.doc_id ASC) AS rank
   FROM scores s JOIN documents d ON d.doc_id = s.doc_id
   WHERE d.lang = 'en'
 )
@@ -722,7 +729,7 @@ WHERE rank <= 10
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM (
   SELECT s.query_id, s.doc_id, s.score,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 9) DESC, s.doc_id ASC) AS rank
   FROM scores s
   WHERE s.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({not_list}))
 )
@@ -753,13 +760,13 @@ dsim AS (SELECT q.query_id, e.vec_id AS doc_id,
          FROM qv q CROSS JOIN embeddings e),
 dense AS (SELECT query_id, doc_id, rank FROM (
             SELECT query_id, doc_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id ASC) AS rank
+                   row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 9) DESC, doc_id ASC) AS rank
             FROM dsim) WHERE rank <= 20),
 fused AS (SELECT query_id, doc_id, sum(1.0 / (60 + rank)) AS rrf
           FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
           GROUP BY query_id, doc_id),
 franked AS (SELECT query_id, doc_id, rrf,
-                   row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+                   row_number() OVER (PARTITION BY query_id ORDER BY round(rrf, 9) DESC, doc_id ASC) AS rank
             FROM fused)
 SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_r
 FROM franked WHERE rank <= 10
@@ -799,7 +806,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -898,7 +905,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -933,7 +940,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -976,7 +983,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1155,7 +1162,7 @@ boosted AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM boosted
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1243,7 +1250,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1287,7 +1294,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1324,7 +1331,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1366,7 +1373,7 @@ scores AS (
 ),
 ranked AS (
   SELECT s.query_id, s.doc_id, s.score,
-         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY s.query_id ORDER BY round(s.score, 9) DESC, s.doc_id ASC) AS rank
   FROM scores s JOIN keep k ON k.query_id = s.query_id AND k.doc_id = s.doc_id
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1392,7 +1399,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1432,7 +1439,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1458,7 +1465,7 @@ FROM ranked WHERE rank <= 10
 , del AS (SELECT DISTINCT doc_id FROM ranked WHERE rank = 1),
 ranked2 AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM del)
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1591,7 +1598,7 @@ comb AS (
 ),
 rankedr AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM comb
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1791,7 +1798,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1882,7 +1889,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1930,7 +1937,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1969,7 +1976,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -1996,7 +2003,7 @@ ORDER BY 1, 2
 ),
 rankedd AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM dec
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -2008,7 +2015,7 @@ FROM rankedd WHERE rank <= 10
 , hits AS (
   SELECT s.query_id, d.lang, s.doc_id, s.score,
          row_number() OVER (PARTITION BY s.query_id, d.lang
-                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+                            ORDER BY round(s.score, 9) DESC, s.doc_id ASC) AS rank
   FROM scores s JOIN documents d ON d.doc_id = s.doc_id
 )
 SELECT query_id, lang, rank, doc_id, round(score, 6) AS score_r
@@ -2168,6 +2175,67 @@ SELECT query_id, trank AS rank, term, bg_df, fg_df FROM rt WHERE trank <= 10
         # order (row_number over distinct corpus tokens == the engine's
         # sorted-vocab slice); match = head then expansion adjacent;
         # score = head-term BM25 bag
+        # match_bool_prefix: head tokens are independent should BM25
+        # clauses (qtf-weighted), the trailing token a constant-score
+        # prefix (+1.0 to any doc holding a term LIKE 'pre%'); prefix-only
+        # docs still match (FULL join of the two clause sets)
+        "bool_prefix_topk": f"""
+WITH pset(query_id, head, pre) AS (VALUES {mpp_values}),
+hterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="head")}) AS term FROM pset
+),
+hq AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM hterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT h.query_id, tf.doc_id,
+         sum(h.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM hq h
+  JOIN tf ON tf.term = h.term
+  JOIN df ON df.term = h.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY h.query_id, tf.doc_id
+),
+pdocs AS (
+  SELECT DISTINCT p.query_id, t.doc_id FROM pset p JOIN toks t ON t.term LIKE p.pre || '%'
+),
+m AS (
+  SELECT coalesce(b.query_id, pd.query_id) AS query_id,
+         coalesce(b.doc_id, pd.doc_id) AS doc_id,
+         coalesce(b.score, 0.0) + (CASE WHEN pd.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM bm b FULL JOIN pdocs pd ON pd.query_id = b.query_id AND pd.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM m
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+""",
+        # pinned query: the two pinned ids occupy ranks 1-2 in the GIVEN
+        # order with synthetic score 0; organic BM25 (pinned ids excluded)
+        # fills ranks 3..10
+        "pinned_topk": bm25_ctes.replace("WHERE rank <= 10", "").replace(
+            "ranked AS (",
+            """org AS (SELECT query_id, doc_id, score FROM scores
+       WHERE doc_id NOT IN (7, 3)),
+ranked AS (""",
+        ).replace("FROM scores\n),", "FROM org\n),")
+        + """
+SELECT * FROM (
+  SELECT p.query_id, p.rank, p.doc_id, 1 AS pinned, 0.0 AS score_r
+  FROM (SELECT query_id, 1 AS rank, 7 AS doc_id FROM qset
+        UNION ALL SELECT query_id, 2, 3 FROM qset) p
+  UNION ALL
+  SELECT query_id, rank + 2 AS rank, doc_id, 0 AS pinned, round(score, 6) AS score_r
+  FROM ranked WHERE rank <= 8
+) ORDER BY query_id, rank
+""",
         "phrase_prefix_topk": f"""
 WITH pset(query_id, head, pre) AS (VALUES {mpp_values}),
 toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
@@ -2205,7 +2273,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
@@ -2269,7 +2337,7 @@ agg AS (
 ),
 ranked AS (
   SELECT a.query_id, a.doc_id, a.score,
-         row_number() OVER (PARTITION BY a.query_id ORDER BY a.score DESC, a.doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY a.query_id ORDER BY round(a.score, 9) DESC, a.doc_id ASC) AS rank
   FROM agg a JOIN qmeta q ON q.query_id = a.query_id
   WHERE a.nh = 0 AND ((q.n_must > 0 AND a.mh = q.n_must) OR (q.n_must = 0 AND a.sh > 0))
 )
@@ -2318,7 +2386,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -2339,7 +2407,7 @@ ov AS (
 ),
 rr AS (
   SELECT query_id, doc_id, overlap,
-         row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, score DESC, doc_id) AS rerank
+         row_number() OVER (PARTITION BY query_id ORDER BY overlap DESC, round(score, 9) DESC, doc_id) AS rerank
   FROM ov
 )
 SELECT query_id, rerank, doc_id, overlap FROM rr ORDER BY query_id, rerank
@@ -2864,7 +2932,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
@@ -3019,7 +3087,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_vec_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_vec_id ORDER BY score DESC, vec_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
   FROM scores
 )
 SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
@@ -3034,7 +3102,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_vec_id, vec_id, score,
-         row_number() OVER (PARTITION BY query_vec_id ORDER BY score DESC, vec_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
   FROM scores
 )
 SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
@@ -3328,6 +3396,33 @@ JOIN cells b ON b.r = 1 AND b.col = pc.c1
 JOIN cells c ON c.r = 2 AND c.col = pc.c2
 JOIN cells d ON d.r = 3 AND d.col = pc.c3
 ORDER BY term
+""",
+        # DSIR replay: hashed unigram (md5 % 1024) + bigram
+        # ((md5_a·FNV + md5_b) mod 2^64 % 1024) feature buckets, Laplace
+        # log-ratio of the target(lang=en)/source distributions, per-doc
+        # feature-sum weights — same HUGEINT hash arithmetic as cms_counts
+        "dsir_weights": f"""
+WITH toks AS (SELECT doc_id, lang, {doc_toks} AS l FROM documents),
+uni AS (SELECT doc_id, lang, CAST(md5_number_lower(unnest(l)) AS HUGEINT) % 1024 AS b FROM toks),
+bigpos AS (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i FROM toks),
+big AS (SELECT doc_id, lang,
+          (CAST(md5_number_lower(l[i]) AS HUGEINT) * 1099511628211
+           + CAST(md5_number_lower(l[i+1]) AS HUGEINT))
+          % 18446744073709551616 % 1024 AS b FROM bigpos),
+feats AS (SELECT doc_id, lang, b FROM uni UNION ALL SELECT doc_id, lang, b FROM big),
+tot AS (SELECT count(*)::DOUBLE AS s_tot,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS t_tot FROM feats),
+cnts AS (SELECT b, count(*)::DOUBLE AS ns,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS nt
+         FROM feats GROUP BY b),
+lr AS (SELECT b, ln((nt + 1.0) / (t_tot + 1024.0)) - ln((ns + 1.0) / (s_tot + 1024.0)) AS logr
+       FROM cnts, tot),
+w AS (SELECT doc_id, sum(logr) AS weight FROM feats JOIN lr USING (b) GROUP BY doc_id),
+alldocs AS (SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+            FROM documents d LEFT JOIN w USING (doc_id)),
+ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY round(weight, 6) DESC, doc_id) AS rank,
+                  doc_id, round(weight, 6) AS weight_r FROM alldocs)
+SELECT rank, doc_id, weight_r FROM ranked WHERE rank <= 20 ORDER BY rank
 """,
         # the curated WRITE read back: same signal CTEs as curation_kept
         # plus the partition id (doc_id % 16)
@@ -3669,7 +3764,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
@@ -3712,7 +3807,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10

@@ -5053,3 +5053,61 @@ def datastream_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """Top-20 docs by DSIR importance weight (hashed unigram+bigram
+    features, target = the English slice, source = the whole corpus) —
+    the data-selection scoring pass of Xie et al. 2023."""
+    from .textops import dsir_weights as _dsir
+
+    return _dsir(_docs(sf_dir, columns=["doc_id", "text", "lang"]), target_lang="en", k=20)
+
+
+def bool_prefix_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``match_bool_prefix``: the
+    head tokens are independent should-clause BM25 terms (no position
+    constraint, unlike ``phrase_prefix_topk``), the trailing token is a
+    PrefixQuery under Lucene's default constant-score rewrite (+1.0 to
+    any doc containing a term with the prefix; prefix-only docs still
+    match)."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in MPP_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_bool_prefix(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# (query ids to pin, in PINNED order — ES pinned query promotes the given
+# ids to the head of the result list whether or not they match)
+PINNED_DOC_IDS: list[int] = [7, 3]
+
+
+def pinned_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, pinned, score_r) — ES ``pinned`` query:
+    the two pinned doc ids occupy ranks 1-2 IN THE GIVEN ORDER (matching
+    the query text or not; their ES scores are synthetic, reported here
+    as 0), organic BM25 hits follow with the pinned ids excluded.  The
+    organic fetch window doubles until k - |pinned| unpinned hits are
+    inside it (or the match set is exhausted), so promotion never
+    truncates the tail."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    pinned_urls = {f"doc://{i:010d}" for i in PINNED_DOC_IDS}
+    rows = []
+    need = BM25_K - len(PINNED_DOC_IDS)
+    for qid, text in BM25_QUERIES:
+        for rank, did in enumerate(PINNED_DOC_IDS, 1):
+            rows.append((qid, rank, did, 1, 0.0))
+        win = 2 * BM25_K
+        while True:
+            hits = reader.search(text, win)
+            organic = [h for h in hits if h[2] not in pinned_urls]
+            if len(organic) >= need or len(hits) < win:
+                break
+            win *= 2
+        for rank, (_d, score, url) in enumerate(organic[:need], 1 + len(PINNED_DOC_IDS)):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), 0, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "pinned", "score_r"])

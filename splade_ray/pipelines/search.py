@@ -381,6 +381,29 @@ class ShardIndex:
             scores = np.where(allow, scores, 0.0)
         return self._topk_from_scores(scores, k)
 
+    def score_bool_prefix(
+        self, qtids: np.ndarray, qweights: np.ndarray, prefix_tids: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """``match_bool_prefix`` scoring (ES): the full terms contribute
+        their standard BM25 bag; the trailing prefix clause is Lucene's
+        default constant-score rewrite — exactly +1.0 for any doc
+        containing AT LEAST one term of the expansion, regardless of tf
+        or how many expansion terms it holds.  A prefix-only doc still
+        matches (score exactly 1.0)."""
+        scores = np.zeros(self.n_local, np.float64)
+        slices = self._term_slices(qtids)
+        if slices:
+            ids = np.concatenate([self.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([self.post_w[s:e] * qweights[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=self.n_local)
+        p_slices = self._term_slices(prefix_tids)
+        if p_slices:
+            pids = np.concatenate([self.post_local[s:e] for _, s, e, _ in p_slices])
+            hit = np.zeros(self.n_local, bool)
+            hit[pids] = True
+            scores[hit] += 1.0
+        return self._topk_from_scores(scores, k)
+
     def score_synonyms(
         self, groups: list[np.ndarray], idfs: np.ndarray, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1359,6 +1382,28 @@ class IndexReader:
         (expanded-OR semantics), and scores through the unchanged BM25
         kernels — exhaustive or block-max pruned."""
         return self._search_expanded(self.expand_prefix(prefix), k, method)
+
+    def search_bool_prefix(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
+        """``match_bool_prefix`` top-k (ES): every token but the LAST is a
+        should-clause term scored by the standard BM25 bag; the last token
+        becomes a PrefixQuery under Lucene's default constant-score
+        rewrite, adding exactly 1.0 to any doc containing a term with that
+        prefix (prefix-only docs still match).  Unlike
+        :meth:`search_phrase_prefix` there is NO position constraint —
+        the clauses are independent.  Tie-break (-score, doc_id)."""
+        toks = self.tok.tokenize(text)
+        if not toks:
+            return []
+        full, last = toks[:-1], toks[-1]
+        if full:
+            qtids, qw = self.encode_query(" ".join(full))
+        else:
+            qtids, qw = np.zeros(0, np.int64), np.zeros(0, np.float64)
+        prefix_tids = self.expand_prefix(last)
+        if qtids.size == 0 and prefix_tids.size == 0:
+            return []
+        cands = [sh.score_bool_prefix(qtids, qw, prefix_tids, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
 
     def _vocab_codepoints(self) -> tuple[np.ndarray, np.ndarray]:
         """The sorted vocab as a padded (V, maxlen) uint32 codepoint matrix

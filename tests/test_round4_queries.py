@@ -112,3 +112,24 @@ def test_shard_wand_pruning_path_rank_identical(fixture_index):
             pr = sh.score_wand(qtids, qw, 10, top_zones=1, min_zone_mult=0)
             assert ex[0].tolist() == pr[0].tolist(), q
             np.testing.assert_allclose(ex[1], pr[1], atol=1e-12)
+
+
+def test_bool_prefix_invariants(fixture_index):
+    """match_bool_prefix degenerations: a pure-prefix query scores every
+    matching doc exactly 1.0 (constant-score rewrite) in doc order; an
+    OOV prefix reduces to the head's plain BM25."""
+    reader, *_ = fixture_index
+    only_prefix = reader.search_bool_prefix("w000", 25)
+    assert only_prefix, "prefix w000* must match"
+    assert all(s == 1.0 for _, s, _ in only_prefix)
+    docs = [d for d, _, _ in only_prefix]
+    assert docs == sorted(docs)
+    # OOV prefix -> head clause only
+    got = reader.search_bool_prefix("w0001 w0012 qqqzz", 10)
+    want = reader.search("w0001 w0012", 10)
+    assert got == want
+    # exact-term tail: every hit holding a w0007*-term gains exactly +1
+    base = dict((d, s) for d, s, _ in reader.search("w0001", 2000))
+    for d, s, _ in reader.search_bool_prefix("w0001 w0007", 25):
+        b = base.get(d, 0.0)
+        assert s in (b, b + 1.0)
