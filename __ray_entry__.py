@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_prefix_topk": q.bool_prefix_topk,
         # pinned query: given ids promoted to the head, organic tail
         "pinned_topk": q.pinned_topk,
+        # track_total_hits: match count exact up to a threshold, else
+        # (threshold, gte) with shard visiting terminated early
+        "total_hits": q.total_hits,
         # boosting query: negative clause demotes (multiplies), not excludes
         "boosting_topk": q.boosting_topk,
         # terms_set: per-doc minimum_should_match from a doc-value field
@@ -2175,6 +2178,20 @@ SELECT query_id, trank AS rank, term, bg_df, fg_df FROM rt WHERE trank <= 10
         # order (row_number over distinct corpus tokens == the engine's
         # sorted-vocab slice); match = head then expansion adjacent;
         # score = head-term BM25 bag
+        # track_total_hits: disjunctive match count capped at the
+        # threshold, relation gte iff the true count strictly exceeds it
+        "total_hits": f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT DISTINCT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+toks AS (SELECT DISTINCT doc_id, unnest({doc_toks}) AS term FROM documents),
+n AS (SELECT q.query_id, count(DISTINCT t.doc_id) AS cnt
+      FROM qterms q JOIN toks t ON t.term = q.term GROUP BY q.query_id)
+SELECT s.query_id,
+       CAST(least(coalesce(n.cnt, 0), 200) AS BIGINT) AS value,
+       CASE WHEN coalesce(n.cnt, 0) > 200 THEN 'gte' ELSE 'eq' END AS relation
+FROM (SELECT DISTINCT query_id FROM qset) s LEFT JOIN n USING (query_id)
+ORDER BY s.query_id
+""",
         # match_bool_prefix: head tokens are independent should BM25
         # clauses (qtf-weighted), the trailing token a constant-score
         # prefix (+1.0 to any doc holding a term LIKE 'pre%'); prefix-only

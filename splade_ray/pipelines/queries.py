@@ -5111,3 +5111,21 @@ def pinned_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (_d, score, url) in enumerate(organic[:need], 1 + len(PINNED_DOC_IDS)):
             rows.append((qid, rank, int(url.removeprefix("doc://")), 0, round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "pinned", "score_r"])
+
+
+TOTAL_HITS_THRESHOLD = 200
+
+
+def total_hits(sf_dir: str) -> pd.DataFrame:
+    """(query_id, value, relation) — ES ``track_total_hits``: the
+    disjunctive match count exact up to ``TOTAL_HITS_THRESHOLD``, else
+    (threshold, 'gte') with shard visiting terminated early (a shard is
+    never opened once the accumulated count strictly exceeds the
+    threshold)."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        value, relation, _visited = reader.total_hits(text, TOTAL_HITS_THRESHOLD)
+        rows.append((qid, value, relation))
+    return pd.DataFrame(rows, columns=["query_id", "value", "relation"])

@@ -1383,6 +1383,32 @@ class IndexReader:
         kernels — exhaustive or block-max pruned."""
         return self._search_expanded(self.expand_prefix(prefix), k, method)
 
+    def total_hits(self, text: str, threshold: int = 1000) -> tuple[int, str, int]:
+        """ES ``track_total_hits``: the disjunctive match count, counted
+        EXACTLY up to ``threshold`` — returns ``(count, 'eq', shards)``
+        when the true count is at most the threshold, else
+        ``(threshold, 'gte', shards)`` with counting terminated early:
+        shards are visited in doc order and a shard is never OPENED once
+        the accumulated count strictly exceeds the threshold (the
+        collector's early-termination contract — on a 10^10-doc index a
+        common term stops after the first few shards).  ``shards`` is the
+        number of shards actually visited (the termination evidence)."""
+        qtids, _ = self.encode_query(text)
+        if qtids.size == 0:
+            return 0, "eq", 0
+        total, visited = 0, 0
+        for sh in self.shards:
+            if total > threshold:
+                break
+            visited += 1
+            slices = sh._term_slices(qtids)
+            if slices:
+                ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+                total += int(np.unique(ids).size)
+        if total > threshold:
+            return threshold, "gte", visited
+        return total, "eq", visited
+
     def search_bool_prefix(self, text: str, k: int = 10) -> list[tuple[int, float, str]]:
         """``match_bool_prefix`` top-k (ES): every token but the LAST is a
         should-clause term scored by the standard BM25 bag; the last token

@@ -133,3 +133,34 @@ def test_bool_prefix_invariants(fixture_index):
     for d, s, _ in reader.search_bool_prefix("w0001 w0007", 25):
         b = base.get(d, 0.0)
         assert s in (b, b + 1.0)
+
+
+def test_total_hits_early_termination(fixture_index):
+    """track_total_hits must stop OPENING shards once the accumulated
+    count strictly exceeds the threshold, and its (value, relation) must
+    equal the exact brute-force count semantics."""
+    from splade_ray.pipelines.search import IndexReader
+
+    _reader, out, cfg, _corpus = fixture_index
+    # physical layout (consolidate=False): early termination is about
+    # shards never OPENED, which the consolidated single-CSC view hides
+    reader = IndexReader(out, cfg, consolidate=False)
+    n_shards = len(reader.shards)
+    assert n_shards >= 2
+    # a very common term with a tiny threshold: early termination must kick in
+    value, relation, visited = reader.total_hits("w0001", 5)
+    assert relation == "gte" and value == 5
+    assert visited < n_shards, f"visited all {n_shards} shards despite tiny threshold"
+    # exact mode: a huge threshold returns the true count over all shards
+    v2, rel2, vis2 = reader.total_hits("w0001", 10**9)
+    assert rel2 == "eq" and vis2 == n_shards
+    import numpy as np
+    qtids, _ = reader.encode_query("w0001")
+    exact = 0
+    for sh in reader.shards:
+        sl = sh._term_slices(qtids)
+        if sl:
+            exact += int(np.unique(np.concatenate([sh.post_local[s:e] for _, s, e, _ in sl])).size)
+    assert v2 == exact
+    # OOV -> (0, eq, 0)
+    assert reader.total_hits("zzzqqq", 5) == (0, "eq", 0)
