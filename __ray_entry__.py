@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # upsert lifecycle: revised docs land as a new segment, stale
         # versions tombstoned at query time, frozen union stats (pre-merge)
         "upsert_topk": q.upsert_topk,
+        # point-in-time reads pinned to a generations-manifest commit
+        # point (Lucene segments_N): pit view == pre-mutation top-k even
+        # though its reader opens AFTER the upsert committed
+        "pit_topk": q.pit_topk,
         # incremental segment build + term-run merge; must equal the
         # single-build BM25 oracle
         "segment_merge_topk": q.segment_merge_topk,
@@ -153,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered span-near with slop (SpanNearQuery): in-order chain DP
         # over the forward streams, latest-start segmented prefix max
         "span_near_topk": q.span_near_topk,
+        # intervals all_of(ordered=false, max_gaps): the unordered half of
+        # the positional pair (span_near is ordered=true)
+        "intervals_topk": q.intervals_topk,
         # span-first (SpanFirstQuery): term within the first N positions,
         # verified against only the stream heads of the candidates
         "span_first_topk": q.span_first_topk,
@@ -192,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_topk": q.lm_topk,
         # LM Jelinek-Mercer similarity (lambda=0.1) on the same seam
         "lm_jm_topk": q.lm_jm_topk,
+        # Lucene ClassicSimilarity (pre-8 TF-IDF) on the same seam
+        "classic_topk": q.classic_topk,
         # rescore API: BM25 top-30 window re-ranked by bm25 + 0.5*lm_dirichlet
         "rescore_lm_topk": q.rescore_lm_topk,
         # analysis chain: StopFilter + minimal English stemmer at index AND
@@ -209,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_topk": q.random_topk,
         # terms agg: per-shard top-S merge + doc_count_error_upper_bound
         "terms_agg_shards": q.terms_agg_shards,
+        # sampler agg: sub-aggs over only the top-shard_size scored docs
+        # per PHYSICAL shard (budget device; cut is SQL-replayable)
+        "sampler_agg": q.sampler_agg,
         # phrase / did-you-mean suggester (per-position term correction)
         "suggest_phrase": q.suggest_phrase,
         # composite aggregation with after-key paging over (lang, source)
@@ -286,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg_events": q.filters_agg_events,
         # auto_date_histogram: ladder-chosen interval <= 12 buckets
         "auto_date_histogram": q.auto_date_histogram,
+        # rate agg: calendar-month buckets converted to per-day rates by
+        # the bucket's ACTUAL day count (ES rate semantics)
+        "rate_agg": q.rate_agg,
         # geotile_grid agg at zoom 3 (web-mercator tiles, ln(tan+sec) form)
         "geotile_grid": q.geotile_grid,
         # geo_distance rings (haversine, R=6371 km) around a fixed origin
@@ -552,6 +567,9 @@ FROM s ORDER BY doc_id
         return f"('{qid}', '{ts[0]}', '{ts[1]}', {t3}, {slop})"
 
     span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
+    from splade_ray.pipelines.queries import INTERVAL_QUERIES
+
+    interval_values = ", ".join(_span_row(*iq) for iq in INTERVAL_QUERIES)
     perc_values = ", ".join(f"('{qid}', '{text}', '{kind}')" for qid, text, kind in PERC_QUERIES)
     from splade_ray.pipelines.queries import COMPLETION_PREFIXES, SPELL_TERMS, TERMVEC_DOC_IDS
 
@@ -883,6 +901,40 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # Lucene ClassicSimilarity (pre-8 TF-IDF): per matched term
+    # qtf·sqrt(tf)·(1+ln((N+1)/(df+1)))²/sqrt(dl) — exact 1/sqrt(dl)
+    # length norm (the historical lossy byte norm is not the contract)
+    classic_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * sqrt(tf.tf)
+             * pow(1 + ln((s.n_docs + 1) / (df.df + 1)), 2)
+             / sqrt(dl.dl)) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
     # fuzzy expansion: every vocab term within classical Levenshtein
     # distance 1 scores with unit query weight and its OWN idf (expanded-OR
     # / Lucene FuzzyQuery) — DuckDB's levenshtein() replays the engine's
@@ -1133,6 +1185,70 @@ ranked AS (
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # point-in-time: live view = upsert semantics at modulus 7 (union
+    # corpus, stale tombstoned, frozen union stats); pit view = plain BM25
+    # over the pre-mutation corpus — the pinned generation-1 commit point
+    pit_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+f AS (
+  SELECT doc_id, text, doc_id * 2 AS rowid, (doc_id % 7 != 0) AS live FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' point in time revision' AS text, doc_id * 2 + 1 AS rowid, TRUE AS live
+  FROM documents WHERE doc_id % 7 = 0
+),
+ltoks AS (SELECT rowid, unnest({_TOK_SQL.format(col="text")}) AS term FROM f),
+ltf AS (SELECT rowid, term, count(*)::DOUBLE AS tf FROM ltoks GROUP BY rowid, term),
+ldl AS (SELECT rowid, count(*)::DOUBLE AS dl FROM ltoks GROUP BY rowid),
+lstats AS (SELECT (SELECT count(*) FROM ldl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM ldl) AS avgdl),
+ldf AS (SELECT term, count(*)::DOUBLE AS df FROM ltf GROUP BY term),
+lscores AS (
+  SELECT q.query_id, f.doc_id, ltf.rowid,
+         sum(q.qtf * ln(1 + (s.n_docs - ldf.df + 0.5) / (ldf.df + 0.5))
+             * ltf.tf * 2.2 / (ltf.tf + 1.2 * (0.25 + 0.75 * ldl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN ltf ON ltf.term = q.term
+  JOIN ldf ON ldf.term = q.term
+  JOIN ldl ON ldl.rowid = ltf.rowid
+  JOIN f ON f.rowid = ltf.rowid AND f.live
+  CROSS JOIN lstats s
+  GROUP BY q.query_id, f.doc_id, ltf.rowid
+),
+lranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM lscores
+),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT 'live' AS view, query_id, rank, doc_id, round(score, 6) AS score_r
+FROM lranked WHERE rank <= 10
+UNION ALL
+SELECT 'pit' AS view, query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
     # rank-feature boost: matched docs gain 0.5*ln(1 + n_chars/1000)
@@ -1568,6 +1684,7 @@ FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
         "collapse_topk": collapse_sql,
         "diversified_topk": diversified_sql,
         "upsert_topk": upsert_sql,
+        "pit_topk": pit_sql,
         "boosted_topk": boosted_sql,
         "term_stats": term_stats_sql,
         "match_sorted_by_dl": match_sorted_sql,
@@ -1608,6 +1725,7 @@ SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM rankedr WHERE rank <= 10
 """,
         "lm_jm_topk": jm_sql,
+        "classic_topk": classic_sql,
         "analyzed_topk": analyzed,
         # nested block-join: BM25 over the chunk corpus (chunk-level
         # df/dl/avgdl — the nested-document model), parent = max child,
@@ -1727,6 +1845,55 @@ merged AS (
 ),
 ranked AS (SELECT *, row_number() OVER (ORDER BY doc_count DESC, term ASC) AS rk FROM merged)
 SELECT term, doc_count, err_bound FROM ranked WHERE rk <= {TERMS_AGG_TOP} ORDER BY rk
+""",
+        # sampler agg: per-shard (doc_id // 2000) top-100 BM25 docs for
+        # the fixed query, then per-lang count + avg(n_chars) over the
+        # union sample — the ES sampler budget contract replayed exactly
+        "sampler_agg": f"""
+WITH qterms AS (
+  SELECT unnest({_TOK_SQL.format(col="'stream order data'")}) AS term
+),
+qtf AS (SELECT term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+cut AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id // 2000
+                              ORDER BY round(score, 9) DESC, doc_id ASC) AS r
+    FROM scores
+  ) WHERE r <= 100
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs, round(avg(d.n_chars), 6) AS avg_chars_r
+FROM cut c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.lang ORDER BY d.lang
+""",
+        # rate agg: per-hour rates from calendar-day buckets (24 units
+        # per bucket; ES converts to the unit, no extrapolation)
+        "rate_agg": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day_ts,
+         count(*)::BIGINT AS n_events, sum(value) AS s
+  FROM events GROUP BY 1
+)
+SELECT day_ts, n_events,
+       round(n_events::DOUBLE / 24, 6) AS count_per_hour_r,
+       round(s / 24, 6) AS value_per_hour_r
+FROM b ORDER BY day_ts
 """,
         # index sorting: matched docs in (n_chars DESC, doc_id ASC) order,
         # first 10 — what the early-terminated walk returns
@@ -2388,6 +2555,59 @@ pmatch AS (
   JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
   JOIN flat f3 ON f3.doc_id = f2.doc_id AND f3.tok = s.t3 AND f3.i > f2.i
   WHERE s.t3 IS NOT NULL AND f3.i - f1.i - 2 <= s.slop
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+""",
+        # intervals all_of(ordered=false, max_gaps): any-order window with
+        # greatest(i..) - least(i..) + 1 - m <= g; BM25 bag over matches
+        "intervals_topk": f"""
+WITH iset(query_id, t1, t2, t3, g) AS (VALUES {interval_values}),
+qterms AS (
+  SELECT query_id, t1 AS term FROM iset
+  UNION ALL SELECT query_id, t2 FROM iset
+  UNION ALL SELECT query_id, t3 FROM iset WHERE t3 IS NOT NULL
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM iset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2
+  WHERE s.t3 IS NULL
+    AND greatest(f1.i, f2.i) - least(f1.i, f2.i) - 1 <= s.g
+  UNION
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM iset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2
+  JOIN flat f3 ON f3.doc_id = f2.doc_id AND f3.tok = s.t3
+  WHERE s.t3 IS NOT NULL
+    AND greatest(f1.i, f2.i, f3.i) - least(f1.i, f2.i, f3.i) - 2 <= s.g
 ),
 scores AS (
   SELECT q.query_id, tf.doc_id,

@@ -33,7 +33,9 @@ class EngineConfig:
     # (Zhai-Lafferty Dirichlet smoothing, Lucene LMDirichletSimilarity's
     # non-negative clamp) — or "lm_jm" (Jelinek-Mercer interpolation,
     # Lucene LMJelinekMercerSimilarity) —
-    # w = ln(1 + (1-λ)·(tf/dl) / (λ·cf/T)), always positive for tf>0.
+    # w = ln(1 + (1-λ)·(tf/dl) / (λ·cf/T)), always positive for tf>0 —
+    # or "classic" (Lucene pre-8 ClassicSimilarity / TFIDFSimilarity):
+    # w = sqrt(tf)·(1 + ln((N+1)/(df+1)))²/sqrt(dl).
     # cf = collection frequency and T = total tokens, both from the stats
     # stage.  Zone maxima are re-derived from the recomputed impacts at
     # load so block-max WAND stays exact.

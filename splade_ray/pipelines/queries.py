@@ -282,6 +282,25 @@ def lm_jm_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def classic_topk(sf_dir: str) -> pd.DataFrame:
+    """Lucene ClassicSimilarity (pre-8 TF-IDF) top-10 over the SAME stored
+    index as `bm25_topk` — the third similarity on the READ-time seam:
+    per posting w = sqrt(tf)·idf²/sqrt(dl) with idf = 1 + ln((N+1)/(df+1));
+    query side multiplies by qtf (each query occurrence is its own
+    TermQuery clause).  The historical lossy byte-encoded length norm is
+    NOT reproduced: the contract is the exact 1/sqrt(dl)."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    c_cfg = dataclasses.replace(DOCS_CFG, scoring="classic")
+    reader = IndexReader(index_dir, c_cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(_rounded_topk(reader, text), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 
@@ -1258,6 +1277,35 @@ def span_near_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+# (qid, terms, max_gaps) — unordered all_of; iv5 has an OOV term (empty)
+INTERVAL_QUERIES: list[tuple[str, str, int]] = [
+    ("iv1", "scan order", 2),
+    ("iv2", "key fast", 3),
+    ("iv3", "column stream", 0),  # adjacency, either order
+    ("iv4", "batch hash join", 5),
+    ("iv5", "order zzznotaword", 1),
+]
+
+
+def intervals_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``intervals`` query,
+    ``all_of(ordered: false, max_gaps)``: all terms within one window in
+    ANY order with total internal gaps ≤ max_gaps (span_near is the
+    ordered half).  Vectorized minimal-cover sweep over the candidates'
+    forward streams (per-term segmented running max, one pass), BM25 bag
+    ranking."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text, gaps in INTERVAL_QUERIES:
+        for rank, (_doc, score, url) in enumerate(reader.search_intervals(text, gaps, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 COMPLETION_PREFIXES: list[tuple[str, str]] = [
     ("c1", "s"),
     ("c2", "c"),
@@ -1820,6 +1868,48 @@ def terms_agg_shards(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows[:TERMS_AGG_TOP], columns=["term", "doc_count", "err_bound"])
 
 
+SAMPLER_QUERY = "stream order data"
+SAMPLER_SHARD_SIZE = 100  # ES sampler.shard_size: top-scored docs kept per shard
+
+
+def sampler_agg(sf_dir: str) -> pd.DataFrame:
+    """(lang, n_docs, avg_chars_r) — the ES ``sampler`` aggregation:
+    sub-aggregations run over only the top-``shard_size`` BM25-scored
+    docs PER SHARD for the query (the "aggregate over the best matches
+    only" budget device), here a per-lang doc_count + avg(n_chars).
+
+    Like :func:`terms_agg_shards` the semantics are defined by the
+    PHYSICAL segment layout (consolidate=False), and the deterministic
+    doc-id assignment (shard = doc_id // shard_size) makes the per-shard
+    sample cut itself SQL-replayable.  Each shard owner ships at most
+    ``shard_size`` (doc, score) rows; attributes resolve via ONE
+    column-pruned filtered read of the documents table — the sample is
+    k·n_shards-bounded no matter the corpus size."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG, consolidate=False)
+    qtids, qw = reader.encode_query(SAMPLER_QUERY)
+    sample: list[np.ndarray] = []
+    for sh in reader.shards:
+        docs, _scores = sh.score_exhaustive(qtids, qw, SAMPLER_SHARD_SIZE)
+        sample.append(docs)
+    ids = np.unique(np.concatenate(sample)) if sample else np.zeros(0, np.int64)
+    import pyarrow.dataset as pads
+
+    docs_t = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+        filter=pads.field("doc_id").isin(ids.tolist()),  # pushed to the scan
+    ).to_pandas()
+    g = docs_t.groupby("lang", sort=True).agg(n_docs=("doc_id", "size"), avg_chars=("n_chars", "mean"))
+    return pd.DataFrame(
+        {
+            "lang": g.index.to_numpy(),
+            "n_docs": g["n_docs"].to_numpy().astype(np.int64),
+            "avg_chars_r": np.round(g["avg_chars"].to_numpy(), 6),
+        }
+    )
+
+
 RANDOM_SCORE_SEED = "rnd7"
 
 
@@ -2041,6 +2131,61 @@ def upsert_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (_doc, score, url) in enumerate(fr.search(text, BM25_K), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+PIT_SUFFIX = " point in time revision"
+
+
+def pit_topk(sf_dir: str) -> pd.DataFrame:
+    """(view, query_id, rank, doc_id, score_r) — ES point-in-time reads
+    over the generations manifest (``state/generations.py``, Lucene
+    ``segments_N``): generation 1 commits the base segment alone; an
+    upsert of every 7th doc (text + ``PIT_SUFFIX``) builds a new segment
+    and commits generation 2 = [base ⊕ tombstones, segB].  The PIT handle
+    pins generation 1 and its reader is constructed AFTER generation 2
+    committed — isolation lives in the immutable manifest, not in reader
+    construction order.  'pit' rows therefore equal the pre-mutation BM25
+    top-k; 'live' rows equal the post-upsert union under frozen union
+    statistics (``upsert_topk`` semantics at modulus 7)."""
+    from .search import FederatedReader
+    from ..state.generations import commit_generation, latest_generation
+    from ..state.lineage import read_json
+
+    base = build_documents_index(sf_dir)
+    b_idx = os.path.join(base, "pit", "segB")
+    b_path = os.path.join(base, "pit", "b.parquet")
+    if latest_generation(base) is None:
+        commit_generation(base, [base])  # generation 1: the base commit point
+    if not os.path.exists(os.path.join(b_idx, "stats", "meta.json")):
+        corpus = pq.read_table(os.path.join(base, "corpus_input.parquet"))
+        ids = np.asarray(
+            [int(u.removeprefix("doc://")) for u in corpus.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        upd = corpus.filter(pa.array(ids % 7 == 0))
+        new_text = pc.binary_join_element_wise(upd.column("text"), PIT_SUFFIX, "")
+        upd = upd.set_column(upd.schema.get_field_index("text"), "text", new_text)
+        if "n_chars" in upd.column_names:
+            upd = upd.set_column(
+                upd.schema.get_field_index("n_chars"), "n_chars", pc.utf8_length(new_text).cast(pa.int64())
+            )
+        os.makedirs(os.path.dirname(b_idx), exist_ok=True)
+        pq.write_table(upd, b_path)
+        n_base = int(read_json(os.path.join(base, "stats", "meta.json"))["n_docs"])
+        build_index(b_path, b_idx, DOCS_CFG, doc_id_base=n_base)
+        stale = pq.read_table(b_path, columns=["url"]).column("url").to_pylist()
+        commit_generation(base, [base, b_idx], deletes=[stale, None])
+    live = FederatedReader.from_generation(base, DOCS_CFG)  # latest commit (gen 2)
+    pit = FederatedReader.from_generation(base, DOCS_CFG, gen=1)  # pinned commit point
+    rows = []
+    # round-6 contract order (the lm/collapse convention): the mod-7
+    # revision corpus produces fp-epsilon near-ties inside the top-10
+    # (observed at sf0.1), so both sides rank on (-round6, doc_id)
+    for view, reader in (("live", live), ("pit", pit)):
+        for qid, text in BM25_QUERIES:
+            for rank, (_doc, score, url) in enumerate(_rounded_topk(reader, text), 1):
+                rows.append((view, qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["view", "query_id", "rank", "doc_id", "score_r"])
 
 
 COMPOSITE_PAGE_SIZE = 10
@@ -4614,6 +4759,46 @@ def auto_date_histogram(sf_dir: str) -> pd.DataFrame:
             "n_events": g.to_numpy().astype(np.int64),
         }
     ).reset_index(drop=True)
+
+
+def rate_agg(sf_dir: str) -> pd.DataFrame:
+    """(day_ts, n_events, count_per_hour_r, value_per_hour_r) — the ES
+    ``rate`` aggregation inside a calendar date_histogram: per DAY
+    bucket, doc-count and sum(value) are converted to a per-HOUR rate by
+    dividing by the number of rate units in the bucket (24 for day→hour
+    — ES converts to the requested unit, it does not extrapolate from
+    the observed span).
+
+    One pass of per-batch (day, count, sum) partials — fixed-size
+    (≤ days-of-data rows per block) — then a driver-side merge; the
+    bucket arithmetic is plain epoch-microsecond floor division,
+    replayed by the SQL oracle via date_trunc."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        keys, inv, cnt = np.unique(us // DAY_US, return_inverse=True, return_counts=True)
+        sums = np.bincount(inv, weights=val, minlength=keys.size)
+        return pa.table(
+            {
+                "d": pa.array(keys, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "s": pa.array(sums, pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("d", sort=True).agg(n=("n", "sum"), s=("s", "sum"))
+    return pd.DataFrame(
+        {
+            "day_ts": pd.to_datetime(g.index.to_numpy() * DAY_US, unit="us"),
+            "n_events": g["n"].to_numpy().astype(np.int64),
+            "count_per_hour_r": np.round(g["n"].to_numpy() / 24.0, 6),
+            "value_per_hour_r": np.round(g["s"].to_numpy() / 24.0, 6),
+        }
+    )
 
 
 def host_agg(sf_dir: str) -> pd.DataFrame:

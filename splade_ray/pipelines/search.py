@@ -109,7 +109,7 @@ class ShardIndex:
             self.post_local = csum - np.repeat(prior, seg_lens)
         else:
             self.post_local = np.zeros(0, np.int64)
-        if cfg.scoring in ("lm_dirichlet", "lm_jm") and "tfs" not in post.column_names:
+        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic") and "tfs" not in post.column_names:
             raise ValueError(f"{cfg.scoring} scoring needs raw-tf postings (weight_mode='tf')")
         self.avgdl = float(avgdl)
         self.post_tf: np.ndarray | None = None
@@ -153,6 +153,24 @@ class ShardIndex:
                         mu / (self.dl[self.post_local] + mu)
                     )
                     self.post_w = np.maximum(w, 0.0)
+            elif cfg.scoring == "classic":
+                # Lucene ClassicSimilarity (pre-8.0 TFIDFSimilarity), the
+                # third plug on the READ-time Similarity seam:
+                # w = sqrt(tf) · idf² / sqrt(dl) with
+                # idf = 1 + ln((N+1)/(df+1)).  idf appears SQUARED because
+                # Lucene multiplies the query weight (idf·boost) by the
+                # doc-side weight (tf_norm·idf·lengthNorm); the lossy
+                # byte-encoded norm of historical Lucene is deliberately
+                # NOT reproduced (exact 1/sqrt(dl), documented contract).
+                if isinstance(df_global, tuple):
+                    tid_index, dfv = df_global
+                    df_of = dfv[np.searchsorted(tid_index, self.term_ids)]
+                else:
+                    df_of = df_global[self.term_ids]
+                idf_c = 1.0 + np.log(
+                    (float(n_docs) + 1.0) / (np.repeat(df_of, seg_lens).astype(np.float64) + 1.0)
+                )
+                self.post_w = np.sqrt(tf) * idf_c * idf_c / np.sqrt(self.dl[self.post_local])
             else:
                 if isinstance(df_global, tuple):
                     tid_index, dfv = df_global
@@ -179,10 +197,10 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
-        if cfg.scoring in ("lm_dirichlet", "lm_jm") and nnz:
+        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic") and nnz:
             # stored zone maxima are BM25 impacts; re-derive them from the
-            # recomputed LM weights so block-max WAND stays an exact upper
-            # bound.  (term-segment, zone) runs are contiguous — postings
+            # recomputed similarity's weights so block-max WAND stays an
+            # exact upper bound.  (term-segment, zone) runs are contiguous — postings
             # within a segment ascend by doc id — so one reduceat suffices.
             # zones are LOCAL doc-index ranges (build side: p_local // zone_docs)
             zid_post = self.post_local // self.zone_docs
@@ -753,6 +771,51 @@ class ShardIndex:
         )
         cidx = np.repeat(np.arange(cand.size, dtype=np.int64), nwin)
         ok = self.fwd_stream[starts] == np.uint64(h_term)
+        matched = cand[np.unique(cidx[ok])]
+        return self._restricted_bag_topk(slices, qweights, matched, k)
+
+    def intervals_topk(
+        self, qtids: np.ndarray, qweights: np.ndarray, h_terms: np.ndarray, max_gaps: int, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Unordered interval match (ES ``intervals`` query,
+        ``all_of(ordered: false, max_gaps)``): docs holding ALL m
+        (distinct) terms inside one window in ANY order with total
+        internal gaps ≤ ``max_gaps`` — positions p_1..p_m with
+        (max−min+1) − m ≤ max_gaps — BM25-bag-ranked like
+        :meth:`span_near_topk` (which is the ordered=true half).
+
+        Vectorized minimal-cover sweep: at each occurrence (a window END)
+        the latest occurrence of every term so far is a segmented
+        per-candidate running max, so the tightest window ending there is
+        [min_j last_j, pos]; a doc matches iff ANY ending position yields
+        width − m ≤ max_gaps.  Same ``cidx·BIG`` offset trick as the span
+        chain DP — no per-candidate loop."""
+        if self.fwd_stream is None:
+            raise ValueError("intervals search requires an index built with store_forward=True")
+        m = int(h_terms.size)
+        if np.unique(h_terms).size != m:
+            raise ValueError("intervals contract covers distinct terms only")
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pos, cidx = self._candidate_windows(cand, 1)  # every token position
+        tok = self.fwd_stream[pos]
+        keep = np.isin(tok, h_terms)
+        pos, cidx, tok = pos[keep].astype(np.int64), cidx[keep], tok[keep]
+        if pos.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        NEG = np.int64(-(1 << 62))
+        BIG = np.int64(self.fwd_stream.size + 1)
+        base = cidx * BIG
+        wmin: np.ndarray | None = None
+        for j in range(m):
+            acc = np.maximum.accumulate(np.where(tok == h_terms[j], pos + base, NEG))
+            last = acc - base  # < 0 ⇒ latest occurrence is NEG or an earlier candidate's
+            wmin = last if wmin is None else np.minimum(wmin, last)
+        ok = (wmin >= 0) & (pos - wmin + 1 - np.int64(m) <= np.int64(max_gaps))
         matched = cand[np.unique(cidx[ok])]
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
@@ -1863,6 +1926,26 @@ class IndexReader:
         cands = [sh.span_near_topk(qtids, qw, h_seq, slop, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def search_intervals(self, text: str, max_gaps: int, k: int = 10) -> list[tuple[int, float, str]]:
+        """Unordered interval top-k (ES ``intervals`` / ``all_of(ordered:
+        false, max_gaps)``, requires ``store_forward=True``): all query
+        tokens (distinct) within one window in any order, total internal
+        gaps ≤ ``max_gaps``; BM25-bag-ranked with the usual (-score, doc)
+        tie-break.  An OOV token ⇒ all_of can never match ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("intervals search needs at least two tokens")
+        if len(set(toks)) != len(toks):
+            raise ValueError("intervals contract covers distinct terms only")
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one interval token is OOV
+        h_terms = md5_u64(toks)
+        cands = [sh.intervals_topk(qtids, qw, h_terms, max_gaps, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
     def search_span_first(self, term: str, end: int, k: int = 10) -> list[tuple[int, float, str]]:
         """Span-first top-k (Lucene ``SpanFirstQuery``, requires
         ``store_forward=True``): docs where the (single-token) term occurs
@@ -2049,6 +2132,22 @@ class FederatedReader:
             )
         self.n_docs = n_docs
         self.avgdl = avgdl
+
+    @classmethod
+    def from_generation(cls, root: str, cfg: "EngineConfig | None" = None, gen: int | None = None) -> "FederatedReader":
+        """Open the index view committed as generation ``gen`` of ``root``
+        (default: latest) — the ES point-in-time read path: the manifest
+        (``state/generations.py``, Lucene ``segments_N``) names immutable
+        segments + tombstones, so a reader pinned to an old generation is
+        isolated from every later upsert/delete/merge commit no matter
+        when it is constructed."""
+        from ..state.generations import read_generation
+
+        m = read_generation(root, gen)
+        deletes = m.get("deletes")
+        if deletes is not None and all(d is None for d in deletes):
+            deletes = None
+        return cls(m["segments"], cfg, deletes=deletes)
 
     def search(self, text: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
         """Merged top-k across all segments, usual (-score, doc)
