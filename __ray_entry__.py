@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fields_topk": q.bm25_fields_topk,
         # true BM25F: field-normalized tfs combined BEFORE one saturation
         "bm25f_topk": q.bm25f_topk,
+        # multi_match cross_fields (BlendedTermQuery): blended max-df idf,
+        # per-term dismax over field legs with tie_breaker=0.3
+        "cross_fields_topk": q.cross_fields_topk,
         # tombstone deletes: per-query top-1 removed, stats unchanged
         "bm25_topk_deleted": q.bm25_topk_deleted,
         # segments + tombstones + PURGING merge: stats recomputed over the
@@ -4040,6 +4043,57 @@ scores AS (
          sum(c.qtf * ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
              * 2.2 * c.w / (c.w + 1.2)) AS score
   FROM comb c JOIN cdf d ON d.term = c.term CROSS JOIN nstats n
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # multi_match cross_fields / BlendedTermQuery: per term, df is blended
+    # as max_f(df_f) over the searched fields (shared idf over the corpus
+    # size); each field leg keeps field-local tf/dl/avgdl and its boost;
+    # the legs of one term combine as dismax max + 0.3*(sum - max); terms
+    # sum weighted by query tf
+    oracles["cross_fields_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+base AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+f AS (
+  SELECT doc_id, 'title' AS field, l[1:{queries_mod_title_toks}] AS fl FROM base
+  UNION ALL
+  SELECT doc_id, 'body', l[{queries_mod_title_toks + 1}:] FROM base
+),
+ftoks AS (SELECT doc_id, field, unnest(fl) AS term FROM f),
+ftf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT field, doc_id, len(fl)::DOUBLE AS dl FROM f),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM fdl GROUP BY field),
+nstats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+fdf AS (SELECT field, term, count(*)::DOUBLE AS df FROM ftf GROUP BY 1, 2),
+bdf AS (SELECT term, max(df) AS df FROM fdf GROUP BY term),
+legs AS (
+  SELECT q.query_id, q.term, t.doc_id,
+         (CASE WHEN t.field = 'title' THEN 2.0 ELSE 1.0 END)
+           * ln(1 + (n.n_docs - bd.df + 0.5) / (bd.df + 0.5))
+           * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS leg
+  FROM qtf q
+  JOIN ftf t ON t.term = q.term
+  JOIN fdl l ON l.doc_id = t.doc_id AND l.field = t.field
+  JOIN fstats s ON s.field = t.field
+  JOIN bdf bd ON bd.term = q.term
+  CROSS JOIN nstats n
+),
+pterm AS (
+  SELECT query_id, term, doc_id,
+         max(leg) + 0.3 * (sum(leg) - max(leg)) AS ts
+  FROM legs GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT p.query_id, p.doc_id, sum(q.qtf * p.ts) AS score
+  FROM pterm p JOIN qtf q ON q.query_id = p.query_id AND q.term = p.term
   GROUP BY 1, 2
 ),
 ranked AS (

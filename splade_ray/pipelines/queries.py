@@ -1201,6 +1201,82 @@ def bm25f_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+CROSS_FIELDS_TIE = 0.3
+
+
+def cross_fields_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``multi_match`` with
+    ``type: cross_fields`` (Lucene ``BlendedTermQuery``), the third
+    multi-field semantics next to ``bm25_fields_topk`` (most_fields:
+    per-field BM25 summed) and ``bm25f_topk`` (BM25F: tfs combined before
+    saturation): each query TERM is scored per field with BLENDED
+    statistics — df is replaced by max_f(df_f) across the searched fields
+    so a term rare in one field but common in another cannot dominate —
+    and the per-field scores of the term combine as a dismax,
+    max + tie·(sum − max) (tie_breaker=0.3); the per-term results sum
+    over terms (bool-should).  Per-field tf/dl/avgdl stay field-local
+    (only df blends) and field boosts multiply the per-field leg.
+
+    Served off the same per-field doc-sharded indexes as ``bm25f_topk``
+    (raw-tf posting sidecars); fields are co-sharded by doc, so at
+    cluster scale each shard owner blends df from the frozen per-field
+    stats and ships its local top-k only."""
+    from ..tokenizer import Tokenizer
+
+    for f in _FIELD_BOOSTS:
+        _field_reader(sf_dir, f)  # ensures the per-field index dirs exist
+    base = build_documents_index(sf_dir)
+    readers = {f: IndexReader(os.path.join(base, f"field_{f}"), DOCS_CFG) for f in _FIELD_BOOSTS}
+    n_docs = next(iter(readers.values())).n_docs
+    tok = Tokenizer(DOCS_CFG)
+    k1, b, tie = DOCS_CFG.k1, DOCS_CFG.b, CROSS_FIELDS_TIE
+    rows = []
+    for qid, text in BM25_QUERIES:
+        toks = tok.tokenize(text)
+        if not toks:
+            continue
+        uniq, qtfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for t, qn in zip(uniq, qtfs):
+            legs: list[tuple[float, float, list]] = []  # (boost, avgdl, [(shard, s, e), ...])
+            df_blend = 0.0
+            for f in _FIELD_BOOSTS:
+                r = readers[f]
+                tid = int(r.vocab_index.get_indexer(np.asarray([t], dtype=object))[0])
+                if tid < 0:
+                    continue
+                slices = []
+                df_f = 0
+                for sh in r.shards:
+                    for _qi, s, e, _tid in sh._term_slices(np.asarray([tid], dtype=np.int64)):
+                        slices.append((sh, s, e))
+                        df_f += e - s
+                legs.append((_FIELD_BOOSTS[f], float(r.avgdl), slices))
+                df_blend = max(df_blend, float(df_f))
+            if df_blend == 0.0:
+                continue
+            idf = float(np.log1p((n_docs - df_blend + 0.5) / (df_blend + 0.5)))
+            cur_max = np.zeros(n_docs, dtype=np.float64)
+            cur_sum = np.zeros(n_docs, dtype=np.float64)
+            for boost, avgdl, slices in legs:
+                w = np.zeros(n_docs, dtype=np.float64)
+                for sh, s, e in slices:
+                    local = sh.post_local[s:e]
+                    tf = sh.post_tf[s:e].astype(np.float64)
+                    norm = (1.0 - b) + b * sh.dl[local] / avgdl
+                    np.add.at(
+                        w, sh.doc_ids[local], boost * idf * tf * (k1 + 1.0) / (tf + k1 * norm)
+                    )
+                np.maximum(cur_max, w, out=cur_max)
+                cur_sum += w
+            scores += float(qn) * (cur_max + tie * (cur_sum - cur_max))
+        nz = np.flatnonzero(scores)
+        take = nz[np.lexsort((nz, -scores[nz]))][:BM25_K]
+        for rank, d in enumerate(take, 1):
+            rows.append((qid, rank, int(d), round(float(scores[d]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def bm25_topk_hashed(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 from a HASHED-VOCAB build (vocab_mode="hashed": term ids
     are 63-bit hashes, no term strings past the tokenizer — the 10^12-doc

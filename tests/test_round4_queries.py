@@ -164,3 +164,48 @@ def test_total_hits_early_termination(fixture_index):
     assert v2 == exact
     # OOV -> (0, eq, 0)
     assert reader.total_hits("zzzqqq", 5) == (0, "eq", 0)
+
+
+def test_cross_fields_single_field_degenerates_to_fields_sum(ray_session, monkeypatch):
+    """With ONE searched field, cross_fields' blended df == the field df,
+    the per-term dismax collapses to the single leg, and the score must
+    equal bm25_fields_topk's additive kernel exactly (both read the same
+    per-field index; independent scoring paths)."""
+    from splade_ray.pipelines import queries as q
+
+    monkeypatch.setattr(q, "_FIELD_BOOSTS", {"title": 2.0})
+    sf = "/root/testdata/sf0.001"
+    a = q.cross_fields_topk(sf).reset_index(drop=True)
+    b = q.bm25_fields_topk(sf).reset_index(drop=True)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["query_id"] == b["query_id"]).all()
+    assert (a["rank"] == b["rank"]).all()
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert np.allclose(a["score_r"], b["score_r"], atol=2e-6)
+
+
+def test_cross_fields_two_fields_dominates_dismax_leg(ray_session):
+    """tie_breaker in (0,1): each doc's cross_fields score must lie between
+    the pure-dismax floor (max leg per term) and the additive ceiling (sum
+    of legs) — computed here by re-running the kernel at tie=0 and tie=1
+    via the module constant."""
+    from splade_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    mid = q.cross_fields_topk(sf)
+    orig = q.CROSS_FIELDS_TIE
+    try:
+        q.CROSS_FIELDS_TIE = 0.0
+        floor = q.cross_fields_topk(sf)
+        q.CROSS_FIELDS_TIE = 1.0
+        ceil = q.cross_fields_topk(sf)
+    finally:
+        q.CROSS_FIELDS_TIE = orig
+    fl = floor.set_index(["query_id", "doc_id"])["score_r"]
+    ce = ceil.set_index(["query_id", "doc_id"])["score_r"]
+    for (qid, did), s in mid.set_index(["query_id", "doc_id"])["score_r"].items():
+        if (qid, did) in fl.index:
+            assert s >= fl.loc[(qid, did)] - 2e-6
+        if (qid, did) in ce.index:
+            assert s <= ce.loc[(qid, did)] + 2e-6
