@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "children_agg": q.children_agg,
         # rank-feature static boost: BM25 + 0.5*ln(1+n_chars/1000)
         "boosted_topk": q.boosted_topk,
+        # distance_feature: BM25 + pivot/(pivot+|n_chars-origin|) additive
+        "distance_feature_topk": q.distance_feature_topk,
+        # function_score field_value_factor: BM25 * ln(1+n_chars/100)
+        "field_value_factor_topk": q.field_value_factor_topk,
         # TermStatistics (df + totalTermFreq) served off the stored index
         "term_stats": q.term_stats,
         # sort-by-field: match set ranked by the dl doc-value, no scoring
@@ -163,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-first (SpanFirstQuery): term within the first N positions,
         # verified against only the stream heads of the candidates
         "span_first_topk": q.span_first_topk,
+        # span-not (SpanNotQuery): ordered span matches with no exclude-term
+        # occurrence inside the span's positions
+        "span_not_topk": q.span_not_topk,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -372,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF from the on-disk per-cluster partition layout (save/load,
         # probe pruning = directory pruning) — same oracle again
         "knn_cosine_ivf_disk": q.knn_cosine_ivf_disk,
+        # int8-quantized coarse scan + exact-cosine rescore (oversample 3)
+        "knn_int8_rescore": q.knn_int8_rescore,
         # text analysis (heuristics)
         "lang_id_preds": q.lang_id_preds,
         "doc_fingerprints": q.doc_fingerprints,
@@ -397,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cut_spans": q.dedup_cut_spans,
         # per-doc perplexity under the corpus unigram LM (quality signal)
         "doc_perplexity": q.doc_perplexity,
+        # CCNet per-language perplexity terciles (head/middle/tail)
+        "ccnet_buckets": q.ccnet_buckets,
         # HyperLogLog distinct-trigram sketch (combiner-merged registers)
         "approx_distinct_trigrams": q.approx_distinct_trigrams,
         # pivot/crosstab: source rows x language count columns
@@ -570,6 +581,12 @@ FROM s ORDER BY doc_id
         return f"('{qid}', '{ts[0]}', '{ts[1]}', {t3}, {slop})"
 
     span_values = ", ".join(_span_row(*sq) for sq in SPAN_QUERIES)
+    from splade_ray.pipelines.queries import SPAN_NOT_QUERIES
+
+    span_not_values = ", ".join(
+        f"('{qid}', '{t.split()[0]}', '{t.split()[1]}', '{excl}', {slop})"
+        for qid, t, excl, slop in SPAN_NOT_QUERIES
+    )
     from splade_ray.pipelines.queries import INTERVAL_QUERIES
 
     interval_values = ", ".join(_span_row(*iq) for iq in INTERVAL_QUERIES)
@@ -1290,6 +1307,21 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """
+    # distance_feature / field_value_factor: same BM25 chain as boosted_sql,
+    # only the doc-value modifier differs (additive reciprocal decay vs
+    # multiplicative log1p) — expressions mirror the engine's float tree
+    distance_feature_sql = boosted_sql.replace(
+        "sc.score + 0.5 * ln(1 + d.n_chars / 1000.0) AS score",
+        "sc.score + 1.0 * 100.0 / (100.0 + abs(d.n_chars - 300.0)) AS score",
+    )
+    fvf_sql = boosted_sql.replace(
+        "sc.score + 0.5 * ln(1 + d.n_chars / 1000.0) AS score",
+        "sc.score * (1.0 * ln(1 + d.n_chars / 100.0)) AS score",
+    )
+    assert distance_feature_sql != boosted_sql and fvf_sql != boosted_sql, (
+        "boosted_sql modifier line drifted — derived oracles would silently "
+        "replay the rank_feature boost"
+    )
     # TermStatistics: df = distinct docs carrying the term, cf = total
     # occurrences; OOV terms report (0, 0) via the LEFT JOIN
     from splade_ray.pipelines.queries import STATS_TERMS
@@ -1689,6 +1721,8 @@ FROM base b LEFT JOIN agg a USING (shard) LEFT JOIN tok_tot t USING (shard)
         "upsert_topk": upsert_sql,
         "pit_topk": pit_sql,
         "boosted_topk": boosted_sql,
+        "distance_feature_topk": distance_feature_sql,
+        "field_value_factor_topk": fvf_sql,
         "term_stats": term_stats_sql,
         "match_sorted_by_dl": match_sorted_sql,
         "boolean_min_match": boolean_min,
@@ -2579,6 +2613,53 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10
 """,
+        # span-not: an ordered 2-term span within slop whose position range
+        # holds no exclude-term occurrence; BM25 bag over include terms
+        "span_not_topk": f"""
+WITH sset(query_id, t1, t2, excl, slop) AS (VALUES {span_not_values}),
+qterms AS (
+  SELECT query_id, t1 AS term FROM sset
+  UNION ALL SELECT query_id, t2 FROM sset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM sset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
+  WHERE f2.i - f1.i - 1 <= s.slop
+    AND NOT EXISTS (
+      SELECT 1 FROM flat fe
+      WHERE fe.doc_id = f1.doc_id AND fe.tok = s.excl AND fe.i BETWEEN f1.i AND f2.i
+    )
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+""",
         # intervals all_of(ordered=false, max_gaps): any-order window with
         # greatest(i..) - least(i..) + 1 - m <= g; BM25 bag over matches
         "intervals_topk": f"""
@@ -3333,6 +3414,53 @@ ranked AS (
 SELECT query_vec_id, rank, vec_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
 """,
+        # int8-quantized coarse scan + exact rescore: round-half-up
+        # per-vector quantization (floor(x·127/maxabs + 0.5)), approximate
+        # cosine ((Qq·Dq)·(qmax/127)·(dmax/127)/(‖q‖‖d‖)) selects the top-30
+        # candidates per query, exact cosine re-ranks them — the same float
+        # expression trees as the engine, so candidate sets, both scores,
+        # and the final ranking replay bit-for-bit at the rounding contract
+        "knn_int8_rescore": """
+WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+q1 AS (SELECT qid, qe,
+              CASE WHEN list_max(list_transform(qe, x -> abs(x))) = 0 THEN 1.0
+                   ELSE list_max(list_transform(qe, x -> abs(x))) END AS qmx,
+              sqrt(list_inner_product(qe, qe)) AS qn0
+       FROM q0),
+qq AS (SELECT qid, qe, qmx, CASE WHEN qn0 = 0 THEN 1.0 ELSE qn0 END AS qn,
+              list_transform(qe, x -> floor(x * (127.0 / qmx) + 0.5)) AS qv
+       FROM q1),
+d0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+d1 AS (SELECT vec_id, de,
+              CASE WHEN list_max(list_transform(de, x -> abs(x))) = 0 THEN 1.0
+                   ELSE list_max(list_transform(de, x -> abs(x))) END AS dmx,
+              sqrt(list_inner_product(de, de)) AS dn0
+       FROM d0),
+dd AS (SELECT vec_id, de, dmx, CASE WHEN dn0 = 0 THEN 1.0 ELSE dn0 END AS dn,
+              list_transform(de, x -> floor(x * (127.0 / dmx) + 0.5)) AS dv
+       FROM d1),
+coarse AS (
+  SELECT q.qid AS query_vec_id, d.vec_id, q.qe, d.de,
+         ((list_inner_product(d.dv, q.qv) * (q.qmx / 127.0)) * (d.dmx / 127.0)) / (q.qn * d.dn) AS coarse
+  FROM qq q CROSS JOIN dd d
+),
+cand AS (
+  SELECT query_vec_id, vec_id, qe, de, coarse,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(coarse, 9) DESC, vec_id ASC) AS crank
+  FROM coarse
+),
+resc AS (
+  SELECT query_vec_id, vec_id, coarse, list_cosine_similarity(qe, de) AS score
+  FROM cand WHERE crank <= 30
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, coarse, score,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT query_vec_id, rank, vec_id, round(coarse, 6) AS coarse_r, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
+""",
         # filtered kNN: same queries, corpus restricted BEFORE ranking
         "knn_cosine_filtered": """
 WITH q AS (SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -3845,6 +3973,32 @@ SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
        round(coalesce(a.ce, 0), 6) AS cross_entropy,
        round(exp(coalesce(a.ce, 0)), 6) AS ppl
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        # CCNet per-language perplexity terciles: exact ntile(3) over
+        # (round(ppl,6) ASC, doc_id ASC) per language — the same rounded
+        # values the engine packs into its distributed-rank sort key
+        "ccnet_buckets": f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM flat)::DOUBLE AS n),
+agg AS (
+  SELECT f.doc_id, avg(-ln(c.c / t.n)) AS ce
+  FROM flat f JOIN cnt c USING (tok) CROSS JOIN tot t GROUP BY f.doc_id
+),
+pp AS (
+  SELECT d.lang, d.doc_id, round(exp(coalesce(a.ce, 0)), 6) AS ppl_r
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+nt AS (
+  SELECT lang, doc_id, ppl_r,
+         ntile(3) OVER (PARTITION BY lang ORDER BY ppl_r ASC, doc_id ASC) AS b
+  FROM pp
+)
+SELECT lang, CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs, sum(doc_id) AS doc_id_sum,
+       round(min(ppl_r), 6) AS ppl_min_r, round(max(ppl_r), 6) AS ppl_max_r
+FROM nt GROUP BY lang, b ORDER BY lang, b
 """,
         # synthetic media metadata is closed-form in media_id, so the frame
         # sampler (n = min(8, max(1, trunc(dur/1000*fps))), timestamps

@@ -114,6 +114,113 @@ def brute_force_topk(
     return out[["query_idx", "rank", "vec_id", "score"]]
 
 
+def _int8_quantize(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector symmetric int8 quantization: scale s = maxabs/127 (1.0 for
+    an all-zero vector), q = floor(x·127/maxabs + 0.5) — round-half-up so the
+    SQL oracle's ``floor(x + 0.5)`` replays it bit-for-bit (numpy's banker's
+    ``np.round`` would not)."""
+    mx = np.abs(m).max(axis=1)
+    mx[mx == 0] = 1.0
+    q = np.floor(m * (127.0 / mx[:, None]) + 0.5)
+    return q, mx
+
+
+def quantized_rescore_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    oversample: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Two-phase quantized kNN (the ES ``int8_hnsw`` + ``rescore_vector``
+    oversample shape, on a flat scan): phase 1 scores every vector with the
+    cheap per-vector-int8 approximate cosine and keeps the global top
+    ``k·oversample`` candidates per query; phase 2 fetches ONLY those
+    candidate vectors (one broadcast-id filtered scan, k-bounded) and
+    re-ranks them with the exact float cosine.
+
+    Approximate cosine of query q and doc d:
+    ``(Qq·Dq) · (qmax/127) · (dmax/127) / (‖q‖·‖d‖)`` with Qq, Dq the
+    round-half-up int8 codes — every arithmetic step is SQL-replayable, so
+    the oracle reproduces both the candidate sets and the final ranking.
+
+    Scale shape: phase 1 ships O(queries · k·oversample) rows per block and
+    nothing else; phase 2's gather is bounded by the candidate-set size.
+    Returns (query_idx, rank, vec_id, coarse, score) rows, rank ≤ k by
+    (-exact, vec_id) over the candidates.
+    """
+    Q = np.asarray(queries, dtype=np.float64)
+    Qq, qmx = _int8_quantize(Q)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    qnorm[qnorm == 0] = 1.0
+    q_ref = ray.put((Qq, qmx, qnorm))
+    kk_c = k * oversample
+
+    def coarse_batch(batch: pa.Table) -> pa.Table:
+        Qqm, qmxv, qnv = ray.get(q_ref)
+        emb = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        Dq, dmx = _int8_quantize(emb)
+        dnorm = np.sqrt((emb * emb).sum(axis=1))
+        dnorm[dnorm == 0] = 1.0
+        dots = Dq @ Qqm.T  # exact: int-valued floats < 2^53
+        # association mirrors the SQL oracle: ((dot·qs)·ds)/(qn·dn)
+        sims = ((dots * (qmxv / 127.0)[None, :]) * (dmx / 127.0)[:, None]) / (
+            qnv[None, :] * dnorm[:, None]
+        )
+        kk = min(kk_c, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(Qqm.shape[0]):
+            col = sims[:, qi]
+            part = _boundary_safe_topk(col, kk)
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[part])
+            out_s.append(col[part])
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
+    cand = (
+        partials.groupby("query_idx")
+        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .to_pandas()
+    )
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.minimum(pos, max(want.size - 1, 0))
+        hit = (want[pos] == ids) if want.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(hit)).select([id_col, emb_col])
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(got[id_col].to_numpy(), got[emb_col].to_numpy()))
+    E = np.stack([np.asarray(by_id[v], dtype=np.float64) for v in cand["vec_id"]])
+    enorm = np.sqrt((E * E).sum(axis=1))
+    enorm[enorm == 0] = 1.0
+    qi = cand["query_idx"].to_numpy()
+    exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
+    cand = cand.assign(exact=exact)
+    out = []
+    for g_qi, g in cand.groupby("query_idx", sort=True):
+        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_idx": np.full(len(g), g_qi, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "coarse": g["score"].to_numpy(),
+                    "score": g["exact"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]), replace=False)]

@@ -535,6 +535,54 @@ def boosted_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def distance_feature_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``distance_feature`` query on
+    a numeric field: BM25 plus ``boost·pivot/(pivot + |n_chars − origin|)``
+    (origin=300, pivot=100, boost=1.0) — docs near the origin length gain
+    up to +1; the decay is the ES reciprocal shape.  Applied to matched
+    docs inside the shard owners before local top-k."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, score, url) in enumerate(
+                ss.search_boosted(text, BM25_K, boost=1.0, pivot=100.0, feature="distance", origin=300.0),
+                1,
+            ):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def field_value_factor_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``function_score`` with
+    ``field_value_factor`` (modifier=log1p, boost_mode=multiply): matched
+    docs' BM25 scores are MULTIPLIED by ``ln(1 + n_chars/100)`` inside the
+    shard owners before local top-k — longer docs amplified, the
+    popularity-signal shape of the ES docs' canonical example."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, score, url) in enumerate(
+                ss.search_boosted(text, BM25_K, boost=1.0, pivot=100.0, feature="fvf_log1p_mul"),
+                1,
+            ):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def _chunk_index_dir(sf_dir: str) -> str:
     key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{DOCS_CFG}|chunks_v1".encode()).hexdigest()[:12]
     return os.path.join("/tmp/splade_ray_cache", f"docs_cidx_{key}")
@@ -1349,6 +1397,40 @@ def span_near_topk(sf_dir: str) -> pd.DataFrame:
     rows = []
     for qid, text, slop in SPAN_QUERIES:
         for rank, (_doc, score, url) in enumerate(reader.search_span_near(text, slop, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# (qid, include_text, exclude_term, slop) — ordered span-near minus an
+# overlapping exclude term; nq4's exclude is OOV (≡ plain span-near) and
+# nq5's include has an OOV token (empty on both sides)
+SPAN_NOT_QUERIES: list[tuple[str, str, str, int]] = [
+    ("nq1", "order scan", "table", 2),
+    ("nq2", "fast key", "value", 3),
+    ("nq3", "hash join", "a", 5),
+    ("nq4", "stream column", "zzznotaword", 1),
+    ("nq5", "order zzznotaword", "key", 1),
+]
+
+
+def span_not_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene ``SpanNotQuery`` top-10
+    from the forward-enabled index: ordered span-near matches of the
+    include terms whose span positions hold NO occurrence of the exclude
+    term (a doc with every span poisoned does not match), BM25-bag-ranked
+    over the include terms.  Same chain DP as span-near plus two
+    searchsorted probes per completed span over the base-offset exclude
+    positions — no per-span loop."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text, excl, slop in SPAN_NOT_QUERIES:
+        for rank, (_doc, score, url) in enumerate(
+            reader.search_span_not(text, excl, slop, BM25_K), 1
+        ):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
@@ -2870,6 +2952,27 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     return out[["query_vec_id", "rank", "vec_id", "score_r"]]
 
 
+def knn_int8_rescore(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, coarse_r, score_r) — two-phase
+    quantized kNN (ES ``int8`` quantized vectors + ``rescore_vector``
+    oversample): phase 1 ranks the whole corpus by the per-vector-int8
+    approximate cosine and keeps the top 30 (k=10 × oversample 3) per
+    query; phase 2 fetches ONLY those candidates and re-ranks them with
+    the exact float cosine.  The round-half-up quantization and the
+    approximate-score arithmetic are SQL-replayable, so the oracle
+    reproduces candidate sets, both scores, and the final ranking."""
+    from .ann import quantized_rescore_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    out = quantized_rescore_topk(ds, Q, k=10, oversample=3)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["coarse_r"] = out["coarse"].round(6)
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "coarse_r", "score_r"]]
+
+
 def semdedup_kept(sf_dir: str) -> pd.DataFrame:
     """(vec_id, cluster, kept) — SemDeDup semantic dedup (Abbas et al.
     2023): deterministic k-means (k=4, 3 iterations, min-id seeding) over
@@ -3086,6 +3189,106 @@ def doc_perplexity(sf_dir: str) -> pd.DataFrame:
     out["cross_entropy"] = out["cross_entropy"].round(6)
     out["ppl"] = out["ppl"].round(6)
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """(lang, bucket, n_docs, doc_id_sum, ppl_min_r, ppl_max_r) — CCNet's
+    per-language perplexity bucketing (Wenzek et al. 2020): every language's
+    docs are split into head/middle/tail TERCILES of the unigram-LM
+    perplexity distribution (head = lowest perplexity = highest quality),
+    exact ntile(3) semantics over (round(ppl, 6) ASC, doc_id ASC).
+
+    Scale shape: one LM fit + scoring pass over the corpus (text dropped
+    immediately after — the streamed intermediate is 4 narrow columns),
+    then ONE segmented (lang, key) range-partition sort with block-summary
+    rank assignment (:func:`splade_ray.pipelines.scan.segmented_rank` —
+    driver state is one row per block×segment, never per doc; one
+    all-to-all regardless of language count), a streaming ntile map with
+    the broadcast per-language totals, and 3-bucket combiner partials.
+    The sort key packs round(ppl·1e6) above doc_id and asserts both
+    fields fit (ppl < 2^30 µunits, doc_id < 2^33) so an oversized value
+    fails loudly.
+
+    ``doc_id_sum`` fingerprints the exact bucket membership."""
+    from .scan import segmented_rank
+    from .textops import unigram_lm_scores
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    scored = unigram_lm_scores(ds, keep_cols=("lang",))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppl = batch.column("ppl").to_numpy(zero_copy_only=False)
+        pplu = np.rint(np.round(ppl, 6) * 1e6).astype(np.int64)
+        if did.size and (int(pplu.max()) >= (1 << 30) or int(did.max()) >= (1 << 33)):
+            raise ValueError("ccnet bucket key overflow: ppl or doc_id out of packing range")
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": pa.array(did),
+                "ppl_r": pa.array(pplu / 1e6),
+                "key": pa.array((pplu << 33) | did),
+            }
+        )
+
+    sub = scored.map_batches(keyed, batch_format="pyarrow")
+    ranked = segmented_rank(sub, "lang", "key", out_col="rnk")
+    counts = {
+        r["lang"]: int(r["count()"])
+        for r in ranked.groupby("lang").count().to_pandas().to_dict("records")
+    }
+    counts_ref = ray.put(counts)
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(counts_ref)
+        langs = batch.column("lang").to_pandas().to_numpy()
+        r = batch.column("rnk").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray([nmap[s] for s in langs], dtype=np.int64)
+        q, rem = n // 3, n % 3
+        head = rem * (q + 1)
+        b = np.where(
+            r <= head,
+            (r - 1) // np.maximum(q + 1, 1),
+            rem + (r - 1 - head) // np.maximum(q, 1),
+        )
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ppl = batch.column("ppl_r").to_numpy(zero_copy_only=False)
+        # per-(lang, bucket) combiner partial: count, id-sum, ppl min/max
+        out = {"lang": [], "bucket": [], "n": [], "dsum": [], "pmin": [], "pmax": []}
+        for lg in np.unique(langs):
+            lm = langs == lg
+            for bi in np.unique(b[lm]):
+                m = lm & (b == bi)
+                out["lang"].append(str(lg))
+                out["bucket"].append(int(bi))
+                out["n"].append(int(m.sum()))
+                out["dsum"].append(int(did[m].sum()))
+                out["pmin"].append(float(ppl[m].min()))
+                out["pmax"].append(float(ppl[m].max()))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    parts = ranked.map_batches(to_bucket, batch_format="pyarrow").to_pandas()
+    names = ["head", "middle", "tail"]
+    g = parts.groupby(["lang", "bucket"])
+    agg = pd.DataFrame(
+        {
+            "n_docs": g["n"].sum(),
+            "doc_id_sum": g["dsum"].sum(),
+            "ppl_min_r": g["pmin"].min().round(6),
+            "ppl_max_r": g["pmax"].max().round(6),
+        }
+    ).reset_index()
+    agg = agg.sort_values(["lang", "bucket"], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "bucket": [names[int(b)] for b in agg["bucket"]],
+            "n_docs": agg["n_docs"].astype(int),
+            "doc_id_sum": agg["doc_id_sum"].astype(int),
+            "ppl_min_r": agg["ppl_min_r"].astype(float),
+            "ppl_max_r": agg["ppl_max_r"].astype(float),
+        }
+    )
 
 
 def approx_distinct_trigrams(sf_dir: str) -> pd.DataFrame:

@@ -91,6 +91,88 @@ def ordered_prefix_sum(ds: Dataset, value_col: str, order_col: str, out_col: str
     return sds.map_batches(add_scan, batch_format="pyarrow", batch_size=None)
 
 
+def segmented_rank(
+    ds: Dataset, seg_col: str, order_col: str, out_col: str = "rnk"
+) -> Dataset:
+    """Per-segment dense rank (1-based) of each row in ``order_col`` order
+    within its ``seg_col`` group — the distributed ``row_number() OVER
+    (PARTITION BY seg ORDER BY key)``.
+
+    Requires ``order_col`` values unique within a segment.  ONE all-to-all
+    (a (seg, key) range-partition sort) regardless of segment count — the
+    per-segment-loop alternative pays one sort per segment.  Pass 1 ships
+    one (seg, count, min_key, max_key) summary row per block × segment the
+    block touches (segments × blocks, never rows); pass 2 is a streaming
+    map with the broadcast offset table: within a block, rows of a segment
+    are contiguous (the sort guarantees it), so the in-block rank is one
+    arange per run."""
+    sds = ds.sort([seg_col, order_col]).materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "seg": pa.array([], type=batch.schema.field(seg_col).type),
+                    "kmin": pa.array([], type=pa.int64()),
+                    "kmax": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        segs = batch.column(seg_col).to_pandas().to_numpy()
+        keys = _col_np(batch, order_col)
+        # contiguous runs per segment (sorted within the block)
+        cut = np.flatnonzero(segs[1:] != segs[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(segs)]))
+        return pa.table(
+            {
+                "seg": pa.array(segs[starts]),
+                "kmin": pa.array(keys[starts].astype(np.int64)),
+                "kmax": pa.array(keys[ends - 1].astype(np.int64)),
+                "cnt": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    summ = sds.map_batches(summarize, batch_format="pyarrow", batch_size=None).to_pandas()
+    if len(summ) == 0:
+        return sds.map_batches(
+            lambda b: b.append_column(out_col, pa.array([], type=pa.int64())),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    summ = summ.sort_values(["seg", "kmin"], kind="mergesort", ignore_index=True)
+    # per-segment key ranges must be strictly increasing across blocks — a
+    # duplicate (seg, key) spanning a block boundary makes ranks ambiguous
+    same = summ["seg"].to_numpy()[1:] == summ["seg"].to_numpy()[:-1]
+    if same.any() and (summ["kmax"].to_numpy()[:-1][same] >= summ["kmin"].to_numpy()[1:][same]).any():
+        raise ValueError(f"duplicate ({seg_col}, {order_col}) across blocks — rank is ambiguous")
+    grp_off = summ.groupby("seg", sort=False)["cnt"].cumsum().to_numpy() - summ["cnt"].to_numpy()
+    offsets = {
+        (s, int(k)): int(o)
+        for s, k, o in zip(summ["seg"].to_numpy(), summ["kmin"].to_numpy(), grp_off)
+    }
+    ref = ray.put(offsets)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.int64()))
+        offs = ray.get(ref)
+        segs = batch.column(seg_col).to_pandas().to_numpy()
+        keys = _col_np(batch, order_col)
+        cut = np.flatnonzero(segs[1:] != segs[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(segs)]))
+        rnk = np.empty(len(segs), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            key = (segs[s], int(keys[s]))
+            if key not in offs:
+                raise ValueError("batch run does not start at a recorded block boundary")
+            rnk[s:e] = offs[key] + np.arange(1, e - s + 1, dtype=np.int64)
+        return batch.append_column(out_col, pa.array(rnk))
+
+    return sds.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
 def pack_bins(
     ds: Dataset,
     value_col: str,

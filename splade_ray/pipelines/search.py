@@ -774,6 +774,72 @@ class ShardIndex:
         matched = cand[np.unique(cidx[ok])]
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
+    def span_not_topk(
+        self,
+        qtids: np.ndarray,
+        qweights: np.ndarray,
+        h_seq: np.ndarray,
+        h_excl: int,
+        slop: int,
+        k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene ``SpanNotQuery`` top-k: docs holding at least one ordered
+        span-near match of the include terms (positions p1 < … < pm with
+        (pm − p1) − (m−1) ≤ slop, as :meth:`span_near_topk`) where NO
+        occurrence of the exclude term falls inside that span's positions
+        [p1, pm].  A doc with every include span poisoned by the exclude
+        term does not match.  BM25-bag-ranked over the INCLUDE terms only.
+
+        Same chain DP as :meth:`span_near_topk`, but instead of stopping at
+        "some chain completed", every completed span (start=chain, end=pos)
+        is checked against the candidate's exclude occurrences with two
+        ``np.searchsorted`` probes over the base-offset position keys — the
+        occurrence stream is globally ascending, so per-candidate ranges
+        never interleave and no per-span loop is needed."""
+        if self.fwd_stream is None:
+            raise ValueError("span-not search requires an index built with store_forward=True")
+        m = int(h_seq.size)
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pos, cidx = self._candidate_windows(cand, 1)  # every token position
+        tok = self.fwd_stream[pos]
+        keep = np.isin(tok, np.append(h_seq, np.uint64(h_excl)))
+        pos, cidx, tok = pos[keep].astype(np.int64), cidx[keep], tok[keep]
+        if pos.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        NEG = np.int64(-(1 << 62))
+        BIG = np.int64(self.fwd_stream.size + 1)
+        base = cidx * BIG
+        chain = np.where(tok == h_seq[0], pos, NEG)
+        for j in range(1, m):
+            v = np.where((tok == h_seq[j - 1]) & (chain > NEG // 2), chain + base, NEG)
+            acc = np.maximum.accumulate(v)
+            prev = np.empty_like(acc)
+            prev[0] = NEG
+            prev[1:] = acc[:-1]  # strict: an earlier occurrence only
+            start = prev - base  # a leak from an earlier candidate goes < 0
+            chain = np.where((tok == h_seq[j]) & (prev > NEG // 2) & (start >= 0), start, NEG)
+        ok = (chain > NEG // 2) & (pos - chain <= np.int64(m - 1 + slop))
+        if not ok.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # exclude-overlap check: span survives iff no exclude occurrence has
+        # a base-offset key in [start_key, end_key]
+        ekeys = (pos + base)[tok == np.uint64(h_excl)]  # ascending by construction
+        start_key = chain[ok] + base[ok]
+        end_key = pos[ok] + base[ok]
+        clean = (
+            np.searchsorted(ekeys, start_key, side="left")
+            == np.searchsorted(ekeys, end_key, side="right")
+        )
+        matched = cand[np.unique(cidx[ok][clean])]
+        if matched.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        return self._restricted_bag_topk(slices, qweights, matched, k)
+
     def intervals_topk(
         self, qtids: np.ndarray, qweights: np.ndarray, h_terms: np.ndarray, max_gaps: int, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1926,6 +1992,34 @@ class IndexReader:
         cands = [sh.span_near_topk(qtids, qw, h_seq, slop, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def search_span_not(
+        self, text: str, exclude: str, slop: int, k: int = 10
+    ) -> list[tuple[int, float, str]]:
+        """Span-not top-k (Lucene ``SpanNotQuery``, requires
+        ``store_forward=True``): ordered span-near of the query tokens
+        (slop as :meth:`search_span_near`) with NO occurrence of the
+        (single-token) exclude term inside the matching span's positions;
+        BM25-bag-ranked over the include terms with the usual (-score, doc)
+        tie-break.  An OOV include token ⇒ no match anywhere ⇒ []; an OOV
+        exclude term excludes nothing (≡ plain span-near)."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("span-not search needs at least two include tokens")
+        etoks = self.tok.tokenize(exclude)
+        if len(etoks) != 1:
+            raise ValueError(f"span-not takes one exclude term, got {etoks!r}")
+        if etoks[0] in toks:
+            raise ValueError("exclude term must differ from every include token")
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one include token is OOV
+        h_seq = md5_u64(toks)
+        h_excl = int(md5_u64(etoks)[0])
+        cands = [sh.span_not_topk(qtids, qw, h_seq, h_excl, slop, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
     def search_intervals(self, text: str, max_gaps: int, k: int = 10) -> list[tuple[int, float, str]]:
         """Unordered interval top-k (ES ``intervals`` / ``all_of(ordered:
         false, max_gaps)``, requires ``store_forward=True``): all query
@@ -2523,13 +2617,29 @@ class ShardScorerActor:
         }
 
     def score_boosted(
-        self, qtids: np.ndarray, qw: np.ndarray, k: int, attr_col: str, boost: float, pivot: float
+        self,
+        qtids: np.ndarray,
+        qw: np.ndarray,
+        k: int,
+        attr_col: str,
+        boost: float,
+        pivot: float,
+        feature: str = "rank_log1p",
+        origin: float = 0.0,
     ):
-        """Static-signal boost (Lucene FeatureField / ES rank_feature):
-        matched docs' BM25 scores gain ``boost·ln(1 + attr/pivot)`` from a
-        numeric doc-value before local top-k — the boost never creates a
-        match (zero scores stay zero), so tombstones and the nonzero
-        filter are untouched."""
+        """Static-signal scoring functions over a numeric doc-value,
+        applied to matched docs inside the shard owner before local top-k
+        (the modifier never creates a match — zero scores stay zero, so
+        tombstones and the nonzero filter are untouched):
+
+        - ``rank_log1p`` (Lucene FeatureField / ES rank_feature):
+          score += boost·ln(1 + attr/pivot)
+        - ``distance`` (ES distance_feature on a numeric field):
+          score += boost·pivot/(pivot + |attr − origin|)
+        - ``fvf_log1p_mul`` (ES function_score field_value_factor,
+          modifier=log1p, boost_mode=multiply):
+          score *= boost·ln(1 + attr/pivot)
+        """
         attrs = self._attr_for_shards(attr_col)
         cands_d, cands_s, cands_u = [], [], []
         for sh, attr in zip(self.reader.shards, attrs):
@@ -2541,7 +2651,14 @@ class ShardScorerActor:
             scores = np.bincount(ids, weights=w, minlength=sh.n_local)
             m = scores > 0
             fa = np.asarray(attr, dtype=np.float64)
-            scores[m] += boost * np.log1p(fa[m] / pivot)
+            if feature == "rank_log1p":
+                scores[m] += boost * np.log1p(fa[m] / pivot)
+            elif feature == "distance":
+                scores[m] += boost * pivot / (pivot + np.abs(fa[m] - origin))
+            elif feature == "fvf_log1p_mul":
+                scores[m] *= boost * np.log1p(fa[m] / pivot)
+            else:
+                raise ValueError(f"unknown boost feature: {feature!r}")
             d, s = sh._topk_from_scores(scores, k)
             cands_d.append(d)
             cands_s.append(s)
@@ -2876,15 +2993,27 @@ class ShardedSearcher:
         return rows[:k]
 
     def search_boosted(
-        self, text: str, k: int = 10, attr_col: str = "n_chars", boost: float = 0.5, pivot: float = 1000.0
+        self,
+        text: str,
+        k: int = 10,
+        attr_col: str = "n_chars",
+        boost: float = 0.5,
+        pivot: float = 1000.0,
+        feature: str = "rank_log1p",
+        origin: float = 0.0,
     ) -> list[tuple[int, float, str]]:
-        """Rank-feature retrieval (Lucene FeatureField shape): BM25 plus a
-        static-signal boost ``boost·ln(1 + attr/pivot)`` applied to matched
-        docs inside each shard owner before local top-k."""
+        """Static-signal retrieval (Lucene FeatureField / ES
+        distance_feature / function_score field_value_factor, selected by
+        ``feature`` — see :meth:`ShardScorerActor.score_boosted`): BM25
+        with the doc-value modifier applied inside each shard owner before
+        local top-k."""
         qtids, qw = self.reader.encode_query(text)
         if qtids.size == 0:
             return []
-        futs = [a.score_boosted.remote(qtids, qw, k, attr_col, boost, pivot) for a in self.actors]
+        futs = [
+            a.score_boosted.remote(qtids, qw, k, attr_col, boost, pivot, feature, origin)
+            for a in self.actors
+        ]
         docs, scores, urls = [], [], []
         for d, s, u in ray.get(futs):
             docs.append(d)

@@ -1242,12 +1242,19 @@ class UnigramScoreStage:
     the LM).  The (sorted token-hash → log-prob) table arrives as one
     ``ray.put`` broadcast — vocab-bounded, small even at 100 TB."""
 
-    def __init__(self, lm_ref, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(
+        self,
+        lm_ref,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        keep_cols: tuple[str, ...] = (),
+    ):
         import ray
 
         self.hashes, self.logp = ray.get(lm_ref) if not isinstance(lm_ref, tuple) else lm_ref
         self.text_col = text_col
         self.id_col = id_col
+        self.keep_cols = tuple(keep_cols)
         self.tok = Tokenizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1260,14 +1267,15 @@ class UnigramScoreStage:
             lp = np.where(self.hashes[pos] == th, self.logp[pos], 0.0)  # OOV: logp 0 (scored corpus ⊆ fit corpus)
             tot = np.bincount(rows, weights=lp, minlength=n)
             ce = np.where(dls > 0, -tot / np.maximum(dls, 1), 0.0)
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "n_tokens": pa.array(dls.astype(np.int64)),
-                "cross_entropy": pa.array(ce),
-                "ppl": pa.array(np.exp(ce)),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array(dls.astype(np.int64)),
+            "cross_entropy": pa.array(ce),
+            "ppl": pa.array(np.exp(ce)),
+        }
+        for c in self.keep_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
 
 def unigram_lm_scores(
@@ -1275,6 +1283,7 @@ def unigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> Dataset:
     """Fit a corpus unigram LM (one combiner pass + vocab-bounded driver
     reduce) and score every doc's mean negative log-likelihood under it.
@@ -1299,7 +1308,10 @@ def unigram_lm_scores(
         hashes, logp = np.zeros(0, np.uint64), np.zeros(0, np.float64)
     ref = ray.put((hashes, logp))
     return ds.map_batches(
-        UnigramScoreStage, fn_constructor_kwargs={"lm_ref": ref, "text_col": text_col, "id_col": id_col},
+        UnigramScoreStage,
+        fn_constructor_kwargs={
+            "lm_ref": ref, "text_col": text_col, "id_col": id_col, "keep_cols": keep_cols,
+        },
         batch_format="pyarrow", concurrency=concurrency or pool_size(),
     )
 

@@ -54,3 +54,34 @@ def test_pack_bins_sequential_fill(ray_session):
     out = pack_bins(_ds(keys, vals, blocks=3), "v", "k", capacity=100).to_pandas().sort_values("k")
     # exclusive cumsum: 0,30,...,270 -> bins 0,0,0,0(90//100=0),1,1,1,2,2,2
     assert out["bin_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+def test_segmented_rank_matches_pandas(ray_session):
+    from splade_ray.pipelines.scan import segmented_rank
+
+    rng = np.random.default_rng(13)
+    n = 800
+    segs = rng.choice(["en", "de", "fr", "ja"], size=n)
+    keys = rng.permutation(n * 5)[:n].astype(np.int64)  # unique within any segment
+    t = pa.table({"seg": pa.array(segs.tolist()), "k": pa.array(keys)})
+    out = (
+        segmented_rank(rd.from_arrow(t).repartition(9), "seg", "k")
+        .to_pandas()
+        .sort_values(["seg", "k"], ignore_index=True)
+    )
+    import pandas as pd
+
+    want = pd.DataFrame({"seg": segs, "k": keys}).sort_values(
+        ["seg", "k"], ignore_index=True
+    )
+    want["rnk"] = want.groupby("seg").cumcount() + 1
+    assert out["rnk"].tolist() == want["rnk"].tolist()
+    assert out["k"].tolist() == want["k"].tolist()
+
+
+def test_segmented_rank_single_segment_and_tiny(ray_session):
+    from splade_ray.pipelines.scan import segmented_rank
+
+    t = pa.table({"seg": pa.array(["x", "x", "x"]), "k": pa.array([30, 10, 20], type=pa.int64())})
+    out = segmented_rank(rd.from_arrow(t), "seg", "k").to_pandas().sort_values("k")
+    assert out["rnk"].tolist() == [1, 2, 3]
