@@ -263,6 +263,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_by_lang": q.top_hits_by_lang,
         # hybrid sparse+dense reciprocal-rank fusion (BM25 ⊕ cosine kNN)
         "hybrid_topk": q.hybrid_topk,
+        # ES linear retriever: min-max-normalized weighted score fusion
+        "linear_fusion_topk": q.linear_fusion_topk,
+        # rank_feature saturation function (boost·S/(S+pivot))
+        "rank_feature_sat_topk": q.rank_feature_sat_topk,
+        # _msearch: the whole query batch in ONE RPC per shard group
+        "msearch_topk": q.msearch_topk,
+        # date_range / geo_bounds+geo_centroid / change_point aggs
+        "date_range_agg": q.date_range_agg,
+        "geo_bounds_centroid": q.geo_bounds_centroid,
+        "change_point_day": q.change_point_day,
+        # first-principal-component projection (power iteration, 1 Gram pass)
+        "pca_project": q.pca_project,
+        # product-quantized ADC kNN + exact rescore (the PQ half of IVF-PQ)
+        "knn_pq_adc": q.knn_pq_adc,
         # best-window snippet extraction over the BM25 top-5
         "search_snippets": q.search_snippets,
         "search_snippets_sharded": q.search_snippets_sharded,
@@ -4274,5 +4288,191 @@ SELECT media_id,
        CAST(500 + (media_id * 977) % 59500 AS INTEGER) AS duration_ms,
        feat_idx, feat_value
 FROM feats ORDER BY media_id, feat_idx
+"""
+    # rank_feature saturation: same BM25 chain as boosted_sql, additive
+    # bounded modifier boost·S/(S+pivot) (the ES rank_feature default)
+    oracles["rank_feature_sat_topk"] = boosted_sql.replace(
+        "sc.score + 0.5 * ln(1 + d.n_chars / 1000.0) AS score",
+        "sc.score + 1.5 * (d.n_chars / (d.n_chars + 500.0)) AS score",
+    )
+    assert oracles["rank_feature_sat_topk"] != boosted_sql
+    # _msearch is rank-identical to per-query search by contract — the
+    # batched path replays the plain BM25 oracle
+    oracles["msearch_topk"] = bm25
+    # linear retriever: min-max normalize each list's top-20, weighted sum
+    oracles["linear_fusion_topk"] = (
+        bm25_ctes
+        + f""",
+sparse AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= 20),
+snorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS nv
+  FROM sparse
+),
+qmap(query_id, qvec_id) AS (VALUES {qmap_values}),
+qv AS (SELECT m.query_id, CAST(e.embedding AS DOUBLE[]) AS qe
+       FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec_id),
+dsim AS (SELECT q.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cs
+         FROM qv q CROSS JOIN embeddings e),
+dense AS (SELECT query_id, doc_id, cs FROM (
+            SELECT query_id, doc_id, cs,
+                   row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 9) DESC, doc_id ASC) AS rank
+            FROM dsim) WHERE rank <= 20),
+dnorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(cs) OVER (PARTITION BY query_id) = min(cs) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (cs - min(cs) OVER (PARTITION BY query_id))
+                   / (max(cs) OVER (PARTITION BY query_id) - min(cs) OVER (PARTITION BY query_id))
+         END AS nv
+  FROM dense
+),
+fused AS (SELECT query_id, doc_id, sum(wnv) AS f FROM (
+            SELECT query_id, doc_id, 0.7 * nv AS wnv FROM snorm
+            UNION ALL SELECT query_id, doc_id, 0.3 * nv FROM dnorm)
+          GROUP BY query_id, doc_id),
+franked AS (SELECT query_id, doc_id, f,
+                   row_number() OVER (PARTITION BY query_id ORDER BY round(f, 9) DESC, doc_id ASC) AS rank
+            FROM fused)
+SELECT query_id, rank, doc_id, round(f, 6) AS fused_r
+FROM franked WHERE rank <= 10
+"""
+    )
+    oracles["date_range_agg"] = """
+WITH b AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN '*-2024-01-08'
+              WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-08-2024-01-20'
+              ELSE '2024-01-20-*' END AS bucket,
+         value
+  FROM events
+)
+SELECT bucket, count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value_r
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+    # geo_bounds + geo_centroid over the same event lattice as geotile_grid
+    oracles["geo_bounds_centroid"] = """
+WITH g AS (SELECT -60.0 + (event_id % 120) + 0.5 AS lat,
+                  -180.0 + ((event_id * 7) % 360) + 0.5 AS lon
+           FROM events)
+SELECT count(*)::BIGINT AS n_events,
+       min(lat) AS min_lat, max(lat) AS max_lat,
+       min(lon) AS min_lon, max(lon) AS max_lon,
+       round(avg(lat), 6) AS centroid_lat_r,
+       round(avg(lon), 6) AS centroid_lon_r
+FROM g
+"""
+    # change_point: least-squares split statistic over the daily-avg
+    # series, argmax by (-round(score,9), day) — the change day is the
+    # FIRST day of the new regime (split index + 1)
+    oracles["change_point_day"] = """
+WITH daily AS (SELECT date_trunc('day', ts) AS day, avg(value) AS v
+               FROM events GROUP BY 1),
+idx AS (SELECT day, v,
+               row_number() OVER (ORDER BY day) AS t,
+               count(*) OVER () AS n,
+               sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ps,
+               sum(v) OVER () AS tot
+        FROM daily),
+sc AS (SELECT t,
+              ps / t AS m1,
+              (tot - ps) / (n - t) AS m2,
+              (t * (n - t))::DOUBLE / n * (ps / t - (tot - ps) / (n - t))
+                                        * (ps / t - (tot - ps) / (n - t)) AS score
+       FROM idx WHERE t < n),
+best AS (SELECT * FROM sc ORDER BY round(score, 9) DESC, t ASC LIMIT 1)
+SELECT strftime(i.day, '%Y-%m-%d') AS change_day,
+       round(b.score, 6) AS score_r,
+       round(b.m1, 6) AS mean_before_r,
+       round(b.m2, 6) AS mean_after_r
+FROM best b JOIN idx i ON i.t = b.t + 1
+"""
+    # PCA: scatter matrix from the centered long form, 3 power-iteration
+    # steps unrolled (v0 = 1/sqrt(d)), sign fixed by sum(v) > 0 — the same
+    # deterministic spec as the engine's driver iteration
+    _pca_steps = []
+    for it in (1, 2, 3):
+        prev = f"v{it - 1}"
+        _pca_steps.append(
+            f"w{it} AS (SELECT c.i, sum(c.c * v.v) AS w FROM cov c JOIN {prev} v ON v.i = c.j GROUP BY c.i),\n"
+            f"v{it} AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w{it}) AS v FROM w{it})"
+        )
+    oracles["pca_project"] = f"""
+WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   unnest(range(len(embedding))) AS dim FROM embeddings),
+mu AS (SELECT dim, avg(x) AS m FROM ev GROUP BY dim),
+cx AS (SELECT e.vec_id, e.dim, e.x - mu.m AS x FROM ev e JOIN mu USING (dim)),
+cov AS (SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS c
+        FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT dim AS i, 1.0 / sqrt((SELECT count(*) FROM mu)) AS v FROM mu),
+{",".join(_pca_steps)},
+sg AS (SELECT CASE WHEN (SELECT sum(v) FROM v3) < 0 THEN -1.0 ELSE 1.0 END AS s)
+SELECT cx.vec_id, round(sum(cx.x * v3.v) * (SELECT s FROM sg), 6) AS pc1_r
+FROM cx JOIN v3 ON v3.i = cx.dim
+GROUP BY cx.vec_id ORDER BY cx.vec_id
+"""
+    # product quantization: per-subspace Lloyd (2 iterations, smallest-id
+    # seeds, first-min ties, empty clusters keep their centroid) unrolled
+    # like the kmeans oracle but partitioned by sub; ADC = LUT-join sum;
+    # exact rescore replays the per-dim difference form (so self-matches
+    # are exactly 0.0 on both sides)
+    _pq_iters = []
+    for it in (1, 2):
+        prev = f"c{it - 1}"
+        _pq_iters.append(
+            f"""d{it} AS (SELECT e.vec_id, e.sub, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+       FROM sev e JOIN {prev} c ON c.sub = e.sub AND c.sdim = e.sdim
+       GROUP BY 1, 2, 3),
+a{it} AS (SELECT vec_id, sub, cl,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn FROM d{it}),
+c{it}m AS (SELECT a.sub, a.cl, e.sdim, avg(e.x) AS c
+        FROM a{it} a JOIN sev e ON e.vec_id = a.vec_id AND e.sub = a.sub
+        WHERE a.rn = 1 GROUP BY 1, 2, 3),
+c{it} AS (SELECT p.cl, p.sub, p.sdim, coalesce(m.c, p.c) AS c
+       FROM {prev} p LEFT JOIN c{it}m m ON m.cl = p.cl AND m.sub = p.sub AND m.sdim = p.sdim)"""
+        )
+    oracles["knn_pq_adc"] = f"""
+WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   unnest(range(len(embedding))) AS dim FROM embeddings),
+sev AS (SELECT vec_id, dim // 16 AS sub, dim % 16 AS sdim, x FROM ev),
+ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+c0 AS (SELECT i.cl, e.sub, e.sdim, e.x AS c FROM ids i JOIN sev e USING (vec_id)),
+{",".join(_pq_iters)},
+dfin AS (SELECT e.vec_id, e.sub, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+         FROM sev e JOIN c2 c ON c.sub = e.sub AND c.sdim = e.sdim
+         GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, cl FROM (
+            SELECT vec_id, sub, cl,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+            FROM dfin) WHERE rn = 1),
+q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+qs AS (SELECT q.qid, s.sub, s.sdim, s.x FROM q JOIN sev s ON s.vec_id = q.qid),
+lut AS (SELECT qs.qid, c.sub, c.cl, sum((qs.x - c.c) * (qs.x - c.c)) AS l
+        FROM qs JOIN c2 c ON c.sub = qs.sub AND c.sdim = qs.sdim
+        GROUP BY 1, 2, 3),
+adist AS (SELECT l.qid, cd.vec_id, sum(l.l) AS adist
+          FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cl = cd.cl
+          GROUP BY 1, 2),
+cand AS (SELECT qid, vec_id, adist,
+                row_number() OVER (PARTITION BY qid ORDER BY round(adist, 9) ASC, vec_id ASC) AS crank
+         FROM adist),
+cand30 AS (SELECT * FROM cand WHERE crank <= 30),
+exact AS (SELECT c.qid, c.vec_id, c.adist,
+                 sum((a.x - b.x) * (a.x - b.x)) AS dist
+          FROM cand30 c
+          JOIN ev a ON a.vec_id = c.qid
+          JOIN ev b ON b.vec_id = c.vec_id AND b.dim = a.dim
+          GROUP BY 1, 2, 3),
+final AS (SELECT qid, vec_id, adist, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY round(dist, 9) ASC, vec_id ASC) AS rank
+          FROM exact)
+SELECT qid AS query_vec_id, rank, vec_id,
+       round(adist, 6) AS adist_r, round(dist, 6) AS dist_r
+FROM final WHERE rank <= 10 ORDER BY query_vec_id, rank
 """
     return oracles

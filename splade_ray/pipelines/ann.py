@@ -18,6 +18,8 @@ Tie-break everywhere: ``(-score, id)`` — deterministic like the BM25 path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -565,3 +567,288 @@ def kmeans_assign(
     if return_centroids:
         return out, cent
     return out
+
+
+def _pq_seed_codebooks(
+    ds: Dataset, ksub: int, m_sub: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic PQ init: the ``ksub`` smallest-id vectors, sliced into
+    the ``m_sub`` contiguous subspaces (the same smallest-id convention as
+    :func:`kmeans_assign`, so the SQL oracle seeds identically).  Returns
+    (m_sub, ksub, dsub)."""
+
+    def min_k(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= ksub:
+            return batch.select([id_col, emb_col])
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:ksub]
+        return batch.select([id_col, emb_col]).take(pa.array(take))
+
+    seed_tabs = [
+        b
+        for b in ds.map_batches(min_k, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not seed_tabs:
+        raise ValueError("pq: dataset has no vectors")
+    seed = pa.concat_tables(seed_tabs)
+    order = np.argsort(seed.column(id_col).to_numpy(zero_copy_only=False), kind="stable")[:ksub]
+    x = _as_matrix(seed.column(emb_col).take(pa.array(order)))
+    if x.shape[1] % m_sub:
+        raise ValueError(f"pq: dim {x.shape[1]} not divisible by m_sub={m_sub}")
+    dsub = x.shape[1] // m_sub
+    # (ksub, m_sub, dsub) -> (m_sub, ksub, dsub)
+    return np.ascontiguousarray(x.reshape(x.shape[0], m_sub, dsub).transpose(1, 0, 2))
+
+
+def _pq_fit_batch(batch: pa.Table, cb_ref, emb_col: str) -> pa.Table:
+    """One PQ Lloyd half-step over ALL subspaces in one visit: emits
+    (sub, cl, sdim) partial sums + counts — ≤ m·k·dsub = m·k·(d/m) = k·d
+    cells per batch regardless of batch size."""
+    cbs = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) else cb_ref
+    m_sub, ksub, dsub = cbs.shape
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "sub": pa.array([], type=pa.int64()),
+                "cl": pa.array([], type=pa.int64()),
+                "sdim": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.float64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    x = _as_matrix(batch.column(emb_col))
+    subs, cls_, sdims, ss, cnts = [], [], [], [], []
+    for si in range(m_sub):
+        xs = x[:, si * dsub : (si + 1) * dsub]
+        assign, _ = _kmeans_dists(xs, cbs[si])
+        sums = np.zeros((ksub, dsub), dtype=np.float64)
+        np.add.at(sums, assign, xs)
+        cnt = np.bincount(assign, minlength=ksub).astype(np.int64)
+        subs.append(np.full(ksub * dsub, si, dtype=np.int64))
+        cls_.append(np.repeat(np.arange(ksub, dtype=np.int64), dsub))
+        sdims.append(np.tile(np.arange(dsub, dtype=np.int64), ksub))
+        ss.append(sums.ravel())
+        cnts.append(np.repeat(cnt, dsub))
+    return pa.table(
+        {
+            "sub": pa.array(np.concatenate(subs)),
+            "cl": pa.array(np.concatenate(cls_)),
+            "sdim": pa.array(np.concatenate(sdims)),
+            "s": pa.array(np.concatenate(ss)),
+            "cnt": pa.array(np.concatenate(cnts)),
+        }
+    )
+
+
+def pq_train(
+    ds: Dataset,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    embedding splits into ``m_sub`` contiguous subspaces and each trains
+    its own ``ksub``-centroid Lloyd k-means — ALL subspaces in the SAME
+    streaming pass per iteration (partials are (sub, cl, sdim) cells,
+    m·k·dsub = k·d doubles per block, combined on the driver).
+
+    Deterministic spec, SQL-replayable end-to-end: init = the ``ksub``
+    smallest-id vectors' sub-slices; squared-L2 assignment with first-min
+    (smallest cluster index) ties; empty clusters keep their previous
+    centroid.  Returns (m_sub, ksub, dsub) codebooks."""
+    cbs = _pq_seed_codebooks(ds, ksub, m_sub, id_col, emb_col)
+    m, k_, dsub = cbs.shape
+    for _ in range(iters):
+        ref = ray.put(cbs)
+        sums = np.zeros_like(cbs)
+        cnt = np.zeros((m, k_), dtype=np.int64)
+        for b in ds.map_batches(
+            _pq_fit_batch, fn_kwargs={"cb_ref": ref, "emb_col": emb_col}, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            sub = b.column("sub").to_numpy(zero_copy_only=False)
+            cl = b.column("cl").to_numpy(zero_copy_only=False)
+            sdim = b.column("sdim").to_numpy(zero_copy_only=False)
+            np.add.at(sums, (sub, cl, sdim), b.column("s").to_numpy(zero_copy_only=False))
+            first = sdim == 0
+            np.add.at(cnt, (sub[first], cl[first]), b.column("cnt").to_numpy(zero_copy_only=False)[first])
+        nz = cnt > 0
+        cbs = np.where(nz[:, :, None], sums / np.maximum(cnt, 1)[:, :, None], cbs)
+    return cbs
+
+
+def pq_adc_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    oversample: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Two-phase PQ kNN — the canonical 100-TB vector-serving shape
+    (IVF-PQ's PQ half on a flat scan): train codebooks with
+    :func:`pq_train`, then ONE streaming pass encodes each block's vectors
+    to codes and scores them against the queries' per-centroid
+    asymmetric-distance LUTs (||q_sub − c||², m·k cells per query,
+    broadcast once) — the block never materializes float distances per
+    dim, just an m-way LUT gather.  Phase 1 keeps the global top
+    ``k·oversample`` per query by (adist asc, vec_id); phase 2 fetches
+    ONLY those candidates and re-ranks with the exact float L2.
+
+    Returns (query_idx, rank, vec_id, adist, dist), rank ≤ k by
+    (-exact-dist asc, vec_id)."""
+    cbs = pq_train(ds, m_sub, ksub, iters, id_col, emb_col)
+    m, k_, dsub = cbs.shape
+    Q = np.asarray(queries, dtype=np.float64)
+    # per-query LUT: lut[qi, si, c] = ||q_sub - cbs[si, c]||^2
+    diff = Q.reshape(Q.shape[0], m, 1, dsub) - cbs[None, :, :, :]
+    lut = np.sum(diff * diff, axis=3)  # (nq, m, ksub)
+    state_ref = ray.put((cbs, lut))
+    kk_c = k * oversample
+
+    def adc_batch(batch: pa.Table) -> pa.Table:
+        cb, lt = ray.get(state_ref)
+        mm, kk_, ds_ = cb.shape
+        x = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.empty((x.shape[0], mm), dtype=np.int64)
+        for si in range(mm):
+            codes[:, si], _ = _kmeans_dists(x[:, si * ds_ : (si + 1) * ds_], cb[si])
+        nq = lt.shape[0]
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            # adist accumulates subspace-by-subspace (the SQL sum order is
+            # per-vector over sub — same-code vectors tie exactly either way)
+            adist = np.zeros(x.shape[0], dtype=np.float64)
+            for si in range(mm):
+                adist += lt[qi, si, codes[:, si]]
+            part = _boundary_safe_topk(-adist, min(kk_c, ids.size))
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[part])
+            out_s.append(-adist[part])  # negate: merge helpers rank DESC
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(adc_batch, batch_format="pyarrow", batch_size=4096)
+    cand = (
+        partials.groupby("query_idx")
+        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .to_pandas()
+    )
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.minimum(pos, max(want.size - 1, 0))
+        hit = (want[pos] == ids) if want.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(hit)).select([id_col, emb_col])
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(got[id_col].to_numpy(), got[emb_col].to_numpy()))
+    E = np.stack([np.asarray(by_id[v], dtype=np.float64) for v in cand["vec_id"]])
+    qi = cand["query_idx"].to_numpy()
+    dif = E - Q[qi]
+    exact = np.sum(dif * dif, axis=1)
+    cand = cand.assign(adist=-cand["score"].to_numpy(), dist=exact)
+    out = []
+    for g_qi, g in cand.groupby("query_idx", sort=True):
+        g = g.sort_values(["dist", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_idx": np.full(len(g), g_qi, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "adist": g["adist"].to_numpy(),
+                    "dist": g["dist"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def pca_power_project(
+    ds: Dataset,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """First principal component by power iteration over the scatter
+    matrix, fully distributed and SQL-replayable:
+
+    - ONE streaming pass accumulates the d×d Gram partials (n, Σx, ΣxxT —
+      d² doubles per block, the moment-combiner shape), so the scatter
+      matrix C = ΣxxT − n·mmT never touches a second corpus read;
+    - ``iters`` power iterations on the TINY d×d driver matrix from
+      v0 = 1/√d (deterministic — both sides replay the same 3 steps, so
+      convergence is irrelevant to the contract);
+    - sign fixed by Σv > 0 (asserted away from 0 so fp can't flip it);
+    - a second streaming pass projects each centered vector onto v.
+
+    Returns (vec_id, pc1) — the embedding-whitening / curation axis a
+    training-data pipeline derives before stratifying by content spread."""
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d = len(first[emb_col][0])
+
+    # (n, Σx, ΣxxT) ride one partial table: d rows of (dim, sx, n) plus
+    # d² rows of (i, j, g) would need two shapes — pack both as (i, j):
+    # j == -1 rows carry Σx at dim i and the count in g2.
+    def moments(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch.column(emb_col))
+        if x.size == 0:
+            x = np.zeros((0, d), dtype=np.float64)
+        g = x.T @ x
+        i = np.concatenate([np.repeat(np.arange(d, dtype=np.int64), d), np.arange(d, dtype=np.int64)])
+        j = np.concatenate([np.tile(np.arange(d, dtype=np.int64), d), np.full(d, -1, dtype=np.int64)])
+        vals = np.concatenate([g.ravel(), x.sum(axis=0)])
+        cnt = np.concatenate([np.zeros(d * d, dtype=np.int64), np.full(d, x.shape[0], dtype=np.int64)])
+        return pa.table({"i": pa.array(i), "j": pa.array(j), "v": pa.array(vals), "cnt": pa.array(cnt)})
+
+    G = np.zeros((d, d), dtype=np.float64)
+    sx = np.zeros(d, dtype=np.float64)
+    n = 0
+    for b in ds.map_batches(moments, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        bi = b.column("i").to_numpy(zero_copy_only=False)
+        bj = b.column("j").to_numpy(zero_copy_only=False)
+        bv = b.column("v").to_numpy(zero_copy_only=False)
+        mk = bj >= 0
+        np.add.at(G, (bi[mk], bj[mk]), bv[mk])
+        np.add.at(sx, bi[~mk], bv[~mk])
+        zero = ~mk & (bi == 0)
+        n += int(b.column("cnt").to_numpy(zero_copy_only=False)[zero].sum())
+    if n == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64), "pc1": pd.Series([], dtype=np.float64)})
+    mean = sx / n
+    C = G - n * np.outer(mean, mean)
+    v = np.full(d, 1.0 / math.sqrt(d), dtype=np.float64)
+    for _ in range(iters):
+        w = C @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0:
+            break
+        v = w / nrm
+    s = float(v.sum())
+    assert abs(s) > 1e-6, "pca sign rule degenerate (Σv ≈ 0) — pick another convention"
+    if s < 0:
+        v = -v
+    mv_ref = ray.put((mean, v))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mn, vv = ray.get(mv_ref)
+        x = _as_matrix(batch.column(emb_col))
+        pc1 = (x - mn) @ vv if x.size else np.zeros(0, dtype=np.float64)
+        return pa.table({id_col: batch.column(id_col), "pc1": pa.array(pc1)})
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col, ignore_index=True)

@@ -5593,3 +5593,247 @@ def total_hits(sf_dir: str) -> pd.DataFrame:
         value, relation, _visited = reader.total_hits(text, TOTAL_HITS_THRESHOLD)
         rows.append((qid, value, relation))
     return pd.DataFrame(rows, columns=["query_id", "value", "relation"])
+
+
+def rank_feature_sat_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``rank_feature`` with the
+    SATURATION function (the rank_feature default): matched docs gain
+    ``boost·S/(S + pivot)`` (boost=1.5, pivot=500) over the n_chars
+    feature — bounded in [0, boost), monotone in S, applied inside the
+    shard owners before local top-k (the log1p variant is ``boosted_topk``;
+    this is the other canonical rank_feature shape)."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for rank, (_d, score, url) in enumerate(
+                ss.search_boosted(text, BM25_K, boost=1.5, pivot=500.0, feature="saturation"),
+                1,
+            ):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def msearch_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``_msearch``: the WHOLE
+    query batch rides ONE RPC per shard group (queries encoded once on the
+    driver, postings visited once per actor for the batch), results
+    rank-identical to independent searches — the parity is asserted
+    in-query against the per-query scatter path."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
+    rows = []
+    try:
+        texts = [t for _q, t in BM25_QUERIES]
+        batched = ss.msearch(texts, BM25_K)
+        single = ss.search(texts[0], BM25_K)
+        assert batched[0] == single, "msearch diverged from per-query search"
+        for (qid, _t), hits in zip(BM25_QUERIES, batched):
+            for rank, (_d, score, url) in enumerate(hits, 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+LINEAR_FUSE_K_LIST = 20
+LINEAR_FUSE_W = (0.7, 0.3)  # (sparse, dense)
+
+
+def linear_fusion_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, fused_r) — the ES ``linear`` retriever
+    with min-max normalization: each text query's BM25 top-20 and its
+    paired dense query's cosine top-20 (vec_id == query index, the
+    ``hybrid_topk`` pairing) are min-max normalized WITHIN their own list
+    (max==min collapses to 1.0), then fused as 0.7·sparse + 0.3·dense
+    (absent → 0), top-10 by (-fused, doc_id).  Distinct from RRF: scores,
+    not ranks, carry the signal."""
+    from .ann import brute_force_topk
+
+    w_sp, w_dn = LINEAR_FUSE_W
+    reader = IndexReader(build_documents_index(sf_dir), DOCS_CFG)
+    emb = _emb(sf_dir)
+    qrows = _first_vecs(emb, len(BM25_QUERIES))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    dense = brute_force_topk(emb, Q, k=LINEAR_FUSE_K_LIST)
+    rows = []
+    for qi, (qid, text) in enumerate(BM25_QUERIES):
+        fused: dict[int, float] = {}
+        sp = [
+            (int(url.removeprefix("doc://")), s)
+            for _d, s, url in reader.search(text, LINEAR_FUSE_K_LIST)
+        ]
+        if sp:
+            mx, mn = max(s for _d, s in sp), min(s for _d, s in sp)
+            for d, s in sp:
+                nv = 1.0 if mx == mn else (s - mn) / (mx - mn)
+                fused[d] = fused.get(d, 0.0) + w_sp * nv
+        dq = dense[dense["query_idx"] == qi]
+        ds_, ss_ = dq["vec_id"].to_numpy(), dq["score"].to_numpy()
+        if ds_.size:
+            mx, mn = float(ss_.max()), float(ss_.min())
+            for d, s in zip(ds_.tolist(), ss_.tolist()):
+                nv = 1.0 if mx == mn else (s - mn) / (mx - mn)
+                fused[int(d)] = fused.get(int(d), 0.0) + w_dn * nv
+        top = sorted(fused.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:BM25_K]
+        rows.extend((qid, r, d, round(v, 6)) for r, (d, v) in enumerate(top, 1))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "fused_r"])
+
+
+DATE_RANGE_EDGES = ("2024-01-08", "2024-01-20")
+
+
+def date_range_agg(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_events, avg_value_r) — ES ``date_range`` aggregation
+    over the event stream: [*, 01-08), [01-08, 01-20), [01-20, *) —
+    vectorized int64-µs comparison per batch, (count, sum) partials
+    combine on the driver (3 cells × blocks)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+    lo, hi = (np.datetime64(e, "us").astype(np.int64) for e in DATE_RANGE_EDGES)
+    labels = [f"*-{DATE_RANGE_EDGES[0]}", f"{DATE_RANGE_EDGES[0]}-{DATE_RANGE_EDGES[1]}", f"{DATE_RANGE_EDGES[1]}-*"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        b = (t >= lo).astype(np.int64) + (t >= hi).astype(np.int64)
+        n = np.bincount(b, minlength=3)
+        s = np.bincount(b, weights=v, minlength=3)
+        return pa.table({"bucket": pa.array(labels), "n": pa.array(n, pa.int64()), "s": pa.array(s)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bucket", sort=False).sum().reindex(labels)
+    g = g[g["n"] > 0]
+    return pd.DataFrame(
+        {
+            "bucket": g.index,
+            "n_events": g["n"].to_numpy().astype(np.int64),
+            "avg_value_r": (g["s"] / g["n"]).round(6).to_numpy(),
+        }
+    ).reset_index(drop=True)
+
+
+def geo_bounds_centroid(sf_dir: str) -> pd.DataFrame:
+    """(n_events, min_lat, max_lat, min_lon, max_lon, centroid_lat_r,
+    centroid_lon_r) — ES ``geo_bounds`` + ``geo_centroid`` in one pass
+    over the synthesized event lattice: per-batch (min, max, sum, count)
+    partials, a 7-cell driver combine — the bounding box and arithmetic
+    centroid of the whole stream."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lat, lon = _geo_latlon(eid)
+        if eid.size == 0:
+            return pa.table({k: pa.array([], type=pa.float64()) for k in
+                             ["mnla", "mxla", "mnlo", "mxlo", "sla", "slo", "n"]})
+        return pa.table(
+            {
+                "mnla": pa.array([float(lat.min())]),
+                "mxla": pa.array([float(lat.max())]),
+                "mnlo": pa.array([float(lon.min())]),
+                "mxlo": pa.array([float(lon.max())]),
+                "sla": pa.array([float(lat.sum())]),
+                "slo": pa.array([float(lon.sum())]),
+                "n": pa.array([float(eid.size)]),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = p["n"].sum()
+    return pd.DataFrame(
+        {
+            "n_events": [int(n)],
+            "min_lat": [p["mnla"].min()],
+            "max_lat": [p["mxla"].max()],
+            "min_lon": [p["mnlo"].min()],
+            "max_lon": [p["mxlo"].max()],
+            "centroid_lat_r": [round(p["sla"].sum() / n, 6)],
+            "centroid_lon_r": [round(p["slo"].sum() / n, 6)],
+        }
+    )
+
+
+def change_point_day(sf_dir: str) -> pd.DataFrame:
+    """(change_day, score_r, mean_before_r, mean_after_r) — ES
+    ``change_point`` (step-change detection) over the daily-avg value
+    series: for every day boundary t the least-squares split statistic
+    ``n₁·n₂/(n₁+n₂)·(m₁−m₂)²`` over the daily means, argmax by
+    (-round(score,9), day).  The daily series comes from (count, sum)
+    partials — the change-point scan itself is O(days) on the driver,
+    exactly the ES shape (the agg runs over a date_histogram's buckets,
+    never the raw stream)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        day = t // 86_400_000_000
+        df = pd.DataFrame({"day": day, "n": 1, "s": v})
+        out = df.groupby("day", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("day", sort=True).sum().reset_index()
+    means = (g["s"] / g["n"]).to_numpy()
+    n = means.size
+    if n < 2:
+        raise ValueError("change_point needs >= 2 daily buckets")
+    pre = np.cumsum(means)
+    total = pre[-1]
+    t = np.arange(1, n, dtype=np.float64)  # split AFTER day index t-1
+    m1 = pre[:-1] / t
+    m2 = (total - pre[:-1]) / (n - t)
+    score = t * (n - t) / n * (m1 - m2) ** 2
+    best = int(np.lexsort((np.arange(score.size), -np.round(score, 9)))[0])
+    day_us = int(g["day"].to_numpy()[best + 1]) * 86_400_000_000
+    change_day = np.datetime64(day_us, "us").astype("datetime64[D]").astype(str)
+    return pd.DataFrame(
+        {
+            "change_day": [change_day],
+            "score_r": [round(float(score[best]), 6)],
+            "mean_before_r": [round(float(m1[best]), 6)],
+            "mean_after_r": [round(float(m2[best]), 6)],
+        }
+    )
+
+
+def pca_project(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, pc1_r) — first-principal-component projection of every
+    embedding (power iteration, 3 steps, v₀ = 1/√d, sign fixed by Σv > 0):
+    the Gram/moment pass is ONE streaming read (d² combiner partials), the
+    iteration runs on the tiny d×d driver matrix, the projection is a
+    second streaming pass — the embedding-whitening axis a curation
+    pipeline stratifies on.  SQL replays the same 3 unrolled steps."""
+    from .ann import pca_power_project
+
+    out = pca_power_project(_emb(sf_dir), iters=3)
+    out["pc1_r"] = out["pc1"].round(6)
+    return out[["vec_id", "pc1_r"]]
+
+
+def knn_pq_adc(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, adist_r, dist_r) — product-quantized
+    kNN with asymmetric-distance (ADC) candidate scan + exact rescore:
+    4 subspaces × 16 centroids trained by the deterministic distributed
+    Lloyd spec (2 iterations, smallest-id seeds), per-query LUTs broadcast
+    once, ADC top-30 per query, exact-L2 re-rank to top-10 — the PQ half
+    of IVF-PQ, the memory shape that fits 10¹² vectors in RAM (codes are
+    m·log₂k bits instead of d·32)."""
+    from .ann import pq_adc_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    out = pq_adc_topk(ds, Q, k=10, m_sub=4, ksub=16, iters=2, oversample=3)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["adist_r"] = out["adist"].round(6)
+    out["dist_r"] = out["dist"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "adist_r", "dist_r"]]

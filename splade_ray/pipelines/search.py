@@ -2396,6 +2396,14 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def mscore(self, encoded: list[tuple[np.ndarray, np.ndarray]], k: int, method: str = "exhaustive"):
+        """Multi-search scatter leg (ES ``_msearch``): ONE RPC carries the
+        whole encoded query batch; the actor scores every query over its
+        pinned shards in a single visit, so per-query cost amortizes the
+        actor hop and the postings stay hot across the batch.  Returns one
+        (docs, scores, urls) triple per query, each ≤ k per shard."""
+        return [self.score(qtids, qw, k, method) for qtids, qw in encoded]
+
     def score_query_string(self, spec: list[dict], k: int):
         """query_string scatter leg: the driver parses/encodes ONCE, each
         pinned shard composes the clause masks locally (phrase verify
@@ -2639,6 +2647,8 @@ class ShardScorerActor:
         - ``fvf_log1p_mul`` (ES function_score field_value_factor,
           modifier=log1p, boost_mode=multiply):
           score *= boost·ln(1 + attr/pivot)
+        - ``saturation`` (ES rank_feature, saturation function — the
+          rank_feature default): score += boost·attr/(attr + pivot)
         """
         attrs = self._attr_for_shards(attr_col)
         cands_d, cands_s, cands_u = [], [], []
@@ -2657,6 +2667,8 @@ class ShardScorerActor:
                 scores[m] += boost * pivot / (pivot + np.abs(fa[m] - origin))
             elif feature == "fvf_log1p_mul":
                 scores[m] *= boost * np.log1p(fa[m] / pivot)
+            elif feature == "saturation":
+                scores[m] += boost * (fa[m] / (fa[m] + pivot))
             else:
                 raise ValueError(f"unknown boost feature: {feature!r}")
             d, s = sh._topk_from_scores(scores, k)
@@ -2921,6 +2933,41 @@ class ShardedSearcher:
         order = np.lexsort((d, -s))[:k]
         urls_arr = np.asarray(urls, dtype=object)
         return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def msearch(
+        self, texts: list[str], k: int = 10, method: str = "exhaustive"
+    ) -> list[list[tuple[int, float, str]]]:
+        """Batched multi-search (ES ``_msearch``): every query is encoded
+        once on the driver, then the WHOLE batch rides ONE RPC per shard
+        group (with replica failover) — Q queries cost Q·shards scoring
+        but only |groups| network round-trips, the amortization a serving
+        tier relies on for bulk evaluation / offline rerank feeds.
+        Results are rank-identical to Q independent :meth:`search` calls
+        (pinned by pytest)."""
+        encoded = [self.reader.encode_query(t) for t in texts]
+        live = [i for i, (qt, _) in enumerate(encoded) if qt.size > 0]
+        out: list[list[tuple[int, float, str]]] = [[] for _ in texts]
+        if not live:
+            return out
+        batch = [encoded[i] for i in live]
+        parts = self._scatter(lambda a: a.mscore.remote(batch, k, method))
+        for bi, qi in enumerate(live):
+            docs, scores, urls = [], [], []
+            for per_query in parts:  # one entry per shard group
+                d, s, u = per_query[bi]
+                docs.append(d)
+                scores.append(s)
+                urls.extend(u)
+            if not docs:
+                continue
+            d = np.concatenate(docs)
+            s = np.concatenate(scores)
+            if d.size == 0:
+                continue
+            order = np.lexsort((d, -s))[:k]
+            urls_arr = np.asarray(urls, dtype=object)
+            out[qi] = [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+        return out
 
     def search_query_string(self, qstring: str, k: int = 10) -> list[tuple[int, float, str]]:
         """query_string over the actor shards: parse/encode once on the
