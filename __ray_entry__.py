@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-not (SpanNotQuery): ordered span matches with no exclude-term
         # occurrence inside the span's positions
         "span_not_topk": q.span_not_topk,
+        # span_containing: big span must HOLD the little term (span_not dual)
+        "span_containing_topk": q.span_containing_topk,
+        # collapse with inner_hits: top-3 groups, each with its top-2 docs
+        "collapse_inner_hits": q.collapse_inner_hits,
+        # frequent_item_sets (pairwise, exact): one incidence matmul/batch
+        "frequent_item_sets": q.frequent_item_sets,
+        # IVF-PQ: coarse probe pruning x ADC codes + exact rescore
+        "knn_ivfpq": q.knn_ivfpq,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -4457,6 +4465,191 @@ lut AS (SELECT qs.qid, c.sub, c.cl, sum((qs.x - c.c) * (qs.x - c.c)) AS l
         GROUP BY 1, 2, 3),
 adist AS (SELECT l.qid, cd.vec_id, sum(l.l) AS adist
           FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cl = cd.cl
+          GROUP BY 1, 2),
+cand AS (SELECT qid, vec_id, adist,
+                row_number() OVER (PARTITION BY qid ORDER BY round(adist, 9) ASC, vec_id ASC) AS crank
+         FROM adist),
+cand30 AS (SELECT * FROM cand WHERE crank <= 30),
+exact AS (SELECT c.qid, c.vec_id, c.adist,
+                 sum((a.x - b.x) * (a.x - b.x)) AS dist
+          FROM cand30 c
+          JOIN ev a ON a.vec_id = c.qid
+          JOIN ev b ON b.vec_id = c.vec_id AND b.dim = a.dim
+          GROUP BY 1, 2, 3),
+final AS (SELECT qid, vec_id, adist, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY round(dist, 9) ASC, vec_id ASC) AS rank
+          FROM exact)
+SELECT qid AS query_vec_id, rank, vec_id,
+       round(adist, 6) AS adist_r, round(dist, 6) AS dist_r
+FROM final WHERE rank <= 10 ORDER BY query_vec_id, rank
+"""
+    # span_containing: the span_not chain with the exclusion flipped to an
+    # inclusion requirement (EXISTS instead of NOT EXISTS)
+    from splade_ray.pipelines.queries import SPAN_CONTAIN_QUERIES
+
+    span_contain_values = ", ".join(
+        f"('{qid}', '{t.split()[0]}', '{t.split()[1]}', '{little}', {slop})"
+        for qid, t, little, slop in SPAN_CONTAIN_QUERIES
+    )
+    oracles["span_containing_topk"] = f"""
+WITH sset(query_id, t1, t2, little, slop) AS (VALUES {span_contain_values}),
+qterms AS (
+  SELECT query_id, t1 AS term FROM sset
+  UNION ALL SELECT query_id, t2 FROM sset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM sset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
+  WHERE f2.i - f1.i - 1 <= s.slop
+    AND EXISTS (
+      SELECT 1 FROM flat fe
+      WHERE fe.doc_id = f1.doc_id AND fe.tok = s.little AND fe.i BETWEEN f1.i AND f2.i
+    )
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # collapse + inner_hits: group election and group ranking both at the
+    # repo-wide round-6 collapse convention
+    oracles["collapse_inner_hits"] = (
+        bm25_ctes
+        + """,
+best AS (
+  SELECT sc.query_id, d.source AS value, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.source
+                            ORDER BY round(sc.score, 6) DESC, sc.doc_id ASC) AS inner_rank
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+winners AS (SELECT query_id, value, doc_id, score FROM best WHERE inner_rank = 1),
+granks AS (
+  SELECT query_id, value,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS group_rank
+  FROM winners
+)
+SELECT b.query_id, b.value, g.group_rank, b.inner_rank, b.doc_id, round(b.score, 6) AS score_r
+FROM best b JOIN granks g ON g.query_id = b.query_id AND g.value = b.value
+WHERE g.group_rank <= 3 AND b.inner_rank <= 2
+ORDER BY b.query_id, g.group_rank, b.inner_rank
+"""
+    )
+    # frequent_item_sets: exact pairwise supports over the declared item
+    # vocabulary, min support 5% (integer-exact: support*20 >= N), top 25
+    from splade_ray.pipelines.queries import FIS_ITEMS, FIS_TOP
+
+    fis_values = ", ".join(f"('{t}')" for t in FIS_ITEMS)
+    oracles["frequent_item_sets"] = f"""
+WITH items(item) AS (VALUES {fis_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+dt AS (SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN items i ON i.item = t.term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+pairs AS (
+  SELECT a.term AS item_a, b.term AS item_b, count(*)::BIGINT AS support
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.term > a.term
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, support, round(support::DOUBLE / n.n, 6) AS ratio_r
+FROM pairs, n
+WHERE support * 20 >= n.n
+ORDER BY support DESC, item_a, item_b
+LIMIT {FIS_TOP}
+"""
+    # IVF-PQ: the kmeans_clusters coarse unrolling (k=4, 3 iterations) and
+    # the knn_pq_adc codebook unrolling composed — probe lists prune the
+    # ADC candidate set, exact rescore replays the per-dim difference form
+    _ivf_coarse = []
+    for it in (1, 2, 3):
+        prev = f"kc{it - 1}"
+        _ivf_coarse.append(
+            f"""kd{it} AS (SELECT e.vec_id, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+        FROM ev e JOIN {prev} c USING (dim) GROUP BY 1, 2),
+ka{it} AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM kd{it}),
+kc{it}m AS (SELECT a.cl, e.dim, avg(e.x) AS c FROM ka{it} a JOIN ev e USING (vec_id)
+         WHERE a.rn = 1 GROUP BY 1, 2),
+kc{it} AS (SELECT p.cl, p.dim, coalesce(m.c, p.c) AS c
+        FROM {prev} p LEFT JOIN kc{it}m m ON m.cl = p.cl AND m.dim = p.dim)"""
+        )
+    _pq_iters2 = []
+    for it in (1, 2):
+        prev = f"c{it - 1}"
+        _pq_iters2.append(
+            f"""d{it} AS (SELECT e.vec_id, e.sub, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+       FROM sev e JOIN {prev} c ON c.sub = e.sub AND c.sdim = e.sdim
+       GROUP BY 1, 2, 3),
+a{it} AS (SELECT vec_id, sub, cl,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn FROM d{it}),
+c{it}m AS (SELECT a.sub, a.cl, e.sdim, avg(e.x) AS c
+        FROM a{it} a JOIN sev e ON e.vec_id = a.vec_id AND e.sub = a.sub
+        WHERE a.rn = 1 GROUP BY 1, 2, 3),
+c{it} AS (SELECT p.cl, p.sub, p.sdim, coalesce(m.c, p.c) AS c
+       FROM {prev} p LEFT JOIN c{it}m m ON m.cl = p.cl AND m.sub = p.sub AND m.sdim = p.sdim)"""
+        )
+    oracles["knn_ivfpq"] = f"""
+WITH ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   unnest(range(len(embedding))) AS dim FROM embeddings),
+sev AS (SELECT vec_id, dim // 16 AS sub, dim % 16 AS sdim, x FROM ev),
+kids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         FROM embeddings ORDER BY vec_id LIMIT 4),
+kc0 AS (SELECT i.cl, e.dim, e.x AS c FROM kids i JOIN ev e USING (vec_id)),
+{",".join(_ivf_coarse)},
+kdf AS (SELECT e.vec_id, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+        FROM ev e JOIN kc3 c USING (dim) GROUP BY 1, 2),
+kassign AS (SELECT vec_id, cl AS kcl FROM (
+              SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+              FROM kdf) WHERE rn = 1),
+pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         FROM embeddings ORDER BY vec_id LIMIT 16),
+c0 AS (SELECT i.cl, e.sub, e.sdim, e.x AS c FROM pids i JOIN sev e USING (vec_id)),
+{",".join(_pq_iters2)},
+dfin AS (SELECT e.vec_id, e.sub, c.cl, sum((e.x - c.c) * (e.x - c.c)) AS dist
+         FROM sev e JOIN c2 c ON c.sub = e.sub AND c.sdim = e.sdim
+         GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, sub, cl FROM (
+            SELECT vec_id, sub, cl,
+                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rn
+            FROM dfin) WHERE rn = 1),
+q AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+qev AS (SELECT q.qid, e.dim, e.x FROM q JOIN ev e ON e.vec_id = q.qid),
+qkd AS (SELECT qe.qid, c.cl, sum((qe.x - c.c) * (qe.x - c.c)) AS dist
+        FROM qev qe JOIN kc3 c USING (dim) GROUP BY 1, 2),
+probes AS (SELECT qid, cl AS kcl FROM (
+             SELECT qid, cl, row_number() OVER (PARTITION BY qid ORDER BY dist, cl) AS rn
+             FROM qkd) WHERE rn <= 2),
+qs AS (SELECT q.qid, s.sub, s.sdim, s.x FROM q JOIN sev s ON s.vec_id = q.qid),
+lut AS (SELECT qs.qid, c.sub, c.cl, sum((qs.x - c.c) * (qs.x - c.c)) AS l
+        FROM qs JOIN c2 c ON c.sub = qs.sub AND c.sdim = qs.sdim
+        GROUP BY 1, 2, 3),
+adist AS (SELECT l.qid, cd.vec_id, sum(l.l) AS adist
+          FROM codes cd
+          JOIN kassign ka ON ka.vec_id = cd.vec_id
+          JOIN probes p ON p.kcl = ka.kcl
+          JOIN lut l ON l.qid = p.qid AND l.sub = cd.sub AND l.cl = cd.cl
           GROUP BY 1, 2),
 cand AS (SELECT qid, vec_id, adist,
                 row_number() OVER (PARTITION BY qid ORDER BY round(adist, 9) ASC, vec_id ASC) AS crank

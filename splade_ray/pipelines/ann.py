@@ -852,3 +852,114 @@ def pca_power_project(
 
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values(id_col, ignore_index=True)
+
+
+def ivfpq_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 4,
+    coarse_iters: int = 3,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    oversample: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF-PQ: the coarse quantizer (the :func:`kmeans_assign` deterministic
+    Lloyd spec) prunes the scan to ``nprobe`` probed clusters per query and
+    the PQ/ADC LUT scores the survivors — the trillion-vector serving
+    layout (coarse directory pruning × m·log₂k-bit codes).  Codebooks are
+    GLOBAL (raw vectors, not residuals) so the whole algorithm stays
+    SQL-replayable with the two already-proven unrollings composed.
+
+    ONE candidate pass per query set: each block re-derives its vectors'
+    coarse assignment from the broadcast centroids (the SemDeDup pattern —
+    no assignment join), masks vectors outside the query's probe list, and
+    ADC-scores the rest.  Phase 2 rescores the top ``k·oversample`` with
+    the exact float L2.  Returns (query_idx, rank, vec_id, adist, dist)."""
+    _, coarse_cent = kmeans_assign(
+        ds, k=n_clusters, iters=coarse_iters, id_col=id_col, emb_col=emb_col, return_centroids=True
+    )
+    cbs = pq_train(ds, m_sub, ksub, iters, id_col, emb_col)
+    m, k_, dsub = cbs.shape
+    Q = np.asarray(queries, dtype=np.float64)
+    # probe list per query: nprobe nearest coarse centroids, (dist, cl) ties
+    probes = np.empty((Q.shape[0], nprobe), dtype=np.int64)
+    for qi in range(Q.shape[0]):
+        dd = np.sum((coarse_cent - Q[qi]) ** 2, axis=1)
+        probes[qi] = np.lexsort((np.arange(dd.size), dd))[:nprobe]
+    diff = Q.reshape(Q.shape[0], m, 1, dsub) - cbs[None, :, :, :]
+    lut = np.sum(diff * diff, axis=3)
+    state_ref = ray.put((coarse_cent, cbs, lut, probes))
+    kk_c = k * oversample
+
+    def adc_probed(batch: pa.Table) -> pa.Table:
+        cc, cb, lt, pr = ray.get(state_ref)
+        mm, kk_, ds_ = cb.shape
+        x = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        coarse, _ = _kmeans_dists(x, cc)
+        codes = np.empty((x.shape[0], mm), dtype=np.int64)
+        for si in range(mm):
+            codes[:, si], _ = _kmeans_dists(x[:, si * ds_ : (si + 1) * ds_], cb[si])
+        out_q, out_i, out_s = [], [], []
+        for qi in range(lt.shape[0]):
+            mask = np.isin(coarse, pr[qi])
+            if not mask.any():
+                continue
+            adist = np.zeros(int(mask.sum()), dtype=np.float64)
+            csel = codes[mask]
+            for si in range(mm):
+                adist += lt[qi, si, csel[:, si]]
+            part = _boundary_safe_topk(-adist, min(kk_c, adist.size))
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[mask][part])
+            out_s.append(-adist[part])
+        if not out_q:
+            return _partial_topk_table(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.float64)
+            )
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(adc_probed, batch_format="pyarrow", batch_size=4096)
+    cand = (
+        partials.groupby("query_idx")
+        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .to_pandas()
+    )
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.minimum(pos, max(want.size - 1, 0))
+        hit = (want[pos] == ids) if want.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(hit)).select([id_col, emb_col])
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(got[id_col].to_numpy(), got[emb_col].to_numpy()))
+    E = np.stack([np.asarray(by_id[v], dtype=np.float64) for v in cand["vec_id"]])
+    qi = cand["query_idx"].to_numpy()
+    dif = E - Q[qi]
+    exact = np.sum(dif * dif, axis=1)
+    cand = cand.assign(adist=-cand["score"].to_numpy(), dist=exact)
+    out = []
+    for g_qi, g in cand.groupby("query_idx", sort=True):
+        g = g.sort_values(["dist", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_idx": np.full(len(g), g_qi, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "adist": g["adist"].to_numpy(),
+                    "dist": g["dist"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)

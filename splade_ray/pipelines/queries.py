@@ -5837,3 +5837,150 @@ def knn_pq_adc(sf_dir: str) -> pd.DataFrame:
     out["adist_r"] = out["adist"].round(6)
     out["dist_r"] = out["dist"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "adist_r", "dist_r"]]
+
+
+SPAN_CONTAIN_QUERIES: list[tuple[str, str, str, int]] = [
+    ("cq1", "order scan", "table", 4),
+    ("cq2", "fast key", "value", 5),
+    ("cq3", "hash join", "the", 6),
+    ("cq4", "stream column", "zzznotaword", 3),
+    ("cq5", "order zzznotaword", "key", 2),
+]
+
+
+def span_containing_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene ``SpanContainingQuery``
+    top-10 from the forward-enabled index: ordered span-near matches of
+    the BIG terms that HOLD at least one occurrence of the little term
+    inside the span's positions (the inclusion dual of ``span_not_topk``
+    — same chain DP, same two searchsorted probes, inverted survival
+    test), BM25-bag-ranked over the big terms.  An OOV little term is
+    contained nowhere ⇒ no hits; an OOV big term ⇒ no span ⇒ no hits."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text, little, slop in SPAN_CONTAIN_QUERIES:
+        for rank, (_doc, score, url) in enumerate(
+            reader.search_span_containing(text, little, slop, BM25_K), 1
+        ):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def collapse_inner_hits(sf_dir: str) -> pd.DataFrame:
+    """(query_id, value, group_rank, inner_rank, doc_id, score_r) — ES
+    ``collapse`` WITH ``inner_hits``: top-3 source groups per query ranked
+    by their winner's (-score, doc_id), each group expanded to its own
+    top-2 docs — shard owners ship ≤ |values|·2 cells (the diversified
+    election), the driver re-elects and ranks groups."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            for v, grank, irank, _d, score, url in ss.search_collapse_inner(
+                text, n_groups=3, per_value=2, attr_col="source"
+            ):
+                rows.append((qid, v, grank, irank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(
+        rows, columns=["query_id", "value", "group_rank", "inner_rank", "doc_id", "score_r"]
+    )
+
+
+FIS_ITEMS: list[str] = sorted(
+    {
+        "spark", "join", "order", "window", "batch", "stream", "fast", "hash",
+        "the", "small", "table", "data", "merge", "vector", "query", "scan",
+        "customer", "line", "value",
+    }
+)
+FIS_TOP = 25
+
+
+def frequent_item_sets(sf_dir: str) -> pd.DataFrame:
+    """(item_a, item_b, support, ratio_r) — ES ``frequent_item_sets``
+    (pairwise, exact, over a declared item vocabulary): pairs of items
+    co-occurring in at least 5% of docs, top-25 by (support desc, pair).
+    The whole co-occurrence structure is ONE boolean incidence matmul per
+    batch — partials are |items|² integer cells regardless of batch size,
+    so support counting never shuffles (the fixed-size-sketch shape)."""
+    from ..tokenizer import Tokenizer
+
+    items = np.asarray(FIS_ITEMS, dtype=object)
+    m = items.size
+    item_pos = {t: i for i, t in enumerate(FIS_ITEMS)}
+    tok = Tokenizer()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        B = np.zeros((len(texts), m), dtype=np.float64)
+        for r, t in enumerate(texts):
+            for w in set(tok.tokenize(t or "")):
+                j = item_pos.get(w)
+                if j is not None:
+                    B[r, j] = 1.0
+        P = B.T @ B  # (m, m) co-occurrence counts
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(m, dtype=np.int64), m)),
+                "j": pa.array(np.tile(np.arange(m, dtype=np.int64), m)),
+                "c": pa.array(P.ravel().astype(np.int64)),
+                "n": pa.array(np.full(m * m, len(texts), dtype=np.int64)),
+            }
+        )
+
+    P = np.zeros((m, m), dtype=np.int64)
+    n_docs = 0
+    for b in (
+        _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        if not b.num_rows:
+            continue
+        bi = b.column("i").to_numpy(zero_copy_only=False)
+        bj = b.column("j").to_numpy(zero_copy_only=False)
+        np.add.at(P, (bi, bj), b.column("c").to_numpy(zero_copy_only=False))
+        # iterated batches may concatenate several per-block partials —
+        # count each partial's n exactly once via its (0, 0) cell
+        first = (bi == 0) & (bj == 0)
+        n_docs += int(b.column("n").to_numpy(zero_copy_only=False)[first].sum())
+    rows = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            s = int(P[i, j])
+            if s * 20 >= n_docs:  # support/N >= 0.05, integer-exact
+                rows.append((items[i], items[j], s, round(s / n_docs, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return pd.DataFrame(
+        rows[:FIS_TOP], columns=["item_a", "item_b", "support", "ratio_r"]
+    )
+
+
+def knn_ivfpq(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, adist_r, dist_r) — IVF-PQ: the coarse
+    k-means quantizer (k=4, 3 Lloyd iterations, the kmeans_clusters spec)
+    prunes each query's scan to its 2 nearest clusters, the global 4×16
+    PQ codebooks ADC-score the survivors, exact-L2 rescore re-ranks the
+    top-30 to top-10 — coarse pruning × compact codes, the
+    trillion-vector layout, with BOTH iterative trainings unrolled into
+    one SQL oracle."""
+    from .ann import ivfpq_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    out = ivfpq_topk(
+        ds, Q, k=10, n_clusters=4, coarse_iters=3, nprobe=2, m_sub=4, ksub=16, iters=2, oversample=3
+    )
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["adist_r"] = out["adist"].round(6)
+    out["dist_r"] = out["dist"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "adist_r", "dist_r"]]

@@ -782,6 +782,7 @@ class ShardIndex:
         h_excl: int,
         slop: int,
         k: int,
+        contain: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Lucene ``SpanNotQuery`` top-k: docs holding at least one ordered
         span-near match of the include terms (positions p1 < … < pm with
@@ -789,6 +790,11 @@ class ShardIndex:
         occurrence of the exclude term falls inside that span's positions
         [p1, pm].  A doc with every include span poisoned by the exclude
         term does not match.  BM25-bag-ranked over the INCLUDE terms only.
+
+        ``contain=True`` flips the filter into Lucene's
+        ``SpanContainingQuery``: the span must HOLD at least one occurrence
+        of the (little) term inside [p1, pm] — same DP, same searchsorted
+        probes, inverted survival test.
 
         Same chain DP as :meth:`span_near_topk`, but instead of stopping at
         "some chain completed", every completed span (start=chain, end=pos)
@@ -831,10 +837,23 @@ class ShardIndex:
         ekeys = (pos + base)[tok == np.uint64(h_excl)]  # ascending by construction
         start_key = chain[ok] + base[ok]
         end_key = pos[ok] + base[ok]
-        clean = (
-            np.searchsorted(ekeys, start_key, side="left")
-            == np.searchsorted(ekeys, end_key, side="right")
-        )
+        if contain:
+            # Containment is monotone in span width, so per completed end
+            # the WIDEST admissible span decides: its start is the SMALLEST
+            # include-start position >= pos - (m-1+slop) (any first-term
+            # occurrence at or before the DP's max start chains to this end
+            # through the same intermediates, so only the slop bound binds).
+            t1keys = (pos + base)[tok == h_seq[0]]
+            lo_key = np.maximum(end_key - np.int64(m - 1 + slop), base[ok])
+            idx = np.minimum(np.searchsorted(t1keys, lo_key, side="left"), t1keys.size - 1)
+            wide_start = t1keys[idx]
+            clean = np.searchsorted(ekeys, wide_start, side="left") != np.searchsorted(
+                ekeys, end_key, side="right"
+            )
+        else:
+            clean = np.searchsorted(ekeys, start_key, side="left") == np.searchsorted(
+                ekeys, end_key, side="right"
+            )
         matched = cand[np.unique(cidx[ok][clean])]
         if matched.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
@@ -2020,6 +2039,36 @@ class IndexReader:
         cands = [sh.span_not_topk(qtids, qw, h_seq, h_excl, slop, k) for sh in self.shards]
         return self._merge_shard_topk(cands, k)
 
+    def search_span_containing(
+        self, text: str, little: str, slop: int, k: int = 10
+    ) -> list[tuple[int, float, str]]:
+        """Span-containing top-k (Lucene ``SpanContainingQuery``): the BIG
+        span is the ordered span-near of the query tokens (slop as
+        :meth:`search_span_near`), and a doc matches iff at least one big
+        span HOLDS an occurrence of the (single-token) ``little`` term
+        inside its positions; BM25-bag-ranked over the big terms.  An OOV
+        little term can be contained nowhere ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("span-containing needs at least two big tokens")
+        ltoks = self.tok.tokenize(little)
+        if len(ltoks) != 1:
+            raise ValueError(f"span-containing takes one little term, got {ltoks!r}")
+        if ltoks[0] in toks:
+            raise ValueError("little term must differ from every big token")
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one big token is OOV
+        h_seq = md5_u64(toks)
+        h_little = int(md5_u64(ltoks)[0])
+        cands = [
+            sh.span_not_topk(qtids, qw, h_seq, h_little, slop, k, contain=True)
+            for sh in self.shards
+        ]
+        return self._merge_shard_topk(cands, k)
+
     def search_intervals(self, text: str, max_gaps: int, k: int = 10) -> list[tuple[int, float, str]]:
         """Unordered interval top-k (ES ``intervals`` / ``all_of(ordered:
         false, max_gaps)``, requires ``store_forward=True``): all query
@@ -3038,6 +3087,37 @@ class ShardedSearcher:
             rows.extend((d, s, u, v) for s, d, u in cand[:per_value])
         rows.sort(key=lambda r: (-round(r[1], 6), r[0]))
         return rows[:k]
+
+    def search_collapse_inner(
+        self, text: str, n_groups: int = 3, per_value: int = 2, attr_col: str = "source"
+    ) -> list[tuple[str, int, int, int, float, str]]:
+        """Field collapsing WITH inner_hits (ES ``collapse.inner_hits``):
+        groups ranked by their winner's (-score, doc_id), top ``n_groups``
+        groups each expanded to their own top ``per_value`` docs.  The
+        exactness argument is :meth:`search_diversified`'s — a value's
+        global top ``per_value`` is a subset of the union of the local top
+        ``per_value`` sets, so shard owners ship ≤ |values|·per_value cells
+        and the match set never crosses the network.  Returns
+        (value, group_rank, inner_rank, doc_id, score, url) rows."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [a.score_diversified.remote(qtids, qw, attr_col, per_value) for a in self.actors]
+        pool: dict[str, list[tuple[float, int, str]]] = {}
+        for part in ray.get(futs):
+            for v, cand in part.items():
+                pool.setdefault(v, []).extend(cand)
+        groups = []
+        for v, cand in pool.items():
+            cand.sort(key=lambda c: (-round(c[0], 6), c[1]))
+            groups.append((v, cand[:per_value]))
+        groups.sort(key=lambda g: (-round(g[1][0][0], 6), g[1][0][1]))
+        rows = []
+        for grank, (v, cand) in enumerate(groups[:n_groups], 1):
+            rows.extend(
+                (v, grank, irank, d, s, u) for irank, (s, d, u) in enumerate(cand, 1)
+            )
+        return rows
 
     def search_boosted(
         self,

@@ -165,3 +165,76 @@ def test_linear_fusion_bounds(ray_session, monkeypatch):
     mx, mn = 12.0, 3.0
     nv = {d: (s - mn) / (mx - mn) for d, s in sp}
     assert nv[5] == 1.0 and nv[2] == 0.0 and 0.0 < nv[9] < 1.0
+
+
+def test_span_containing_partitions_span_near(fixture_index):
+    """Union law: every ordered span-near match either has a span free of
+    the term (span_not) or every span holds it — and a doc with some span
+    containing the term is a span_containing match.  So
+    docs(span_near) == docs(span_not) ∪ docs(span_containing) whenever the
+    probe term can appear anywhere; an OOV little term matches nowhere
+    while the same OOV exclude excludes nothing."""
+    from splade_ray.config import EngineConfig
+    from splade_ray.pipelines.search import IndexReader
+
+    _r, out, cfg, corpus = fixture_index
+    import dataclasses
+    import os
+
+    fwd_out = out + "_fwd"
+    fcfg = dataclasses.replace(cfg, store_forward=True)
+    if not os.path.exists(fwd_out):
+        from splade_ray.pipelines.build import build_index
+
+        build_index(corpus, fwd_out, fcfg)
+    reader = IndexReader(fwd_out, fcfg)
+    big, little, slop = "w0001 w0012", "w0005", 40
+    K = 5000
+    near = {d for d, _s, _u in reader.search_span_near(big, slop, K)}
+    sn = {d for d, _s, _u in reader.search_span_not(big, little, slop, K)}
+    sc = {d for d, _s, _u in reader.search_span_containing(big, little, slop, K)}
+    assert sn | sc == near
+    assert reader.search_span_containing(big, "qqqqzzz", slop, K) == []
+    assert reader.search_span_not(big, "qqqqzzz", slop, K) == reader.search_span_near(big, slop, K)
+
+
+def test_collapse_inner_hits_head_equals_collapse(fixture_index):
+    """Each group's inner_rank-1 hit must be exactly the collapse winner
+    for that value, and group order must match search_collapse's order."""
+    import pyarrow.parquet as pq
+    from splade_ray.pipelines.search import ShardedSearcher
+
+    _r, out, cfg, corpus = fixture_index
+    tbl = pq.read_table(corpus)
+    if "source" not in tbl.schema.names:
+        import pyarrow as pa2
+        import numpy as np2
+
+        src = pa2.array([f"s{i % 3}" for i in range(tbl.num_rows)])
+        pq.write_table(tbl.append_column("source", src), corpus)
+    ss = ShardedSearcher(out, cfg, num_actors=2, corpus_path=corpus)
+    try:
+        q = "w0001 w0012"
+        rows = ss.search_collapse_inner(q, n_groups=3, per_value=2, attr_col="source")
+        coll = ss.search_collapse(q, 10, attr_col="source")
+        heads = [(v, d, round(s, 6)) for v, _g, ir, d, s, _u in rows if ir == 1]
+        want = [(v, d, round(s, 6)) for v, d, s, _u in coll[: len(heads)]]
+        assert heads == want
+        for v, g, ir, d, s, u in rows:
+            assert 1 <= ir <= 2 and 1 <= g <= 3
+    finally:
+        ss.shutdown()
+
+
+def test_ivfpq_full_probe_equals_pq(vectors):
+    """nprobe == n_clusters disables coarse pruning — IVF-PQ must then be
+    identical to the flat PQ/ADC scan (same codebooks, same candidates)."""
+    from splade_ray.pipelines.ann import ivfpq_topk, pq_adc_topk
+
+    ds, X = vectors
+    a = ivfpq_topk(ds, X[:3], k=5, n_clusters=4, coarse_iters=2, nprobe=4,
+                   m_sub=4, ksub=8, iters=1, oversample=2)
+    b = pq_adc_topk(ds, X[:3], k=5, m_sub=4, ksub=8, iters=1, oversample=2)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
