@@ -178,6 +178,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_item_sets": q.frequent_item_sets,
         # IVF-PQ: coarse probe pruning x ADC codes + exact rescore
         "knn_ivfpq": q.knn_ivfpq,
+        # function_score with THREE filtered functions (score_mode=sum,
+        # factor capped at max_boost, boost_mode=multiply, min_score cut)
+        "function_score_topk": q.function_score_topk,
+        # boilerplate/template mining: opening-token shape signatures
+        "template_signatures": q.template_signatures,
+        # HITS hubs & authorities (3 L1-normalized iterations, unrolled)
+        "hits_scores": q.hits_scores,
+        # BPE vocabulary training: distributed word counts + K exact merges
+        "bpe_merges": q.bpe_merges,
+        # MMR diversity re-ranking of the cosine top-20 pool (greedy,
+        # all ten steps unrolled into the SQL oracle)
+        "mmr_rerank": q.mmr_rerank,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -4667,5 +4679,164 @@ final AS (SELECT qid, vec_id, adist, dist,
 SELECT qid AS query_vec_id, rank, vec_id,
        round(adist, 6) AS adist_r, round(dist, 6) AS dist_r
 FROM final WHERE rank <= 10 ORDER BY query_vec_id, rank
+"""
+
+    # function_score with multiple filtered functions: the shared BM25
+    # scores join the documents doc-values; the factor arithmetic replays
+    # FUNCSCORE_FUNCTIONS term by term (spec constants inlined — fvf
+    # 1.2*ln(1+n/500) on lang=en, gauss 2.0*exp(...) on everything,
+    # +0.5 for the src1* family), capped at max_boost before the multiply
+    from splade_ray.pipelines.queries import FUNCSCORE_MAX_BOOST, FUNCSCORE_MIN_SCORE
+
+    oracles["function_score_topk"] = (
+        bm25_ctes
+        + f"""
+, fs AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         (CASE WHEN d.lang = 'en' THEN 1.2 * ln(1 + d.n_chars / 500.0) ELSE 0 END
+          + 2.0 * exp(-pow(d.n_chars - 1200.0, 2) / (2.0 * (600.0 * 600.0 / (2.0 * ln(2.0)))))
+          + CASE WHEN d.source LIKE 'src1%' THEN 0.5 ELSE 0 END) AS factor
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+finals AS (
+  SELECT query_id, doc_id, score * LEAST(factor, {FUNCSCORE_MAX_BOOST}) AS fscore FROM fs
+  WHERE score * LEAST(factor, {FUNCSCORE_MAX_BOOST}) >= {FUNCSCORE_MIN_SCORE}
+),
+franked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(fscore, 9) DESC, doc_id ASC) AS rank
+  FROM finals
+)
+SELECT query_id, rank, doc_id, round(fscore, 6) AS score_r
+FROM franked WHERE rank <= 10
+"""
+    )
+    # template mining: first-8-token shape signature, digits -> <num>
+    from splade_ray.pipelines.queries import TEMPLATE_SIG_TOKENS, TEMPLATE_TOP
+
+    oracles["template_signatures"] = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(({doc_toks})[1:{TEMPLATE_SIG_TOKENS}],
+                          t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '<num>' ELSE t END),
+           ' ') AS signature
+  FROM documents
+)
+SELECT signature, count(*)::BIGINT AS n_docs, min(doc_id) AS example_doc_id
+FROM sigs GROUP BY 1
+ORDER BY n_docs DESC, signature ASC
+LIMIT {TEMPLATE_TOP}
+"""
+    # HITS: 3 iterations (a <- A^T h, h <- A a, L1-normalized after each
+    # half-step) unrolled over the shared pagerank edge fixture
+    from splade_ray.pipelines.queries import HITS_ITERS, HITS_TOP
+
+    _hits = []
+    prev_h = "h0"
+    for it in range(1, HITS_ITERS + 1):
+        _hits.append(
+            f"""a{it}r AS (SELECT e.dst AS doc_id, sum(p.h) AS v FROM e JOIN {prev_h} p ON p.doc_id = e.src GROUP BY 1),
+a{it} AS MATERIALIZED (SELECT d.doc_id, coalesce(r.v, 0) / (SELECT sum(v) FROM a{it}r) AS a
+       FROM documents d LEFT JOIN a{it}r r ON r.doc_id = d.doc_id),
+h{it}r AS (SELECT e.src AS doc_id, sum(p.a) AS v FROM e JOIN a{it} p ON p.doc_id = e.dst GROUP BY 1),
+h{it} AS MATERIALIZED (SELECT d.doc_id, coalesce(r.v, 0) / (SELECT sum(v) FROM h{it}r) AS h
+       FROM documents d LEFT JOIN h{it}r r ON r.doc_id = d.doc_id)"""
+        )
+        prev_h = f"h{it}"
+    oracles["hits_scores"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+h0 AS (SELECT doc_id, 1.0 AS h FROM documents),
+{",".join(_hits)},
+hranked AS (
+  SELECT a.doc_id, a.a, h.h,
+         row_number() OVER (ORDER BY round(a.a, 9) DESC, a.doc_id ASC) AS rk
+  FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (doc_id)
+)
+SELECT doc_id, round(a, 6) AS auth_r, round(h, 6) AS hub_r
+FROM hranked WHERE rk <= {HITS_TOP} ORDER BY doc_id
+"""
+    # BPE training: word-frequency table + BPE_MERGES exact merge steps;
+    # replace() on |-terminated symbol strings is greedy left-to-right
+    # non-overlapping — the same semantics as the engine's str.replace
+    from splade_ray.pipelines.queries import BPE_MERGES
+
+    _bpe = []
+    for it in range(1, BPE_MERGES + 1):
+        _bpe.append(
+            f"""p{it} AS (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(cf)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(1, len(syms) - 2)) AS j, syms, cf
+        FROM (SELECT string_split(w, '|') AS syms, cf FROM w{it - 1}))
+  GROUP BY 1, 2
+),
+b{it} AS MATERIALIZED (SELECT a, b, cnt FROM p{it} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{it} AS MATERIALIZED (SELECT replace(w, (SELECT a || '|' || b || '|' FROM b{it}),
+                            (SELECT a || b || '|' FROM b{it})) AS w, cf FROM w{it - 1})"""
+        )
+    _bpe_out = " UNION ALL ".join(
+        f"SELECT {it} AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_n FROM b{it}"
+        for it in range(1, BPE_MERGES + 1)
+    )
+    oracles["bpe_merges"] = f"""
+WITH toks AS (SELECT unnest({doc_toks}) AS term FROM documents),
+words AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+w0 AS (SELECT array_to_string(string_split(term, ''), '|') || '|' AS w, cf FROM words),
+{",".join(_bpe)}
+{_bpe_out}
+ORDER BY step
+"""
+    # MMR: cosine top-20 candidate pool per query, greedy lambda-tradeoff
+    # selection unrolled step by step (rank 1 = pure relevance)
+    from splade_ray.pipelines.queries import MMR_K, MMR_LAMBDA, MMR_POOL, MMR_QUERIES
+
+    _lam = MMR_LAMBDA
+    _mu = 1.0 - MMR_LAMBDA
+    _mmr = [
+        f"""s1 AS MATERIALIZED (
+  SELECT qid, vec_id, {_lam} * rel AS mmr, 1 AS rank FROM cand
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round({_lam} * rel, 9) DESC, vec_id ASC) = 1
+),
+sel1 AS MATERIALIZED (SELECT qid, vec_id FROM s1)"""
+    ]
+    for it in range(2, MMR_K + 1):
+        _mmr.append(
+            f"""m{it} AS MATERIALIZED (
+  SELECT c.qid, c.vec_id, c.rel, max(s.sim) AS ms
+  FROM cand c
+  ANTI JOIN sel{it - 1} x ON x.qid = c.qid AND x.vec_id = c.vec_id
+  JOIN sims s ON s.qid = c.qid AND s.va = c.vec_id
+  JOIN sel{it - 1} p ON p.qid = s.qid AND p.vec_id = s.vb
+  GROUP BY 1, 2, 3
+),
+s{it} AS MATERIALIZED (
+  SELECT qid, vec_id, {_lam} * rel - {_mu} * ms AS mmr, {it} AS rank FROM m{it}
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round({_lam} * rel - {_mu} * ms, 9) DESC, vec_id ASC) = 1
+),
+sel{it} AS MATERIALIZED (SELECT qid, vec_id FROM sel{it - 1} UNION ALL SELECT qid, vec_id FROM s{it})"""
+        )
+    _mmr_out = " UNION ALL ".join(f"SELECT * FROM s{it}" for it in range(1, MMR_K + 1))
+    oracles["mmr_rerank"] = f"""
+WITH emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM emb ORDER BY vec_id LIMIT {MMR_QUERIES}),
+rel0 AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.e) AS rel
+         FROM q CROSS JOIN emb e),
+cand AS MATERIALIZED (SELECT qid, vec_id, rel FROM rel0
+         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(rel, 9) DESC, vec_id ASC) <= {MMR_POOL}),
+sims AS MATERIALIZED (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+                list_cosine_similarity(ea.e, eb.e) AS sim
+         FROM cand a JOIN cand b ON b.qid = a.qid
+         JOIN emb ea ON ea.vec_id = a.vec_id
+         JOIN emb eb ON eb.vec_id = b.vec_id),
+{",".join(_mmr)}
+SELECT qid AS query_vec_id, rank, vec_id, round(mmr, 6) AS mmr_r
+FROM ({_mmr_out})
+ORDER BY query_vec_id, rank
 """
     return oracles

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 from ..config import EngineConfig
 from .build import build_index
@@ -5984,3 +5984,269 @@ def knn_ivfpq(sf_dir: str) -> pd.DataFrame:
     out["adist_r"] = out["adist"].round(6)
     out["dist_r"] = out["dist"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "adist_r", "dist_r"]]
+
+
+# ES function_score with MULTIPLE filtered functions (score_mode=sum,
+# boost_mode=multiply).  The spec is a module constant so the SQL oracle
+# replays the same arithmetic term by term.
+FUNCSCORE_FUNCTIONS: list[dict] = [
+    # field_value_factor on n_chars, only for english docs
+    {"kind": "fvf", "attr": "n_chars", "weight": 1.2, "div": 500.0, "filter": ("lang", "eq", "en")},
+    # gauss decay on n_chars around 1200 chars, every doc
+    {
+        "kind": "gauss",
+        "attr": "n_chars",
+        "weight": 2.0,
+        "origin": 1200.0,
+        "scale": 600.0,
+        "decay": 0.5,
+        "filter": None,
+    },
+    # flat boost for the src1* source family
+    {"kind": "weight", "weight": 0.5, "filter": ("source", "prefix", "src1")},
+]
+FUNCSCORE_MAX_BOOST: float = 2.5
+FUNCSCORE_MIN_SCORE: float = 0.05
+
+
+def function_score_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``function_score`` with THREE
+    filtered functions combining under ``score_mode=sum`` (docs matching no
+    function keep factor 1.0), the summed factor capped at ``max_boost``
+    BEFORE ``boost_mode=multiply``, and a ``min_score`` cut on the final
+    score.  All per-doc math runs inside the shard owners against their
+    co-located doc-value sidecars (:meth:`ShardScorerActor.
+    score_function_score`); only local top-k candidates reach the merge."""
+    from .search import ShardedSearcher
+
+    index_dir = build_documents_index(sf_dir)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2, corpus_path=corpus)
+    rows = []
+    try:
+        for qid, text in BM25_QUERIES:
+            hits = ss.search_function_score(
+                text,
+                BM25_K,
+                FUNCSCORE_FUNCTIONS,
+                max_boost=FUNCSCORE_MAX_BOOST,
+                min_score=FUNCSCORE_MIN_SCORE,
+            )
+            for rank, (_d, score, url) in enumerate(hits, 1):
+                rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    finally:
+        ss.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+# boilerplate-template mining: signature = first TEMPLATE_SIG_TOKENS tokens
+# with digit-bearing tokens collapsed to <num>
+TEMPLATE_SIG_TOKENS: int = 8
+TEMPLATE_TOP: int = 25
+
+
+def template_signatures(sf_dir: str) -> pd.DataFrame:
+    """(signature, n_docs, example_doc_id) — boilerplate/template mining
+    over a web corpus: docs sharing the same shape of opening tokens (first
+    8 tokens, digit-bearing tokens collapsed to ``<num>``) group into
+    template clusters; the biggest clusters are the site templates /
+    boilerplate families a curation pipeline strips or caps.  One
+    vectorized tokenize pass emits per-batch (signature, count, min_id)
+    partials; signatures exchange ONCE through a Ray groupby (key-balanced
+    — no corpus-scale driver state) and the bounded top-25 list sorts on
+    the driver."""
+    from ..tokenizer import Tokenizer
+
+    tok = Tokenizer()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = []
+        for text in batch.column("text").to_pylist():
+            ts = tok.tokenize(text)[:TEMPLATE_SIG_TOKENS]
+            sigs.append(" ".join("<num>" if any(c.isdigit() for c in t) else t for t in ts))
+        t = pa.table({"signature": pa.array(sigs, pa.string()), "doc_id": pa.array(ids)})
+        return t.group_by(["signature"]).aggregate([("doc_id", "count"), ("doc_id", "min")])
+
+    parts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
+    agg = (
+        parts.groupby("signature")
+        .aggregate(Sum("doc_id_count"), Min("doc_id_min"))
+        .to_pandas()
+    )
+    agg = agg.rename(columns={"sum(doc_id_count)": "n_docs", "min(doc_id_min)": "example_doc_id"})
+    agg = agg.sort_values(
+        ["n_docs", "signature"], ascending=[False, True], ignore_index=True
+    ).head(TEMPLATE_TOP)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["example_doc_id"] = agg["example_doc_id"].astype(np.int64)
+    return agg[["signature", "n_docs", "example_doc_id"]]
+
+
+# HITS hubs & authorities over the PAGERANK link fixture
+HITS_ITERS: int = 3
+HITS_TOP: int = 30
+
+
+def hits_scores(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, auth_r, hub_r) — HITS hubs & authorities (Kleinberg) over
+    the deterministic link fixture shared with :func:`link_pagerank`,
+    3 iterations with L1 normalization after each half-step from the
+    all-ones hub start.  Each half-step is ONE edge-stream pass: the
+    n-bounded score vector broadcasts via ``ray.put`` and per-batch
+    contribution partials sum per endpoint (at 10^10 docs the vector
+    becomes a doc-keyed Dataset joined per pass — same caveat as
+    link_pagerank, and the heavy edge list streams either way).  Top 30 by
+    (auth DESC, doc_id)."""
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+
+    def sweep(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
+        """One half-step: sum vec[key_in] into key_out endpoints, L1-norm."""
+        ref = ray.put(vec)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = ray.get(ref)
+            a = batch.column(key_in).to_numpy(zero_copy_only=False)
+            b = batch.column(key_out).to_numpy(zero_copy_only=False)
+            d, inv = np.unique(b, return_inverse=True)
+            s = np.bincount(inv, weights=w[a])
+            return pa.table({"k": pa.array(d), "s": pa.array(s)})
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        acc = parts.groupby("k", sort=True)["s"].sum()
+        out = np.zeros(n_docs, dtype=np.float64)
+        out[acc.index.to_numpy()] = acc.to_numpy()
+        tot = out.sum()
+        return out / tot if tot > 0 else out
+
+    hub = np.ones(n_docs, dtype=np.float64)
+    auth = np.zeros(n_docs, dtype=np.float64)
+    for _ in range(HITS_ITERS):
+        auth = sweep(hub, "src", "dst")   # a <- A^T h
+        hub = sweep(auth, "dst", "src")   # h <- A a
+    order = np.lexsort((np.arange(n_docs), -np.round(auth, 9)))[:HITS_TOP]
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": order.astype(np.int64),
+                "auth_r": np.round(auth[order], 6),
+                "hub_r": np.round(hub[order], 6),
+            }
+        )
+        .sort_values(["doc_id"], ignore_index=True)
+    )
+
+
+# BPE vocabulary training: K merges over the corpus word-frequency table
+BPE_MERGES: int = 6
+
+
+def bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """(step, lhs, rhs, merged, pair_n) — byte-pair-encoding vocabulary
+    training (Sennrich et al. 2016) over the corpus: the distributed pass
+    is ONE fused tokenize+count sweep emitting per-batch (term, cf)
+    partials (vocab-bounded — the A1 stats discipline); the merge loop
+    then runs on the reduced word-frequency table, exactly where every
+    BPE trainer runs it (the table is vocab-sized, not corpus-sized).
+    Each merge picks the most frequent adjacent symbol pair
+    (ties: count DESC, pair lexicographic ASC) and rewrites words with
+    greedy left-to-right non-overlapping replacement — the same replace
+    semantics the SQL oracle's ``replace()`` applies, so all
+    ``BPE_MERGES`` steps replay exactly."""
+    from ..stages.encode import term_count_table
+    from ..tokenizer import Tokenizer
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, tfs, _dls = term_count_table(batch.column("text"), Tokenizer())
+        t = pa.table(
+            {"term": pc.list_flatten(terms), "cf": pc.cast(pc.list_flatten(tfs), pa.int64())}
+        )
+        return t.group_by(["term"]).aggregate([("cf", "sum")])
+
+    parts = _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    words = parts.groupby("term", sort=True)["cf_sum"].sum()
+    # '|'-terminated symbol strings; tokens are [a-z0-9]+ so '|' is free
+    wlist: list[tuple[str, int]] = [("|".join(w) + "|", int(c)) for w, c in words.items()]
+    rows = []
+    for step in range(1, BPE_MERGES + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in wlist:
+            syms = w.split("|")[:-1]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((step, a, b, a + b, cnt))
+        pat, rep = a + "|" + b + "|", a + b + "|"
+        wlist = [(w.replace(pat, rep), c) for w, c in wlist]
+    return pd.DataFrame(rows, columns=["step", "lhs", "rhs", "merged", "pair_n"])
+
+
+# MMR diversity re-ranking over the embedding corpus
+MMR_QUERIES: int = 3
+MMR_POOL: int = 20
+MMR_K: int = 10
+MMR_LAMBDA: float = 0.7
+
+
+def mmr_rerank(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, mmr_r) — Maximal Marginal Relevance
+    diversity re-ranking (Carbonell & Goldstein 1998): the candidate pool
+    is the distributed brute-force cosine top-20 per query; the greedy
+    selection (rank 1 = best relevance; rank i maximizes ``λ·rel −
+    (1−λ)·max_sim_to_selected``) runs on the k-bounded pool on the driver
+    — 20×20 similarity matrices, never corpus-scale.  Candidate
+    embeddings are fetched with ONE id-filtered streaming pass.  Ties
+    break on (round9 score DESC, vec_id ASC); all ten greedy steps unroll
+    into the SQL oracle."""
+    from .ann import brute_force_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, MMR_QUERIES)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    cand = brute_force_topk(ds, Q, k=MMR_POOL)
+
+    want = np.unique(cand["vec_id"].to_numpy())
+    want_ref = ray.put(want)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        w = ray.get(want_ref)
+        pos = np.searchsorted(w, ids)
+        mask = (pos < w.size) & (w[np.minimum(pos, w.size - 1)] == ids)
+        return batch.filter(pa.array(mask))
+
+    emb_df = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    vec_of = {}
+    for r in emb_df.itertuples(index=False):
+        v = np.asarray(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        vec_of[int(r.vec_id)] = v / (n if n > 0 else 1.0)
+
+    lam = MMR_LAMBDA
+    rows = []
+    qvids = qrows["vec_id"].to_numpy()
+    for qi in range(len(qvids)):
+        sub = cand[cand["query_idx"] == qi]
+        ids_i = sub["vec_id"].to_numpy()
+        rel = sub["score"].to_numpy().astype(np.float64)
+        E = np.stack([vec_of[int(i)] for i in ids_i])
+        S = E @ E.T
+        maxsim = np.zeros(ids_i.size)
+        taken = np.zeros(ids_i.size, dtype=bool)
+        for rank in range(1, MMR_K + 1):
+            mmr = lam * rel - (1.0 - lam) * maxsim
+            mmr[taken] = -np.inf
+            j = int(np.lexsort((ids_i, -np.round(mmr, 9)))[0])
+            rows.append((int(qvids[qi]), rank, int(ids_i[j]), round(float(mmr[j]), 6)))
+            taken[j] = True
+            maxsim = np.maximum(maxsim, S[:, j])
+    return pd.DataFrame(rows, columns=["query_vec_id", "rank", "vec_id", "mmr_r"])

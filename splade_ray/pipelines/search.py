@@ -2847,6 +2847,72 @@ class ShardScorerActor:
         s = np.concatenate(cands_s) if cands_s else np.zeros(0)
         return d, s, cands_u
 
+    def score_function_score(
+        self,
+        qtids: np.ndarray,
+        qw: np.ndarray,
+        k: int,
+        functions: list[dict],
+        max_boost: float,
+        min_score: float,
+    ):
+        """Multi-function ``function_score`` (ES): each function carries an
+        optional doc-value filter; per matched doc the APPLICABLE function
+        values combine with ``score_mode=sum`` (1.0 when none apply — ES's
+        empty-functions neutral), the combined factor is capped at
+        ``max_boost`` BEFORE ``boost_mode=multiply``, and hits under
+        ``min_score`` are dropped inside the shard owner.  Function kinds:
+        ``fvf`` (weight·ln(1 + attr/div)), ``gauss`` (weight·exp(−(attr −
+        origin)²/(2σ²)), decay-0.5-at-scale σ), ``weight`` (a constant).
+        Filters: ``(col, 'eq'|'prefix', value)`` over doc-value columns."""
+        attr_cols = {f["attr"] for f in functions if "attr" in f} | {
+            f["filter"][0] for f in functions if f.get("filter")
+        }
+        attrs = {c: self._attr_for_shards(c) for c in attr_cols}
+        cands_d, cands_s, cands_u = [], [], []
+        for si, sh in enumerate(self.reader.shards):
+            slices = sh._term_slices(qtids)
+            if not slices:
+                continue
+            ids = np.concatenate([sh.post_local[s:e] for _, s, e, _ in slices])
+            w = np.concatenate([sh.post_w[s:e] * qw[i] for i, s, e, _ in slices])
+            scores = np.bincount(ids, weights=w, minlength=sh.n_local)
+            factor = np.zeros(sh.n_local, dtype=np.float64)
+            applied = np.zeros(sh.n_local, dtype=bool)
+            for f in functions:
+                if f.get("filter"):
+                    col, op, val = f["filter"]
+                    fv = np.asarray(attrs[col][si], dtype=str)
+                    if op == "eq":
+                        m = fv == val
+                    elif op == "prefix":
+                        m = np.char.startswith(fv, val)
+                    else:  # pragma: no cover - spec typo guard
+                        raise ValueError(f"unknown filter op {op!r}")
+                else:
+                    m = np.ones(sh.n_local, dtype=bool)
+                if f["kind"] == "fvf":
+                    a = np.asarray(attrs[f["attr"]][si], dtype=np.float64)
+                    v = f["weight"] * np.log1p(a / f["div"])
+                elif f["kind"] == "gauss":
+                    a = np.asarray(attrs[f["attr"]][si], dtype=np.float64)
+                    sigma2 = f["scale"] * f["scale"] / (2.0 * np.log(1.0 / f["decay"]))
+                    v = f["weight"] * np.exp(-((a - f["origin"]) ** 2) / (2.0 * sigma2))
+                else:  # constant weight
+                    v = np.full(sh.n_local, f["weight"])
+                factor[m] += v[m]
+                applied |= m
+            factor[~applied] = 1.0
+            scores *= np.minimum(factor, max_boost)
+            scores[scores < min_score] = 0.0
+            d, s = sh._topk_from_scores(scores, k)
+            cands_d.append(d)
+            cands_s.append(s)
+            cands_u.extend(self.reader.url_of(int(x)) for x in d)
+        d = np.concatenate(cands_d) if cands_d else np.zeros(0, np.int64)
+        s = np.concatenate(cands_s) if cands_s else np.zeros(0)
+        return d, s, cands_u
+
     def score_snippets(self, qtids: np.ndarray, qw: np.ndarray, qh: np.ndarray, k: int, W: int, method: str = "exhaustive"):
         """Local top-k + best-window snippets for THIS actor's shards.
         Texts come from a url-IN-candidates parquet read (k-bounded rows;
@@ -3406,6 +3472,41 @@ class ShardedSearcher:
         if qtids.size == 0:
             return []
         futs = [a.score_decay.remote(qtids, qw, k, attr_col, origin, scale) for a in self.actors]
+        docs, scores, urls = [], [], []
+        for d, s, u in ray.get(futs):
+            docs.append(d)
+            scores.append(s)
+            urls.extend(u)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if d.size == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        urls_arr = np.asarray(urls, dtype=object)
+        return [(int(d[i]), float(s[i]), str(urls_arr[i])) for i in order]
+
+    def search_function_score(
+        self,
+        text: str,
+        k: int,
+        functions: list[dict],
+        max_boost: float = 3.0,
+        min_score: float = 0.0,
+    ) -> list[tuple[int, float, str]]:
+        """Multi-function ``function_score`` retrieval: shard owners apply
+        the filtered functions (score_mode=sum, factor capped at
+        ``max_boost``, boost_mode=multiply, ``min_score`` cut) to their OWN
+        matched docs before local top-k — only ≤k candidates per actor
+        reach the merge."""
+        qtids, qw = self.reader.encode_query(text)
+        if qtids.size == 0:
+            return []
+        futs = [
+            a.score_function_score.remote(qtids, qw, k, functions, max_boost, min_score)
+            for a in self.actors
+        ]
         docs, scores, urls = [], [], []
         for d, s, u in ray.get(futs):
             docs.append(d)
