@@ -190,6 +190,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diversity re-ranking of the cosine top-20 pool (greedy,
         # all ten steps unrolled into the SQL oracle)
         "mmr_rerank": q.mmr_rerank,
+        # learned BPE vocab applied back to the corpus: top subword symbols
+        "bpe_encode": q.bpe_encode,
+        # exact directional n-gram containment (quote/excerpt detection)
+        "containment_pairs": q.containment_pairs,
+        # variable_width_histogram: deterministic 1-D k-means buckets
+        "variable_width_histogram": q.variable_width_histogram,
+        # filtered alias: 3 backing segments + lang filter, atomic registry
+        "alias_topk": q.alias_topk,
+        # percentiles_bucket + stats_bucket over the daily event series
+        "bucket_percentiles_stats": q.bucket_percentiles_stats,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -4838,5 +4848,134 @@ sims AS MATERIALIZED (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
 SELECT qid AS query_vec_id, rank, vec_id, round(mmr, 6) AS mmr_r
 FROM ({_mmr_out})
 ORDER BY query_vec_id, rank
+"""
+
+    # directional containment: the minhash/jaccard brute-force shingle
+    # chain with per-direction |inter|/|set| scoring
+    from splade_ray.pipelines.queries import CONTAINMENT_THRESHOLD
+
+    oracles["containment_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, u.term, u.ord
+  FROM (SELECT doc_id, {doc_toks} AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS term, generate_subscripts(l, 1) AS ord) u
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         term || chr(1) || lead(term, 1) OVER w || chr(1) || lead(term, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, i::BIGINT AS inter,
+       round(i::DOUBLE / sa.n, 6) AS c_ab_r, round(i::DOUBLE / sb.n, 6) AS c_ba_r
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE GREATEST(i::DOUBLE / sa.n, i::DOUBLE / sb.n) >= {CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+    # BPE applied: final word table -> subword symbol frequencies
+    from splade_ray.pipelines.queries import BPE_TOP_SYMBOLS
+
+    oracles["bpe_encode"] = f"""
+WITH toks AS (SELECT unnest({doc_toks}) AS term FROM documents),
+words AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+w0 AS (SELECT array_to_string(string_split(term, ''), '|') || '|' AS w, cf FROM words),
+{",".join(_bpe)},
+syms AS (
+  SELECT unnest(list_slice(string_split(w, '|'), 1, len(string_split(w, '|')) - 1)) AS symbol, cf
+  FROM w{BPE_MERGES}
+)
+SELECT symbol, sum(cf)::BIGINT AS freq FROM syms GROUP BY 1
+ORDER BY freq DESC, symbol ASC LIMIT {BPE_TOP_SYMBOLS}
+"""
+    # variable_width_histogram: unrolled 1-D Lloyd over the (distinct
+    # value, count) table — weighted updates equal the engine's raw sums
+    from splade_ray.pipelines.queries import VWH_BUCKETS, VWH_ITERS
+
+    _vwh = []
+    for it in range(1, VWH_ITERS + 1):
+        prev = f"vc{it - 1}"
+        _vwh.append(
+            f"""va{it} AS MATERIALIZED (SELECT x, n, cl FROM (
+  SELECT xs.x, xs.n, c.cl,
+         row_number() OVER (PARTITION BY xs.x ORDER BY (xs.x - c.c) * (xs.x - c.c), c.cl) AS r
+  FROM xs CROSS JOIN {prev} c) WHERE r = 1),
+vc{it} AS MATERIALIZED (SELECT p.cl, round(coalesce(u.c, p.c), 9) AS c FROM {prev} p LEFT JOIN
+  (SELECT cl, sum(x * n) / sum(n) AS c FROM va{it} GROUP BY cl) u ON u.cl = p.cl)"""
+        )
+    oracles["variable_width_histogram"] = f"""
+WITH xs AS MATERIALIZED (SELECT n_chars::DOUBLE AS x, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+vc0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY x) - 1 AS cl, round(x, 9) AS c
+  FROM (SELECT DISTINCT x FROM xs) ORDER BY x LIMIT {VWH_BUCKETS}),
+{",".join(_vwh)},
+fin AS (SELECT x, n, cl FROM (
+  SELECT xs.x, xs.n, c.cl,
+         row_number() OVER (PARTITION BY xs.x ORDER BY (xs.x - c.c) * (xs.x - c.c), c.cl) AS r
+  FROM xs CROSS JOIN vc{VWH_ITERS} c) WHERE r = 1)
+SELECT cl AS bucket, sum(n)::BIGINT AS n_docs,
+       min(x)::BIGINT AS min_chars, max(x)::BIGINT AS max_chars,
+       round(sum(x * n) / sum(n), 6) AS avg_chars_r
+FROM fin GROUP BY cl ORDER BY bucket
+"""
+    # filtered alias: segment stats over days 2-4, lang filter applied at
+    # scoring only (live-docs shape — never changes df/avgdl)
+    from splade_ray.pipelines.queries import ALIAS_DAYS, ALIAS_LANG, DATASTREAM_DAYS as _DS_DAYS
+
+    oracles["alias_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sel AS (SELECT doc_id, text, lang FROM documents, nn
+        WHERE doc_id * {_DS_DAYS} // nn.n >= {ALIAS_DAYS[0]} AND doc_id * {_DS_DAYS} // nn.n < {ALIAS_DAYS[1]}),
+toks AS (SELECT doc_id, unnest({_TOK_SQL.format(col="text")}) AS term FROM sel),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN sel ON sel.doc_id = tf.doc_id AND sel.lang = '{ALIAS_LANG}'
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # percentiles_bucket + stats_bucket over the gap-free daily series
+    oracles["bucket_percentiles_stats"] = """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT coalesce(c.n, 0)::DOUBLE AS n FROM axis a LEFT JOIN c USING (day))
+SELECT round(quantile_cont(n, 0.25), 6) AS p25_r,
+       round(quantile_cont(n, 0.50), 6) AS p50_r,
+       round(quantile_cont(n, 0.75), 6) AS p75_r,
+       min(n)::BIGINT AS min_n, max(n)::BIGINT AS max_n,
+       round(avg(n), 6) AS avg_r, sum(n)::BIGINT AS sum_n
+FROM s
 """
     return oracles

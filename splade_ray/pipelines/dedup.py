@@ -908,6 +908,123 @@ def connected_components_distributed(
     return _cc_extract(edges, nbuckets)
 
 
+def _unique_shingle_rows(
+    batch: pa.Table, shingle_n: int, text_col: str, id_col: str
+) -> pa.Table:
+    """Explode one batch to unique (id, shingle-hash, set_size) rows — the
+    shared front end of the exact set-similarity joins (jaccard and
+    containment)."""
+    tok = Tokenizer()
+    n = batch.num_rows
+    h, rows, _dls = tok.tokenize_hashes(batch.column(text_col))
+    if h.size >= shingle_n:
+        acc = shingle_hashes(h, shingle_n)
+        valid = rows[: h.size - shingle_n + 1] == rows[shingle_n - 1 :]
+        sh, srows = acc[valid].astype(np.int64), rows[: h.size - shingle_n + 1][valid]
+    else:
+        sh, srows = np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.lexsort((sh, srows))
+    sh, srows = sh[order], srows[order]
+    if sh.size:
+        keep = np.ones(sh.size, bool)
+        keep[1:] = (srows[1:] != srows[:-1]) | (sh[1:] != sh[:-1])
+        sh, srows = sh[keep], srows[keep]
+    set_sizes = np.bincount(srows, minlength=n).astype(np.int64)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {id_col: pa.array(ids[srows]), "shingle": pa.array(sh), "set_size": pa.array(set_sizes[srows])}
+    )
+
+
+_PAIR_CONTAINMENT_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("inter", pa.int64()),
+        ("c_ab", pa.float64()),
+        ("c_ba", pa.float64()),
+    ]
+)
+
+
+def _bucket_pair_containment(g: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized per-pair DIRECTIONAL containment over intersection rows:
+    c(a→b) = |∩|/|A|, c(b→a) = |∩|/|B|; a pair survives when either
+    direction reaches ``threshold`` (quote/copy detection is asymmetric —
+    a short doc fully inside a long one has high c(a→b) but low jaccard)."""
+    if g.num_rows == 0:
+        return _PAIR_CONTAINMENT_SCHEMA.empty_table()
+    ia, ib, order, bounds = _pair_sorted(g)
+    cnt = np.diff(np.r_[bounds, ia.size]).astype(np.float64)
+    na = g.column("n_a").to_numpy(zero_copy_only=False)[order][bounds].astype(np.float64)
+    nb = g.column("n_b").to_numpy(zero_copy_only=False)[order][bounds].astype(np.float64)
+    c_ab = cnt / np.maximum(na, 1.0)
+    c_ba = cnt / np.maximum(nb, 1.0)
+    keep = np.maximum(c_ab, c_ba) >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(ia[bounds][keep]),
+            "id_b": pa.array(ib[bounds][keep]),
+            "inter": pa.array(cnt[keep].astype(np.int64)),
+            "c_ab": pa.array(c_ab[keep]),
+            "c_ba": pa.array(c_ba[keep]),
+        }
+    )
+
+
+def containment_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """EXACT directional n-gram containment pairs — the asymmetric dual of
+    :func:`ngram_jaccard_pairs` for quote/excerpt/copy detection: a short
+    document wholly contained in a long one scores c(short→long) ≈ 1 while
+    its jaccard stays tiny.  Same inverted-shingle self-join plan (explode
+    → shingle hash-join → coarse pair-bucket exchange → vectorized per-pair
+    scoring); no size pre-filter exists for containment (|∩| can reach
+    min(|A|,|B|) at any size ratio), so every co-shingled pair is scored."""
+    npart = concurrency or pool_size()
+
+    def explode_shingles(batch: pa.Table) -> pa.Table:
+        return _unique_shingle_rows(batch, shingle_n, text_col, id_col)
+
+    shingles = ds.map_batches(explode_shingles, batch_format="pyarrow").materialize()
+    n_sh = shingles.count()
+    npart = max(2, min(npart, n_sh // 200_000 + 1))
+    a = shingles.rename_columns({id_col: "id_a", "set_size": "n_a"})
+    b = shingles.rename_columns({id_col: "id_b", "set_size": "n_b"})
+    joined = a.join(b, "inner", num_partitions=npart, on=("shingle",))
+
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ia < ib))
+
+    out = (
+        joined.map_batches(keep_ordered, batch_format="pyarrow")
+        .map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(lambda g: _bucket_pair_containment(g, threshold), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "inter": pd.Series(dtype=np.int64),
+                "c_ab": pd.Series(dtype=np.float64),
+                "c_ba": pd.Series(dtype=np.float64),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def ngram_jaccard_pairs(
     ds: Dataset,
     *,
@@ -932,26 +1049,7 @@ def ngram_jaccard_pairs(
     npart = concurrency or pool_size()
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
-        tok = Tokenizer()
-        n = batch.num_rows
-        h, rows, _dls = tok.tokenize_hashes(batch.column(text_col))
-        if h.size >= shingle_n:
-            acc = shingle_hashes(h, shingle_n)
-            valid = rows[: h.size - shingle_n + 1] == rows[shingle_n - 1 :]
-            sh, srows = acc[valid].astype(np.int64), rows[: h.size - shingle_n + 1][valid]
-        else:
-            sh, srows = np.zeros(0, np.int64), np.zeros(0, np.int64)
-        order = np.lexsort((sh, srows))
-        sh, srows = sh[order], srows[order]
-        if sh.size:
-            keep = np.ones(sh.size, bool)
-            keep[1:] = (srows[1:] != srows[:-1]) | (sh[1:] != sh[:-1])
-            sh, srows = sh[keep], srows[keep]
-        set_sizes = np.bincount(srows, minlength=n).astype(np.int64)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {id_col: pa.array(ids[srows]), "shingle": pa.array(sh), "set_size": pa.array(set_sizes[srows])}
-        )
+        return _unique_shingle_rows(batch, shingle_n, text_col, id_col)
 
     shingles = ds.map_batches(explode_shingles, batch_format="pyarrow").materialize()
     # join parallelism proportional to the DATA, not the cluster — each

@@ -6162,6 +6162,13 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
     greedy left-to-right non-overlapping replacement — the same replace
     semantics the SQL oracle's ``replace()`` applies, so all
     ``BPE_MERGES`` steps replay exactly."""
+    rows, _wlist = _bpe_train(_bpe_word_table(sf_dir), BPE_MERGES)
+    return pd.DataFrame(rows, columns=["step", "lhs", "rhs", "merged", "pair_n"])
+
+
+def _bpe_word_table(sf_dir: str) -> pd.Series:
+    """word → corpus frequency, via one fused tokenize+count sweep with
+    per-batch combiner partials (the A1 stats discipline)."""
     from ..stages.encode import term_count_table
     from ..tokenizer import Tokenizer
 
@@ -6173,21 +6180,30 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
         return t.group_by(["term"]).aggregate([("cf", "sum")])
 
     parts = _docs(sf_dir, columns=["text"]).map_batches(partial, batch_format="pyarrow").to_pandas()
-    words = parts.groupby("term", sort=True)["cf_sum"].sum()
+    return parts.groupby("term", sort=True)["cf_sum"].sum()
+
+
+def _bpe_train(
+    words: pd.Series, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], list[tuple[str, int]]]:
+    """The merge loop over the vocab-bounded word table: returns the merge
+    rows and the final rewritten word list."""
     # '|'-terminated symbol strings; tokens are [a-z0-9]+ so '|' is free
     wlist: list[tuple[str, int]] = [("|".join(w) + "|", int(c)) for w, c in words.items()]
     rows = []
-    for step in range(1, BPE_MERGES + 1):
+    for step in range(1, n_merges + 1):
         pair_counts: dict[tuple[str, str], int] = {}
         for w, c in wlist:
             syms = w.split("|")[:-1]
             for a, b in zip(syms, syms[1:]):
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:  # every word is one symbol: vocabulary saturated
+            break
         (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
         rows.append((step, a, b, a + b, cnt))
         pat, rep = a + "|" + b + "|", a + b + "|"
         wlist = [(w.replace(pat, rep), c) for w, c in wlist]
-    return pd.DataFrame(rows, columns=["step", "lhs", "rhs", "merged", "pair_n"])
+    return rows, wlist
 
 
 # MMR diversity re-ranking over the embedding corpus
@@ -6250,3 +6266,182 @@ def mmr_rerank(sf_dir: str) -> pd.DataFrame:
             taken[j] = True
             maxsim = np.maximum(maxsim, S[:, j])
     return pd.DataFrame(rows, columns=["query_vec_id", "rank", "vec_id", "mmr_r"])
+
+
+BPE_TOP_SYMBOLS: int = 20
+
+
+def bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """(symbol, freq) — the learned BPE vocabulary APPLIED back to the
+    corpus: after the ``BPE_MERGES`` training steps every word is a
+    sequence of merged symbols, and this reports the top-20 symbols by
+    total corpus frequency (the subword distribution a tokenizer build
+    ships).  The corpus pass and merge loop are shared with
+    :func:`bpe_merges`; applying merges to unseen text is the same
+    greedy-replace, so symbol frequencies derive from the final word
+    table (word freq × symbol occurrences in the rewritten word)."""
+    _rows, wlist = _bpe_train(_bpe_word_table(sf_dir), BPE_MERGES)
+    freq: dict[str, int] = {}
+    for w, c in wlist:
+        for s in w.split("|")[:-1]:
+            freq[s] = freq.get(s, 0) + c
+    items = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_SYMBOLS]
+    return pd.DataFrame(
+        {"symbol": [s for s, _ in items], "freq": np.asarray([c for _, c in items], np.int64)}
+    )
+
+
+# ES variable_width_histogram: 1-D k-means buckets over a numeric field
+VWH_BUCKETS: int = 4
+VWH_ITERS: int = 3
+
+
+def variable_width_histogram(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_docs, min_chars, max_chars, avg_chars_r) — ES
+    ``variable_width_histogram`` over the n_chars doc-value, made
+    deterministic as 1-D Lloyd k-means (k=4, 3 iterations; seeds = the 4
+    smallest distinct values; assignment ties to the lower cluster;
+    centroids rounded to 9 decimals each update so the fp boundary is
+    stable).  Every pass is one streaming map_batches with k-cell combiner
+    partials against broadcast centroids; the SQL oracle unrolls all
+    three iterations over the (distinct value, count) table — weighted
+    updates are identical arithmetic."""
+    ds = _docs(sf_dir, columns=["n_chars"])
+
+    def uniq_partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch.column("n_chars").to_numpy(zero_copy_only=False))
+        return pa.table({"x": pa.array(v[: VWH_BUCKETS * 4])})
+
+    seed_vals = np.unique(
+        ds.map_batches(uniq_partial, batch_format="pyarrow").to_pandas()["x"].to_numpy()
+    )
+    cents = np.round(seed_vals[:VWH_BUCKETS].astype(np.float64), 9)
+
+    def sweep(cents_now: np.ndarray, final: bool) -> pd.DataFrame:
+        ref = ray.put(cents_now)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+            d = (x[:, None] - c[None, :]) ** 2
+            cl = np.argmin(d, axis=1)  # argmin takes the FIRST min: lower-cl ties
+            n = np.bincount(cl, minlength=c.size)
+            s = np.bincount(cl, weights=x, minlength=c.size)
+            cols = {
+                "cl": pa.array(np.arange(c.size, dtype=np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "s": pa.array(s),
+            }
+            if final:
+                mn = np.full(c.size, np.inf)
+                mx = np.full(c.size, -np.inf)
+                np.minimum.at(mn, cl, x)
+                np.maximum.at(mx, cl, x)
+                cols["mn"] = pa.array(mn)
+                cols["mx"] = pa.array(mx)
+            return pa.table(cols)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = {"n": "sum", "s": "sum"}
+        if final:
+            agg.update({"mn": "min", "mx": "max"})
+        return parts.groupby("cl", sort=True).agg(agg)
+
+    for _ in range(VWH_ITERS):
+        g = sweep(cents, final=False)
+        upd = np.where(g["n"].to_numpy() > 0, g["s"].to_numpy() / np.maximum(g["n"].to_numpy(), 1), cents)
+        cents = np.round(upd, 9)
+    g = sweep(cents, final=True)
+    g = g[g["n"] > 0]
+    return pd.DataFrame(
+        {
+            "bucket": g.index.to_numpy().astype(np.int64),
+            "n_docs": g["n"].to_numpy().astype(np.int64),
+            "min_chars": g["mn"].to_numpy().astype(np.int64),
+            "max_chars": g["mx"].to_numpy().astype(np.int64),
+            "avg_chars_r": np.round(g["s"].to_numpy() / g["n"].to_numpy(), 6),
+        }
+    ).reset_index(drop=True)
+
+
+# filtered alias: days 2-4 of the datastream + lang = 'en'
+ALIAS_NAME: str = "recent_en"
+ALIAS_DAYS: tuple[int, int] = (2, 5)  # [lo, hi) of DATASTREAM_DAYS
+ALIAS_LANG: str = "en"
+
+
+def alias_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES FILTERED-ALIAS serving: the
+    alias names 3 of the 5 daily backing indices plus a ``lang = 'en'``
+    doc filter; queries address the alias, the resolver opens only its
+    segments, and each segment applies the filter inside its own scorer
+    (live-docs shape) under segment statistics — alias swaps / rollover
+    stay invisible to the client.  The allow set comes from ONE
+    column-pruned corpus read; the registry is an atomic ``aliases.json``
+    beside the index (:mod:`splade_ray.state.aliases`)."""
+    from ..state.aliases import get_alias, put_alias
+    from .search import FederatedReader
+
+    dirs = _ensure_datastream_segments(sf_dir)
+    base = build_documents_index(sf_dir)
+    lo, hi = ALIAS_DAYS
+    put_alias(base, ALIAS_NAME, dirs[lo:hi], {"col": "lang", "op": "eq", "value": ALIAS_LANG})
+
+    seg_dirs, filt = get_alias(base, ALIAS_NAME)
+    fr = FederatedReader(seg_dirs, DOCS_CFG)
+    corpus = pq.read_table(
+        os.path.join(base, "corpus_input.parquet"), columns=["url", filt["col"]]
+    )
+    allow = corpus.filter(pc.equal(corpus.column(filt["col"]), filt["value"])).column("url")
+    allow = pa.array(sorted(allow.to_pylist()), type=pa.string())
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_doc, score, url) in enumerate(fr.search_filtered(text, BM25_K, allow_urls=allow), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def bucket_percentiles_stats(sf_dir: str) -> pd.DataFrame:
+    """(p25_r, p50_r, p75_r, min_n, max_n, avg_r, sum_n) — ES
+    ``percentiles_bucket`` + ``stats_bucket`` pipeline aggs over the daily
+    event-count series: the heavy pass is the same per-batch day-count
+    partial as the other date-histogram queries; the pipeline math runs on
+    the bounded bucket list (linear-interpolation percentiles, the ES/
+    numpy default).  One row out."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        return pa.table({"day": days}).group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    n = counts.reindex(full, fill_value=0).to_numpy().astype(np.float64)
+    p25, p50, p75 = np.percentile(n, [25, 50, 75], method="linear")
+    return pd.DataFrame(
+        {
+            "p25_r": [round(float(p25), 6)],
+            "p50_r": [round(float(p50), 6)],
+            "p75_r": [round(float(p75), 6)],
+            "min_n": np.asarray([n.min()], np.int64),
+            "max_n": np.asarray([n.max()], np.int64),
+            "avg_r": [round(float(n.mean()), 6)],
+            "sum_n": np.asarray([n.sum()], np.int64),
+        }
+    )
+
+
+CONTAINMENT_THRESHOLD: float = 0.7
+
+
+def containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """(id_a, id_b, inter, c_ab_r, c_ba_r) — exact directional 3-gram
+    containment pairs at max(c_ab, c_ba) >= 0.7: the quote/excerpt
+    detector jaccard misses (a short doc inside a long one)."""
+    from .dedup import containment_pairs as _cp
+
+    out = _cp(_docs(sf_dir, columns=["doc_id", "text"]), threshold=CONTAINMENT_THRESHOLD)
+    out["c_ab_r"] = out["c_ab"].round(6)
+    out["c_ba_r"] = out["c_ba"].round(6)
+    return out[["id_a", "id_b", "inter", "c_ab_r", "c_ba_r"]]

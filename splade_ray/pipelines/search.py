@@ -2305,6 +2305,14 @@ class FederatedReader:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
+    def search_filtered(self, text: str, k: int = 10, allow_urls=None) -> list[tuple[int, float, str]]:
+        """Filtered federation (ES filtered-alias serving): each segment
+        applies the allow mask inside its own scorer (live-docs shape,
+        segment statistics unchanged), then the usual merged top-k."""
+        hits = [h for r in self.readers for h in r.search_filtered(text, k, allow_urls=allow_urls)]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
 
 class SearcherStage:
     """map_batches(pyarrow) actor-pool stage over a queries Dataset:

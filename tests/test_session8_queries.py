@@ -236,3 +236,104 @@ def test_template_signatures_counts(ray_session, tmp_path):
     assert int(out.iloc[0]["n_docs"]) == 6 and int(out.iloc[0]["example_doc_id"]) == 0
     assert out.iloc[1]["signature"] == "user <num> logged in from host <num> session"
     assert int(out.iloc[1]["n_docs"]) == 4 and int(out.iloc[1]["example_doc_id"]) == 6
+
+
+def test_containment_catches_what_jaccard_misses(ray_session, tmp_path):
+    """A short doc embedded verbatim in a long one: c(short→long) == 1.0
+    while jaccard stays under the 0.5 dedup threshold — plus a dense
+    brute-force check of every reported pair."""
+    from splade_ray.pipelines.dedup import containment_pairs, ngram_jaccard_pairs
+    import ray.data as rd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    other = "totally different content " + " ".join(f"x{i} y{i}" for i in range(10))
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array([short, long, other])}
+    )
+    ds = rd.from_arrow(tbl)
+    cont = containment_pairs(ds, threshold=0.9)
+    assert [(int(r.id_a), int(r.id_b)) for r in cont.itertuples()] == [(0, 1)]
+    np.testing.assert_allclose(cont.iloc[0]["c_ab"], 1.0)
+    jac = ngram_jaccard_pairs(ds, threshold=0.5)
+    assert jac.empty  # jaccard misses the embedded copy
+
+    # brute-force shingle sets agree on the intersection count
+    def shingles(t):
+        ts = t.split()
+        return {tuple(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sa, sb = shingles(short), shingles(long)
+    assert int(cont.iloc[0]["inter"]) == len(sa & sb)
+
+
+def test_bpe_encode_conserves_characters(ray_session, tmp_path):
+    """Symbols partition the corpus characters: sum(freq · |symbol|) must
+    equal the total token-character count, before and after merging."""
+    from splade_ray.pipelines.queries import _bpe_train, _bpe_word_table, bpe_encode
+
+    texts = ["aa ab aa ba", "ab aa bb aa", "ba bb ab aa"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = bpe_encode(str(tmp_path))
+    total_chars = sum(len(w) for t in texts for w in t.split())
+    assert int((out["freq"] * out["symbol"].str.len()).sum()) == total_chars
+
+    # and the full (untruncated) symbol table from the train helper agrees
+    _rows, wlist = _bpe_train(_bpe_word_table(str(tmp_path)), 6)
+    freq: dict[str, int] = {}
+    for w, c in wlist:
+        for s in w.split("|")[:-1]:
+            freq[s] = freq.get(s, 0) + c
+    want = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(out.itertuples(index=False, name=None)) == want
+
+
+def test_variable_width_histogram_matches_dense_lloyd(ray_session, tmp_path):
+    """The streaming k-means bucketing equals a dense numpy Lloyd with the
+    same seeds/ties/rounding."""
+    from splade_ray.pipelines.queries import VWH_BUCKETS, VWH_ITERS, variable_width_histogram
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.integers(10, 60, 200), rng.integers(300, 400, 150), rng.integers(900, 950, 50)])
+    tbl = pa.table({"doc_id": pa.array(np.arange(x.size, dtype=np.int64)), "n_chars": pa.array(x.astype(np.int64))})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = variable_width_histogram(str(tmp_path))
+
+    xd = x.astype(np.float64)
+    cents = np.round(np.unique(xd)[:VWH_BUCKETS], 9)
+    for _ in range(VWH_ITERS):
+        cl = np.argmin((xd[:, None] - cents[None, :]) ** 2, axis=1)
+        upd = cents.copy()
+        for k in range(VWH_BUCKETS):
+            if (cl == k).any():
+                upd[k] = xd[cl == k].mean()
+        cents = np.round(upd, 9)
+    cl = np.argmin((xd[:, None] - cents[None, :]) ** 2, axis=1)
+    rows = []
+    for k in range(VWH_BUCKETS):
+        m = cl == k
+        if m.any():
+            rows.append((k, int(m.sum()), int(xd[m].min()), int(xd[m].max()), round(float(xd[m].mean()), 6)))
+    assert list(got.itertuples(index=False, name=None)) == rows
+
+
+def test_alias_registry_roundtrip_and_unfiltered_identity(fixture_index, tmp_path):
+    """aliases.json round-trips atomically; search_filtered with an
+    allow-all mask equals plain federated search."""
+    from splade_ray.pipelines.search import FederatedReader
+    from splade_ray.state.aliases import get_alias, list_aliases, put_alias
+
+    reader, out, cfg, corpus = fixture_index
+    put_alias(str(tmp_path), "a1", [out], {"col": "lang", "op": "eq", "value": "en"})
+    put_alias(str(tmp_path), "a2", [out, out], None)
+    segs, filt = get_alias(str(tmp_path), "a1")
+    assert segs == [out] and filt["value"] == "en"
+    assert set(list_aliases(str(tmp_path))) == {"a1", "a2"}
+    put_alias(str(tmp_path), "a1", [out], None)  # replace
+    assert get_alias(str(tmp_path), "a1")[1] is None
+
+    fr = FederatedReader([out], cfg)
+    all_urls = pa.array(sorted(u for sh in reader.shards for u in sh.urls.to_pylist()))
+    for text in ("w0001 w0002", "w0100"):
+        assert fr.search_filtered(text, 10, allow_urls=all_urls) == fr.search(text, 10)
