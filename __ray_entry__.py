@@ -200,6 +200,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_topk": q.alias_topk,
         # percentiles_bucket + stats_bucket over the daily event series
         "bucket_percentiles_stats": q.bucket_percentiles_stats,
+        # combined_fields: fields merged into ONE pseudo-field before BM25
+        # (combined tf/dl/avgdl, whole-document df) — 4th multi-field mode
+        "combined_fields_topk": q.combined_fields_topk,
+        # TPC-H-Q5-shaped star join: fact⋈fact co-partition + broadcast
+        # dims resolved at tag time; revenue per (region, nation)
+        "regional_revenue": q.regional_revenue,
+        # Heaps'-law vocab growth: distinct terms after each corpus decile
+        # via first-occurrence (groupby(term).min(doc_id)) — no ordered scan
+        "vocab_growth": q.vocab_growth,
+        # ordered funnel (view < click < purchase ts chain) per user
+        "event_funnel": q.event_funnel,
+        # binary (1-bit sign) quantized coarse kNN + exact cosine rescore
+        "knn_bq_rescore": q.knn_bq_rescore,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -4977,5 +4990,121 @@ SELECT round(quantile_cont(n, 0.25), 6) AS p25_r,
        min(n)::BIGINT AS min_n, max(n)::BIGINT AS max_n,
        round(avg(n), 6) AS avg_r, sum(n)::BIGINT AS sum_n
 FROM s
+"""
+    # combined_fields (Lucene CombinedFieldQuery): one pseudo-field —
+    # combined tf = Σ_f boost·tf_f, combined dl = Σ_f boost·dl_f, avgdl
+    # over combined lengths, df = whole-document df — then standard BM25
+    oracles["combined_fields_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+base AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+f AS (
+  SELECT doc_id, 'title' AS field, l[1:{queries_mod_title_toks}] AS fl FROM base
+  UNION ALL
+  SELECT doc_id, 'body', l[{queries_mod_title_toks + 1}:] FROM base
+),
+ftoks AS (SELECT doc_id, field, unnest(fl) AS term FROM f),
+ftf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM ftoks GROUP BY 1, 2, 3),
+fdl AS (SELECT field, doc_id, len(fl)::DOUBLE AS dl FROM f),
+cdl AS (SELECT doc_id, sum((CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END) * dl) AS dl
+        FROM fdl GROUP BY doc_id),
+cstats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM cdl),
+ctf AS (SELECT doc_id, term, sum((CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END) * tf) AS tf
+        FROM ftf GROUP BY 1, 2),
+cdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM ftf GROUP BY term),
+scores AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN ctf t ON t.term = q.term
+  JOIN cdf d ON d.term = q.term
+  JOIN cdl l ON l.doc_id = t.doc_id
+  CROSS JOIN cstats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # TPC-H-Q5 star join: revenue in exact integer 1e-4 units
+    oracles["regional_revenue"] = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # Heaps'-law growth: distinct-so-far at decile c == terms whose first
+    # occurrence precedes the c-th decile boundary (doc_id order)
+    oracles["vocab_growth"] = f"""
+WITH toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+ft AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+cp AS (SELECT unnest(range(1, 11)) AS checkpoint)
+SELECT cp.checkpoint::BIGINT AS checkpoint,
+       ((cp.checkpoint * n.n_docs) // 10)::BIGINT AS n_docs_seen,
+       (SELECT count(*) FROM ft WHERE ft.first_doc < (cp.checkpoint * n.n_docs) // 10)::BIGINT AS vocab_size
+FROM cp CROSS JOIN n ORDER BY 1
+"""
+    # ordered funnel: earliest-feasible greedy chain view < click < purchase
+    oracles["event_funnel"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS c1, (SELECT count(*) FROM s2) AS c2,
+             (SELECT count(*) FROM s3) AS c3)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage, 'view' AS event_type, c1::BIGINT AS n_users,
+         round(1.0, 6) AS conversion_r FROM c
+  UNION ALL
+  SELECT 2, 'click', c2, round(c2 / greatest(c1, 1)::DOUBLE, 6) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', c3, round(c3 / greatest(c2, 1)::DOUBLE, 6) FROM c
+) ORDER BY stage
+"""
+    # binary-quantized coarse scan (sign-bit agreement = (dim + ±1·±1)/2,
+    # exact small-integer arithmetic on both sides) + exact cosine rescore
+    oracles["knn_bq_rescore"] = """
+WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+qq AS (SELECT qid, qe,
+              list_transform(qe, x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS qs
+       FROM q0),
+dd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+              list_transform(CAST(embedding AS DOUBLE[]), x -> CASE WHEN x > 0 THEN 1.0 ELSE -1.0 END) AS ds
+       FROM embeddings),
+coarse AS (
+  SELECT q.qid AS query_vec_id, d.vec_id, q.qe, d.de,
+         (len(q.qe) + list_inner_product(d.ds, q.qs)) / 2.0 AS coarse
+  FROM qq q CROSS JOIN dd d
+),
+cand AS (
+  SELECT query_vec_id, vec_id, qe, de, coarse,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY coarse DESC, vec_id ASC) AS crank
+  FROM coarse
+),
+resc AS (
+  SELECT query_vec_id, vec_id, coarse, list_cosine_similarity(qe, de) AS score
+  FROM cand WHERE crank <= 30
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, coarse, score,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT query_vec_id, rank, vec_id, round(coarse, 6) AS coarse_r, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
 """
     return oracles

@@ -223,6 +223,99 @@ def quantized_rescore_topk(
     return pd.concat(out, ignore_index=True)
 
 
+def binary_rescore_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    oversample: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Two-phase BINARY-quantized kNN (the ES ``bbq``/1-bit shape on a flat
+    scan): phase 1 scores every vector by sign-bit agreement with the query
+    — ``agree = (dim + sign(d)·sign(q)) / 2`` with sign(x) = +1 if x > 0
+    else −1, i.e. ``dim − hamming`` over the sign bitplanes — and keeps the
+    global top ``k·oversample`` candidates per query by (−agree, vec_id);
+    phase 2 fetches ONLY those candidates (one broadcast-id filtered scan)
+    and re-ranks with the exact float cosine.
+
+    The coarse score is a small integer, so ties are pervasive — the
+    boundary-safe partial top-k plus the (−score, vec_id) merge make the
+    candidate cut globally deterministic, and the sign arithmetic replays
+    exactly in SQL (±1 inner product).  At the 1-bit design point the
+    corpus-side codes are 64× smaller than f32: the coarse pass streams
+    packed bitplanes, only candidate vectors' floats are ever re-read.
+
+    Returns (query_idx, rank, vec_id, coarse, score) rows, rank ≤ k by
+    (−exact, vec_id) over the candidates — same shape as
+    :func:`quantized_rescore_topk`.
+    """
+    Q = np.asarray(queries, dtype=np.float64)
+    Qs = np.where(Q > 0, 1.0, -1.0)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+    qnorm[qnorm == 0] = 1.0
+    q_ref = ray.put(Qs)
+    kk_c = k * oversample
+
+    def coarse_batch(batch: pa.Table) -> pa.Table:
+        Qsm = ray.get(q_ref)
+        emb = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        Ds = np.where(emb > 0, 1.0, -1.0)
+        dim = emb.shape[1] if emb.size else Qsm.shape[1]
+        agree = (dim + Ds @ Qsm.T) / 2.0  # integer-valued floats
+        kk = min(kk_c, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(Qsm.shape[0]):
+            col = agree[:, qi]
+            part = _boundary_safe_topk(col, kk)
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[part])
+            out_s.append(col[part])
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
+    cand = (
+        partials.groupby("query_idx")
+        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .to_pandas()
+    )
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.minimum(pos, max(want.size - 1, 0))
+        hit = (want[pos] == ids) if want.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(hit)).select([id_col, emb_col])
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(got[id_col].to_numpy(), got[emb_col].to_numpy()))
+    E = np.stack([np.asarray(by_id[v], dtype=np.float64) for v in cand["vec_id"]])
+    enorm = np.sqrt((E * E).sum(axis=1))
+    enorm[enorm == 0] = 1.0
+    qi = cand["query_idx"].to_numpy()
+    exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
+    cand = cand.assign(exact=exact)
+    out = []
+    for g_qi, g in cand.groupby("query_idx", sort=True):
+        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_idx": np.full(len(g), g_qi, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "coarse": g["score"].to_numpy(),
+                    "score": g["exact"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]), replace=False)]

@@ -6445,3 +6445,321 @@ def containment_pairs(sf_dir: str) -> pd.DataFrame:
     out["c_ab_r"] = out["c_ab"].round(6)
     out["c_ba_r"] = out["c_ba"].round(6)
     return out[["id_a", "id_b", "inter", "c_ab_r", "c_ba_r"]]
+
+
+def combined_fields_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — ES ``combined_fields`` query
+    (Lucene ``CombinedFieldQuery``), the FOURTH multi-field semantics next
+    to most_fields (``bm25_fields_topk``), BM25F (``bm25f_topk``) and
+    cross_fields (``cross_fields_topk``): the fields are merged into ONE
+    pseudo-field *before* BM25 — per (doc, term) the combined tf is
+    Σ_f boost_f·tf_f, the combined doc length is Σ_f boost_f·dl_f, avgdl
+    is the mean combined length, and df is the whole-document df (fields
+    partition the token stream) — then a single standard BM25 saturation
+    scores the pseudo-field.  Contrast BM25F, which length-normalizes each
+    field by its OWN dl/avgdl before summing.
+
+    Served off the same per-field doc-sharded indexes (raw-tf posting
+    sidecars + field dls); fields are co-sharded by doc, so at cluster
+    scale each shard owner merges its local field postings and ships its
+    top-k only."""
+    from ..tokenizer import Tokenizer
+
+    for f in _FIELD_BOOSTS:
+        _field_reader(sf_dir, f)  # ensures the per-field index dirs exist
+    base = build_documents_index(sf_dir)
+    readers = {f: IndexReader(os.path.join(base, f"field_{f}"), DOCS_CFG) for f in _FIELD_BOOSTS}
+    n_docs = next(iter(readers.values())).n_docs
+    # combined per-doc length: Σ_f boost_f · dl_f (shards partition docs,
+    # so each global doc contributes once per field)
+    dlc = np.zeros(n_docs, dtype=np.float64)
+    for f, boost in _FIELD_BOOSTS.items():
+        for sh in readers[f].shards:
+            dlc[sh.doc_ids] += boost * sh.dl.astype(np.float64)
+    avgdlc = float(dlc.mean()) if n_docs else 1.0
+    tok = Tokenizer(DOCS_CFG)
+    k1, b = DOCS_CFG.k1, DOCS_CFG.b
+    rows = []
+    for qid, text in BM25_QUERIES:
+        toks = tok.tokenize(text)
+        if not toks:
+            continue
+        uniq, qtfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        scores = np.zeros(n_docs, dtype=np.float64)
+        for t, qn in zip(uniq, qtfs):
+            w = np.zeros(n_docs, dtype=np.float64)
+            matched = np.zeros(n_docs, dtype=bool)
+            for f, boost in _FIELD_BOOSTS.items():
+                r = readers[f]
+                tid = int(r.vocab_index.get_indexer(np.asarray([t], dtype=object))[0])
+                if tid < 0:
+                    continue
+                for sh in r.shards:
+                    for _qi, s, e, _tid in sh._term_slices(np.asarray([tid], dtype=np.int64)):
+                        local = sh.post_local[s:e]
+                        g = sh.doc_ids[local]
+                        np.add.at(w, g, boost * sh.post_tf[s:e].astype(np.float64))
+                        matched[g] = True
+            df = float(matched.sum())
+            if df == 0.0:
+                continue
+            idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+            nz = np.flatnonzero(matched)
+            norm = (1.0 - b) + b * dlc[nz] / avgdlc
+            scores[nz] += float(qn) * idf * (k1 + 1.0) * w[nz] / (w[nz] + k1 * norm)
+        nz = np.flatnonzero(scores)
+        take = nz[np.lexsort((nz, -scores[nz]))][:BM25_K]
+        for rank, d in enumerate(take, 1):
+            rows.append((qid, rank, int(d), round(float(scores[d]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def regional_revenue(sf_dir: str) -> pd.DataFrame:
+    """(region_name, nation_name, revenue, n_items) — TPC-H-Q5-shaped
+    star join: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region,
+    keeping only items whose customer and supplier share a nation, revenue
+    per (region, nation).
+
+    100-TB shape: the two FACT tables exchange ONCE on ~256 coarse
+    orderkey-hash buckets (the ``order_priority_revenue`` co-partition);
+    the DIMENSIONS never shuffle — customer and supplier key→nation
+    arrays broadcast via ``ray.put`` and are resolved AT TAG TIME, so the
+    fact rows enter the exchange already carrying their nation codes, and
+    nation/region name resolution happens on the |nations|-bounded final
+    partials.  (At a 10^9-customer design point the customer lookup
+    outgrows broadcast and becomes a third tagged stream on custkey
+    buckets first — the same tag+union machinery.)  Revenue sums in exact
+    integer 1e-4 units; per-bucket kernel = one searchsorted probe +
+    bincount partials, the joined row set never materializes."""
+    from ..functions.hashing import splitmix64
+    from ..stages.encode import cached_ref
+
+    nb = 256
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order_c = np.argsort(ck)
+    cust_ref = ray.put((ck[order_c], cust["c_nationkey"].to_numpy(np.int64)[order_c]))
+    supp = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((sk[order_s], supp["s_nationkey"].to_numpy(np.int64)[order_s]))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"])
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys, nat = cached_ref(cust_ref)
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, c), max(keys.size - 1, 0))
+        hit = keys[pos] == c if keys.size else np.zeros(c.size, bool)
+        k, pos = k[hit], pos[hit]
+        return pa.table(
+            {
+                "jkey": pa.array(k),
+                "bucket": pa.array((splitmix64(k.astype(np.uint64)) % np.uint64(nb)).astype(np.int32)),
+                "side": pa.array(np.zeros(k.size, dtype=np.int8)),
+                "nat": pa.array(nat[pos]),
+                "rev_e4": pa.array(np.zeros(k.size, dtype=np.int64)),
+            }
+        )
+
+    def tag_items(batch: pa.Table) -> pa.Table:
+        keys, nat = cached_ref(supp_ref)
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        disc = np.rint(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, s), max(keys.size - 1, 0))
+        hit = keys[pos] == s if keys.size else np.zeros(s.size, bool)
+        return pa.table(
+            {
+                "jkey": pa.array(k[hit]),
+                "bucket": pa.array((splitmix64(k[hit].astype(np.uint64)) % np.uint64(nb)).astype(np.int32)),
+                "side": pa.array(np.ones(int(hit.sum()), dtype=np.int8)),
+                "nat": pa.array(nat[pos[hit]]),
+                "rev_e4": pa.array((cents * (100 - disc))[hit]),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "nat": pa.array([], type=pa.int64()),
+            "rev_e4": pa.array([], type=pa.int64()),
+            "n_items": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def bucket_agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        jkey = g.column("jkey").to_numpy(zero_copy_only=False)
+        nat = g.column("nat").to_numpy(zero_copy_only=False)
+        o = side == 0
+        if not o.any() or o.all():
+            return empty
+        okeys = jkey[o]
+        sidx = np.argsort(okeys, kind="stable")
+        sorted_ok = okeys[sidx]
+        onat = nat[o][sidx]
+        lk = jkey[~o]
+        lnat = nat[~o]
+        rev = g.column("rev_e4").to_numpy(zero_copy_only=False)[~o]
+        pos = np.minimum(np.searchsorted(sorted_ok, lk), sorted_ok.size - 1)
+        match = (sorted_ok[pos] == lk) & (onat[pos] == lnat)
+        nm = lnat[match]
+        rv = rev[match]
+        un, inv = np.unique(nm, return_inverse=True)
+        return pa.table(
+            {
+                "nat": pa.array(un.astype(np.int64)),
+                "rev_e4": pa.array(np.bincount(inv, weights=rv.astype(np.float64)).astype(np.int64)),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+    n_rows = sum(
+        pq.read_metadata(os.path.join(sf_dir, f"{t}.parquet")).num_rows for t in ("orders", "lineitem")
+    )
+    if n_rows <= 1_000_000:
+        tagged = tagged.repartition(max(8, n_rows // 100_000))
+    parts = tagged.groupby("bucket").map_groups(bucket_agg, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("nat", sort=True).agg(rev_e4=("rev_e4", "sum"), n_items=("n_items", "sum")).reset_index()
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    out = agg.merge(dim, left_on="nat", right_on="n_nationkey")
+    out["revenue"] = (out["rev_e4"] / 10000.0).round(6)
+    out = out.rename(columns={"r_name": "region_name", "n_name": "nation_name"})
+    out = out[["region_name", "nation_name", "revenue", "n_items"]]
+    return out.sort_values(["region_name", "nation_name"], ignore_index=True)
+
+
+VOCAB_GROWTH_CHECKPOINTS: int = 10
+
+
+def vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """(checkpoint, n_docs_seen, vocab_size) — Heaps'-law vocabulary
+    growth curve: distinct terms seen after the first 10%, 20%, …, 100%
+    of the corpus in deterministic doc_id order (the tokenizer-budget /
+    corpus-diversity diagnostic of a training-data pipeline).
+
+    The ordered-scan semantics distribute WITHOUT an ordered scan: the
+    cumulative distinct count at checkpoint c equals |{terms whose FIRST
+    occurrence doc ≤ c}|, so one streaming pass emits vocab-bounded
+    (term → min doc_id) combiner partials per batch, a driver reduce
+    takes the global min per term, and each checkpoint is a count over
+    the first-occurrence histogram — no sort, no per-doc exchange."""
+    from ..stages.encode import term_count_table
+    from ..tokenizer import Tokenizer
+
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        terms, _tfs, _dls = term_count_table(batch.column("text").to_pylist(), Tokenizer())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tarr = terms.values.to_numpy(zero_copy_only=False).astype(object)
+        reps = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(ids, reps)
+        # per-batch combiner: min doc per term (vocab-bounded partial)
+        s = pd.Series(doc_of).groupby(pd.Series(tarr), sort=False).min()
+        return pa.table({"term": pa.array(s.index.to_numpy(dtype=object), type=pa.string()),
+                         "first_doc": pa.array(s.to_numpy(np.int64))})
+
+    parts = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(first_seen, batch_format="pyarrow")
+        .to_pandas()
+    )
+    first = parts.groupby("term", sort=False)["first_doc"].min().to_numpy()
+    cps = np.arange(1, VOCAB_GROWTH_CHECKPOINTS + 1)
+    seen = (cps * n_docs) // VOCAB_GROWTH_CHECKPOINTS  # docs 0..seen-1
+    vocab = np.searchsorted(np.sort(first), seen)  # first_doc < seen
+    return pd.DataFrame(
+        {
+            "checkpoint": cps.astype(np.int64),
+            "n_docs_seen": seen.astype(np.int64),
+            "vocab_size": vocab.astype(np.int64),
+        }
+    )
+
+
+FUNNEL_STAGES: tuple[str, ...] = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str) -> pd.DataFrame:
+    """(stage, event_type, n_users, conversion_r) — ordered funnel
+    analysis over the events stream: a user is at stage i when they have
+    a strictly increasing timestamp chain view < click < purchase through
+    stage i, each stage matched at its EARLIEST feasible timestamp (the
+    greedy chain is optimal: matching the earliest feasible event never
+    excludes a later chain).  conversion_r = n_users(stage) /
+    n_users(previous stage).
+
+    Distributed shape: only events whose type is in the funnel survive
+    the projection; ONE ``groupby(user_id)`` co-locates each user's
+    events, and the per-group kernel is a |stages|-pass vectorized min
+    over the sorted timestamps — output is |stages| rows total."""
+    stages = list(FUNNEL_STAGES)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type", "ts"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"), value_set=pa.array(stages))),
+        batch_format="pyarrow",
+    )
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        reach = 0
+        cur = None  # earliest feasible ts of the previous stage
+        for st in stages:
+            ts = g.loc[g["event_type"] == st, "ts"]
+            if cur is not None:
+                ts = ts[ts > cur]
+            if ts.empty:
+                break
+            cur = ts.min()
+            reach += 1
+        return pd.DataFrame({"reach": [reach]})
+
+    reached = ev.groupby("user_id").map_groups(chain, batch_format="pandas").to_pandas()
+    counts = np.zeros(len(stages), dtype=np.int64)
+    r = reached["reach"].to_numpy()
+    for i in range(1, len(stages) + 1):
+        counts[i - 1] = int((r >= i).sum())
+    prev = np.concatenate([[counts[0]], counts[:-1]])
+    conv = np.divide(counts, np.maximum(prev, 1), dtype=np.float64)
+    conv[0] = 1.0
+    return pd.DataFrame(
+        {
+            "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "event_type": stages,
+            "n_users": counts,
+            "conversion_r": np.round(conv, 6),
+        }
+    )
+
+
+def knn_bq_rescore(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, coarse_r, score_r) — two-phase
+    BINARY-quantized kNN (ES ``bbq`` / 1-bit vectors + rescore): phase 1
+    ranks the corpus by sign-bit agreement (dim − hamming over the sign
+    bitplanes — ±1 inner product, SQL-replayable exactly since the coarse
+    score is a small integer), keeps the top 30 per query by
+    (−agree, vec_id); phase 2 fetches only those candidates and re-ranks
+    with the exact float cosine."""
+    from .ann import binary_rescore_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    out = binary_rescore_topk(ds, Q, k=10, oversample=3)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["coarse_r"] = out["coarse"].round(6)
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "coarse_r", "score_r"]]

@@ -1,0 +1,248 @@
+"""Session-9 invariants: binary-quantized kNN rescore, combined_fields
+scoring, funnel chain, Heaps'-law vocab growth, and the Q5 star join —
+each cross-checked against an independent in-test reference (dense numpy /
+brute force), not just the sf-scale SQL oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _rand_vectors(n, dim, seed):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, dim))
+
+
+def test_binary_rescore_matches_dense_reference(ray_session):
+    """Coarse = sign-agreement count; candidates = global top-30 by
+    (-agree, vec_id); final = exact cosine over candidates — all replayed
+    densely in-test."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import binary_rescore_topk
+
+    E = _rand_vectors(300, 16, seed=7)
+    ids = np.arange(300, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(list(E), type=pa.list_(pa.float32()))})
+    )
+    # float32 storage: the engine reads f32 back, so the reference must too
+    E32 = E.astype(np.float32).astype(np.float64)
+    Q = E32[:4]
+    out = binary_rescore_topk(ds, Q, k=5, oversample=4)
+    Qs, Ds = np.where(Q > 0, 1.0, -1.0), np.where(E32 > 0, 1.0, -1.0)
+    agree = (E32.shape[1] + Ds @ Qs.T) / 2.0
+    for qi in range(Q.shape[0]):
+        order = np.lexsort((ids, -agree[:, qi]))[:20]
+        cand = set(ids[order])
+        got = out[out["query_idx"] == qi]
+        assert set(got["vec_id"]) <= cand
+        en = np.linalg.norm(E32, axis=1)
+        qn = np.linalg.norm(Q[qi])
+        cos = (E32 @ Q[qi]) / (en * qn)
+        cand_arr = np.asarray(sorted(cand))
+        ref = cand_arr[np.lexsort((cand_arr, -cos[cand_arr]))][:5]
+        np.testing.assert_array_equal(got.sort_values("rank")["vec_id"].to_numpy(), ref)
+
+
+def test_binary_rescore_tie_break_deterministic(ray_session):
+    """Identical vectors ⇒ fully tied coarse AND exact scores — the result
+    must rank by vec_id ascending, independent of block layout."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import binary_rescore_topk
+
+    E = np.tile(_rand_vectors(1, 8, seed=3), (50, 1))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(50, dtype=np.int64),
+                "embedding": pa.array(list(E), type=pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(7)
+    out = binary_rescore_topk(ds, E[:1], k=5, oversample=2)
+    np.testing.assert_array_equal(out["vec_id"].to_numpy(), np.arange(5))
+
+
+def test_combined_fields_unit_boosts_reduce_to_plain_bm25(ray_session, monkeypatch, tmp_path):
+    """title/body PARTITION the token stream, so with all boosts = 1.0 the
+    combined tf/dl/df equal the whole-document statistics and
+    combined_fields must equal plain BM25 rank AND score."""
+    from splade_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(q, "_FIELD_BOOSTS", {"title": 1.0, "body": 1.0})
+    # separate index dirs so the unit-boost build can't poison the cached
+    # 2.0-boost field indexes (corpus projections are boost-independent,
+    # but keep the test hermetic anyway)
+    plain = q.bm25_topk(sf)
+    comb = q.combined_fields_topk(sf)
+    merged = comb.merge(plain, on=["query_id", "rank"], suffixes=("_c", "_p"))
+    assert len(merged) == len(comb) == len(plain)
+    np.testing.assert_array_equal(merged["doc_id_c"], merged["doc_id_p"])
+    np.testing.assert_allclose(merged["score_r_c"], merged["score_r_p"], atol=2e-6)
+
+
+def test_event_funnel_brute_force(ray_session, tmp_path):
+    """Greedy earliest-feasible chain vs a per-user brute force over all
+    increasing (view, click, purchase) triples."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.queries import event_funnel
+
+    rng = np.random.default_rng(11)
+    n = 600
+    types = np.asarray(["view", "click", "purchase", "error"])[rng.integers(0, 4, n)]
+    tbl = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": types,
+            "ts": pa.array(
+                pd.to_datetime("2026-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s")
+            ),
+            "value": rng.normal(size=n),
+            "props": np.full(n, "{}", dtype=object),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = event_funnel(str(tmp_path))
+    df = tbl.to_pandas()
+    reach = np.zeros(4, dtype=np.int64)
+    for _uid, g in df.groupby("user_id"):
+        best = 0
+        cur = None
+        for st in ("view", "click", "purchase"):
+            ts = g.loc[g["event_type"] == st, "ts"]
+            if cur is not None:
+                ts = ts[ts > cur]
+            if ts.empty:
+                break
+            cur = ts.min()
+            best += 1
+        reach[best] += 1
+    cum = reach[::-1].cumsum()[::-1]  # users reaching >= stage
+    np.testing.assert_array_equal(out["n_users"].to_numpy(), cum[1:])
+
+
+def test_vocab_growth_incremental_reference(ray_session, tmp_path):
+    """Checkpoint counts == running distinct-set sizes from a sequential
+    scan in doc_id order."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import vocab_growth
+    from splade_ray.tokenizer import Tokenizer
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i:03d}" for i in range(120)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 20)).tolist()) for _ in range(100)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(100, "en", dtype=object),
+            "source": np.full(100, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = vocab_growth(str(tmp_path))
+    tok = Tokenizer()
+    seen: set[str] = set()
+    sizes = []
+    marks = {int((i * 100) // 10): None for i in range(1, 11)}
+    for d, t in enumerate(texts, start=0):
+        if d in marks and marks[d] is None:
+            marks[d] = len(seen)
+        seen.update(tok.tokenize(t))
+    ref = [marks[m] if marks[m] is not None else len(seen) for m in sorted(marks)]
+    # checkpoint c covers docs 0..seen-1: count snapshot BEFORE doc `seen`
+    sizes = out["vocab_size"].tolist()
+    assert sizes == ref
+    assert sizes == sorted(sizes)  # monotone growth
+
+
+def test_regional_revenue_matches_duckdb_on_orphans(ray_session, tmp_path):
+    """Synthetic star with orphan custkeys/suppkeys and cross-nation pairs:
+    the co-partitioned kernel must drop non-matching nations exactly like
+    the reference join."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import regional_revenue
+
+    rng = np.random.default_rng(2)
+    region = pa.table({"r_regionkey": np.arange(2, dtype=np.int64), "r_name": ["EAST", "WEST"]})
+    nation = pa.table(
+        {
+            "n_nationkey": np.arange(4, dtype=np.int64),
+            "n_name": ["A", "B", "C", "D"],
+            "n_regionkey": np.asarray([0, 0, 1, 1], dtype=np.int64),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": np.arange(30, dtype=np.int64),
+            "c_name": [f"c{i}" for i in range(30)],
+            "c_nationkey": rng.integers(0, 4, 30).astype(np.int64),
+            "c_acctbal": np.zeros(30),
+            "c_mktsegment": np.full(30, "S", dtype=object),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": np.arange(10, dtype=np.int64),
+            "s_name": [f"s{i}" for i in range(10)],
+            "s_nationkey": rng.integers(0, 4, 10).astype(np.int64),
+            "s_acctbal": np.zeros(10),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": np.arange(200, dtype=np.int64),
+            # custkey 98/99 are orphans (no customer row)
+            "o_custkey": rng.integers(0, 32, 200).astype(np.int64) % 100,
+        }
+    )
+    items = pa.table(
+        {
+            "l_orderkey": rng.integers(0, 210, 500).astype(np.int64),  # some orphan orders
+            "l_suppkey": rng.integers(0, 12, 500).astype(np.int64),  # some orphan suppliers
+            "l_extendedprice": np.round(rng.uniform(1, 1000, 500), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, 500), 2),
+        }
+    )
+    pq.write_table(region, str(tmp_path / "region.parquet"))
+    pq.write_table(nation, str(tmp_path / "nation.parquet"))
+    pq.write_table(customer, str(tmp_path / "customer.parquet"))
+    pq.write_table(supplier, str(tmp_path / "supplier.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(items, str(tmp_path / "lineitem.parquet"))
+    got = regional_revenue(str(tmp_path))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    want = con.execute(
+        """
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 6) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
