@@ -213,6 +213,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q.event_funnel,
         # binary (1-bit sign) quantized coarse kNN + exact cosine rescore
         "knn_bq_rescore": q.knn_bq_rescore,
+        # infix dictionary queries via a char-trigram vocab index
+        # (ES wildcard-FIELD *sub* shape; no full dictionary scan)
+        "substring_topk": q.substring_topk,
+        # cohort retention triangle: first-activity week × week offset
+        "user_retention": q.user_retention,
+        # Efraimidis-Spirakis weighted sampling without replacement
+        # (key = ln(u)/n_chars, deterministic per-row uniform)
+        "weighted_sample": q.weighted_sample,
+        # distributed triangle counting on the link fixture (a<b<c
+        # node-iterator: edges keyed by smaller endpoint, wedge closure probe)
+        "link_triangles": q.link_triangles,
+        # MOSS winnowing fingerprints (k=3 grams, w=4 windows, rightmost
+        # min) — per-doc count + mod-2^64 digest of the selected set
+        "winnowing_fps": q.winnowing_fps,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5106,5 +5120,118 @@ ranked AS (
 )
 SELECT query_vec_id, rank, vec_id, round(coarse, 6) AS coarse_r, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
+"""
+    # infix dictionary expansion: LIKE '%sub%' over the derived term set,
+    # then the shared expanded-OR BM25 (unit weight, per-term idf)
+    from splade_ray.pipelines.queries import SUBSTRING_QUERIES
+
+    substring_values = ", ".join(f"('{qid}', '{s}')" for qid, s in SUBSTRING_QUERIES)
+    oracles["substring_topk"] = f"""
+WITH sset(query_id, sub) AS (VALUES {substring_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+expand AS (SELECT s.query_id, d.term, d.df FROM sset s JOIN df d ON d.term LIKE '%' || s.sub || '%'),
+scores AS (
+  SELECT e.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM expand e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # cohort retention: Monday-start first-activity week, distinct users
+    # per (cohort, week offset) cell
+    oracles["user_retention"] = """
+WITH f AS (SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             datediff('week', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) AS wk
+      FROM events e JOIN f USING (user_id))
+SELECT cw AS cohort_week, wk::BIGINT AS week_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # A-ES weighted sample: key = ln(u)/w, u from the multiplicative hash
+    # (the engine computes the identical float64 expression)
+    oracles["weighted_sample"] = """
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         ln(((doc_id * 3266489917) % 4294967296 + 0.5) / 4294967296.0)
+           / greatest(n_chars, 1)::DOUBLE AS key
+  FROM documents
+),
+ranked AS (SELECT *, row_number() OVER (ORDER BY round(key, 9) DESC, doc_id ASC) AS rn FROM k)
+SELECT doc_id, lang, n_chars, round(key, 6) AS key_r FROM ranked WHERE rn <= 50
+"""
+    # triangle counting: canonical a<b edges, wedges at the smallest
+    # vertex, closure via the third edge
+    oracles["link_triangles"] = """
+WITH n AS (SELECT count(*) AS nd FROM documents),
+e0 AS (
+  SELECT doc_id AS s, (doc_id * 3 + 1) % n.nd AS t FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % n.nd FROM documents, n
+),
+e1 AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM e0 WHERE s <> t),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e1 JOIN e1 e2 ON e2.a = e1.a AND e2.b > e1.b),
+t AS (SELECT count(*)::BIGINT AS n_triangles
+      FROM w JOIN e1 e3 ON e3.a = w.b AND e3.b = w.c)
+SELECT (SELECT count(*) FROM e1)::BIGINT AS n_edges,
+       (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+       t.n_triangles
+FROM t
+"""
+    # MOSS winnowing: trigram rolling hashes (the shared md5 fold mod
+    # 2^64), packed key = (g mod 2^44)·2^20 + (2^20-1-pos) so a window
+    # MIN is min-hash-then-rightmost, w=4 windows (short docs: one whole-
+    # doc window), digest = wraparound sum of the selected gram hashes
+    oracles["winnowing_fps"] = f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+h AS (SELECT doc_id, i, CAST(md5_number_lower(tok) AS HUGEINT) AS th FROM flat),
+tri AS (
+  SELECT doc_id, i,
+         (((th * 1099511628211 + lead(th) OVER w) % 18446744073709551616)
+           * 1099511628211 + lead(th, 2) OVER w) % 18446744073709551616 AS g,
+         lead(th, 2) OVER w IS NOT NULL AS ok
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+gr AS (SELECT doc_id, i AS pos, g FROM tri WHERE ok),
+m AS (SELECT doc_id, count(*) AS m FROM gr GROUP BY doc_id),
+k AS (SELECT doc_id, pos, g,
+             (g % 17592186044416) * 1048576 + (1048575 - pos) AS key FROM gr),
+wm AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM k
+),
+wins AS (
+  SELECT w.doc_id, w.wmin FROM wm w JOIN m USING (doc_id)
+  WHERE w.pos <= m.m - 4 OR (m.m < 4 AND w.pos = 0)
+),
+sel AS (SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) AS pos FROM wins),
+fps AS (SELECT s.doc_id, g.g FROM sel s JOIN gr g ON g.doc_id = s.doc_id AND g.pos = s.pos),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_fps,
+               sum(g) % 18446744073709551616 AS dig
+        FROM fps GROUP BY doc_id)
+SELECT d.doc_id, coalesce(m.m, 0)::BIGINT AS n_grams, coalesce(a.n_fps, 0)::BIGINT AS n_fps,
+       CAST(CASE WHEN coalesce(a.dig, 0) >= 9223372036854775808
+                 THEN coalesce(a.dig, 0) - 18446744073709551616
+                 ELSE coalesce(a.dig, 0) END AS BIGINT) AS fp_digest
+FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """
     return oracles

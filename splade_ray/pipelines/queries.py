@@ -6763,3 +6763,214 @@ def knn_bq_rescore(sf_dir: str) -> pd.DataFrame:
     out["coarse_r"] = out["coarse"].round(6)
     out["score_r"] = out["score"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "coarse_r", "score_r"]]
+
+
+# substring (infix) queries against the trigram-indexed term dictionary
+SUBSTRING_QUERIES: list[tuple[str, str]] = [
+    ("sq0", "oin"),     # j-oin
+    ("sq1", "indo"),    # w-indo-w
+    ("sq2", "tream"),   # s-tream
+    ("sq3", "zzznotasub"),
+    ("sq4", "ata"),     # d-ata
+]
+
+
+def substring_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — infix dictionary queries (the
+    ES ``wildcard`` FIELD type's ``*sub*`` shape): the needle expands via
+    a char-trigram inverted map over the VOCAB (intersect the needle's
+    trigram postings, verify containment on the bounded candidate set —
+    never a full dictionary scan, unlike ``regexp_topk``), then scores as
+    an expanded OR (unit weight, per-term idf) through the unchanged BM25
+    kernels."""
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    rows = []
+    for qid, sub in SUBSTRING_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search_substring(sub, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def user_retention(sf_dir: str) -> pd.DataFrame:
+    """(cohort_week, week_offset, n_users) — cohort retention triangle:
+    users grouped by first-activity week (Monday start), counted once per
+    (cohort, weeks-since-cohort) cell they were active in.
+
+    ONE exchange on user_id co-locates each user's events; the per-group
+    kernel emits the user's distinct (cohort, offset) cells, and the
+    final aggregate is bounded by weeks² — at 100 TB the heavy side
+    (events) streams through the groupby, nothing else moves."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        # epoch days; 1970-01-01 was a Thursday → Monday-start weeks
+        days = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        weeks = days - ((days + 3) % 7)
+        cw = weeks.min()
+        offs = np.unique((weeks - cw) // 7)
+        return pd.DataFrame({"cw": np.full(offs.size, cw, dtype=np.int64), "off": offs})
+
+    cells_df = ev.groupby("user_id").map_groups(cells, batch_format="pandas").to_pandas()
+    out = cells_df.groupby(["cw", "off"], sort=True).size().reset_index(name="n_users")
+    return pd.DataFrame(
+        {
+            "cohort_week": pd.to_datetime(out["cw"].to_numpy(), unit="D"),
+            "week_offset": out["off"].astype(np.int64),
+            "n_users": out["n_users"].astype(np.int64),
+        }
+    )
+
+
+WEIGHTED_SAMPLE_K: int = 50
+_WS_MULT, _WS_MOD = np.uint64(3266489917), np.uint64(4294967296)
+
+
+def weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang, n_chars, key_r) — weighted sampling WITHOUT
+    replacement (Efraimidis–Spirakis A-ES, the importance-weighted
+    training-data subsample): key = ln(u)/w with w = n_chars and u a
+    per-row deterministic uniform from a multiplicative hash (a third
+    multiplier, decorrelated from deterministic_sample and
+    stratified_sample); the global top-50 keys ARE the weighted sample.
+    Per-batch boundary-safe partial top-k partials merge on the driver —
+    k-bounded exchange, the corpus never moves; the hash + log arithmetic
+    replays exactly in SQL."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    k = WEIGHTED_SAMPLE_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(over="ignore"):
+            h = (ids * _WS_MULT) % _WS_MOD
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        key = np.log(u) / np.maximum(w, 1.0)
+        from .ann import _boundary_safe_topk
+
+        part = _boundary_safe_topk(key, min(k, key.size))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[part].astype(np.int64)),
+                "lang": batch.column("lang").take(pa.array(part)),
+                "n_chars": batch.column("n_chars").take(pa.array(part)),
+                "key": pa.array(key[part]),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # the repo's score-ranking convention: round(·, 9) then doc_id —
+    # matches the SQL oracle's ORDER BY round(key, 9) DESC, doc_id
+    cand["rk"] = cand["key"].round(9)
+    cand = cand.sort_values(["rk", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+    cand["key_r"] = cand["key"].round(6)
+    return cand[["doc_id", "lang", "n_chars", "key_r"]].reset_index(drop=True)
+
+
+def link_triangles(sf_dir: str) -> pd.DataFrame:
+    """(n_edges, n_wedges, n_triangles) — distributed triangle counting
+    over the deterministic link fixture (the web-graph structure metric;
+    same graph as ``link_pagerank``).
+
+    Node-iterator shape with the canonical a<b<c orientation: canonical
+    distinct edges exchange ONCE on their smaller endpoint (so wedges at
+    a are generated where a's adjacency already lives), wedge rows
+    (b, c) exchange on b against the same edge partitioning, and the
+    per-bucket closure check is one searchsorted membership probe —
+    wedge volume is Σ deg(a)², degree-bounded by the fixture, and the
+    full edge list is never driver-resident."""
+    from ..functions.hashing import splitmix64
+
+    nb = 64
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "bucket": pa.array((splitmix64(a.astype(np.uint64)) % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+
+    def dedup_and_wedges(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = np.unique(a * np.int64(n_docs) + b)
+        a, b = pair // n_docs, pair % n_docs
+        # wedges at the smallest vertex: all neighbor pairs (x < y) of a.
+        # adjacency is (a, b-sorted) segments; pairs come from OFFSET
+        # shifts (≤ max-degree iterations, not a per-node loop)
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        deg = np.diff(np.r_[starts, a.size])
+        out_a, out_x, out_y = [], [], []
+        for off in range(1, int(deg.max()) if deg.size else 0):
+            idx = np.arange(a.size - off)
+            same = a[idx] == a[idx + off]
+            out_a.append(a[idx][same])
+            out_x.append(b[idx][same])
+            out_y.append(b[idx + off][same])
+        if out_a:
+            wa = np.concatenate(out_a); wx = np.concatenate(out_x); wy = np.concatenate(out_y)
+        else:
+            wa = wx = wy = np.zeros(0, np.int64)
+        # tag+union: edge rows (side 0, keyed on a) and wedge rows
+        # (side 1, keyed on x) meet in the x-bucket for the closure probe
+        return pa.table(
+            {
+                "side": pa.array(np.r_[np.zeros(a.size, np.int8), np.ones(wa.size, np.int8)]),
+                "x": pa.array(np.r_[a, wx]),
+                "y": pa.array(np.r_[b, wy]),
+                "bucket": pa.array(
+                    (splitmix64(np.r_[a, wx].astype(np.uint64)) % np.uint64(nb)).astype(np.int32)
+                ),
+                "n_edges": pa.array(np.r_[np.ones(a.size, np.int64), np.zeros(wa.size, np.int64)]),
+            }
+        )
+
+    tagged = edges.groupby("bucket").map_groups(dedup_and_wedges, batch_format="pyarrow")
+
+    def close(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        x = g.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = side == 0
+        ekeys = np.sort(x[e] * np.int64(n_docs) + y[e])
+        wkeys = x[~e] * np.int64(n_docs) + y[~e]
+        pos = np.minimum(np.searchsorted(ekeys, wkeys), max(ekeys.size - 1, 0))
+        hit = (ekeys[pos] == wkeys) if ekeys.size else np.zeros(wkeys.size, bool)
+        return pa.table(
+            {
+                "n_edges": pa.array([int(g.column("n_edges").to_numpy(zero_copy_only=False).sum())]),
+                "n_wedges": pa.array([int(wkeys.size)]),
+                "n_triangles": pa.array([int(hit.sum())]),
+            }
+        )
+
+    parts = tagged.groupby("bucket").map_groups(close, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_edges": [int(parts["n_edges"].sum())],
+            "n_wedges": [int(parts["n_wedges"].sum())],
+            "n_triangles": [int(parts["n_triangles"].sum())],
+        }
+    )
+
+
+def winnowing_fps(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_grams, n_fps, fp_digest) — MOSS winnowing fingerprints
+    (k=3 token grams, window w=4, rightmost-min selection): per-doc
+    fingerprint count + a mod-2^64 digest of the selected gram hashes
+    that pins the exact selected set under the SQL replay."""
+    from .textops import winnowing_fingerprints
+
+    out = winnowing_fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)

@@ -1710,6 +1710,77 @@ class IndexReader:
         carries unit query weight and its OWN idf."""
         return self._search_expanded(self.expand_wildcard(pattern), k, method)
 
+    def _trigram_dictionary(self) -> dict[str, np.ndarray]:
+        """Char-trigram → sorted term-id postings over the VOCAB (the ES
+        ``wildcard`` field / ngram-analyzer acceleration structure for
+        infix matching).  Built once per reader and cached; the one-time
+        build is vocab-bounded (a leading-wildcard ``*sub*`` otherwise
+        scans the whole dictionary on every query).  At a 10^9-term
+        dictionary this map is itself a small inverted index (≤ 46k ascii
+        trigram keys) whose lists shard with the vocab."""
+        cached = getattr(self, "_tri_dict", None)
+        if cached is not None:
+            return cached
+        if self.vocab_index is None:
+            raise ValueError(
+                "substring queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        tri: dict[str, list[int]] = {}
+        for tid, term in enumerate(self.vocab_index):
+            if len(term) < 3:
+                continue
+            for j in range(len(term) - 2):
+                tri.setdefault(term[j : j + 3], []).append(tid)
+        out = {g: np.unique(np.asarray(ids, dtype=np.int64)) for g, ids in tri.items()}
+        self._tri_dict = out
+        return out
+
+    def expand_substring(self, sub: str) -> np.ndarray:
+        """Term ids of vocab terms CONTAINING ``sub`` (ES ``wildcard``
+        field semantics for ``*sub*``): candidates come from intersecting
+        the substring's trigram postings in the cached trigram dictionary
+        (rarest list first), then one vectorized containment pass verifies
+        only the candidates — the dictionary is never linearly scanned for
+        patterns of length ≥ 3.  Shorter needles (no full trigram) fall
+        back to the bounded full-vocab scan the regexp path uses."""
+        if self.vocab_index is None:
+            raise ValueError(
+                "substring queries need the sorted-string vocab "
+                "(encoder='bm25', vocab_mode='sorted')"
+            )
+        sub = sub.lower()
+        if len(sub) < 3:
+            hit = np.asarray(self.vocab_index.str.contains(sub, regex=False), dtype=bool)
+            return np.flatnonzero(hit).astype(np.int64)
+        tri = self._trigram_dictionary()
+        grams = [sub[j : j + 3] for j in range(len(sub) - 2)]
+        lists = []
+        for g in grams:
+            ids = tri.get(g)
+            if ids is None or ids.size == 0:
+                return np.zeros(0, np.int64)
+            lists.append(ids)
+        lists.sort(key=len)
+        cand = lists[0]
+        for ids in lists[1:]:
+            cand = cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                return np.zeros(0, np.int64)
+        # trigram containment is necessary, not sufficient ("abcab" has the
+        # grams of "abcabc" minus order) — verify the bounded candidate set
+        sl = self.vocab_index[cand]
+        hit = np.asarray(sl.str.contains(sub, regex=False), dtype=bool)
+        return cand[hit].astype(np.int64)
+
+    def search_substring(self, sub: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Infix top-k (ES ``wildcard`` field ``*sub*`` shape): the needle
+        expands through the trigram dictionary to every containing vocab
+        term, each with unit query weight and its OWN idf — expanded-OR
+        semantics identical to :meth:`search_prefix` etc., but the
+        dictionary lookup is index-accelerated instead of a full scan."""
+        return self._search_expanded(self.expand_substring(sub), k, method)
+
     def search_boosting(
         self, positive: str, negative: str, negative_boost: float = 0.5, k: int = 10
     ) -> list[tuple[int, float, str]]:
@@ -3397,6 +3468,13 @@ class ShardedSearcher:
         scatter-gathers the matching term-id set — identical semantics to
         :meth:`IndexReader.search_regexp`."""
         return self._scatter_expanded(self.reader.expand_regexp(pattern), k, method)
+
+    def search_substring(self, sub: str, k: int = 10, method: str = "exhaustive") -> list[tuple[int, float, str]]:
+        """Infix top-k on the sharded path: the driver expands the needle
+        through its trigram dictionary (intersect + verify, no full vocab
+        scan) and scatter-gathers the term-id set — identical semantics to
+        :meth:`IndexReader.search_substring`."""
+        return self._scatter_expanded(self.reader.expand_substring(sub), k, method)
 
     def snippets(self, text: str, k: int = 5, W: int = 12, method: str = "exhaustive"):
         """Top-k + best-W-token-window snippets, served ENTIRELY by the

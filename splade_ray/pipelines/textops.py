@@ -1828,3 +1828,98 @@ def dsir_weights(
     out = cand.iloc[order].reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pd.DataFrame(out, columns=["rank", "doc_id", "weight_r"])
+
+
+# winnowing parameters: k = 3 token grams (the shared _row_trigrams fold),
+# w = 4 gram window; fingerprint ordering uses the low 44 hash bits with a
+# rightmost-position tie-break packed into one u64 key
+WINNOW_WINDOW: int = 4
+_WINNOW_H_BITS = np.uint64((1 << 44) - 1)
+_WINNOW_POS = np.uint64(1 << 20)
+
+
+class WinnowStage:
+    """(doc_id, text) → (doc_id, n_grams, n_fps, fp_digest) — MOSS
+    winnowing (Schleimer et al. 2003, the local document-fingerprinting
+    guarantee: any shared run of w+k-1 tokens shares a fingerprint): over
+    each doc's token-trigram rolling hashes, every window of w consecutive
+    grams selects its minimum (RIGHTMOST position on hash ties); the
+    distinct selected grams are the doc's fingerprints.
+
+    Fully per-doc, so the stage is one streaming ``map_batches`` pass and
+    the output is one bounded row per doc; ``fp_digest`` is the wraparound
+    (mod 2^64) sum of the selected gram hashes viewed as int64 — it pins
+    the exact selected SET under the SQL oracle without shipping the
+    fingerprints themselves.  Selection is vectorized via a packed key
+    (low-44 hash bits · 2^20 + position complement): a window min over
+    keys IS min-hash-then-rightmost, looped over w−1 SHIFTS, never over
+    docs or grams.  Local gram positions must fit 20 bits (10^6-token
+    docs fail loudly, the advice-pattern guard)."""
+
+    def __init__(self, w: int = WINNOW_WINDOW, text_col: str = "text", id_col: str = "doc_id"):
+        self.w = int(w)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        th, rows, _dls = self.tok.tokenize_md5(batch.column(self.text_col).combine_chunks())
+        trig, trow = _row_trigrams(th, rows)
+        n_grams = np.bincount(trow, minlength=n).astype(np.int64) if trig.size else np.zeros(n, np.int64)
+        n_fps = np.zeros(n, dtype=np.int64)
+        digest = np.zeros(n, dtype=np.uint64)
+        if trig.size:
+            firsts = np.r_[0, np.cumsum(n_grams)[:-1]]
+            local = np.arange(trig.size, dtype=np.int64) - firsts[trow]
+            if int(local.max()) >= int(_WINNOW_POS):
+                raise ValueError("winnowing: doc exceeds 2^20 grams — widen the key packing")
+            key = (trig & _WINNOW_H_BITS) * _WINNOW_POS + (
+                _WINNOW_POS - np.uint64(1) - local.astype(np.uint64)
+            )
+            w = self.w
+            wm = key.copy()
+            for s in range(1, w):
+                np.minimum(wm[:-s], key[s:], out=wm[:-s])
+            # valid long-doc windows: start j with j and j+w-1 in one doc
+            sel_flat = []
+            if trig.size >= w:
+                j = np.arange(trig.size - w + 1)
+                ok = trow[j] == trow[j + w - 1]
+                jv = j[ok]
+                pos_sel = (_WINNOW_POS - np.uint64(1) - (wm[jv] % _WINNOW_POS)).astype(np.int64)
+                sel_flat.append(firsts[trow[jv]] + pos_sel)
+            # short docs (0 < m < w): one window over the whole doc.
+            # reduceat segments run start-to-next-start, so reduce over
+            # EVERY doc's contiguous segment first, then take the short ones
+            docs_with = np.flatnonzero(n_grams > 0)
+            short_mask = n_grams[docs_with] < w
+            if short_mask.any():
+                red = np.minimum.reduceat(key, firsts[docs_with])[short_mask]
+                pos_sel = (_WINNOW_POS - np.uint64(1) - (red % _WINNOW_POS)).astype(np.int64)
+                sel_flat.append(firsts[docs_with[short_mask]] + pos_sel)
+            if sel_flat:
+                sel = np.unique(np.concatenate(sel_flat))
+                sdoc = trow[sel]
+                n_fps = np.bincount(sdoc, minlength=n).astype(np.int64)
+                with np.errstate(over="ignore"):
+                    order = np.argsort(sdoc, kind="stable")
+                    sd, sh = sdoc[order], trig[sel][order]
+                    starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+                    sums = np.add.reduceat(sh, starts)  # wraps mod 2^64
+                    digest[sd[starts]] = sums
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "n_grams": pa.array(n_grams),
+                "n_fps": pa.array(n_fps),
+                "fp_digest": pa.array(digest.view(np.int64)),
+            }
+        )
+
+
+def winnowing_fingerprints(ds: Dataset, w: int = WINNOW_WINDOW) -> Dataset:
+    """One streaming winnowing pass over (doc_id, text) rows — see
+    :class:`WinnowStage`."""
+    return ds.map_batches(WinnowStage(w=w), batch_format="pyarrow", concurrency=pool_size())

@@ -246,3 +246,127 @@ def test_regional_revenue_matches_duckdb_on_orphans(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_substring_expansion_equals_regexp_scan(ray_session, tmp_path):
+    """Trigram-intersect + verify must expand exactly the terms a full
+    dictionary regexp scan finds, and score identically."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import write_web_pages
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader, ShardedSearcher
+
+    corpus = str(tmp_path / "web.parquet")
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig(shard_size=300, num_buckets=4)
+    write_web_pages(corpus, 900)
+    build_index(corpus, out, cfg)
+    reader = IndexReader(out, cfg)
+    for sub in ("000", "01", "w00", "zzznotasub", "1"):
+        via_tri = reader.expand_substring(sub)
+        import re
+
+        via_rx = reader.expand_regexp(".*" + re.escape(sub) + ".*")
+        np.testing.assert_array_equal(via_tri, via_rx)
+        assert reader.search_substring(sub, 10) == reader._search_expanded(via_rx, 10, "exhaustive")
+    ss = ShardedSearcher(out, cfg, num_actors=2)
+    try:
+        assert ss.search_substring("w00", 10) == reader.search_substring("w00", 10)
+    finally:
+        ss.shutdown()
+
+
+def test_winnowing_brute_force(ray_session, tmp_path):
+    """Engine selection == a literal per-doc window loop (min by
+    (h44, rightmost)), including short docs and the guarantee that every
+    doc with >= 1 gram gets >= 1 fingerprint."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import winnowing_fps
+    from splade_ray.pipelines.textops import WINNOW_WINDOW
+    from splade_ray.tokenizer import Tokenizer
+
+    rng = np.random.default_rng(9)
+    words = [f"t{i:02d}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=m).tolist()) for m in [1, 2, 3, 4, 5, 9, 40, 80]]
+    texts += ["", "one two"]  # 0-gram docs
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = winnowing_fps(str(tmp_path))
+    tok = Tokenizer()
+    w = WINNOW_WINDOW
+    R = 0x100000001B3
+    M = 1 << 64
+    for d, text in enumerate(texts):
+        # recompute the trigram fold from scratch (md5 of token strings)
+        import hashlib as _hl
+
+        toks = tok.tokenize(text)
+        hs = [int.from_bytes(_hl.md5(t.encode()).digest()[8:16], "little") for t in toks]
+        grams = [((hs[j] * R + hs[j + 1]) * R + hs[j + 2]) % M for j in range(max(len(hs) - 2, 0))]
+        m = len(grams)
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["n_grams"] == m
+        if m == 0:
+            assert row["n_fps"] == 0 and row["fp_digest"] == 0
+            continue
+        keys = [((g % (1 << 44)) << 20) + ((1 << 20) - 1 - j) for j, g in enumerate(grams)]
+        sel = set()
+        windows = range(m - w + 1) if m >= w else [0]
+        for i in windows:
+            win = keys[i : i + w] if m >= w else keys
+            kmin = min(win)
+            sel.add((1 << 20) - 1 - (kmin % (1 << 20)))
+        assert row["n_fps"] == len(sel) >= 1
+        dig = sum(grams[j] for j in sel) % M
+        dig = dig - M if dig >= (1 << 63) else dig
+        assert int(row["fp_digest"]) == dig
+
+
+def test_link_triangles_dense_reference(ray_session, tmp_path):
+    """Bucketed wedge-closure count == a dense all-triples count on a
+    small fixture graph."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import link_triangles
+
+    n = 60
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": np.full(n, "x", dtype=object),
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.ones(n, dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = link_triangles(str(tmp_path))
+    A = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for j in ((i * 3 + 1) % n, (i * 7 + 2) % n):
+            if i != j:
+                A[min(i, j), max(i, j)] = True
+    n_edges = int(A.sum())
+    tri = 0
+    wedges = 0
+    for a in range(n):
+        nb = np.flatnonzero(A[a])
+        for xi in range(nb.size):
+            for yi in range(xi + 1, nb.size):
+                wedges += 1
+                if A[nb[xi], nb[yi]]:
+                    tri += 1
+    assert got.iloc[0].tolist() == [n_edges, wedges, tri]
