@@ -227,6 +227,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MOSS winnowing fingerprints (k=3 grams, w=4 windows, rightmost
         # min) — per-doc count + mod-2^64 digest of the selected set
         "winnowing_fps": q.winnowing_fps,
+        # shingle index (Lucene ShingleFilter min=max=2): word-bigram
+        # terms, bigram df/dl/avgdl — index-time phrase acceleration
+        "shingle_topk": q.shingle_topk,
+        # interpolated bigram-LM quality (λ·bi + (1−λ)·uni backoff);
+        # bigram table never materialized — occurrences score in-bucket
+        "bigram_perplexity": q.bigram_perplexity,
+        # personalized PageRank: restart mass on the lang='en' seed set,
+        # 3 unrolled power iterations over the link fixture
+        "personalized_pagerank": q.personalized_pagerank,
+        # serial_diff (lag 7) + normalize pipeline aggs on daily counts
+        "serial_diff_events": q.serial_diff_events,
+        # per-language greedy char-budget fill (training-mix allocation)
+        "char_budget_sample": q.char_budget_sample,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5233,5 +5246,127 @@ SELECT d.doc_id, coalesce(m.m, 0)::BIGINT AS n_grams, coalesce(a.n_fps, 0)::BIGI
                  ELSE coalesce(a.dig, 0) END AS BIGINT) AS fp_digest
 FROM documents d LEFT JOIN m USING (doc_id) LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
+"""
+    # shingle index: word-bigram terms on BOTH sides, bigram df/dl/avgdl
+    # (zero-shingle docs still count toward n_docs/avgdl)
+    from splade_ray.pipelines.queries import SHINGLE_QUERIES
+
+    shingle_values = ", ".join(f"('{qid}', '{t}')" for qid, t in SHINGLE_QUERIES)
+    oracles["shingle_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {shingle_values}),
+ql AS (SELECT query_id, {_TOK_SQL.format(col="qtext")} AS l FROM qset),
+qterms AS (
+  SELECT query_id, unnest(list_transform(range(len(l) - 1), i -> l[i + 1] || '_' || l[i + 2])) AS term
+  FROM ql
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+base AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+sh AS (SELECT doc_id, list_transform(range(len(l) - 1), i -> l[i + 1] || '_' || l[i + 2]) AS s FROM base),
+toks AS (SELECT doc_id, unnest(s) AS term FROM sh),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+fdl AS (SELECT doc_id, len(s)::DOUBLE AS dl FROM sh),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM fdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * fdl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN fdl ON fdl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # interpolated bigram LM: P(w|v) = 0.7·c(vw)/c(v) + 0.3·c(w)/N, per-doc
+    # mean −ln P over bigram positions (docs with < 2 tokens excluded)
+    oracles["bigram_perplexity"] = f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+uni AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS n FROM flat),
+pairs AS (
+  SELECT doc_id, tok AS prev, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS cur
+  FROM flat QUALIFY cur IS NOT NULL
+),
+bi AS (SELECT prev, cur, count(*)::DOUBLE AS c FROM pairs GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id, ln(0.7 * b.c / up.c + (1.0 - 0.7) * uc.c / n.n) AS lnp
+  FROM pairs p
+  JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN uni up ON up.tok = p.prev
+  JOIN uni uc ON uc.tok = p.cur
+  CROSS JOIN n
+),
+agg AS (SELECT doc_id, count(*) AS n_pairs, -avg(lnp) AS ce FROM scored GROUP BY doc_id)
+SELECT doc_id, n_pairs, round(ce, 6) AS cross_entropy_r, round(exp(ce), 6) AS ppl_r
+FROM agg ORDER BY doc_id
+"""
+    # personalized PageRank: restart vector uniform over the lang='en'
+    # seed set, 3 unrolled power iterations at damping 0.85
+    oracles["personalized_pagerank"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+seeds AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+ns AS (SELECT count(*)::DOUBLE AS k FROM seeds),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+r0 AS (SELECT d.doc_id, CASE WHEN s.doc_id IS NULL THEN 0.0 ELSE 1.0 / (SELECT k FROM ns) END AS pr
+       FROM documents d LEFT JOIN seeds s USING (doc_id)),
+c1 AS (SELECT e.dst, sum(r0.pr / od.d) AS s FROM e JOIN r0 ON r0.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r1 AS (SELECT r0.doc_id, 0.15 * r0.pr / 1.0 + 0.85 * coalesce(c1.s, 0) AS pr,
+              r0.pr AS rv FROM r0 LEFT JOIN c1 ON c1.dst = r0.doc_id),
+c2 AS (SELECT e.dst, sum(r1.pr / od.d) AS s FROM e JOIN r1 ON r1.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r2 AS (SELECT r1.doc_id, 0.15 * r1.rv + 0.85 * coalesce(c2.s, 0) AS pr,
+              r1.rv FROM r1 LEFT JOIN c2 ON c2.dst = r1.doc_id),
+c3 AS (SELECT e.dst, sum(r2.pr / od.d) AS s FROM e JOIN r2 ON r2.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r3 AS (SELECT r2.doc_id, 0.15 * r2.rv + 0.85 * coalesce(c3.s, 0) AS pr FROM r2 LEFT JOIN c3 ON c3.dst = r2.doc_id),
+rk AS (SELECT doc_id, pr, row_number() OVER (ORDER BY round(pr, 9) DESC, doc_id ASC) AS rn FROM r3)
+SELECT doc_id, round(pr, 6) AS ppr_r FROM rk WHERE rn <= 50 ORDER BY doc_id
+"""
+    # serial_diff(7) + min-max normalize over the gap-free daily series;
+    # the first 7 buckets have no complete lag and are dropped
+    oracles["serial_diff_events"] = """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n FROM axis a LEFT JOIN c USING (day)),
+mm AS (SELECT min(n)::DOUBLE AS lo, max(n)::DOUBLE AS hi FROM s),
+w AS (
+  SELECT day, n,
+         n - lag(n, 7) OVER (ORDER BY day) AS diff7,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM s
+)
+SELECT w.day, w.n AS n_events, w.diff7::BIGINT AS diff7,
+       round(CASE WHEN mm.hi > mm.lo THEN (w.n - mm.lo) / (mm.hi - mm.lo) ELSE 0.0 END, 6) AS norm_r
+FROM w, mm WHERE w.rn > 7 ORDER BY w.day
+"""
+    # per-language greedy char-budget fill: take in (n_chars DESC, doc_id)
+    # order while the running total stays within the 20k budget
+    oracles["char_budget_sample"] = """
+WITH ordered AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, cum_chars::BIGINT AS cum_chars
+FROM ordered WHERE cum_chars <= 20000 ORDER BY lang, doc_id
 """
     return oracles

@@ -182,7 +182,7 @@ class EngineConfig:
         assert self.dedup_mode in ("auto", "broadcast", "shuffle")
         assert self.broadcast_row_limit > 0
         assert self.vocab_mode in ("sorted", "hashed")
-        assert self.analyzer in ("standard", "light_en")
+        assert self.analyzer in ("standard", "light_en", "shingle")
         assert self.neural_value_dtype in ("f32", "q8") and self.q8_scale > 0
         assert self.neural_backend in ("hash", "torch")
         # the forward stream is the md5 token sequence — defined by the

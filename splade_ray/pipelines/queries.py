@@ -6974,3 +6974,307 @@ def winnowing_fps(sf_dir: str) -> pd.DataFrame:
 
     out = winnowing_fingerprints(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
+
+
+SHINGLE_DOCS_CFG = EngineConfig(shard_size=2000, num_buckets=1, analyzer="shingle")
+# ≥2-token queries: the shingle analyzer turns them into word-bigram terms
+SHINGLE_QUERIES: list[tuple[str, str]] = [
+    ("sh0", "spark join order"),
+    ("sh1", "window batch stream"),
+    ("sh2", "the small table"),
+    ("sh3", "zzznotaword spark join"),
+    ("sh4", "data data merge"),
+]
+
+
+def shingle_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — BM25 top-10 over a SHINGLE
+    index (Lucene ``ShingleFilter`` min=max=2, output_unigrams=false):
+    index-time analysis turns the token stream into word bigrams
+    ("a_b"), so df/dl/avgdl are all bigram statistics and a two-word
+    query matches only ADJACENT occurrences — the index-time phrase
+    acceleration next to the position-verified ``phrase_topk`` (no
+    positions needed at query time; the dictionary pays for it).  Query
+    text rides the same analyzer chain."""
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{SHINGLE_DOCS_CFG}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_shidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, SHINGLE_DOCS_CFG)
+    reader = IndexReader(out, SHINGLE_DOCS_CFG)
+    rows = []
+    for qid, text in SHINGLE_QUERIES:
+        for rank, (_d, score, url) in enumerate(reader.search(text, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+BIGRAM_LM_LAMBDA: float = 0.7
+
+
+def bigram_perplexity(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_pairs, cross_entropy_r, ppl_r) — interpolated BIGRAM
+    language-model quality scores (the order-2 step past
+    ``doc_perplexity``'s unigram CCNet shape):
+    P(w|v) = λ·c(vw)/c(v) + (1−λ)·c(w)/N with λ=0.7, per-doc
+    cross-entropy = −mean ln P over its bigram positions; docs with < 2
+    tokens are excluded (no bigram positions).
+
+    Scale shape: the unigram table is a vocab-bounded combiner reduce +
+    ``ray.put`` broadcast (the ``unigram_lm_scores`` discipline), but the
+    BIGRAM table is NOT materialized anywhere — bigram occurrences
+    exchange ONCE on ~256 coarse bigram-hash buckets (all occurrences of
+    a bigram share a bucket, so its global count is computable
+    in-bucket), each occurrence scores itself there, and per-(doc,
+    bucket) partials re-aggregate on doc buckets (the ``dup_spans``
+    two-exchange discipline — no corpus-sized broadcast, no driver
+    reduce)."""
+    from ..functions.hashing import splitmix64
+    from ..tokenizer import Tokenizer
+    from ..util import pool_size
+    from .textops import UnigramCountStage
+
+    nb = 256
+    lam = BIGRAM_LM_LAMBDA
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    # pass 1: vocab-bounded unigram counts (combiner partials + reduce)
+    parts = [
+        b
+        for b in ds.map_batches(
+            UnigramCountStage, batch_format="pyarrow", concurrency=pool_size()
+        ).iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    allh = np.concatenate([p.column("thash").to_numpy(zero_copy_only=False).view(np.uint64) for p in parts])
+    allc = np.concatenate([p.column("cnt").to_numpy(zero_copy_only=False) for p in parts])
+    uh, inv = np.unique(allh, return_inverse=True)
+    uc = np.bincount(inv, weights=allc).astype(np.float64)
+    n_total = float(uc.sum())
+    uni_ref = ray.put((uh, uc))
+
+    R = np.uint64(0x100000001B3)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        th, rows, _dls = tok.tokenize_md5(batch.column("text").combine_chunks())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if th.size < 2:
+            return pa.table(
+                {
+                    "bh": pa.array(np.zeros(0, np.int64)),
+                    "hprev": pa.array(np.zeros(0, np.int64)),
+                    "hcur": pa.array(np.zeros(0, np.int64)),
+                    "doc_id": pa.array(np.zeros(0, np.int64)),
+                    "bucket": pa.array(np.zeros(0, np.int32)),
+                }
+            )
+        adj = rows[1:] == rows[:-1]
+        hp, hc = th[:-1][adj], th[1:][adj]
+        docs = ids[rows[:-1][adj]]
+        with np.errstate(over="ignore"):
+            bh = hp * R + hc
+        return pa.table(
+            {
+                "bh": pa.array(bh.view(np.int64)),
+                "hprev": pa.array(hp.view(np.int64)),
+                "hcur": pa.array(hc.view(np.int64)),
+                "doc_id": pa.array(docs),
+                "bucket": pa.array((splitmix64(bh) % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+
+        uh_, uc_ = cached_ref(uni_ref)
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array(np.zeros(0, np.int64)),
+                             "s_lnp": pa.array(np.zeros(0, np.float64)),
+                             "n_pairs": pa.array(np.zeros(0, np.int64))})
+        bh = g.column("bh").to_numpy(zero_copy_only=False).view(np.uint64)
+        hp = g.column("hprev").to_numpy(zero_copy_only=False).view(np.uint64)
+        hc = g.column("hcur").to_numpy(zero_copy_only=False).view(np.uint64)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        # global bigram count = in-bucket multiplicity (bucket owns the hash)
+        ub, binv = np.unique(bh, return_inverse=True)
+        cb = np.bincount(binv).astype(np.float64)[binv]
+        cp = uc_[np.searchsorted(uh_, hp)]
+        cw = uc_[np.searchsorted(uh_, hc)]
+        lnp = np.log(lam * cb / cp + (1.0 - lam) * cw / n_total)
+        # per-(doc) partial within this bucket, doc-sorted for determinism
+        order = np.argsort(docs, kind="stable")
+        sd, sl = docs[order], lnp[order]
+        starts = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[starts]),
+                "s_lnp": pa.array(np.add.reduceat(sl, starts)),
+                "n_pairs": pa.array(np.diff(np.r_[starts, sd.size]).astype(np.int64)),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["s_lnp"].sum()
+        np_ = int(g["n_pairs"].sum())
+        ce = -s / np_ if np_ else 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "n_pairs": [np_],
+                "cross_entropy_r": [round(ce, 6)],
+                "ppl_r": [round(math.exp(ce), 6)],
+            }
+        )
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+    partials = occ.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    out = partials.groupby("doc_id").map_groups(finalize, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+PPR_RESTART: float = 0.15
+PPR_ITERS: int = 3
+
+
+def personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, ppr_r) — PERSONALIZED PageRank over the deterministic link
+    fixture: the restart vector concentrates on the lang='en' seed set
+    (uniform over seeds) instead of all nodes, 3 power iterations at
+    damping 0.85 from the restart vector itself.  Same edge-partitioned
+    contribution shuffle as ``link_pagerank`` (rank/outdeg ships along
+    edges, sums per destination; restart mass is a broadcast-side add),
+    all iterations unrolled into the SQL oracle.  Top 50 by
+    (ppr DESC, doc_id ASC)."""
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    seeds = (
+        _docs(sf_dir, columns=["doc_id", "lang"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("lang"), "en")).select(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    seed_set = np.sort(seeds)
+    n_seeds = float(seed_set.size)
+    d = 1.0 - PPR_RESTART
+
+    # restart vector r0: 1/|seeds| on seeds, else 0 (broadcast once)
+    r0 = np.zeros(n_docs, dtype=np.float64)
+    r0[seed_set] = 1.0 / n_seeds
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+    # out-degrees (bounded combiner partials)
+    deg_parts = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "node": pa.array(np.unique(b.column("src").to_numpy(zero_copy_only=False))),
+                "c": pa.array(
+                    np.unique(b.column("src").to_numpy(zero_copy_only=False), return_counts=True)[1]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    deg = np.zeros(n_docs, dtype=np.float64)
+    dg = deg_parts.groupby("node")["c"].sum()
+    deg[dg.index.to_numpy()] = dg.to_numpy()
+
+    pr = r0.copy()
+    for _ in range(PPR_ITERS):
+        share_ref = ray.put(np.divide(pr, deg, out=np.zeros_like(pr), where=deg > 0))
+
+        def contrib(batch: pa.Table, _ref=share_ref) -> pa.Table:
+            from ..stages.encode import cached_ref
+
+            share = cached_ref(_ref)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            ud, inv = np.unique(dst, return_inverse=True)
+            return pa.table(
+                {
+                    "node": pa.array(ud),
+                    "mass": pa.array(np.bincount(inv, weights=share[src])),
+                }
+            )
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        mass = np.zeros(n_docs, dtype=np.float64)
+        mg = parts.groupby("node")["mass"].sum()
+        mass[mg.index.to_numpy()] = mg.to_numpy()
+        pr = PPR_RESTART * r0 + d * mass
+
+    order = np.lexsort((np.arange(n_docs), -np.round(pr, 9)))[:50]
+    return pd.DataFrame({"doc_id": order.astype(np.int64), "ppr_r": np.round(pr[order], 6)})
+
+
+def serial_diff_events(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, diff7, norm_r) — ``serial_diff`` (lag 7) +
+    ``normalize`` (min-max rescale) pipeline aggregations over the
+    gap-free daily event counts (the seasonality-removal companion to
+    ``events_moving_avg``).  The bucket series is coordinator-sized by
+    construction; the corpus pass is the same bounded day-count combiner."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        t = pa.table({"day": days})
+        return t.group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0).astype(np.int64)
+    n = series.to_numpy().astype(np.float64)
+    lo, hi = n.min(), n.max()
+    norm = (n - lo) / (hi - lo) if hi > lo else np.zeros_like(n)
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": series.to_numpy(),
+            "diff7": np.r_[np.zeros(min(7, n.size)), n[7:] - n[:-7]].astype(np.int64),
+            "norm_r": np.round(norm, 6),
+        }
+    )
+    # ES serial_diff emits nothing for incomplete lags — drop the first 7
+    # buckets (normalize still sees the full series)
+    return out.iloc[7:].reset_index(drop=True)
+
+
+CHAR_BUDGET: int = 20_000
+
+
+def char_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """(lang, doc_id, n_chars, cum_chars) — per-language token-budget
+    selection (the training-mix allocation op): within each language,
+    docs ordered by (n_chars DESC, doc_id ASC) are taken while the
+    running char total stays ≤ 20k — a greedy budget fill.
+
+    ONE groupby(lang) exchange of the PROJECTED (doc_id, n_chars) pairs
+    co-locates each language; the per-group kernel is a sort + cumsum
+    cut.  The text itself never moves — selection ships ids, and a real
+    pipeline fetches the survivors by id afterwards (the
+    ``search_snippets`` k-bounded-fetch discipline)."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        cum = g["n_chars"].cumsum()
+        keep = cum <= CHAR_BUDGET
+        out = g.loc[keep, ["lang", "doc_id", "n_chars"]].copy()
+        out["cum_chars"] = cum[keep].astype(np.int64)
+        return out
+
+    out = ds.groupby("lang").map_groups(fill, batch_format="pandas").to_pandas()
+    return out.sort_values(["lang", "doc_id"], ignore_index=True)

@@ -99,6 +99,9 @@ class Tokenizer:
             if self.analyzer == "light_en"
             else None
         )
+        # Lucene ShingleFilter (min=max=2, output_unigrams=false): the
+        # token stream becomes word bigrams "a_b"; dl counts shingles
+        self._shingle = self.analyzer == "shingle"
 
     def _analyze_tokens(self, toks: list) -> list:
         """Per-token Python analysis chain (fallback path): stop filter
@@ -140,6 +143,8 @@ class Tokenizer:
         toks = self.pattern.findall(text)
         if self._stem_rules is not None:
             toks = self._analyze_tokens(toks)
+        if self._shingle:
+            toks = [f"{toks[i]}_{toks[i + 1]}" for i in range(len(toks) - 1)]
         return toks
 
     def split_pattern(self) -> str | None:
@@ -198,8 +203,37 @@ class Tokenizer:
             codes, rows = codes[keep], rows[keep]
         if self._stem_rules is not None:
             codes, rows, vocab = self._analyze_codes(codes, rows, vocab)
+        if self._shingle:
+            codes, rows, vocab = self._shingle_codes(codes, rows, vocab)
         dls = np.bincount(rows, minlength=n).astype(np.int64)
         return codes, rows, vocab, dls
+
+    def _shingle_codes(
+        self, codes: np.ndarray, rows: np.ndarray, vocab: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """Vectorized shingling over dictionary codes: adjacent same-row
+        code pairs become the new occurrences, and shingle STRINGS are
+        built only for the per-batch UNIQUE pairs (one Arrow binary_join
+        over the pair vocab) — the zero-per-token-Python contract of
+        :meth:`tokenize_codes` holds."""
+        if codes.size < 2:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), pa.array([], type=pa.string())
+        adj = rows[1:] == rows[:-1]
+        if not adj.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), pa.array([], type=pa.string())
+        c1, c2 = codes[:-1][adj], codes[1:][adj]
+        prow = rows[:-1][adj]
+        nv = np.int64(len(vocab))
+        key = c1 * nv + c2
+        ukey, inv = np.unique(key, return_inverse=True)
+        u1 = pa.array((ukey // nv).astype(np.int64))
+        u2 = pa.array((ukey % nv).astype(np.int64))
+        if isinstance(vocab, pa.ChunkedArray):
+            vocab = vocab.combine_chunks()
+        pair_vocab = pc.binary_join_element_wise(
+            vocab.take(u1).cast(pa.string()), vocab.take(u2).cast(pa.string()), "_"
+        )
+        return inv.astype(np.int64), prow, pair_vocab
 
     def tokenize_hashes(self, texts, seed: int = 0) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batch → (per-token u64 hashes in row order, rows, dls int64).
@@ -258,6 +292,8 @@ class Tokenizer:
             toks = findall((t or "").lower() if lower else (t or ""))
             if analyze is not None:
                 toks = analyze(toks)
+            if self._shingle:
+                toks = [f"{toks[j]}_{toks[j + 1]}" for j in range(len(toks) - 1)]
             tokens.extend(toks)
             counts[i] = len(toks)
         return tokens, counts.astype(np.int32)

@@ -370,3 +370,153 @@ def test_link_triangles_dense_reference(ray_session, tmp_path):
                 if A[nb[xi], nb[yi]]:
                     tri += 1
     assert got.iloc[0].tolist() == [n_edges, wedges, tri]
+
+
+def test_shingle_tokenizer_codes_match_python_path(ray_session):
+    """The vectorized shingle dictionary path must produce exactly the
+    python tokenize() shingle stream, row by row."""
+    from splade_ray.config import EngineConfig
+    from splade_ray.tokenizer import Tokenizer
+
+    tok = Tokenizer(EngineConfig(analyzer="shingle"))
+    texts = [
+        "spark join order by",
+        "one",
+        "",
+        "a b a b a",
+        "punct, only!!",
+        None,
+    ]
+    codes, rows, vocab, dls = tok.tokenize_codes(texts)
+    vlist = vocab.to_pylist()
+    got_rows: dict[int, list] = {i: [] for i in range(len(texts))}
+    for c, r in zip(codes, rows):
+        got_rows[int(r)].append(vlist[int(c)])
+    for i, t in enumerate(texts):
+        assert got_rows[i] == tok.tokenize(t or ""), (i, t)
+        assert dls[i] == len(got_rows[i])
+
+
+def test_shingle_index_rank_identity_vs_oracle(ray_session, tmp_path):
+    """A shingle-analyzed build must be rank-identical to the numpy oracle
+    under the same config (the analyzer rides the shared Tokenizer, so the
+    oracle shingles too)."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import write_web_pages
+    from splade_ray.oracle import build_oracle_index, oracle_search
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader
+
+    cfg = EngineConfig(shard_size=300, num_buckets=4, analyzer="shingle")
+    corpus = str(tmp_path / "web.parquet")
+    out = str(tmp_path / "idx")
+    write_web_pages(corpus, 800)
+    build_index(corpus, out, cfg)
+    reader = IndexReader(out, cfg)
+    oidx = build_oracle_index(pq.read_table(corpus), cfg)
+    for q in ("w0001 w0093 w0002", "w0042 w0042 w0042", "w0001", ""):
+        got = reader.search(q, 10)
+        want = oracle_search(oidx, q, 10)
+        assert [d for d, *_ in got] == [d for d, *_ in want], q
+        for (d1, s1, *_), (_d2, s2, *_) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9 * max(1.0, abs(s2))
+
+
+def test_bigram_perplexity_brute_force(ray_session, tmp_path):
+    """Bucketed in-bucket-count scoring == a literal dict-counted bigram LM."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import BIGRAM_LM_LAMBDA, bigram_perplexity
+    from splade_ray.tokenizer import Tokenizer
+
+    rng = np.random.default_rng(3)
+    words = [f"v{i:02d}" for i in range(12)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 30)).tolist()) for _ in range(60)]
+    texts += ["solo", ""]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = bigram_perplexity(str(tmp_path))
+    tok = Tokenizer()
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    toks_of = {}
+    for d, t in enumerate(texts):
+        toks = tok.tokenize(t)
+        toks_of[d] = toks
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    N = sum(uni.values())
+    lam = BIGRAM_LM_LAMBDA
+    for d, toks in toks_of.items():
+        sub = got[got["doc_id"] == d]
+        if len(toks) < 2:
+            assert sub.empty
+            continue
+        lnps = [
+            math.log(lam * bi[(a, b)] / uni[a] + (1.0 - lam) * uni[b] / N)
+            for a, b in zip(toks[:-1], toks[1:])
+        ]
+        row = sub.iloc[0]
+        assert row["n_pairs"] == len(lnps)
+        ce = -sum(lnps) / len(lnps)
+        assert abs(row["cross_entropy_r"] - round(ce, 6)) <= 1e-6
+
+
+def test_personalized_pagerank_dense_reference(ray_session, tmp_path):
+    """3 power iterations with a seed-restart vector vs a dense numpy
+    replay on a small fixture."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import PPR_ITERS, PPR_RESTART, personalized_pagerank
+
+    n = 80
+    langs = np.where(np.arange(n) % 3 == 0, "en", "de").astype(object)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": np.full(n, "x", dtype=object),
+            "lang": langs,
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.ones(n, dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = personalized_pagerank(str(tmp_path))
+    # dense replay
+    import collections
+
+    edges = set()
+    for i in range(n):
+        for j in ((i * 3 + 1) % n, (i * 7 + 2) % n):
+            if i != j:
+                edges.add((i, j))
+    deg = collections.Counter(a for a, _ in edges)
+    seeds = np.flatnonzero(langs == "en")
+    r0 = np.zeros(n)
+    r0[seeds] = 1.0 / seeds.size
+    pr = r0.copy()
+    for _ in range(PPR_ITERS):
+        mass = np.zeros(n)
+        for a, b in edges:
+            mass[b] += pr[a] / deg[a]
+        pr = PPR_RESTART * r0 + (1 - PPR_RESTART) * mass
+    order = np.lexsort((np.arange(n), -np.round(pr, 9)))[:50]
+    ref = pd.DataFrame({"doc_id": order.astype(np.int64), "ppr_r": np.round(pr[order], 6)})
+    merged = got.merge(ref, on="doc_id", suffixes=("_g", "_r"))
+    assert len(merged) == 50
+    np.testing.assert_allclose(merged["ppr_r_g"], merged["ppr_r_r"], atol=2e-6)
