@@ -240,6 +240,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serial_diff_events": q.serial_diff_events,
         # per-language greedy char-budget fill (training-mix allocation)
         "char_budget_sample": q.char_budget_sample,
+        # the FULL Gopher quality-rule verdict with per-rule signals
+        "gopher_rules_kept": q.gopher_rules_kept,
+        # lang-ID with top-2 profile scores + confidence margin
+        "doc_language_confidence": q.doc_language_confidence,
+        # ES knn+filter on the IVF path (filter inside the probed lists;
+        # nprobe=all makes it ≡ the filtered brute-force oracle)
+        "knn_ivf_filtered": q.knn_ivf_filtered,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5369,4 +5376,77 @@ WITH ordered AS (
 SELECT lang, doc_id, n_chars, cum_chars::BIGINT AS cum_chars
 FROM ordered WHERE cum_chars <= 20000 ORDER BY lang, doc_id
 """
+    # full Gopher rule set: word-count / mean-word-length windows,
+    # required-word floor, dup-token / top-bigram / longest-run caps
+    oracles["gopher_rules_kept"] = f"""
+WITH t AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM t),
+base AS (
+  SELECT doc_id, len(l)::BIGINT AS n_tok,
+         CASE WHEN len(l) = 0 THEN 0.0
+              ELSE list_aggregate(list_transform(l, x -> length(x)::DOUBLE), 'sum') / len(l) END AS mwl
+  FROM t
+),
+req AS (SELECT doc_id, count(*) FILTER (tok IN ('the', 'a', 'and', 'of', 'to'))::BIGINT AS req
+        FROM flat GROUP BY doc_id),
+dst AS (SELECT doc_id, count(DISTINCT tok)::DOUBLE AS nd, count(*)::DOUBLE AS nt FROM flat GROUP BY doc_id),
+bg AS (SELECT doc_id, tok AS t0, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS t1
+       FROM flat QUALIFY t1 IS NOT NULL),
+bgc AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tb
+        FROM (SELECT doc_id, t0, t1, count(*) AS c FROM bg GROUP BY 1, 2, 3) GROUP BY doc_id),
+runs AS (SELECT doc_id, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g FROM flat),
+mr AS (SELECT doc_id, max(c)::BIGINT AS max_run
+       FROM (SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, tok, g) GROUP BY doc_id)
+SELECT b.doc_id, b.n_tok AS n_tokens, round(b.mwl, 6) AS mean_wlen_r,
+       coalesce(r.req, 0) AS req_hits,
+       round(coalesce((d.nt - d.nd) / d.nt, 0), 6) AS dup_frac_r,
+       round(coalesce(g.tb, 0), 6) AS top_bigram_frac_r,
+       coalesce(m.max_run, 0) AS max_run,
+       (b.n_tok BETWEEN 20 AND 90 AND b.mwl BETWEEN 3.0 AND 10.0
+        AND coalesce(r.req, 0) >= 2 AND coalesce((d.nt - d.nd) / d.nt, 0) <= 0.7
+        AND coalesce(g.tb, 0) <= 0.06 AND coalesce(m.max_run, 0) <= 2) AS kept
+FROM base b
+LEFT JOIN req r USING (doc_id) LEFT JOIN dst d USING (doc_id)
+LEFT JOIN bgc g USING (doc_id) LEFT JOIN mr m USING (doc_id)
+ORDER BY b.doc_id
+"""
+    # lang-ID confidence: top-2 stopword-profile scores + margin (the
+    # same profile CTEs as lang_id_preds)
+    oracles["doc_language_confidence"] = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+m AS (
+  SELECT doc_id, length(t) AS nchar,
+         length(t) - length(regexp_replace(t, '[가-힯]', '', 'g')) AS n_hangul,
+         length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS n_han,
+         list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS toks
+  FROM base
+),
+s AS (
+  SELECT doc_id, nchar, n_hangul, n_han, len(toks) AS n_tok,
+         {_lang_score('en')} AS s_en, {_lang_score('de')} AS s_de,
+         {_lang_score('es')} AS s_es, {_lang_score('fr')} AS s_fr
+  FROM m
+),
+d AS (
+  SELECT doc_id, nchar, n_hangul, n_han, n_tok, s_en, s_de, s_es, s_fr,
+         list_sort([s_en, s_de, s_es, s_fr]) AS ls
+  FROM s
+)
+SELECT doc_id,
+  CASE
+    WHEN nchar > 0 AND (n_hangul + n_han)::DOUBLE / greatest(nchar, 1) > 0.1
+      THEN CASE WHEN n_hangul >= n_han THEN 'ko' ELSE 'zh' END
+    WHEN n_tok = 0 THEN 'und'
+    WHEN greatest(s_en, s_de, s_es, s_fr) <= 0.05 THEN 'und'
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred,
+  round(CASE WHEN n_tok = 0 THEN 0.0 ELSE ls[4] END, 6) AS score1_r,
+  round(CASE WHEN n_tok = 0 THEN 0.0 ELSE ls[3] END, 6) AS score2_r,
+  round(CASE WHEN n_tok = 0 THEN 0.0 ELSE ls[4] - ls[3] END, 6) AS margin_r
+FROM d ORDER BY doc_id
+"""
+    oracles["knn_ivf_filtered"] = oracles["knn_cosine_filtered"]
     return oracles

@@ -505,7 +505,13 @@ class IVFIndex:
             )
         return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    def search(self, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    def search(self, queries: np.ndarray, k: int = 10, filter_expr=None) -> pd.DataFrame:
+        """Probe-and-score top-k; ``filter_expr`` (an Arrow compute
+        predicate over the stored vector rows, e.g.
+        ``lambda t: pc.equal(t.column("label"), 3)``) applies INSIDE the
+        probed-list scorer BEFORE ranking — the ES ``knn``+``filter``
+        semantics on the IVF path: non-probed lists still cost zero IO
+        and filtered-out vectors never reach the matmul."""
         assert self.centroids is not None, "call fit_assign or load first"
         assert self.assigned is not None or getattr(self, "lists_dir", None), "call fit_assign or load first"
         Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -517,6 +523,10 @@ class IVFIndex:
         emb_col, id_col = self.emb_col, self.id_col
 
         def score_batch(batch: pa.Table) -> pa.Table:
+            if filter_expr is not None:
+                batch = batch.filter(filter_expr(batch))
+            if batch.num_rows == 0:
+                return _partial_topk_table(np.zeros(0), np.zeros(0), np.zeros(0))
             Qm, Pr = ray.get(q_ref), ray.get(probe_ref)
             emb = _normalize(_as_matrix(batch.column(emb_col)))
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)

@@ -7278,3 +7278,64 @@ def char_budget_sample(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("lang").map_groups(fill, batch_format="pandas").to_pandas()
     return out.sort_values(["lang", "doc_id"], ignore_index=True)
+
+
+def gopher_rules_kept(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, mean_wlen_r, req_hits, dup_frac_r,
+    top_bigram_frac_r, max_run, kept) — the FULL Gopher quality-rule
+    verdict (Rae et al. 2021 Table-A1 family, word-token flavor) in one
+    fused streaming pass: word-count window, mean-word-length window,
+    required-word floor, duplicate-token / top-bigram / longest-run
+    repetition caps.  Extends the single-signal ``repetition_scores`` /
+    fused ``curation_kept`` with the complete named rule set and
+    per-rule signal columns."""
+    from .textops import gopher_rules
+
+    out = gopher_rules(_docs(sf_dir, columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def doc_language_confidence(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang_pred, score1_r, score2_r, margin_r) — language-ID
+    with CONFIDENCE: the top-2 stopword-profile scores and their margin
+    (the threshold signal a routing/filtering pipeline uses to route
+    low-confidence docs to a heavier model).  Same streaming pass as
+    ``lang_id_preds`` with the detail flag on."""
+    from ..util import pool_size
+    from .textops import LangIdStage
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(
+            LangIdStage,
+            fn_constructor_kwargs={"detail": True},
+            batch_format="pyarrow",
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["score1_r"] = out["score1"].round(6)
+    out["score2_r"] = out["score2"].round(6)
+    out["margin_r"] = out["margin"].round(6)
+    return out[["doc_id", "lang_pred", "score1_r", "score2_r", "margin_r"]]
+
+
+def knn_ivf_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered IVF vector search (ES ``knn`` + ``filter`` on the IVF
+    path): the label=3 predicate applies INSIDE the probed-list scorer
+    before ranking — with nprobe == n_clusters the probe is exhaustive,
+    so the result must equal the filtered brute-force oracle exactly
+    (filter-inside-probe ≡ pre-filter when every list is probed)."""
+    import pyarrow.compute as _pc
+
+    from .ann import IVFIndex
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    idx = IVFIndex(n_clusters=8, nprobe=8).fit_assign(ds, sample_fraction=0.5)
+    out = idx.search(Q, k=10, filter_expr=lambda t: _pc.equal(t.column("label"), 3))
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "score_r"]]

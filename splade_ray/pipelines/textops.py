@@ -92,9 +92,13 @@ class LangIdStage:
     """Stopword-profile language heuristic (+ CJK codepoint check):
     (doc_id, text) → (doc_id, lang_pred, lang_score)."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", detail: bool = False):
         self.text_col = text_col
         self.id_col = id_col
+        # detail=True additionally emits the runner-up profile score and
+        # the top-1 − top-2 margin (the lang-ID confidence signal a
+        # routing/filtering pipeline thresholds on)
+        self.detail = detail
         self.tok = Tokenizer()
         self.langs = list(LANG_PROFILES)
 
@@ -160,13 +164,21 @@ class LangIdStage:
         langs = np.where(cjk, np.where(ko, "ko", "zh"), langs)
         cjk_score = np.where(ko, n_hangul, n_han) / np.maximum(nchar, 1.0)
         score_out = np.where(cjk, cjk_score, score_out)
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "lang_pred": pa.array(langs, type=pa.string()),
-                "lang_score": pa.array(score_out, type=pa.float64()),
-            }
-        )
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "lang_pred": pa.array(langs, type=pa.string()),
+            "lang_score": pa.array(score_out, type=pa.float64()),
+        }
+        if self.detail:
+            # top-2 PROFILE scores (pre-CJK/und overrides, zeroed for
+            # token-less docs): margin = s1 − s2, the confidence signal
+            ss = np.sort(scores, axis=0)
+            s1 = np.where(n_tok == 0, 0.0, ss[-1])
+            s2 = np.where(n_tok == 0, 0.0, ss[-2])
+            cols["score1"] = pa.array(s1, type=pa.float64())
+            cols["score2"] = pa.array(s2, type=pa.float64())
+            cols["margin"] = pa.array(s1 - s2, type=pa.float64())
+        return pa.table(cols)
 
 
 class FingerprintStage:
@@ -1923,3 +1935,104 @@ def winnowing_fingerprints(ds: Dataset, w: int = WINNOW_WINDOW) -> Dataset:
     """One streaming winnowing pass over (doc_id, text) rows — see
     :class:`WinnowStage`."""
     return ds.map_batches(WinnowStage(w=w), batch_format="pyarrow", concurrency=pool_size())
+
+
+# full Gopher-style quality-rule set (Rae et al. 2021, Table A1, adapted
+# to the word-token stream): limits chosen to discriminate on web-ish text
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 20, 90
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_REQUIRED_WORDS = ("the", "a", "and", "of", "to")
+GOPHER_MIN_REQ_HITS = 2
+GOPHER_MAX_DUP_FRAC = 0.7
+GOPHER_MAX_TOP_BIGRAM = 0.06
+GOPHER_MAX_RUN = 2
+
+
+class GopherStage:
+    """(doc_id, text) → the FULL Gopher quality-rule verdict in one fused
+    streaming pass (word count, mean word length, required-word hits,
+    duplicate-token fraction, top-bigram fraction, longest token run —
+    the Rae et al. 2021 Table-A1 family, word-token flavor):
+
+    kept ⇔ 20 ≤ n_tokens ≤ 90 ∧ 3 ≤ mean_wlen ≤ 10 ∧ req_hits ≥ 2 ∧
+           dup_frac ≤ 0.7 ∧ top_bigram_frac ≤ 0.06 ∧ max_run ≤ 2.
+
+    Every signal is vectorized over dictionary codes (lengths and
+    required-word membership touch only the per-batch unique vocab);
+    rows are independent, so the stage partitions trivially and emits
+    one row per doc."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        enc = self.tok.tokenize_codes(batch.column(self.text_col).combine_chunks())
+        assert enc is not None, "GopherStage needs the invertible tokenizer"
+        codes, rows, vocab, dls = enc
+        n_tok = dls.astype(np.int64)
+        mwl = np.zeros(n, dtype=np.float64)
+        req = np.zeros(n, dtype=np.int64)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        top_bg = np.zeros(n, dtype=np.float64)
+        max_run = np.zeros(n, dtype=np.int64)
+        if codes.size:
+            vlen = pc.utf8_length(vocab).to_numpy(zero_copy_only=False).astype(np.float64)
+            nz = n_tok > 0
+            mwl[nz] = np.bincount(rows, weights=vlen[codes], minlength=n)[nz] / n_tok[nz]
+            vreq = pc.is_in(vocab, value_set=pa.array(list(GOPHER_REQUIRED_WORDS))).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            req = np.bincount(rows, weights=vreq[codes], minlength=n).astype(np.int64)
+            V = np.int64(len(vocab))
+            uniq = np.unique(rows * V + codes)
+            n_distinct = np.bincount((uniq // V).astype(np.int64), minlength=n)
+            dup_frac[nz] = (n_tok[nz] - n_distinct[nz]) / n_tok[nz]
+            if codes.size > 1:
+                same = rows[:-1] == rows[1:]
+                if same.any():
+                    b_rows = rows[:-1][same]
+                    bkey = (b_rows * V + codes[:-1][same]) * V + codes[1:][same]
+                    ub, cnt = np.unique(bkey, return_counts=True)
+                    best = np.zeros(n, dtype=np.int64)
+                    np.maximum.at(best, (ub // (V * V)).astype(np.int64), cnt)
+                    n_bg = np.bincount(b_rows, minlength=n)
+                    bz = n_bg > 0
+                    top_bg[bz] = best[bz] / n_bg[bz]
+            bound = np.empty(codes.size, dtype=bool)
+            bound[0] = True
+            bound[1:] = (codes[1:] != codes[:-1]) | (rows[1:] != rows[:-1])
+            starts = np.flatnonzero(bound)
+            run_len = np.diff(np.append(starts, codes.size))
+            np.maximum.at(max_run, rows[starts], run_len)
+        kept = (
+            (n_tok >= GOPHER_MIN_TOKENS)
+            & (n_tok <= GOPHER_MAX_TOKENS)
+            & (mwl >= GOPHER_MIN_MWL)
+            & (mwl <= GOPHER_MAX_MWL)
+            & (req >= GOPHER_MIN_REQ_HITS)
+            & (dup_frac <= GOPHER_MAX_DUP_FRAC)
+            & (top_bg <= GOPHER_MAX_TOP_BIGRAM)
+            & (max_run <= GOPHER_MAX_RUN)
+        )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_tokens": pa.array(n_tok),
+                "mean_wlen_r": pa.array(np.round(mwl, 6)),
+                "req_hits": pa.array(req),
+                "dup_frac_r": pa.array(np.round(dup_frac, 6)),
+                "top_bigram_frac_r": pa.array(np.round(top_bg, 6)),
+                "max_run": pa.array(max_run),
+                "kept": pa.array(kept),
+            }
+        )
+
+
+def gopher_rules(ds: Dataset, text_col: str = "text", id_col: str = "doc_id", concurrency: int | None = None) -> Dataset:
+    return ds.map_batches(
+        GopherStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency or pool_size(),
+    )

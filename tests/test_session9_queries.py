@@ -520,3 +520,84 @@ def test_personalized_pagerank_dense_reference(ray_session, tmp_path):
     merged = got.merge(ref, on="doc_id", suffixes=("_g", "_r"))
     assert len(merged) == 50
     np.testing.assert_allclose(merged["ppr_r_g"], merged["ppr_r_r"], atol=2e-6)
+
+
+def test_gopher_rules_brute_force(ray_session, tmp_path):
+    """Fused Gopher verdict vs literal per-doc recomputation, including
+    empty docs, all-run docs and required-word boundaries."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import gopher_rules_kept
+    from splade_ray.tokenizer import Tokenizer
+
+    rng = np.random.default_rng(17)
+    words = ["the", "a", "and", "of", "to", "alpha", "beta", "gamma", "longword", "x"]
+    texts = [" ".join(rng.choice(words, size=m).tolist()) for m in [0, 1, 5, 19, 20, 21, 50, 89, 90, 91, 120]]
+    texts += ["x " * 40, "the " * 30, "alpha beta " * 25]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = gopher_rules_kept(str(tmp_path))
+    tok = Tokenizer()
+    from collections import Counter
+
+    for d, text in enumerate(texts):
+        toks = tok.tokenize(text)
+        nt = len(toks)
+        mwl = sum(len(t) for t in toks) / nt if nt else 0.0
+        req = sum(1 for t in toks if t in ("the", "a", "and", "of", "to"))
+        dup = (nt - len(set(toks))) / nt if nt else 0.0
+        bgs = Counter(zip(toks[:-1], toks[1:]))
+        tb = max(bgs.values()) / sum(bgs.values()) if bgs else 0.0
+        mr, cur = 0, 0
+        prev = None
+        for t in toks:
+            cur = cur + 1 if t == prev else 1
+            prev = t
+            mr = max(mr, cur)
+        kept = (
+            20 <= nt <= 90 and 3.0 <= mwl <= 10.0 and req >= 2
+            and dup <= 0.7 and tb <= 0.06 and mr <= 2
+        )
+        row = got[got["doc_id"] == d].iloc[0]
+        assert row["n_tokens"] == nt
+        assert abs(row["mean_wlen_r"] - round(mwl, 6)) <= 1e-6
+        assert row["req_hits"] == req
+        assert abs(row["dup_frac_r"] - round(dup, 6)) <= 1e-6
+        assert abs(row["top_bigram_frac_r"] - round(tb, 6)) <= 1e-6
+        assert row["max_run"] == mr
+        assert bool(row["kept"]) == kept, (d, text[:40])
+
+
+def test_knn_ivf_filtered_equals_filtered_brute_force(ray_session):
+    """nprobe == n_clusters makes filter-inside-probe exactly the
+    pre-filtered exhaustive ranking."""
+    from splade_ray.pipelines.queries import knn_cosine_filtered, knn_ivf_filtered
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_ivf_filtered(sf).reset_index(drop=True)
+    b = knn_cosine_filtered(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_language_confidence_consistent_with_lang_id(ray_session):
+    """Detail mode must keep lang_pred identical to lang_id_preds and
+    margin == score1 − score2 ≥ 0."""
+    from splade_ray.pipelines.queries import doc_language_confidence, lang_id_preds
+
+    sf = "/root/testdata/sf0.001"
+    det = doc_language_confidence(sf)
+    base = lang_id_preds(sf)
+    m = det.merge(base, on="doc_id", suffixes=("_d", "_b"))
+    col_b = [c for c in m.columns if c.startswith("lang_pred") and c.endswith("_b")]
+    assert (m["lang_pred_d"] == m[col_b[0]]).all() if col_b else (det["lang_pred"] == base["lang_pred"]).all()
+    assert (det["margin_r"] >= -1e-9).all()
+    np.testing.assert_allclose(det["margin_r"], (det["score1_r"] - det["score2_r"]).round(6), atol=2e-6)
