@@ -247,6 +247,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES knn+filter on the IVF path (filter inside the probed lists;
         # nprobe=all makes it ≡ the filtered brute-force oracle)
         "knn_ivf_filtered": q.knn_ivf_filtered,
+        # CCNet selection composed end to end: LM fit -> ppl -> per-lang
+        # terciles -> language-aware keep rule (head + en-middle)
+        "ccnet_corpus_kept": q.ccnet_corpus_kept,
+        # radius vector search (ES knn similarity threshold, no top-k)
+        "knn_radius": q.knn_radius,
+        # per-label prototypes: 5 members nearest their label centroid
+        "label_prototypes": q.label_prototypes,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5449,4 +5456,65 @@ SELECT doc_id,
 FROM d ORDER BY doc_id
 """
     oracles["knn_ivf_filtered"] = oracles["knn_cosine_filtered"]
+    # CCNet end-to-end selection: same LM + ntile CTEs as ccnet_buckets,
+    # keep head everywhere + middle for 'en'
+    oracles["ccnet_corpus_kept"] = f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM flat)::DOUBLE AS n),
+agg AS (
+  SELECT f.doc_id, avg(-ln(c.c / t.n)) AS ce
+  FROM flat f JOIN cnt c USING (tok) CROSS JOIN tot t GROUP BY f.doc_id
+),
+pp AS (
+  SELECT d.lang, d.doc_id, round(exp(coalesce(a.ce, 0)), 6) AS ppl_r
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+),
+nt AS (
+  SELECT lang, doc_id, ppl_r,
+         ntile(3) OVER (PARTITION BY lang ORDER BY ppl_r ASC, doc_id ASC) AS b
+  FROM pp
+)
+SELECT doc_id, lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       ppl_r
+FROM nt WHERE b = 1 OR (lang = 'en' AND b = 2) ORDER BY doc_id
+"""
+    # radius search: every vector at cosine >= 0.25, no ranking cut
+    oracles["knn_radius"] = """
+WITH q AS (SELECT vec_id AS query_vec_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_vec_id, vec_id, round(score, 6) AS score_r
+FROM s WHERE score >= 0.25 ORDER BY query_vec_id, vec_id
+"""
+    # per-label prototypes: cosine of each member to its label centroid,
+    # top 5 per label by (round(score,9) DESC, vec_id)
+    oracles["label_prototypes"] = """
+WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+flatv AS (SELECT vec_id, label, unnest(e) AS x, unnest(range(len(e))) AS dim FROM ev),
+cent AS (SELECT label, dim, avg(x) AS c FROM flatv GROUP BY label, dim),
+cn AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY label),
+vn AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS n FROM ev),
+dots AS (
+  SELECT f.vec_id, f.label, sum(f.x * c.c) AS dot
+  FROM flatv f JOIN cent c ON c.label = f.label AND c.dim = f.dim
+  GROUP BY f.vec_id, f.label
+),
+s AS (
+  SELECT d.label, d.vec_id, d.dot / (v.n * c.n) AS score
+  FROM dots d JOIN vn v USING (vec_id) JOIN cn c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, score,
+         row_number() OVER (PARTITION BY label ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT label::BIGINT AS label, rank, vec_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 5 ORDER BY label, rank
+"""
     return oracles

@@ -7339,3 +7339,202 @@ def knn_ivf_filtered(sf_dir: str) -> pd.DataFrame:
     out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
     out["score_r"] = out["score"].round(6)
     return out[["query_vec_id", "rank", "vec_id", "score_r"]]
+
+
+def ccnet_corpus_kept(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang, bucket, ppl_r) — the CCNet SELECTION composed end to
+    end (Wenzek et al. 2020's pipeline, not just the bucketing): fit the
+    corpus unigram LM, score per-doc perplexity, tercile per language,
+    and KEEP the head bucket everywhere plus the middle bucket for the
+    head language ('en') — the language-aware quality cut a production
+    crawl applies before training.  Same segmented-rank machinery as
+    ``ccnet_buckets`` (one range-partition sort, block-summary ranks);
+    the keep rule is a streaming mask, output is the kept rows."""
+    from .scan import segmented_rank
+    from .textops import unigram_lm_scores
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    scored = unigram_lm_scores(ds, keep_cols=("lang",))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppl = batch.column("ppl").to_numpy(zero_copy_only=False)
+        pplu = np.rint(np.round(ppl, 6) * 1e6).astype(np.int64)
+        if did.size and (int(pplu.max()) >= (1 << 30) or int(did.max()) >= (1 << 33)):
+            raise ValueError("ccnet key overflow: ppl or doc_id out of packing range")
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": pa.array(did),
+                "ppl_r": pa.array(pplu / 1e6),
+                "key": pa.array((pplu << 33) | did),
+            }
+        )
+
+    sub = scored.map_batches(keyed, batch_format="pyarrow")
+    ranked = segmented_rank(sub, "lang", "key", out_col="rnk")
+    counts = {
+        r["lang"]: int(r["count()"])
+        for r in ranked.groupby("lang").count().to_pandas().to_dict("records")
+    }
+    counts_ref = ray.put(counts)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(counts_ref)
+        langs = batch.column("lang").to_pandas().to_numpy()
+        r = batch.column("rnk").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray([nmap[s] for s in langs], dtype=np.int64)
+        q, rem = n // 3, n % 3
+        head = rem * (q + 1)
+        b = np.where(
+            r <= head,
+            (r - 1) // np.maximum(q + 1, 1),
+            rem + (r - 1 - head) // np.maximum(q, 1),
+        )
+        keep = (b == 0) | ((langs == "en") & (b == 1))
+        names = np.asarray(["head", "middle", "tail"], dtype=object)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "lang": batch.column("lang").filter(pa.array(keep)),
+                "bucket": pa.array(names[b[keep]], type=pa.string()),
+                "ppl_r": batch.column("ppl_r").filter(pa.array(keep)),
+            }
+        )
+
+    out = ranked.map_batches(keep_rows, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+KNN_RADIUS: float = 0.25
+
+
+def knn_radius(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, vec_id, score_r) — RADIUS vector search (ES ``knn``
+    with ``similarity`` threshold): every corpus vector whose cosine with
+    the query is ≥ 0.25, result size data-dependent (no top-k).  One
+    streaming scan per the brute-force shape; only matches leave each
+    batch, so the exchange is bounded by the match count, never the
+    corpus.  Self-matches included (score 1.0)."""
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((Q, qn))
+    qvid = qrows["vec_id"].to_numpy()
+
+    def matches(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+        from .ann import _as_matrix
+
+        Qm, qnv = cached_ref(q_ref)
+        emb = _as_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        en = np.linalg.norm(emb, axis=1)
+        en[en == 0] = 1.0
+        sims = (emb @ Qm.T) / (en[:, None] * qnv[None, :])
+        ri, qi = np.nonzero(sims >= KNN_RADIUS)  # (doc row, query col)
+        return pa.table(
+            {
+                "query_idx": pa.array(qi.astype(np.int64)),
+                "vec_id": pa.array(ids[ri]),
+                "score": pa.array(sims[ri, qi]),
+            }
+        )
+
+    out = ds.map_batches(matches, batch_format="pyarrow").to_pandas()
+    out["query_vec_id"] = qvid[out["query_idx"].to_numpy()]
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "vec_id", "score_r"]].sort_values(
+        ["query_vec_id", "vec_id"], ignore_index=True
+    )
+
+
+def label_prototypes(sf_dir: str) -> pd.DataFrame:
+    """(label, rank, vec_id, score_r) — per-label PROTOTYPE selection (the
+    class-balanced coreset step: for each label, the 5 member vectors
+    closest by cosine to the label centroid).
+
+    Two bounded passes: the centroid pass ships label×dim combiner
+    partials (the ``label_centroids`` shape), the centroid matrix
+    broadcasts via ``ray.put``, and the scoring pass ranks each vector
+    against ITS OWN label's centroid only (one gather + row-wise dot,
+    no |labels|-wide matmul) with boundary-safe per-batch top-5 partials
+    per label — exchange is labels×5×blocks rows."""
+    from .ann import _as_matrix, _boundary_safe_topk
+
+    ds = _emb(sf_dir)
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        emb = _as_matrix(batch.column("embedding"))
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if emb.size == 0:
+            return pa.table(
+                {"label": pa.array(np.zeros(0, np.int64)), "dim": pa.array(np.zeros(0, np.int64)),
+                 "vsum": pa.array(np.zeros(0, np.float64)), "cnt": pa.array(np.zeros(0, np.int64))}
+            )
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = emb.shape[1]
+        sums = np.zeros((ul.size, d))
+        np.add.at(sums, inv, emb)
+        cnt = np.bincount(inv, minlength=ul.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), ul.size)),
+                "vsum": pa.array(sums.reshape(-1)),
+                "cnt": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    cp = ds.map_batches(cpartial, batch_format="pyarrow").to_pandas()
+    agg = cp.groupby(["label", "dim"], sort=True).agg(vsum=("vsum", "sum"), cnt=("cnt", "sum")).reset_index()
+    all_lab = np.unique(agg["label"].to_numpy(np.int64))
+    d = int(agg["dim"].max()) + 1
+    cent = agg["vsum"].to_numpy().reshape(all_lab.size, d)
+    C = agg["cnt"].to_numpy(np.int64).reshape(all_lab.size, d)[:, 0]
+    cent = cent / np.maximum(C, 1)[:, None]
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    cent_ref = ray.put((all_lab, cent, cn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+
+        labs, cm, cnv = cached_ref(cent_ref)
+        emb = _as_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if emb.size == 0:
+            return pa.table(
+                {"label": pa.array(np.zeros(0, np.int64)), "vec_id": pa.array(np.zeros(0, np.int64)),
+                 "score": pa.array(np.zeros(0, np.float64))}
+            )
+        pos = np.searchsorted(labs, lab)
+        en = np.linalg.norm(emb, axis=1)
+        en[en == 0] = 1.0
+        sims = (emb * cm[pos]).sum(axis=1) / (en * cnv[pos])
+        out_l, out_i, out_s = [], [], []
+        for li in np.unique(pos):
+            m = pos == li
+            col = sims[m]
+            part = _boundary_safe_topk(col, min(5, col.size))
+            out_l.append(np.full(part.size, labs[li]))
+            out_i.append(ids[m][part])
+            out_s.append(col[part])
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_l).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_i)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, g in cand.groupby("label", sort=True):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True], kind="mergesort").head(5)
+        for rank, r in enumerate(g.itertuples(index=False), 1):
+            rows.append((int(lab), rank, int(r.vec_id), round(float(r.score), 6)))
+    return pd.DataFrame(rows, columns=["label", "rank", "vec_id", "score_r"])

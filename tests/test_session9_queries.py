@@ -601,3 +601,64 @@ def test_language_confidence_consistent_with_lang_id(ray_session):
     assert (m["lang_pred_d"] == m[col_b[0]]).all() if col_b else (det["lang_pred"] == base["lang_pred"]).all()
     assert (det["margin_r"] >= -1e-9).all()
     np.testing.assert_allclose(det["margin_r"], (det["score1_r"] - det["score2_r"]).round(6), atol=2e-6)
+
+
+def test_ccnet_kept_consistent_with_buckets(ray_session):
+    """The composed selection's per-lang kept counts must equal the
+    head (+ en middle) bucket sizes ccnet_buckets reports."""
+    from splade_ray.pipelines.queries import ccnet_buckets, ccnet_corpus_kept
+
+    sf = "/root/testdata/sf0.001"
+    kept = ccnet_corpus_kept(sf)
+    buckets = ccnet_buckets(sf)
+    for lang, g in kept.groupby("lang"):
+        want = int(buckets.query("lang == @lang and bucket == 'head'")["n_docs"].sum())
+        if lang == "en":
+            want += int(buckets.query("lang == 'en' and bucket == 'middle'")["n_docs"].sum())
+        assert len(g) == want, lang
+    assert set(kept["bucket"]) <= {"head", "middle"}
+    assert (kept.loc[kept["bucket"] == "middle", "lang"] == "en").all()
+
+
+def test_knn_radius_dense_reference(ray_session):
+    """Radius matches == dense cosine threshold replay; self-match at 1.0."""
+    from splade_ray.pipelines.queries import KNN_RADIUS, knn_radius, _emb, _first_vecs
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_radius(sf)
+    ds = _emb(sf)
+    df = ds.to_pandas()
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    E, ids = E[order], ids[order]
+    Q = E[:5]
+    en = np.linalg.norm(E, axis=1)
+    sims = (E @ Q.T) / (en[:, None] * en[:5][None, :])
+    pairs = set()
+    for qi in range(5):
+        for ri in np.flatnonzero(sims[:, qi] >= KNN_RADIUS):
+            pairs.add((int(ids[qi]), int(ids[ri])))
+    assert set(zip(got["query_vec_id"], got["vec_id"])) == pairs
+    self_rows = got[got["query_vec_id"] == got["vec_id"]]
+    assert len(self_rows) == 5 and (self_rows["score_r"] == 1.0).all()
+
+
+def test_label_prototypes_dense_reference(ray_session):
+    """Per-label nearest-to-centroid selection == dense replay."""
+    from splade_ray.pipelines.queries import label_prototypes, _emb
+
+    sf = "/root/testdata/sf0.001"
+    got = label_prototypes(sf)
+    df = _emb(sf).to_pandas()
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy()
+    labs = df["label"].to_numpy()
+    for lab in np.unique(labs):
+        m = labs == lab
+        c = E[m].mean(axis=0)
+        sims = (E[m] @ c) / (np.linalg.norm(E[m], axis=1) * np.linalg.norm(c))
+        lids = ids[m]
+        order = np.lexsort((lids, -np.round(sims, 9)))[:5]
+        sub = got[got["label"] == lab].sort_values("rank")
+        np.testing.assert_array_equal(sub["vec_id"].to_numpy(), lids[order])
