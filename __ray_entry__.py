@@ -254,6 +254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_radius": q.knn_radius,
         # per-label prototypes: 5 members nearest their label centroid
         "label_prototypes": q.label_prototypes,
+        # directed association rules: confidence + lift over the FIS items
+        "association_rules": q.association_rules,
+        # time-to-convert through the full funnel (seconds, percentiles)
+        "funnel_latency": q.funnel_latency,
+        # per-label scatter + nearest-centroid separation (DB ingredients)
+        "label_scatter": q.label_scatter,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5516,5 +5522,84 @@ ranked AS (
 )
 SELECT label::BIGINT AS label, rank, vec_id, round(score, 6) AS score_r
 FROM ranked WHERE rank <= 5 ORDER BY label, rank
+"""
+    # directed association rules over the FIS incidence: conf = c(ab)/c(a),
+    # lift = N·c(ab)/(c(a)·c(b)), support floor 3%, top-25 by lift
+    oracles["association_rules"] = f"""
+WITH items(item) AS (VALUES {fis_values}),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+dt AS (SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN items i ON i.item = t.term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+sing AS (SELECT term, count(*)::BIGINT AS c FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS antecedent, b.term AS consequent, count(*)::BIGINT AS support
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.term <> a.term
+  GROUP BY 1, 2
+),
+rules AS (
+  SELECT p.antecedent, p.consequent, p.support,
+         p.support::DOUBLE / sa.c AS conf,
+         (p.support::DOUBLE * n.n) / (sa.c * sb.c) AS lift
+  FROM pairs p
+  JOIN sing sa ON sa.term = p.antecedent
+  JOIN sing sb ON sb.term = p.consequent
+  CROSS JOIN n
+  WHERE p.support * 1000 >= 30 * n.n
+)
+SELECT antecedent, consequent, support, round(conf, 6) AS confidence_r, round(lift, 6) AS lift_r
+FROM rules
+ORDER BY round(lift, 9) DESC, antecedent, consequent
+LIMIT 25
+"""
+    # funnel latency: seconds from the stage-1 view to the stage-3
+    # purchase along the earliest-feasible chain, converting users only
+    oracles["funnel_latency"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+lat AS (SELECT epoch(s3.t) - epoch(s1.t) AS lat_s FROM s3 JOIN s1 USING (user_id))
+SELECT count(*)::BIGINT AS n_converted,
+       round(coalesce(quantile_cont(lat_s, 0.5), 0), 6) AS p50_r,
+       round(coalesce(quantile_cont(lat_s, 0.9), 0), 6) AS p90_r,
+       round(coalesce(avg(lat_s), 0), 6) AS mean_r
+FROM lat
+"""
+    # per-label scatter: mean (1 − cos(member, centroid)) + the nearest
+    # other centroid by cosine with its separation distance
+    oracles["label_scatter"] = """
+WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+flatv AS (SELECT vec_id, label, unnest(e) AS x, unnest(range(len(e))) AS dim FROM ev),
+cent AS (SELECT label, dim, avg(x) AS c FROM flatv GROUP BY label, dim),
+cn AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY label),
+vn AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS n FROM ev),
+dots AS (
+  SELECT f.vec_id, f.label, sum(f.x * c.c) AS dot
+  FROM flatv f JOIN cent c ON c.label = f.label AND c.dim = f.dim
+  GROUP BY f.vec_id, f.label
+),
+scat AS (
+  SELECT d.label, count(*)::BIGINT AS n_vecs,
+         avg(1.0 - d.dot / (v.n * c.n)) AS mean_dist
+  FROM dots d JOIN vn v USING (vec_id) JOIN cn c USING (label)
+  GROUP BY d.label
+),
+cc AS (
+  SELECT a.label AS la, b.label AS lb,
+         sum(a.c * b.c) / (any_value(na.n) * any_value(nb.n)) AS cos
+  FROM cent a JOIN cent b ON b.dim = a.dim AND b.label <> a.label
+  JOIN cn na ON na.label = a.label JOIN cn nb ON nb.label = b.label
+  GROUP BY a.label, b.label
+),
+near AS (
+  SELECT la AS label, lb AS nearest_label, 1.0 - cos AS sep,
+         row_number() OVER (PARTITION BY la ORDER BY round(cos, 9) DESC, lb ASC) AS rn
+  FROM cc
+)
+SELECT s.label::BIGINT AS label, s.n_vecs, round(s.mean_dist, 6) AS mean_dist_r,
+       n.nearest_label::BIGINT AS nearest_label, round(n.sep, 6) AS sep_r
+FROM scat s JOIN near n ON n.label = s.label AND n.rn = 1
+ORDER BY s.label
 """
     return oracles

@@ -5905,17 +5905,15 @@ FIS_ITEMS: list[str] = sorted(
 FIS_TOP = 25
 
 
-def frequent_item_sets(sf_dir: str) -> pd.DataFrame:
-    """(item_a, item_b, support, ratio_r) — ES ``frequent_item_sets``
-    (pairwise, exact, over a declared item vocabulary): pairs of items
-    co-occurring in at least 5% of docs, top-25 by (support desc, pair).
-    The whole co-occurrence structure is ONE boolean incidence matmul per
-    batch — partials are |items|² integer cells regardless of batch size,
-    so support counting never shuffles (the fixed-size-sketch shape)."""
+def _fis_cooccurrence(sf_dir: str) -> tuple[np.ndarray, int]:
+    """Exact |items|×|items| co-occurrence counts + corpus size over the
+    declared FIS item vocabulary — ONE boolean incidence matmul per
+    batch, |items|² integer cells per partial regardless of batch size
+    (the fixed-size-sketch shape; shared by ``frequent_item_sets`` and
+    ``association_rules``)."""
     from ..tokenizer import Tokenizer
 
-    items = np.asarray(FIS_ITEMS, dtype=object)
-    m = items.size
+    m = len(FIS_ITEMS)
     item_pos = {t: i for i, t in enumerate(FIS_ITEMS)}
     tok = Tokenizer()
 
@@ -5952,6 +5950,16 @@ def frequent_item_sets(sf_dir: str) -> pd.DataFrame:
         # count each partial's n exactly once via its (0, 0) cell
         first = (bi == 0) & (bj == 0)
         n_docs += int(b.column("n").to_numpy(zero_copy_only=False)[first].sum())
+    return P, n_docs
+
+
+def frequent_item_sets(sf_dir: str) -> pd.DataFrame:
+    """(item_a, item_b, support, ratio_r) — ES ``frequent_item_sets``
+    (pairwise, exact, over a declared item vocabulary): pairs of items
+    co-occurring in at least 5% of docs, top-25 by (support desc, pair)."""
+    items = np.asarray(FIS_ITEMS, dtype=object)
+    m = items.size
+    P, n_docs = _fis_cooccurrence(sf_dir)
     rows = []
     for i in range(m):
         for j in range(i + 1, m):
@@ -7538,3 +7546,176 @@ def label_prototypes(sf_dir: str) -> pd.DataFrame:
         for rank, r in enumerate(g.itertuples(index=False), 1):
             rows.append((int(lab), rank, int(r.vec_id), round(float(r.score), 6)))
     return pd.DataFrame(rows, columns=["label", "rank", "vec_id", "score_r"])
+
+
+AR_MIN_SUPPORT_PERMILLE: int = 30  # support/N >= 3%
+AR_TOP: int = 25
+
+
+def association_rules(sf_dir: str) -> pd.DataFrame:
+    """(antecedent, consequent, support, confidence_r, lift_r) — pairwise
+    association rules over the FIS item vocabulary (the market-basket
+    step past ``frequent_item_sets``): for each DIRECTED pair a→b with
+    support/N ≥ 3%, confidence = c(ab)/c(a) and
+    lift = N·c(ab)/(c(a)·c(b)); top-25 by (lift DESC, antecedent,
+    consequent).  Same one-matmul-per-batch co-occurrence partials —
+    |items|² cells per block, nothing corpus-sized moves."""
+    items = np.asarray(FIS_ITEMS, dtype=object)
+    m = items.size
+    P, n_docs = _fis_cooccurrence(sf_dir)
+    rows = []
+    for i in range(m):
+        for j in range(m):
+            if i == j:
+                continue
+            s = int(P[i, j])
+            if s * 1000 < AR_MIN_SUPPORT_PERMILLE * n_docs:
+                continue
+            ca, cb = int(P[i, i]), int(P[j, j])
+            if ca == 0 or cb == 0:
+                continue
+            conf = s / ca
+            lift = (s * n_docs) / (ca * cb)
+            rows.append((items[i], items[j], s, round(conf, 6), round(lift, 6), lift))
+    rows.sort(key=lambda r: (-round(r[5], 9), r[0], r[1]))
+    out = pd.DataFrame(
+        [r[:5] for r in rows[:AR_TOP]],
+        columns=["antecedent", "consequent", "support", "confidence_r", "lift_r"],
+    )
+    out["support"] = out["support"].astype(np.int64)
+    return out
+
+
+def funnel_latency(sf_dir: str) -> pd.DataFrame:
+    """(n_converted, p50_r, p90_r, mean_r) — time-to-convert through the
+    full view→click→purchase funnel (seconds from the stage-1 view to
+    the stage-3 purchase along the earliest-feasible chain — the metric
+    a growth pipeline reports next to ``event_funnel``'s counts).  Same
+    one-exchange groupby(user) chain kernel; converted users ship one
+    latency scalar each, percentiles interpolate on the bounded set."""
+    stages = list(FUNNEL_STAGES)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type", "ts"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"), value_set=pa.array(stages))),
+        batch_format="pyarrow",
+    )
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None
+        first = None
+        for st in stages:
+            ts = g.loc[g["event_type"] == st, "ts"]
+            if cur is not None:
+                ts = ts[ts > cur]
+            if ts.empty:
+                return pd.DataFrame({"lat_s": []})
+            cur = ts.min()
+            if first is None:
+                first = cur
+        return pd.DataFrame({"lat_s": [(cur - first).total_seconds()]})
+
+    lats = ev.groupby("user_id").map_groups(chain, batch_format="pandas").to_pandas()
+    v = np.sort(lats["lat_s"].to_numpy(np.float64))
+    if v.size == 0:
+        return pd.DataFrame({"n_converted": [0], "p50_r": [0.0], "p90_r": [0.0], "mean_r": [0.0]})
+    p50, p90 = np.percentile(v, [50, 90], method="linear")
+    return pd.DataFrame(
+        {
+            "n_converted": np.asarray([v.size], np.int64),
+            "p50_r": [round(float(p50), 6)],
+            "p90_r": [round(float(p90), 6)],
+            "mean_r": [round(float(v.mean()), 6)],
+        }
+    )
+
+
+def label_scatter(sf_dir: str) -> pd.DataFrame:
+    """(label, n_vecs, mean_dist_r, nearest_label, sep_r) — cluster
+    quality diagnostics per label (the Davies-Bouldin ingredients):
+    mean cosine DISTANCE (1 − cos) of members to their label centroid
+    (intra-class scatter) and the nearest OTHER centroid by cosine with
+    the separation distance.  Centroids from label×dim combiner
+    partials; member distances re-use the prototype scoring pass, so
+    everything exchanged is labels-bounded."""
+    from .ann import _as_matrix
+
+    ds = _emb(sf_dir)
+
+    def cpartial(batch: pa.Table) -> pa.Table:
+        emb = _as_matrix(batch.column("embedding"))
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if emb.size == 0:
+            return pa.table(
+                {"label": pa.array(np.zeros(0, np.int64)), "dim": pa.array(np.zeros(0, np.int64)),
+                 "vsum": pa.array(np.zeros(0, np.float64)), "cnt": pa.array(np.zeros(0, np.int64))}
+            )
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = emb.shape[1]
+        sums = np.zeros((ul.size, d))
+        np.add.at(sums, inv, emb)
+        cnt = np.bincount(inv, minlength=ul.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), ul.size)),
+                "vsum": pa.array(sums.reshape(-1)),
+                "cnt": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    cp = ds.map_batches(cpartial, batch_format="pyarrow").to_pandas()
+    agg = cp.groupby(["label", "dim"], sort=True).agg(vsum=("vsum", "sum"), cnt=("cnt", "sum")).reset_index()
+    labs = np.unique(agg["label"].to_numpy(np.int64))
+    d = int(agg["dim"].max()) + 1
+    cent = agg["vsum"].to_numpy().reshape(labs.size, d)
+    C = agg["cnt"].to_numpy(np.int64).reshape(labs.size, d)[:, 0]
+    cent = cent / np.maximum(C, 1)[:, None]
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    cent_ref = ray.put((labs, cent, cn))
+
+    def dpartial(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+
+        lb, cm, cnv = cached_ref(cent_ref)
+        emb = _as_matrix(batch.column("embedding"))
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if emb.size == 0:
+            return pa.table({"label": pa.array(np.zeros(0, np.int64)),
+                             "dsum": pa.array(np.zeros(0, np.float64)),
+                             "n": pa.array(np.zeros(0, np.int64))})
+        pos = np.searchsorted(lb, lab)
+        en = np.linalg.norm(emb, axis=1)
+        en[en == 0] = 1.0
+        dist = 1.0 - (emb * cm[pos]).sum(axis=1) / (en * cnv[pos])
+        ul, inv = np.unique(pos, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(lb[ul].astype(np.int64)),
+                "dsum": pa.array(np.bincount(inv, weights=dist)),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    dp = ds.map_batches(dpartial, batch_format="pyarrow").to_pandas()
+    stats = dp.groupby("label", sort=True).agg(dsum=("dsum", "sum"), n=("n", "sum")).reset_index()
+    # centroid-to-centroid cosine: nearest other centroid per label
+    cc = (cent @ cent.T) / (cn[:, None] * cn[None, :])
+    np.fill_diagonal(cc, -np.inf)
+    # ties: higher cosine first, then lower label id
+    nearest = np.zeros(labs.size, dtype=np.int64)
+    sep = np.zeros(labs.size)
+    for i in range(labs.size):
+        order = np.lexsort((labs, -np.round(cc[i], 9)))
+        nearest[i] = labs[order[0]]
+        sep[i] = 1.0 - cc[i, order[0]]
+    out = pd.DataFrame(
+        {
+            "label": stats["label"].astype(np.int64),
+            "n_vecs": stats["n"].astype(np.int64),
+            "mean_dist_r": (stats["dsum"] / stats["n"]).round(6),
+            "nearest_label": nearest,
+            "sep_r": np.round(sep, 6),
+        }
+    )
+    return out

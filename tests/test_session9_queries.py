@@ -662,3 +662,107 @@ def test_label_prototypes_dense_reference(ray_session):
         order = np.lexsort((lids, -np.round(sims, 9)))[:5]
         sub = got[got["label"] == lab].sort_values("rank")
         np.testing.assert_array_equal(sub["vec_id"].to_numpy(), lids[order])
+
+
+def test_association_rules_brute_force(ray_session):
+    """Directed confidence/lift vs a literal set-based recount."""
+    from splade_ray.pipelines.queries import FIS_ITEMS, association_rules, _docs
+    from splade_ray.tokenizer import Tokenizer
+
+    sf = "/root/testdata/sf0.001"
+    got = association_rules(sf)
+    docs = _docs(sf, columns=["text"]).to_pandas()["text"].tolist()
+    tok = Tokenizer()
+    sets = [set(tok.tokenize(t)) & set(FIS_ITEMS) for t in docs]
+    n = len(sets)
+    from collections import Counter
+
+    single = Counter()
+    pair = Counter()
+    for s in sets:
+        for a in s:
+            single[a] += 1
+        for a in s:
+            for b in s:
+                if a != b:
+                    pair[(a, b)] += 1
+    rules = []
+    for (a, b), s in pair.items():
+        if s * 1000 >= 30 * n:
+            rules.append((a, b, s, s / single[a], s * n / (single[a] * single[b])))
+    rules.sort(key=lambda r: (-round(r[4], 9), r[0], r[1]))
+    rules = rules[:25]
+    assert [(r[0], r[1], r[2]) for r in rules] == list(
+        zip(got["antecedent"], got["consequent"], got["support"])
+    )
+    np.testing.assert_allclose(got["lift_r"], [round(r[4], 6) for r in rules], atol=2e-6)
+
+
+def test_funnel_latency_brute_force(ray_session, tmp_path):
+    """Latency percentiles vs literal per-user chain walk."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import funnel_latency
+
+    rng = np.random.default_rng(23)
+    n = 500
+    types = np.asarray(["view", "click", "purchase", "error"])[rng.integers(0, 4, n)]
+    ts = pd.to_datetime("2026-02-01") + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s")
+    tbl = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "event_type": types,
+            "ts": pa.array(ts),
+            "value": rng.normal(size=n),
+            "props": np.full(n, "{}", dtype=object),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = funnel_latency(str(tmp_path))
+    df = tbl.to_pandas()
+    lats = []
+    for _uid, g in df.groupby("user_id"):
+        cur, first, ok = None, None, True
+        for st in ("view", "click", "purchase"):
+            t = g.loc[g["event_type"] == st, "ts"]
+            if cur is not None:
+                t = t[t > cur]
+            if t.empty:
+                ok = False
+                break
+            cur = t.min()
+            if first is None:
+                first = cur
+        if ok:
+            lats.append((cur - first).total_seconds())
+    assert got["n_converted"].iloc[0] == len(lats)
+    if lats:
+        assert abs(got["p50_r"].iloc[0] - round(float(np.percentile(lats, 50)), 6)) <= 1e-6
+        assert abs(got["mean_r"].iloc[0] - round(float(np.mean(lats)), 6)) <= 1e-6
+
+
+def test_label_scatter_dense_reference(ray_session):
+    """Scatter + separation vs dense replay."""
+    from splade_ray.pipelines.queries import label_scatter, _emb
+
+    sf = "/root/testdata/sf0.001"
+    got = label_scatter(sf)
+    df = _emb(sf).to_pandas()
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    labs = df["label"].to_numpy()
+    ul = np.unique(labs)
+    cents = np.stack([E[labs == l].mean(axis=0) for l in ul])
+    cn = np.linalg.norm(cents, axis=1)
+    for i, l in enumerate(ul):
+        m = labs == l
+        en = np.linalg.norm(E[m], axis=1)
+        dist = 1.0 - (E[m] @ cents[i]) / (en * cn[i])
+        row = got[got["label"] == l].iloc[0]
+        assert row["n_vecs"] == int(m.sum())
+        assert abs(row["mean_dist_r"] - round(float(dist.mean()), 6)) <= 2e-6
+        cc = (cents @ cents[i]) / (cn * cn[i])
+        cc[i] = -np.inf
+        j = np.lexsort((ul, -np.round(cc, 9)))[0]
+        assert row["nearest_label"] == ul[j]
+        assert abs(row["sep_r"] - round(1.0 - float(cc[j]), 6)) <= 2e-6
