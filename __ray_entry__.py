@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": q.funnel_latency,
         # per-label scatter + nearest-centroid separation (DB ingredients)
         "label_scatter": q.label_scatter,
+        # ColBERT MaxSim late interaction over hash token embeddings
+        "colbert_maxsim_topk": q.colbert_maxsim_topk,
+        # sloppy phrase: 1/distance-weighted pair frequency, BM25-saturated
+        "sloppy_phrase_topk": q.sloppy_phrase_topk,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5601,5 +5605,88 @@ SELECT s.label::BIGINT AS label, s.n_vecs, round(s.mean_dist, 6) AS mean_dist_r,
        n.nearest_label::BIGINT AS nearest_label, round(n.sep, 6) AS sep_r
 FROM scat s JOIN near n ON n.label = s.label AND n.rn = 1
 ORDER BY s.label
+"""
+    # ColBERT MaxSim: hash token embeddings v_d(t) = 2·md5/2^64 − 1,
+    # score = Σ_qterm qtf · max over the doc's distinct terms of cosine
+    oracles["colbert_maxsim_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY 1, 2),
+dterms AS (SELECT DISTINCT doc_id, unnest({doc_toks}) AS term FROM documents),
+allt AS (SELECT DISTINCT term FROM qtf UNION SELECT DISTINCT term FROM dterms),
+vec AS (
+  SELECT term, dd.d AS dim,
+         2.0 * (md5_number_lower(term || '|' || dd.d) / 18446744073709551616.0) - 1.0 AS x
+  FROM allt, (SELECT unnest(range(8)) AS d) dd
+),
+nrm AS (SELECT term, sqrt(sum(x * x)) AS n FROM vec GROUP BY term),
+cospair AS (
+  SELECT a.term AS qt, b.term AS dt,
+         sum(va.x * vb.x) / (any_value(na.n) * any_value(nb.n)) AS cos
+  FROM (SELECT DISTINCT term FROM qtf) a
+  JOIN vec va ON va.term = a.term
+  JOIN (SELECT DISTINCT term FROM dterms) b ON true
+  JOIN vec vb ON vb.term = b.term AND vb.dim = va.dim
+  JOIN nrm na ON na.term = a.term
+  JOIN nrm nb ON nb.term = b.term
+  GROUP BY a.term, b.term
+),
+maxsim AS (
+  SELECT cp.qt, d.doc_id, max(cp.cos) AS ms
+  FROM dterms d JOIN cospair cp ON cp.dt = d.term
+  GROUP BY cp.qt, d.doc_id
+),
+scores AS (
+  SELECT q.query_id, m.doc_id, sum(q.qtf * m.ms) AS score
+  FROM qtf q JOIN maxsim m ON m.qt = q.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # sloppy phrase: ordered pairs a…b with p_b − p_a ≤ slop+1 weighted
+    # 1/distance into one saturated phrase frequency, idf summed per term
+    from splade_ray.pipelines.queries import SLOPPY_QUERIES
+
+    sloppy_values = ", ".join(f"('{qid}', '{a}', '{b}', {s})" for qid, a, b, s in SLOPPY_QUERIES)
+    oracles["sloppy_phrase_topk"] = f"""
+WITH qset(query_id, ta, tb, slop) AS (VALUES {sloppy_values}),
+toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toks),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM flat GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM flat GROUP BY tok),
+idf AS (
+  SELECT q.query_id, q.slop,
+         ln(1 + (s.n_docs - da.df + 0.5) / (da.df + 0.5))
+           + ln(1 + (s.n_docs - db.df + 0.5) / (db.df + 0.5)) AS idf_sum
+  FROM qset q JOIN df da ON da.tok = q.ta JOIN df db ON db.tok = q.tb CROSS JOIN stats s
+),
+pairs AS (
+  SELECT q.query_id, fa.doc_id, sum(1.0 / (fb.i - fa.i)) AS sf
+  FROM qset q
+  JOIN flat fa ON fa.tok = q.ta
+  JOIN flat fb ON fb.doc_id = fa.doc_id AND fb.tok = q.tb
+             AND fb.i > fa.i AND fb.i - fa.i <= q.slop + 1
+  GROUP BY q.query_id, fa.doc_id
+),
+scores AS (
+  SELECT p.query_id, p.doc_id,
+         i.idf_sum * p.sf * 2.2 / (p.sf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM pairs p
+  JOIN idf i ON i.query_id = p.query_id
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
 """
     return oracles

@@ -7719,3 +7719,126 @@ def label_scatter(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out
+
+
+COLBERT_DIM: int = 8
+
+
+def _hash_token_vecs(terms) -> np.ndarray:
+    """Deterministic per-token embedding (the fake-encoder convention of
+    the neural path, vector flavor): v_d(t) = 2·md5_u64(f"{t}|{d}")/2^64 − 1
+    — SQL-replayable from ``md5_number_lower`` exactly."""
+    from ..functions.hashing import md5_u64
+
+    terms = list(terms)
+    out = np.empty((len(terms), COLBERT_DIM), dtype=np.float64)
+    for d in range(COLBERT_DIM):
+        out[:, d] = 2.0 * (md5_u64([f"{t}|{d}" for t in terms]) / 18446744073709551616.0) - 1.0
+    return out
+
+
+def colbert_maxsim_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — LATE-INTERACTION retrieval
+    (ColBERT's MaxSim operator, Khattab & Zaharia 2020): every token has
+    an embedding, and score(q, d) = Σ_{query tokens} qtf · max over d's
+    tokens of cos(v_q, v_d) — token-level interaction instead of one
+    pooled vector, the third retrieval family next to BM25 bags and
+    dense single-vector kNN.  Token embeddings come from the
+    deterministic hash encoder, so the whole scoring tree replays in SQL.
+
+    Scale shape: per batch, token cosines touch only the per-batch
+    UNIQUE vocab (one |vocab|×|qterms| matmul), a ``np.maximum.at``
+    segment-max folds occurrences into per-(doc, qterm) maxima, and
+    boundary-safe per-batch top-k partials merge on the driver —
+    k-bounded exchange, embeddings never leave their batch."""
+    from ..tokenizer import Tokenizer
+    from .ann import _boundary_safe_topk
+
+    tok = Tokenizer(DOCS_CFG)
+    qids, quniq, qtfs = [], [], []
+    for qid, text in BM25_QUERIES:
+        toks = tok.tokenize(text)
+        if not toks:
+            continue
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        qids.append(qid)
+        quniq.append(u)
+        qtfs.append(c.astype(np.float64))
+    Qv = _hash_token_vecs(np.concatenate(quniq))
+    qn = np.linalg.norm(Qv, axis=1)
+    qoff = np.r_[0, np.cumsum([len(u) for u in quniq])]
+    q_ref = ray.put((Qv, qn, qoff, [c for c in qtfs]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+
+        Qvm, qnv, qo, qcs = cached_ref(q_ref)
+        enc = Tokenizer(DOCS_CFG).tokenize_codes(batch.column("text").combine_chunks())
+        assert enc is not None
+        codes, rows, vocab, dls = enc
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        if codes.size == 0:
+            return _partial_cb(np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+        Vb = _hash_token_vecs(vocab.to_pylist())
+        vn = np.linalg.norm(Vb, axis=1)
+        cos = (Vb @ Qvm.T) / (vn[:, None] * qnv[None, :])  # (|vocab|, total_qterms)
+        M = np.full((n, cos.shape[1]), -np.inf)
+        np.maximum.at(M, rows, cos[codes])
+        has = dls > 0
+        out_q, out_d, out_s = [], [], []
+        for qi in range(len(qcs)):
+            sl = M[:, qo[qi] : qo[qi + 1]]
+            sc = np.where(has, sl @ qcs[qi], -np.inf)
+            live = np.flatnonzero(has)
+            col = sc[live]
+            part = _boundary_safe_topk(col, min(BM25_K, col.size))
+            out_q.append(np.full(part.size, qi, dtype=np.int64))
+            out_d.append(ids[live][part])
+            out_s.append(col[part])
+        return _partial_cb(np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s))
+
+    def _partial_cb(q, d, s):
+        return pa.table({"qi": pa.array(q), "doc_id": pa.array(d), "score": pa.array(s)})
+
+    cand = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for qi, g in cand.groupby("qi", sort=True):
+        g = g.assign(rk=g["score"].round(9)).sort_values(
+            ["rk", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(BM25_K)
+        for rank, r in enumerate(g.itertuples(index=False), 1):
+            rows.append((qids[int(qi)], rank, int(r.doc_id), round(float(r.score), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+SLOPPY_QUERIES: list[tuple[str, str, str, int]] = [
+    ("sp1", "order", "scan", 3),
+    ("sp2", "stream", "column", 4),
+    ("sp3", "batch", "window", 6),
+    ("sp4", "zzznotaword", "order", 2),  # OOV — empty
+    ("sp5", "data", "merge", 1),  # adjacency-only (slop 1 ⇒ dist ≤ 2)
+]
+
+
+def sloppy_phrase_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — SLOPPY-phrase top-10 (Lucene
+    ``PhraseQuery(slop)`` scoring shape for two terms): ordered pairs
+    ``a … b`` with p_b − p_a ≤ slop+1, each weighted 1/distance into one
+    saturated phrase frequency, score = (idf_a + idf_b)·BM25-sat(sf) —
+    proximity contributes to the SCORE, not just the match set (contrast
+    ``near_topk``'s binary verify + bag ranking)."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, ta, tb, slop in SLOPPY_QUERIES:
+        for rank, (_doc, score, url) in enumerate(reader.search_sloppy(ta, tb, slop, BM25_K), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])

@@ -691,6 +691,73 @@ class ShardIndex:
         matched = cand[np.unique(cidx[:-1][near])]
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
+    def sloppy_topk(
+        self,
+        qtids: np.ndarray,
+        h_a: int,
+        h_b: int,
+        slop: int,
+        k: int,
+        idf_sum: float,
+        avgdl: float,
+        k1: float,
+        b: float,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Sloppy-phrase top-k (the Lucene ``SloppyPhraseScorer`` shape
+        for a two-term phrase): matches are ORDERED position pairs
+        (p_a < p_b ≤ p_a + slop + 1); the phrase frequency weights each
+        match by 1/(p_b − p_a) — closer pairs contribute more — and the
+        doc scores with one BM25 saturation of that weighted frequency:
+        ``(idf_a + idf_b) · sf·(k1+1)/(sf + k1·((1−b)+b·dl/avgdl))``.
+
+        Vectorized: the AND-candidates' merged occurrence stream splits
+        into the a/b position lists, two ``searchsorted`` probes bound
+        each a-occurrence's admissible b-window, pairs expand by
+        repeat+arange, and a candidate-equality mask kills pairs that
+        would cross a doc boundary (global stream positions are close
+        across adjacent docs)."""
+        if self.fwd_stream is None:
+            raise ValueError("sloppy search requires an index built with store_forward=True")
+        slices = self._term_slices(qtids)
+        if len(slices) < qtids.size:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = self._and_candidates(slices, qtids.size)
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pos, cidx = self._candidate_windows(cand, 1)  # every token position
+        tok = self.fwd_stream[pos]
+        am = tok == np.uint64(h_a)
+        bm = tok == np.uint64(h_b)
+        apos, acid = pos[am], cidx[am]
+        bpos, bcid = pos[bm], cidx[bm]
+        if apos.size == 0 or bpos.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        # bpos ascends globally (stream order), so window probes are global
+        lo = np.searchsorted(bpos, apos, side="right")
+        hi = np.searchsorted(bpos, apos + np.int64(slop + 1), side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        rep_a = np.repeat(np.arange(apos.size), cnt)
+        excl = np.r_[0, np.cumsum(cnt)[:-1]]
+        flat_b = np.repeat(lo, cnt) + (np.arange(tot) - np.repeat(excl, cnt))
+        ok = bcid[flat_b] == acid[rep_a]  # no cross-doc pairs
+        rep_a, flat_b = rep_a[ok], flat_b[ok]
+        if rep_a.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        dist = (bpos[flat_b] - apos[rep_a]).astype(np.float64)
+        sf = np.zeros(cand.size, dtype=np.float64)
+        np.add.at(sf, acid[rep_a], 1.0 / dist)
+        matched = np.flatnonzero(sf > 0)
+        norm = (1.0 - b) + b * self.dl[cand[matched]] / avgdl
+        sfm = sf[matched]
+        scores = idf_sum * sfm * (k1 + 1.0) / (sfm + k1 * norm)
+        kk = min(k, matched.size)
+        local = cand[matched]
+        order = np.lexsort((local, -scores))[:kk]
+        return self.doc_ids[local[order]], scores[order]
+
     def span_near_topk(
         self, qtids: np.ndarray, qweights: np.ndarray, h_seq: np.ndarray, slop: int, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -2062,6 +2129,32 @@ class IndexReader:
             return []  # a term is OOV — no doc can satisfy the AND
         h = md5_u64([ta[0], tb[0]])
         cands = [sh.near_topk(qtids, qw, int(h[0]), int(h[1]), window, k) for sh in self.shards]
+        return self._merge_shard_topk(cands, k)
+
+    def search_sloppy(self, term_a: str, term_b: str, slop: int, k: int = 10) -> list[tuple[int, float, str]]:
+        """Sloppy-phrase top-k (requires ``store_forward=True``): ordered
+        pairs ``a … b`` within ``slop`` insertions, each weighted by
+        1/distance into ONE saturated phrase frequency — the Lucene
+        ``PhraseQuery(slop)`` scoring shape, vs :meth:`search_near`'s
+        binary-match bag ranking.  idf is the summed per-term idf over
+        the reader's global stats."""
+        from ..functions.hashing import md5_u64
+
+        ta, tb = self.tok.tokenize(term_a), self.tok.tokenize(term_b)
+        if len(ta) != 1 or len(tb) != 1 or ta[0] == tb[0]:
+            raise ValueError("sloppy search takes two distinct single-token terms")
+        qtids, _qw = self.encode_query(f"{ta[0]} {tb[0]}")
+        if qtids.size < 2:
+            return []  # a term is OOV — no doc can satisfy the AND
+        df = self.df[qtids].astype(np.float64)
+        idf_sum = float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)).sum())
+        h = md5_u64([ta[0], tb[0]])
+        cands = [
+            sh.sloppy_topk(
+                qtids, int(h[0]), int(h[1]), slop, k, idf_sum, self.avgdl, self.cfg.k1, self.cfg.b
+            )
+            for sh in self.shards
+        ]
         return self._merge_shard_topk(cands, k)
 
     def search_span_near(self, text: str, slop: int, k: int = 10) -> list[tuple[int, float, str]]:

@@ -766,3 +766,131 @@ def test_label_scatter_dense_reference(ray_session):
         j = np.lexsort((ul, -np.round(cc, 9)))[0]
         assert row["nearest_label"] == ul[j]
         assert abs(row["sep_r"] - round(1.0 - float(cc[j]), 6)) <= 2e-6
+
+
+def test_colbert_maxsim_dense_reference(ray_session, tmp_path):
+    """Engine MaxSim == a literal per-doc loop over hash token vectors,
+    including duplicate-token invariance (max over a multiset == max
+    over the set)."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines import queries as q
+    from splade_ray.tokenizer import Tokenizer
+
+    texts = [
+        "spark join order",
+        "order order order spark",   # duplicates must not change MaxSim
+        "window batch stream merge",
+        "the small table",
+        "",
+        "zzzother words here",
+    ]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q.colbert_maxsim_topk(str(tmp_path))
+    tok = Tokenizer(q.DOCS_CFG)
+    for qid, qtext in q.BM25_QUERIES:
+        toks = tok.tokenize(qtext)
+        if not toks:
+            continue
+        qu, qc = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        Qv = q._hash_token_vecs(qu)
+        qn = np.linalg.norm(Qv, axis=1)
+        scores = {}
+        for d, text in enumerate(texts):
+            dt = sorted(set(tok.tokenize(text)))
+            if not dt:
+                continue
+            Dv = q._hash_token_vecs(dt)
+            dn = np.linalg.norm(Dv, axis=1)
+            cos = (Dv @ Qv.T) / (dn[:, None] * qn[None, :])
+            scores[d] = float((cos.max(axis=0) * qc).sum())
+        order = sorted(scores, key=lambda d: (-round(scores[d], 9), d))[:10]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["doc_id"].tolist() == order, qid
+        for d, s in zip(sub["doc_id"], sub["score_r"]):
+            assert abs(s - round(scores[d], 6)) <= 2e-6
+
+
+def test_sloppy_phrase_brute_force(ray_session, tmp_path):
+    """Sloppy freq == literal ordered-pair enumeration; cross-doc pairs
+    (adjacent docs in the forward stream) must not leak."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.config import EngineConfig
+    from splade_ray.fixtures import write_web_pages
+    from splade_ray.pipelines.build import build_index
+    from splade_ray.pipelines.search import IndexReader
+    from splade_ray.tokenizer import Tokenizer
+
+    # doc texts engineered so "alpha" ends one doc and "beta" starts the
+    # next — a cross-doc pair at distance 1 that a global window probe
+    # would wrongly count
+    rng = np.random.default_rng(31)
+    words = ["alpha", "beta", "gamma", "pad"]
+    texts = []
+    for i in range(40):
+        mid = " ".join(rng.choice(words, size=rng.integers(3, 10)).tolist())
+        texts.append(f"{mid} alpha" if i % 2 == 0 else f"beta {mid}")
+    import pyarrow as _pa
+
+    corpus = str(tmp_path / "web.parquet")
+    n = len(texts)
+    _pa.parquet.write_table(
+        _pa.table(
+            {
+                "url": [f"doc://{i:010d}" for i in range(n)],
+                "warc_ts": _pa.array([pd.Timestamp("2026-01-01")] * n),
+                # the engine extracts text FROM html (byte-identity contract)
+                "html": [f"<html><body><p>{t}</p></body></html>".encode() for t in texts],
+                "text": texts,
+                "lang": ["en"] * n,
+            }
+        ),
+        corpus,
+    )
+    cfg = EngineConfig(shard_size=10, num_buckets=1, store_forward=True)
+    out = str(tmp_path / "idx")
+    build_index(corpus, out, cfg)
+    reader = IndexReader(out, cfg)
+    tok = Tokenizer(cfg)
+    for slop in (0, 1, 3):
+        got = reader.search_sloppy("alpha", "beta", slop, 40)
+        # brute force
+        dls = [len(tok.tokenize(t)) for t in texts]
+        avgdl = sum(dls) / n
+        df = {}
+        for t in texts:
+            for w in set(tok.tokenize(t)):
+                df[w] = df.get(w, 0) + 1
+        idf = sum(
+            np.log1p((n - df.get(w, 0) + 0.5) / (df.get(w, 0) + 0.5)) for w in ("alpha", "beta")
+        )
+        want = {}
+        for d, t in enumerate(texts):
+            toks = tok.tokenize(t)
+            sf = 0.0
+            for i, a in enumerate(toks):
+                if a != "alpha":
+                    continue
+                for j in range(i + 1, min(i + slop + 2, len(toks))):
+                    if toks[j] == "beta":
+                        sf += 1.0 / (j - i)
+            if sf > 0:
+                norm = 0.25 + 0.75 * dls[d] / avgdl
+                want[d] = idf * sf * 2.2 / (sf + 1.2 * norm)
+        order = sorted(want, key=lambda d: (-want[d], d))
+        assert [doc for doc, *_ in got] == [
+            int(f"{u:010d}") if False else u for u in order
+        ] or [int(url.removeprefix("doc://")) for _d, _s, url in got] == order
+        for (_d, s, url) in got:
+            assert abs(s - want[int(url.removeprefix("doc://"))]) < 1e-9
