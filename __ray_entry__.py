@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colbert_maxsim_topk": q.colbert_maxsim_topk,
         # sloppy phrase: 1/distance-weighted pair frequency, BM25-saturated
         "sloppy_phrase_topk": q.sloppy_phrase_topk,
+        # soft dedup: near-dup cluster members down-weighted 1/|cluster|
+        "soft_dedup_weights": q.soft_dedup_weights,
+        # Expected Reciprocal Rank @10 (cascade metric, rank_eval family)
+        "err_at10": q.err_at10,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5689,4 +5693,47 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
 """
+    # soft dedup: transitive near-dup clusters (the dedup_clusters CTEs),
+    # members weighted 1/|cluster|, singletons 1.0
+    oracles["soft_dedup_weights"] = f"""
+WITH RECURSIVE p AS ({_pairs_body}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+cs AS (SELECT cluster_id, count(*)::DOUBLE AS n FROM comp GROUP BY cluster_id),
+w AS (SELECT c.doc_id, 1.0 / s.n AS w FROM comp c JOIN cs s USING (cluster_id))
+SELECT d.doc_id, d.lang, round(coalesce(w.w, 1.0), 6) AS weight_r
+FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id
+"""
+    # ERR@10: cascade model with binary relevance R = 0.5 — the product
+    # telescopes into 0.5^(relevant above r), counted by a window sum
+    oracles["err_at10"] = (
+        bm25_ctes
+        + """
+, hits AS (
+  SELECT r.query_id, r.rank, CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+  WHERE r.rank <= 10
+),
+w AS (
+  SELECT query_id, rank, rel,
+         coalesce(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_rel
+  FROM hits
+),
+per AS (
+  SELECT query_id,
+         sum(CASE WHEN rel = 1 THEN 0.5 * power(0.5, prev_rel) / rank ELSE 0 END) AS err
+  FROM w GROUP BY query_id
+)
+SELECT query_id, round(err, 6) AS err_r FROM per
+WHERE query_id IN (SELECT DISTINCT query_id FROM qrels)
+ORDER BY query_id
+"""
+    )
     return oracles

@@ -7842,3 +7842,63 @@ def sloppy_phrase_topk(sf_dir: str) -> pd.DataFrame:
         for rank, (_doc, score, url) in enumerate(reader.search_sloppy(ta, tb, slop, BM25_K), 1):
             rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def soft_dedup_weights(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, lang, weight_r) — SOFT deduplication (down-weight instead
+    of drop, the SoftDeDup training-data shape): every doc in a near-dup
+    cluster gets sampling weight 1/cluster_size, singletons weight 1.0 —
+    total weight per duplicated content stays 1, so the training mix is
+    dedup-equivalent in expectation without discarding any document.
+    Cluster structure comes from the MinHash-LSH + connected-components
+    pipeline; the pair-scale weight table broadcasts into one streaming
+    map over the corpus (the ``dedup_near_kept`` tombstone-set shape)."""
+    clusters = dedup_clusters(sf_dir)
+    ck = clusters["doc_id"].to_numpy(np.int64)
+    order = np.argsort(ck)
+    w_ref = ray.put((ck[order], (1.0 / clusters["cluster_size"].to_numpy(np.float64))[order]))
+
+    def weight(batch: pa.Table) -> pa.Table:
+        from ..stages.encode import cached_ref
+
+        keys, wv = cached_ref(w_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys, ids), max(keys.size - 1, 0))
+        hit = (keys[pos] == ids) if keys.size else np.zeros(ids.size, bool)
+        out = np.where(hit, wv[pos] if keys.size else 1.0, 1.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "weight_r": pa.array(np.round(out, 6)),
+            }
+        )
+
+    out = _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(weight, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def err_at10(sf_dir: str) -> pd.DataFrame:
+    """(query_id, err_r) — Expected Reciprocal Rank @10 (Chapelle et al.
+    2009, the cascade-model metric ES ``_rank_eval`` serves next to MRR):
+    with binary relevance R = 0.5,
+    ERR = Σ_r (1/r)·R·(1−R)^(#relevant above r).  Run = the BM25 top-10,
+    qrels = the conjunctive-containment set (M13: queries without qrels
+    drop).  The cascade product telescopes into a power of 0.5 counted by
+    a prefix sum, so the whole metric replays in SQL."""
+    run = bm25_topk(sf_dir)[["query_id", "rank", "doc_id"]]
+    qrels = boolean_and_match(sf_dir)
+    rel_set = set(zip(qrels["query_id"], qrels["doc_id"]))
+    qids_with = set(qrels["query_id"])
+    rows = []
+    for qid, g in run.groupby("query_id", sort=True):
+        if qid not in qids_with:
+            continue  # no qrels at all -> dropped per M13
+        g = g.sort_values("rank")
+        err, seen_rel = 0.0, 0
+        for r, d in zip(g["rank"], g["doc_id"]):
+            if (qid, d) in rel_set:
+                err += (0.5 * (0.5 ** seen_rel)) / r
+                seen_rel += 1
+        rows.append((qid, round(err, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "err_r"])

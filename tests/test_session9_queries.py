@@ -894,3 +894,40 @@ def test_sloppy_phrase_brute_force(ray_session, tmp_path):
         ] or [int(url.removeprefix("doc://")) for _d, _s, url in got] == order
         for (_d, s, url) in got:
             assert abs(s - want[int(url.removeprefix("doc://"))]) < 1e-9
+
+
+def test_soft_dedup_weight_mass_conservation(ray_session):
+    """Every near-dup cluster's weights must sum to exactly 1.0 and
+    singletons keep weight 1.0 — the dedup-in-expectation contract."""
+    from splade_ray.pipelines.queries import dedup_clusters, soft_dedup_weights
+
+    sf = "/root/testdata/sf0.001"
+    w = soft_dedup_weights(sf)
+    clusters = dedup_clusters(sf)
+    merged = clusters.merge(w, on="doc_id")
+    for cid, g in merged.groupby("cluster_id"):
+        assert abs(g["weight_r"].sum() - 1.0) < 1e-4, cid
+        assert (g["weight_r"] < 1.0).all() or len(g) == 1
+    singles = w[~w["doc_id"].isin(clusters["doc_id"])]
+    assert (singles["weight_r"] == 1.0).all()
+
+
+def test_err_at10_hand_computed(ray_session):
+    """ERR replay: literal cascade product over the run/qrels join."""
+    from splade_ray.pipelines.queries import bm25_topk, boolean_and_match, err_at10
+
+    sf = "/root/testdata/sf0.001"
+    got = err_at10(sf)
+    run = bm25_topk(sf)
+    qrels = boolean_and_match(sf)
+    rel = set(zip(qrels["query_id"], qrels["doc_id"]))
+    for qid, g in run.groupby("query_id"):
+        if qid not in set(qrels["query_id"]):
+            assert qid not in set(got["query_id"])
+            continue
+        err, p_stop = 0.0, 1.0
+        for r, d in zip(g.sort_values("rank")["rank"], g.sort_values("rank")["doc_id"]):
+            if (qid, d) in rel:
+                err += p_stop * 0.5 / r
+                p_stop *= 0.5
+        assert abs(got.loc[got["query_id"] == qid, "err_r"].iloc[0] - round(err, 6)) <= 1e-6
