@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights": q.soft_dedup_weights,
         # Expected Reciprocal Rank @10 (cascade metric, rank_eval family)
         "err_at10": q.err_at10,
+        # static index pruning (Carmel et al.): per-term global top-half
+        # postings by impact, served off the term-major layout
+        "pruned_index_topk": q.pruned_index_topk,
+        # temporal term drift: early/late df log-odds, top rising terms
+        "trending_terms": q.trending_terms,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5736,4 +5741,64 @@ WHERE query_id IN (SELECT DISTINCT query_id FROM qrels)
 ORDER BY query_id
 """
     )
+    # static pruning: per-term impacts ranked (round(w,9) DESC, doc ASC),
+    # keep rank <= ceil(0.5·df), then the usual qtf-weighted sum
+    oracles["pruned_index_topk"] = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.term, tf.doc_id,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS w
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+pr AS (
+  SELECT term, doc_id, w,
+         row_number() OVER (PARTITION BY term ORDER BY round(w, 9) DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY term) AS dfn
+  FROM w
+),
+kept AS (SELECT term, doc_id, w FROM pr WHERE rn <= ceil(0.5 * dfn)),
+scores AS (
+  SELECT q.query_id, k.doc_id, sum(q.qtf * k.w) AS score
+  FROM qtf q JOIN kept k ON k.term = q.term GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked WHERE rank <= 10
+"""
+    # temporal drift: early/late halves by doc_id, smoothed df log-odds
+    oracles["trending_terms"] = f"""
+WITH toks AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(l) AS term FROM toks),
+h AS (
+  SELECT term,
+         sum(CASE WHEN doc_id < (SELECT n FROM nn) // 2 THEN 1 ELSE 0 END)::DOUBLE AS df_e,
+         sum(CASE WHEN doc_id >= (SELECT n FROM nn) // 2 THEN 1 ELSE 0 END)::DOUBLE AS df_l
+  FROM dt GROUP BY term
+),
+s AS (
+  SELECT term, df_e, df_l,
+         ln((df_l + 0.5) / ((SELECT n FROM nn) - (SELECT n FROM nn) // 2 - df_l + 0.5))
+           - ln((df_e + 0.5) / ((SELECT n FROM nn) // 2 - df_e + 0.5)) AS lo
+  FROM h WHERE df_e + df_l >= 10
+),
+ranked AS (
+  SELECT term, df_e, df_l, lo,
+         row_number() OVER (ORDER BY round(lo, 9) DESC, term ASC) AS rn
+  FROM s
+)
+SELECT term, df_e::BIGINT AS df_early, df_l::BIGINT AS df_late, round(lo, 6) AS logodds_r
+FROM ranked WHERE rn <= 20 ORDER BY rn
+"""
     return oracles

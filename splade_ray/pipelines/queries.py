@@ -7902,3 +7902,86 @@ def err_at10(sf_dir: str) -> pd.DataFrame:
                 seen_rel += 1
         rows.append((qid, round(err, 6)))
     return pd.DataFrame(rows, columns=["query_id", "err_r"])
+
+
+PRUNE_FRACTION: float = 0.5
+
+
+def pruned_index_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — BM25 top-10 over a STATICALLY
+    PRUNED index (Carmel et al. 2001): each query term keeps only its
+    global top ⌈0.5·df⌉ postings by (impact DESC, doc ASC); the rest of
+    the posting list never enters scoring.  Served off the term-major
+    layout, where a term's postings are contiguous so the per-term
+    global cut is local — the doc-sharded layout would need a shuffle to
+    prune a term globally (the reason impact-ordered / pruned indexes
+    are term-major in practice)."""
+    from ..state.lineage import read_json as _read_json
+    from .term_index import TermIndexReader, build_term_index, score_pruned, _topk_list
+
+    base = build_documents_index(sf_dir)
+    tdir = os.path.join(base, "term_index")
+    man = _read_json(os.path.join(tdir, "_MANIFEST.json"))
+    if man is None or man.get("format") != 3:
+        build_term_index(
+            os.path.join(base, "doc_terms"),
+            os.path.join(base, "stats"),
+            tdir,
+            DOCS_CFG,
+            salt_block_postings=512,
+            max_salts=8,
+        )
+    reader = TermIndexReader(tdir, os.path.join(base, "stats"), DOCS_CFG)
+    reader.load_doc_lengths()
+    rows = []
+    for qid, text in BM25_QUERIES:
+        cand, scores = score_pruned(reader, text, PRUNE_FRACTION)
+        for rank, (doc, score) in enumerate(_topk_list(cand, scores, BM25_K), 1):
+            rows.append((qid, rank, doc, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def trending_terms(sf_dir: str) -> pd.DataFrame:
+    """(term, df_early, df_late, logodds_r) — temporal term drift (the
+    corpus-monitoring op): the corpus splits into early/late halves by
+    doc_id, per-half document frequencies feed a smoothed log-odds ratio
+    ln((df_late+0.5)/(n_late−df_late+0.5)) − ln((df_early+0.5)/(n_early−df_early+0.5)),
+    and the top 20 rising terms by (logodds DESC, term ASC) with
+    df_early+df_late ≥ 10 are reported.  One fused pass: per-batch
+    per-half df partials (vocab-bounded combiners), a driver reduce —
+    the A1 stats discipline with a time axis."""
+    from ..stages.encode import term_count_table
+    from ..tokenizer import Tokenizer
+
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    half = n_docs // 2  # docs 0..half-1 early, half.. late
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, _tfs, _dls = term_count_table(batch.column("text").to_pylist(), Tokenizer())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tarr = terms.values.to_numpy(zero_copy_only=False).astype(object)
+        reps = np.diff(terms.offsets.to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(ids, reps)
+        late = (doc_of >= half).astype(np.int64)
+        df = pd.DataFrame({"term": tarr, "late": late})
+        g = df.groupby(["term", "late"], sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["term", "late"], sort=True)["c"].sum().unstack(fill_value=0)
+    df_e = agg.get(0, pd.Series(0, index=agg.index)).to_numpy(np.float64)
+    df_l = agg.get(1, pd.Series(0, index=agg.index)).to_numpy(np.float64)
+    n_e, n_l = float(half), float(n_docs - half)
+    lo = np.log((df_l + 0.5) / (n_l - df_l + 0.5)) - np.log((df_e + 0.5) / (n_e - df_e + 0.5))
+    terms = agg.index.to_numpy(dtype=object)
+    keep = (df_e + df_l) >= 10
+    terms, df_e, df_l, lo = terms[keep], df_e[keep], df_l[keep], lo[keep]
+    order = np.lexsort((terms, -np.round(lo, 9)))[:20]
+    return pd.DataFrame(
+        {
+            "term": terms[order],
+            "df_early": df_e[order].astype(np.int64),
+            "df_late": df_l[order].astype(np.int64),
+            "logodds_r": np.round(lo[order], 6),
+        }
+    )

@@ -26,6 +26,7 @@ reader (tested) — same BM25 weights, same (-score, doc_id) tie-break.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -614,3 +615,31 @@ def search_term_partitioned(
         return _topk_list(cand, np.concatenate([sc1, sc2]), k)
     cand, scores = _merge_partials([r.score_partial(text) for r in readers])
     return _topk_list(cand, scores, k)
+
+
+def score_pruned(reader: "TermIndexReader", text: str, fraction: float) -> tuple[np.ndarray, np.ndarray]:
+    """STATIC INDEX PRUNING scoring (Carmel et al. 2001): each query
+    term's posting run is cut to its global top ⌈fraction·df⌉ postings by
+    (round(impact, 9) DESC, doc ASC) before accumulation — the classic
+    index-size/quality trade, exact per TERM because the term-major
+    layout holds every term's postings contiguously (the doc-sharded
+    layout cannot prune a term globally without a shuffle).  Returns the
+    (candidates, scores) partial like :meth:`TermIndexReader.score_partial`."""
+    assert reader.post_w is not None, "call set_doc_lengths first"
+    tids, qw = reader._query_terms(text)
+    if tids.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    slices = reader._term_slices(tids)
+    if not slices:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    ids_parts, w_parts = [], []
+    for i, s, e, _tid in slices:
+        seg_doc = reader.post_doc[s:e]
+        seg_w = reader.post_w[s:e]
+        m = int(math.ceil(fraction * (e - s)))
+        keep = np.lexsort((seg_doc, -np.round(seg_w, 9)))[:m]
+        ids_parts.append(seg_doc[keep])
+        w_parts.append(seg_w[keep] * qw[i])
+    ids = np.concatenate(ids_parts)
+    w = np.concatenate(w_parts)
+    return reader._accumulate(ids, w)

@@ -931,3 +931,70 @@ def test_err_at10_hand_computed(ray_session):
                 err += p_stop * 0.5 / r
                 p_stop *= 0.5
         assert abs(got.loc[got["query_id"] == qid, "err_r"].iloc[0] - round(err, 6)) <= 1e-6
+
+
+def test_pruned_index_properties(ray_session):
+    """Pruning keeps exactly ceil(f·df) per query term; fraction=1.0 must
+    reproduce the unpruned ranking exactly."""
+    from splade_ray.pipelines.queries import (
+        BM25_QUERIES,
+        BM25_K,
+        DOCS_CFG,
+        bm25_topk_termindex,
+        build_documents_index,
+    )
+    from splade_ray.pipelines.term_index import TermIndexReader, _topk_list, score_pruned
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    full = bm25_topk_termindex(sf)  # also ensures the term index exists
+    base = build_documents_index(sf)
+    reader = TermIndexReader(os.path.join(base, "term_index"), os.path.join(base, "stats"), DOCS_CFG)
+    reader.load_doc_lengths()
+    for qid, text in BM25_QUERIES:
+        cand, scores = score_pruned(reader, text, 1.0)
+        got = [(d, round(s, 6)) for d, s in _topk_list(cand, scores, BM25_K)]
+        want = [
+            (int(r.doc_id), float(r.score_r))
+            for r in full[full["query_id"] == qid].sort_values("rank").itertuples(index=False)
+        ]
+        assert got == want, qid
+        # a fraction strictly below 1 can only shrink per-doc scores
+        c2, s2 = score_pruned(reader, text, 0.5)
+        if c2.size and cand.size:
+            m = {int(d): float(s) for d, s in zip(cand, scores)}
+            for d, s in zip(c2, s2):
+                assert s <= m[int(d)] + 1e-12
+
+
+def test_trending_terms_brute_force(ray_session, tmp_path):
+    """Log-odds drift vs literal half-split recount on an engineered
+    corpus where one term only appears late."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import trending_terms
+
+    n = 100
+    texts = []
+    for i in range(n):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts.append(base + (" risingterm" if i >= n // 2 else ""))
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = trending_terms(str(tmp_path))
+    assert got.iloc[0]["term"] == "risingterm"
+    assert got.iloc[0]["df_early"] == 0 and got.iloc[0]["df_late"] == 50
+    lo = np.log((50 + 0.5) / (0 + 0.5)) - np.log((0 + 0.5) / (50 + 0.5))
+    assert abs(got.iloc[0]["logodds_r"] - round(float(lo), 6)) <= 1e-6
+    # ubiquitous terms have zero drift
+    flat = got[got["term"] == "alpha"]
+    if len(flat):
+        assert abs(flat.iloc[0]["logodds_r"]) < 1e-9
