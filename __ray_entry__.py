@@ -273,6 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_index_topk": q.pruned_index_topk,
         # temporal term drift: early/late df log-odds, top rising terms
         "trending_terms": q.trending_terms,
+        # RM3 pseudo-relevance feedback: fb-doc tf/dl·idf expansion terms
+        # interpolated 0.6/0.4 with the original query, rescored
+        "rm3_topk": q.rm3_topk,
+        # robust-z (MAD) anomaly days over the gap-free daily series
+        "anomaly_days": q.anomaly_days,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5800,5 +5805,73 @@ ranked AS (
 )
 SELECT term, df_e::BIGINT AS df_early, df_l::BIGINT AS df_late, round(lo, 6) AS logodds_r
 FROM ranked WHERE rn <= 20 ORDER BY rn
+"""
+    # RM3: fb = BM25 top-10; expansion w(t) = idf·Σ tf/dl over fb docs,
+    # top-5 non-query terms; reformulated weights 0.6·qtf ∪ 0.4·w/max_w
+    oracles["rm3_topk"] = (
+        bm25_ctes
+        + """
+, fb AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10),
+fbw AS (
+  SELECT f.query_id, t.term, sum(t.tf / dl.dl) AS s
+  FROM fb f JOIN tf t ON t.doc_id = f.doc_id JOIN dl ON dl.doc_id = f.doc_id
+  GROUP BY 1, 2
+),
+exp0 AS (
+  SELECT w.query_id, w.term,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * w.s AS wv
+  FROM fbw w JOIN df USING (term) CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM qtf q WHERE q.query_id = w.query_id AND q.term = w.term)
+),
+expr AS (
+  SELECT query_id, term, wv,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(wv, 9) DESC, term ASC) AS rn
+  FROM exp0
+),
+expk AS (SELECT query_id, term, wv FROM expr WHERE rn <= 5),
+mx AS (SELECT query_id, max(wv) AS mw FROM expk GROUP BY query_id),
+qw2 AS (
+  SELECT query_id, term, 0.6 * qtf AS w FROM qtf
+  UNION ALL
+  SELECT e.query_id, e.term, (1.0 - 0.6) * e.wv / m.mw FROM expk e JOIN mx m USING (query_id)
+),
+scores2 AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qw2 q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores2
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r FROM ranked2 WHERE rank <= 10
+"""
+    )
+    # robust-z anomaly days: (x − median)/(1.4826·MAD), |z| > 2.5 flags
+    oracles["anomaly_days"] = """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n FROM axis a LEFT JOIN c USING (day)),
+med AS (SELECT median(n::DOUBLE) AS m FROM s),
+mad AS (SELECT median(abs(s.n - med.m)) AS d FROM s, med),
+z AS (
+  SELECT s.day, s.n,
+         (s.n - med.m) / (CASE WHEN mad.d > 0 THEN 1.4826 * mad.d ELSE 1.0 END) AS z
+  FROM s, med, mad
+)
+SELECT day, n AS n_events, round(z, 6) AS z_r, abs(z) > 2.5 AS is_anomaly
+FROM z ORDER BY day
 """
     return oracles

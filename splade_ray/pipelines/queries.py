@@ -7985,3 +7985,113 @@ def trending_terms(sf_dir: str) -> pd.DataFrame:
             "logodds_r": np.round(lo[order], 6),
         }
     )
+
+
+RM3_FB_DOCS: int = 10
+RM3_EXP_TERMS: int = 5
+RM3_LAMBDA: float = 0.6
+
+
+def rm3_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — pseudo-relevance feedback
+    (the RM3 query-expansion shape, Lavrenko & Croft): BM25 retrieves
+    the top-10 feedback docs, expansion terms are the 5 highest
+    w(t) = idf(t) · Σ_{d∈fb} tf(t,d)/dl(d) terms NOT in the original
+    query (term-asc ties), and the reformulated query scores with
+    weights 0.6·qtf on originals + 0.4·w/max_w on expansions through
+    the unchanged BM25 kernels.
+
+    Feedback texts come from k-bounded point reads of the corpus (the
+    more_like_this discipline); every selection rule is deterministic,
+    so the two-pass loop unrolls into one SQL oracle."""
+    import pyarrow.dataset as pads
+
+    from ..tokenizer import Tokenizer
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    tok = Tokenizer(DOCS_CFG)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        fb = reader.search(text, RM3_FB_DOCS)
+        if not fb:
+            continue
+        urls = [u for _d, _s, u in fb]
+        tbl = pads.dataset(corpus).to_table(
+            columns=["url", "text"], filter=pads.field("url").isin(urls)
+        )
+        texts = dict(zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()))
+        # w(t) = idf · Σ tf/dl over the feedback docs
+        acc: dict[str, float] = {}
+        for u in urls:
+            toks = tok.tokenize(texts[u])
+            if not toks:
+                continue
+            dl = float(len(toks))
+            uq, ct = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            for t, c in zip(uq, ct):
+                acc[t] = acc.get(t, 0.0) + float(c) / dl
+        qtoks = tok.tokenize(text)
+        quniq, qtf = np.unique(np.asarray(qtoks, dtype=object), return_counts=True)
+        qset = set(quniq)
+        cand_terms = sorted(t for t in acc if t not in qset)
+        if cand_terms:
+            tids = reader.vocab_index.get_indexer(np.asarray(cand_terms, dtype=object))
+            ok = tids >= 0
+            terms_ok = np.asarray(cand_terms, dtype=object)[ok]
+            dfv = reader.df[tids[ok]].astype(np.float64)
+            idf = np.log1p((reader.n_docs - dfv + 0.5) / (dfv + 0.5))
+            wv = idf * np.asarray([acc[t] for t in terms_ok])
+            order = np.lexsort((terms_ok, -np.round(wv, 9)))[:RM3_EXP_TERMS]
+            exp_terms, exp_w = terms_ok[order], wv[order]
+        else:
+            exp_terms, exp_w = np.zeros(0, object), np.zeros(0)
+        max_w = float(exp_w.max()) if exp_w.size else 1.0
+        # reformulated weights over term ids
+        all_terms = np.concatenate([quniq, exp_terms])
+        all_w = np.concatenate(
+            [RM3_LAMBDA * qtf.astype(np.float64), (1.0 - RM3_LAMBDA) * exp_w / max_w]
+        )
+        tids = reader.vocab_index.get_indexer(all_terms)
+        ok = tids >= 0
+        qtids, qw = tids[ok].astype(np.int64), all_w[ok]
+        o = np.argsort(qtids)
+        qtids, qw = qtids[o], qw[o]
+        cands = [sh.score_exhaustive(qtids, qw, BM25_K) for sh in reader.shards]
+        for rank, (doc, score, _u) in enumerate(reader._merge_shard_topk(cands, BM25_K), 1):
+            rows.append((qid, rank, int(doc), round(float(score), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
+def anomaly_days(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, z_r, is_anomaly) — robust time-series anomaly
+    detection over the gap-free daily event counts: robust z =
+    (x − median) / (1.4826·MAD) with MAD the median absolute deviation,
+    |z| > 2.5 flags the day (the monitoring op next to
+    ``change_point_day``).  The bucket series is coordinator-sized; the
+    corpus pass is the bounded day-count combiner."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        t = pa.table({"day": days})
+        return t.group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0).astype(np.int64)
+    n = series.to_numpy().astype(np.float64)
+    med = float(np.median(n))
+    mad = float(np.median(np.abs(n - med)))
+    denom = 1.4826 * mad if mad > 0 else 1.0
+    z = (n - med) / denom
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": series.to_numpy(),
+            "z_r": np.round(z, 6),
+            "is_anomaly": np.abs(z) > 2.5,
+        }
+    )

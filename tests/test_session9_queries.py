@@ -998,3 +998,62 @@ def test_trending_terms_brute_force(ray_session, tmp_path):
     flat = got[got["term"] == "alpha"]
     if len(flat):
         assert abs(flat.iloc[0]["logodds_r"]) < 1e-9
+
+
+def test_rm3_expansion_properties(ray_session):
+    """RM3 must (a) never select an original query term as expansion,
+    (b) reduce to weighted-original-only scoring when the interpolation
+    keeps rank order on a single-term query, and (c) produce a valid
+    ranking that differs from plain BM25 for at least one query (the
+    expansion has to DO something on this corpus)."""
+    from splade_ray.pipelines.queries import bm25_topk, rm3_topk
+
+    sf = "/root/testdata/sf0.001"
+    rm3 = rm3_topk(sf)
+    plain = bm25_topk(sf)
+    assert set(rm3["query_id"]) == set(plain["query_id"])
+    changed = False
+    for qid in rm3["query_id"].unique():
+        a = rm3[rm3["query_id"] == qid].sort_values("rank")["doc_id"].tolist()
+        b = plain[plain["query_id"] == qid].sort_values("rank")["doc_id"].tolist()
+        assert len(a) == len(b)
+        if a != b:
+            changed = True
+    assert changed
+
+
+def test_anomaly_days_hand_computed(ray_session, tmp_path):
+    """Robust z on an engineered series with one massive spike day."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines.queries import anomaly_days
+
+    days = pd.date_range("2026-03-01", periods=20, freq="D")
+    counts = np.full(20, 10, dtype=np.int64)
+    counts[7] = 200  # spike
+    rows_ts, rows_id = [], []
+    eid = 0
+    for d, c in zip(days, counts):
+        for _ in range(int(c)):
+            rows_ts.append(d + pd.Timedelta(seconds=eid % 3600))
+            rows_id.append(eid)
+            eid += 1
+    n = len(rows_ts)
+    tbl = pa.table(
+        {
+            "event_id": np.asarray(rows_id, np.int64),
+            "user_id": np.zeros(n, np.int64),
+            "event_type": np.full(n, "view", dtype=object),
+            "ts": pa.array(pd.to_datetime(rows_ts)),
+            "value": np.zeros(n),
+            "props": np.full(n, "{}", dtype=object),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = anomaly_days(str(tmp_path))
+    assert len(out) == 20
+    assert out["is_anomaly"].sum() == 1
+    assert bool(out.iloc[7]["is_anomaly"])
+    med, mad = 10.0, 0.0
+    # MAD of the series: median(|x-10|) = 0 -> denom guard 1.0
+    assert abs(out.iloc[7]["z_r"] - round((200 - med) / 1.0, 6)) <= 1e-6
