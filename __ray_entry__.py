@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": q.rm3_topk,
         # robust-z (MAD) anomaly days over the gap-free daily series
         "anomaly_days": q.anomaly_days,
+        # Matryoshka truncation: first-16-dims coarse scan + full rescore
+        "knn_mrl_rescore": q.knn_mrl_rescore,
+        # clarity score (QPP): KL(fb-doc LM ‖ corpus LM) per query
+        "clarity_scores": q.clarity_scores,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5874,4 +5878,55 @@ z AS (
 SELECT day, n AS n_events, round(z, 6) AS z_r, abs(z) > 2.5 AS is_anomaly
 FROM z ORDER BY day
 """
+    # Matryoshka rescore: coarse = cosine over the first 16 dims (MRL
+    # prefix property), exact full-dim cosine re-ranks the top-30
+    oracles["knn_mrl_rescore"] = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+coarse AS (
+  SELECT q.qid AS query_vec_id, d.vec_id, q.qe, d.de,
+         list_cosine_similarity(q.qe[1:16], d.de[1:16]) AS coarse
+  FROM q CROSS JOIN d
+),
+cand AS (
+  SELECT query_vec_id, vec_id, qe, de, coarse,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(coarse, 9) DESC, vec_id ASC) AS crank
+  FROM coarse
+),
+resc AS (
+  SELECT query_vec_id, vec_id, coarse, list_cosine_similarity(qe, de) AS score
+  FROM cand WHERE crank <= 30
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, coarse, score,
+         row_number() OVER (PARTITION BY query_vec_id ORDER BY round(score, 9) DESC, vec_id ASC) AS rank
+  FROM resc
+)
+SELECT query_vec_id, rank, vec_id, round(coarse, 6) AS coarse_r, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10 ORDER BY query_vec_id, rank
+"""
+    # clarity (QPP): KL between the fb-doc mixture LM and the corpus LM
+    oracles["clarity_scores"] = (
+        bm25_ctes
+        + """
+, fb AS (SELECT query_id, doc_id FROM ranked WHERE rank <= 10),
+nfb AS (SELECT query_id, count(*)::DOUBLE AS n FROM fb GROUP BY query_id),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+pr AS (
+  SELECT f.query_id, t.term, sum(t.tf / dl.dl) / any_value(n.n) AS p
+  FROM fb f
+  JOIN tf t ON t.doc_id = f.doc_id
+  JOIN dl ON dl.doc_id = f.doc_id
+  JOIN nfb n ON n.query_id = f.query_id
+  GROUP BY 1, 2
+),
+kl AS (
+  SELECT pr.query_id, sum(pr.p * log2(pr.p / (cf.c / tot.t))) AS clarity
+  FROM pr JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY pr.query_id
+)
+SELECT query_id, round(clarity, 6) AS clarity_r FROM kl ORDER BY query_id
+"""
+    )
     return oracles

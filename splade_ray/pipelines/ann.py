@@ -316,6 +316,95 @@ def binary_rescore_topk(
     return pd.concat(out, ignore_index=True)
 
 
+def truncated_rescore_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    oversample: int = 3,
+    coarse_dims: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Two-phase MATRYOSHKA kNN (MRL truncation): phase 1 scores every
+    vector by cosine over only the first ``coarse_dims`` dimensions (the
+    MRL property: a prefix of the embedding is itself an embedding) and
+    keeps the global top ``k·oversample`` per query by (−coarse, vec_id);
+    phase 2 fetches only those candidates and re-ranks with the
+    full-dimension cosine.  Same boundary-safe partial/merge discipline as
+    :func:`quantized_rescore_topk`; at scale the hot scan touches
+    ``coarse_dims/dim`` of the bytes.  Returns (query_idx, rank, vec_id,
+    coarse, score)."""
+    Q = np.asarray(queries, dtype=np.float64)
+    Qc = Q[:, :coarse_dims]
+    qcn = np.linalg.norm(Qc, axis=1)
+    qcn[qcn == 0] = 1.0
+    qnorm = np.linalg.norm(Q, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    q_ref = ray.put((Qc, qcn))
+    kk_c = k * oversample
+
+    def coarse_batch(batch: pa.Table) -> pa.Table:
+        Qcm, qcv = ray.get(q_ref)
+        emb = _as_matrix(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if emb.size == 0:
+            return _partial_topk_table(np.zeros(0), np.zeros(0), np.zeros(0))
+        Ec = emb[:, :coarse_dims]
+        en = np.linalg.norm(Ec, axis=1)
+        en[en == 0] = 1.0
+        sims = (Ec @ Qcm.T) / (en[:, None] * qcv[None, :])
+        kk = min(kk_c, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(Qcm.shape[0]):
+            col = sims[:, qi]
+            part = _boundary_safe_topk(col, kk)
+            out_q.append(np.full(part.size, qi))
+            out_i.append(ids[part])
+            out_s.append(col[part])
+        return _partial_topk_table(np.concatenate(out_q), np.concatenate(out_i), np.concatenate(out_s))
+
+    partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
+    cand = (
+        partials.groupby("query_idx")
+        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .to_pandas()
+    )
+    cand_ids = np.unique(cand["vec_id"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        pos = np.minimum(pos, max(want.size - 1, 0))
+        hit = (want[pos] == ids) if want.size else np.zeros(ids.size, bool)
+        return batch.filter(pa.array(hit)).select([id_col, emb_col])
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    by_id = dict(zip(got[id_col].to_numpy(), got[emb_col].to_numpy()))
+    E = np.stack([np.asarray(by_id[v], dtype=np.float64) for v in cand["vec_id"]])
+    enorm = np.linalg.norm(E, axis=1)
+    enorm[enorm == 0] = 1.0
+    qi = cand["query_idx"].to_numpy()
+    exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
+    cand = cand.assign(exact=exact)
+    out = []
+    for g_qi, g in cand.groupby("query_idx", sort=True):
+        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_idx": np.full(len(g), g_qi, dtype=np.int64),
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "vec_id": g["vec_id"].to_numpy(),
+                    "coarse": g["score"].to_numpy(),
+                    "score": g["exact"].to_numpy(),
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(sample.shape[0], size=min(n_clusters, sample.shape[0]), replace=False)]

@@ -8095,3 +8095,95 @@ def anomaly_days(sf_dir: str) -> pd.DataFrame:
             "is_anomaly": np.abs(z) > 2.5,
         }
     )
+
+
+MRL_COARSE_DIMS: int = 16
+
+
+def knn_mrl_rescore(sf_dir: str) -> pd.DataFrame:
+    """(query_vec_id, rank, vec_id, coarse_r, score_r) — MATRYOSHKA
+    two-phase kNN (MRL truncation: the first dims of an MRL-trained
+    embedding are themselves a valid lower-dim embedding): phase 1 ranks
+    by cosine over only the FIRST 16 of 64 dims (4× cheaper scan /
+    4× smaller hot index), keeps the top 30 per query by
+    (−coarse, vec_id); phase 2 re-ranks the candidates with the
+    full-dimension cosine — the third rescore family next to int8 and
+    1-bit sign quantization."""
+    from .ann import truncated_rescore_topk
+
+    ds = _emb(sf_dir)
+    qrows = _first_vecs(ds, 5)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"]])
+    out = truncated_rescore_topk(ds, Q, k=10, oversample=3, coarse_dims=MRL_COARSE_DIMS)
+    out["query_vec_id"] = qrows["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["coarse_r"] = out["coarse"].round(6)
+    out["score_r"] = out["score"].round(6)
+    return out[["query_vec_id", "rank", "vec_id", "coarse_r", "score_r"]]
+
+
+CLARITY_FB_DOCS: int = 10
+CLARITY_MU: float = 0.0  # pure fb-doc mixture, uniform doc weights
+
+
+def clarity_scores(sf_dir: str) -> pd.DataFrame:
+    """(query_id, clarity_r) — query-performance prediction via the
+    CLARITY score (Cronen-Townsend et al. 2002): KL divergence between
+    the language model of the BM25 top-10 feedback set and the corpus
+    LM — high clarity = focused result set, low = ambiguous query.
+    P(t|R) = (1/|fb|)·Σ_d tf(t,d)/dl(d); P(t|C) = cf(t)/total_tokens;
+    clarity = Σ_t P(t|R)·log2(P(t|R)/P(t|C)).  Feedback texts come from
+    k-bounded point reads (the RM3 discipline); the corpus LM is the
+    vocab-bounded unigram reduce."""
+    import pyarrow.dataset as pads
+
+    from ..tokenizer import Tokenizer
+
+    index_dir = build_documents_index(sf_dir)
+    reader = IndexReader(index_dir, DOCS_CFG)
+    corpus = os.path.join(index_dir, "corpus_input.parquet")
+    tok = Tokenizer(DOCS_CFG)
+    # corpus LM: cf per term / total tokens (vocab-bounded combiner reduce)
+    from .textops import UnigramCountStage
+    from ..util import pool_size as _ps
+    from ..functions.hashing import md5_u64
+
+    parts = [
+        b
+        for b in _docs(sf_dir, columns=["text"])
+        .map_batches(UnigramCountStage, batch_format="pyarrow", concurrency=_ps())
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    allh = np.concatenate([p.column("thash").to_numpy(zero_copy_only=False).view(np.uint64) for p in parts])
+    allc = np.concatenate([p.column("cnt").to_numpy(zero_copy_only=False) for p in parts])
+    uh, inv = np.unique(allh, return_inverse=True)
+    uc = np.bincount(inv, weights=allc).astype(np.float64)
+    total = float(uc.sum())
+    rows = []
+    for qid, text in BM25_QUERIES:
+        fb = reader.search(text, CLARITY_FB_DOCS)
+        if not fb:
+            continue
+        urls = [u for _d, _s, u in fb]
+        tbl = pads.dataset(corpus).to_table(
+            columns=["url", "text"], filter=pads.field("url").isin(urls)
+        )
+        texts = dict(zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist()))
+        acc: dict[str, float] = {}
+        nfb = len(urls)
+        for u in urls:
+            toks = tok.tokenize(texts[u])
+            if not toks:
+                continue
+            dl = float(len(toks))
+            uq, ct = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            for t, c in zip(uq, ct):
+                acc[t] = acc.get(t, 0.0) + float(c) / dl / nfb
+        terms = sorted(acc)
+        th = md5_u64(terms)
+        pos = np.searchsorted(uh, th)
+        pc_ = uc[pos] / total  # every fb term exists in the corpus LM
+        pr = np.asarray([acc[t] for t in terms])
+        clarity = float(np.sum(pr * np.log2(pr / pc_)))
+        rows.append((qid, round(clarity, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "clarity_r"])

@@ -1057,3 +1057,63 @@ def test_anomaly_days_hand_computed(ray_session, tmp_path):
     med, mad = 10.0, 0.0
     # MAD of the series: median(|x-10|) = 0 -> denom guard 1.0
     assert abs(out.iloc[7]["z_r"] - round((200 - med) / 1.0, 6)) <= 1e-6
+
+
+def test_mrl_rescore_dense_reference(ray_session):
+    """Truncated-dim coarse candidates + full-dim rescore == dense replay."""
+    import ray.data as rd
+
+    from splade_ray.pipelines.ann import truncated_rescore_topk
+
+    E = _rand_vectors(250, 32, seed=13).astype(np.float32).astype(np.float64)
+    ids = np.arange(250, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": pa.array(list(E.astype(np.float32)), type=pa.list_(pa.float32()))})
+    )
+    Q = E[:3]
+    out = truncated_rescore_topk(ds, Q, k=5, oversample=4, coarse_dims=8)
+    for qi in range(3):
+        cn = np.linalg.norm(E[:, :8], axis=1)
+        qn = np.linalg.norm(Q[qi, :8])
+        coarse = (E[:, :8] @ Q[qi, :8]) / (cn * qn)
+        cand = ids[np.lexsort((ids, -coarse))[:20]]
+        fn = np.linalg.norm(E, axis=1)
+        fqn = np.linalg.norm(Q[qi])
+        full = (E @ Q[qi]) / (fn * fqn)
+        ref = cand[np.lexsort((cand, -full[cand]))][:5]
+        got = out[out["query_idx"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_clarity_focused_beats_ambiguous(ray_session, tmp_path):
+    """A query whose feedback set is one tight topical cluster must score
+    higher clarity than one whose feedback spans the whole corpus."""
+    import pyarrow.parquet as pq
+
+    from splade_ray.pipelines import queries as q
+
+    # 30 docs on a tight 'quantum flux' topic, 170 generic docs that all
+    # contain 'the data table' vocabulary
+    texts = [f"quantum flux resonator cavity mode {i % 3}" for i in range(30)]
+    texts += [f"the data table join merge scan row batch {i % 17}" for i in range(170)]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": np.full(n, "en", dtype=object),
+            "source": np.full(n, "t", dtype=object),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    import importlib
+
+    orig = q.BM25_QUERIES
+    try:
+        q.BM25_QUERIES = [("focused", "quantum flux"), ("ambiguous", "the data")]
+        out = q.clarity_scores(str(tmp_path))
+    finally:
+        q.BM25_QUERIES = orig
+    c = dict(zip(out["query_id"], out["clarity_r"]))
+    assert c["focused"] > c["ambiguous"], c
