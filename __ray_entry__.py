@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mrl_rescore": q.knn_mrl_rescore,
         # clarity score (QPP): KL(fb-doc LM ‖ corpus LM) per query
         "clarity_scores": q.clarity_scores,
+        # day-of-week seasonality profile on the gap-free daily axis
+        "dow_seasonality": q.dow_seasonality,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5929,4 +5931,20 @@ kl AS (
 SELECT query_id, round(clarity, 6) AS clarity_r FROM kl ORDER BY query_id
 """
     )
+    # day-of-week profile: ISO weekday totals + per-day average + lift
+    oracles["dow_seasonality"] = """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n FROM axis a LEFT JOIN c USING (day)),
+ov AS (SELECT avg(n::DOUBLE) AS m FROM s)
+SELECT isodow(day)::BIGINT AS dow, sum(n)::BIGINT AS n_events,
+       round(avg(n::DOUBLE), 6) AS avg_per_day_r,
+       round(avg(n::DOUBLE) / (SELECT m FROM ov), 6) AS lift_r
+FROM s GROUP BY 1 ORDER BY 1
+"""
     return oracles

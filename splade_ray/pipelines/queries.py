@@ -8187,3 +8187,34 @@ def clarity_scores(sf_dir: str) -> pd.DataFrame:
         clarity = float(np.sum(pr * np.log2(pr / pc_)))
         rows.append((qid, round(clarity, 6)))
     return pd.DataFrame(rows, columns=["query_id", "clarity_r"])
+
+
+def dow_seasonality(sf_dir: str) -> pd.DataFrame:
+    """(dow, n_events, avg_per_day_r, lift_r) — day-of-week seasonality
+    profile over the event stream (the decomposition companion to
+    ``serial_diff_events``): per ISO weekday (1=Monday), total events,
+    the per-occurring-day average on the gap-free axis, and the lift vs
+    the overall daily mean.  Same bounded day-count combiner; the
+    profile is 7 rows at any scale."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        t = pa.table({"day": days})
+        return t.group_by(["day"]).aggregate([("day", "count")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0).astype(np.int64)
+    dow = pd.to_datetime(series.index).dayofweek.to_numpy() + 1  # ISO 1..7
+    n = series.to_numpy().astype(np.float64)
+    overall = n.mean()
+    rows = []
+    for d in range(1, 8):
+        m = dow == d
+        if not m.any():
+            continue
+        avg = n[m].mean()
+        rows.append((d, int(n[m].sum()), round(avg, 6), round(avg / overall, 6)))
+    return pd.DataFrame(rows, columns=["dow", "n_events", "avg_per_day_r", "lift_r"])
