@@ -81,6 +81,19 @@ def _merge_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
     return g
 
 
+def _merge_topk_r9(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Candidate-cut merge on ROUND-9 scores (the colbert_maxsim_topk
+    convention): the SQL oracles cut with ``round(score, 9) DESC, vec_id``,
+    so a raw-float cut could resolve a last-ulp near-tie at the boundary
+    differently than DuckDB.  Used by the two-phase rescore families whose
+    coarse scores are real-valued (MRL prefix cosine)."""
+    g = g.assign(_rk=g["score"].round(9))
+    g = g.sort_values(["_rk", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    g = g.drop(columns="_rk").reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
 def brute_force_topk(
     ds: Dataset,
     queries: np.ndarray,
@@ -184,7 +197,7 @@ def quantized_rescore_topk(
     partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
     cand = (
         partials.groupby("query_idx")
-        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .map_groups(lambda g: _merge_topk_r9(g, kk_c), batch_format="pandas")
         .to_pandas()
     )
     cand_ids = np.unique(cand["vec_id"].to_numpy())
@@ -207,8 +220,9 @@ def quantized_rescore_topk(
     exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
     cand = cand.assign(exact=exact)
     out = []
+    cand = cand.assign(_rk=cand["exact"].round(9))  # oracle ranks on round(score, 9)
     for g_qi, g in cand.groupby("query_idx", sort=True):
-        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.sort_values(["_rk", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
         out.append(
             pd.DataFrame(
                 {
@@ -277,7 +291,7 @@ def binary_rescore_topk(
     partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
     cand = (
         partials.groupby("query_idx")
-        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .map_groups(lambda g: _merge_topk_r9(g, kk_c), batch_format="pandas")
         .to_pandas()
     )
     cand_ids = np.unique(cand["vec_id"].to_numpy())
@@ -300,8 +314,9 @@ def binary_rescore_topk(
     exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
     cand = cand.assign(exact=exact)
     out = []
+    cand = cand.assign(_rk=cand["exact"].round(9))  # oracle ranks on round(score, 9)
     for g_qi, g in cand.groupby("query_idx", sort=True):
-        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.sort_values(["_rk", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
         out.append(
             pd.DataFrame(
                 {
@@ -366,7 +381,7 @@ def truncated_rescore_topk(
     partials = ds.map_batches(coarse_batch, batch_format="pyarrow", batch_size=4096)
     cand = (
         partials.groupby("query_idx")
-        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .map_groups(lambda g: _merge_topk_r9(g, kk_c), batch_format="pandas")
         .to_pandas()
     )
     cand_ids = np.unique(cand["vec_id"].to_numpy())
@@ -389,8 +404,9 @@ def truncated_rescore_topk(
     exact = (E * Q[qi]).sum(axis=1) / (qnorm[qi] * enorm)
     cand = cand.assign(exact=exact)
     out = []
+    cand = cand.assign(_rk=cand["exact"].round(9))  # oracle ranks on round(score, 9)
     for g_qi, g in cand.groupby("query_idx", sort=True):
-        g = g.sort_values(["exact", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.sort_values(["_rk", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
         out.append(
             pd.DataFrame(
                 {
@@ -930,7 +946,7 @@ def pq_adc_topk(
     partials = ds.map_batches(adc_batch, batch_format="pyarrow", batch_size=4096)
     cand = (
         partials.groupby("query_idx")
-        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .map_groups(lambda g: _merge_topk_r9(g, kk_c), batch_format="pandas")
         .to_pandas()
     )
     cand_ids = np.unique(cand["vec_id"].to_numpy())
@@ -953,7 +969,7 @@ def pq_adc_topk(
     cand = cand.assign(adist=-cand["score"].to_numpy(), dist=exact)
     out = []
     for g_qi, g in cand.groupby("query_idx", sort=True):
-        g = g.sort_values(["dist", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
+        g = g.assign(_rk=g["dist"].round(9)).sort_values(["_rk", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
         out.append(
             pd.DataFrame(
                 {
@@ -1119,7 +1135,7 @@ def ivfpq_topk(
     partials = ds.map_batches(adc_probed, batch_format="pyarrow", batch_size=4096)
     cand = (
         partials.groupby("query_idx")
-        .map_groups(lambda g: _merge_topk(g, kk_c), batch_format="pandas")
+        .map_groups(lambda g: _merge_topk_r9(g, kk_c), batch_format="pandas")
         .to_pandas()
     )
     cand_ids = np.unique(cand["vec_id"].to_numpy())
@@ -1142,7 +1158,7 @@ def ivfpq_topk(
     cand = cand.assign(adist=-cand["score"].to_numpy(), dist=exact)
     out = []
     for g_qi, g in cand.groupby("query_idx", sort=True):
-        g = g.sort_values(["dist", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
+        g = g.assign(_rk=g["dist"].round(9)).sort_values(["_rk", "vec_id"], ascending=[True, True], kind="mergesort").head(k)
         out.append(
             pd.DataFrame(
                 {

@@ -6622,10 +6622,15 @@ def regional_revenue(sf_dir: str) -> pd.DataFrame:
         nm = lnat[match]
         rv = rev[match]
         un, inv = np.unique(nm, return_inverse=True)
+        # int64 scatter-add (not float64 bincount weights): per-bucket sums
+        # can exceed 2^53 e4-units at the 100-TB design point and the
+        # exact-integer-revenue contract must hold there too
+        acc = np.zeros(un.size, dtype=np.int64)
+        np.add.at(acc, inv, rv)
         return pa.table(
             {
                 "nat": pa.array(un.astype(np.int64)),
-                "rev_e4": pa.array(np.bincount(inv, weights=rv.astype(np.float64)).astype(np.int64)),
+                "rev_e4": pa.array(acc),
                 "n_items": pa.array(np.bincount(inv).astype(np.int64)),
             }
         )
