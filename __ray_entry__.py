@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_signatures": q.template_signatures,
         # HITS hubs & authorities (3 L1-normalized iterations, unrolled)
         "hits_scores": q.hits_scores,
+        # the same HITS through the vertex-partitioned engine (both score
+        # vectors bucketed; L1 divisors the only driver state)
+        "hits_scores_dist": lambda sf: q.hits_scores(sf, mode="vertex"),
         # BPE vocabulary training: distributed word counts + K exact merges
         "bpe_merges": q.bpe_merges,
         # MMR diversity re-ranking of the cosine top-20 pool (greedy,
@@ -236,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # personalized PageRank: restart mass on the lang='en' seed set,
         # 3 unrolled power iterations over the link fixture
         "personalized_pagerank": q.personalized_pagerank,
+        # the same PPR through the vertex-partitioned engine (restart
+        # vector = a column of the bucketed vertex table, no dense arrays)
+        "personalized_pagerank_dist": lambda sf: q.personalized_pagerank(sf, mode="vertex"),
         # serial_diff (lag 7) + normalize pipeline aggs on daily counts
         "serial_diff_events": q.serial_diff_events,
         # per-language greedy char-budget fill (training-mix allocation)
@@ -454,6 +460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-graph PageRank, 3 power iterations over a synthetic link
         # fixture; each iteration one edge-partitioned contribution shuffle
         "link_pagerank": q.link_pagerank,
+        # same ranks through the VERTEX-PARTITIONED engine (rank lives as
+        # a node-hash-bucketed Dataset co-partitioned with edges — the
+        # 10^10-node shape; pipelines/graph.py); same oracle as above
+        "link_pagerank_dist": lambda sf: q.link_pagerank(sf, mode="vertex"),
         # data-stream retrieval: 5 daily backing indices, a warc_ts range
         # opens only days [1,3) — index-level time pruning + federation
         "datastream_topk": q.datastream_topk,
@@ -5947,4 +5957,9 @@ SELECT isodow(day)::BIGINT AS dow, sum(n)::BIGINT AS n_events,
        round(avg(n::DOUBLE) / (SELECT m FROM ov), 6) AS lift_r
 FROM s GROUP BY 1 ORDER BY 1
 """
+    # the *_dist variants run the identical computation through the
+    # vertex-partitioned graph engine — same contract, same oracle
+    oracles["link_pagerank_dist"] = oracles["link_pagerank"]
+    oracles["personalized_pagerank_dist"] = oracles["personalized_pagerank"]
+    oracles["hits_scores_dist"] = oracles["hits_scores"]
     return oracles

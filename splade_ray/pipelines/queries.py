@@ -5394,17 +5394,26 @@ PAGERANK_DAMPING: float = 0.85
 PAGERANK_ITERS: int = 3
 
 
-def link_pagerank(sf_dir: str) -> pd.DataFrame:
-    """(doc_id, pr_r) — web-graph PageRank over a deterministic link
-    fixture, 3 power iterations at damping 0.85 from the uniform start
-    (every doc has out-degree >= 1, so no dangling-mass term).  Each
-    iteration is ONE contribution shuffle: rank/outdeg ships along edges
-    and sums per destination — the classic edge-partitioned power step,
-    with the edge list streamed, never driver-resident.  Exactly
-    :data:`PAGERANK_ITERS` iterations unroll into the SQL oracle's CTE
-    chain (the ``kmeans_clusters`` discipline).  Returns the top 50 docs
-    by (pr DESC, doc_id ASC)."""
-    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+# graph-mode auto-switch (the resolve_dedup_mode discipline): the dense
+# driver-vector path is exact and cheap while rank vectors fit one heap;
+# past this node count the vertex-partitioned engine (pipelines/graph.py,
+# rank as a node-hash-bucketed Dataset co-partitioned with edges) takes
+# over — nothing node- or edge-scale touches the driver there
+GRAPH_DENSE_MAX_NODES: int = 2_000_000
+
+
+def _resolve_graph_mode(mode: str, n_nodes: int) -> str:
+    if mode == "auto":
+        return "dense" if n_nodes <= GRAPH_DENSE_MAX_NODES else "vertex"
+    if mode not in ("dense", "vertex"):
+        raise ValueError(f"unknown graph mode {mode!r}")
+    return mode
+
+
+def _link_fixture_edges(sf_dir: str, n_docs: int) -> "rd.Dataset":
+    """The deterministic web-link fixture shared by the graph family:
+    every doc links to (id·3+1) mod n and (id·7+2) mod n, self-loops
+    dropped — (src, dst) int64 rows, streamed from the doc scan."""
 
     def edges_of(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -5413,7 +5422,54 @@ def link_pagerank(sf_dir: str) -> pd.DataFrame:
         keep = src != dst
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+
+
+def link_pagerank(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
+    """(doc_id, pr_r) — web-graph PageRank over a deterministic link
+    fixture, 3 power iterations at damping 0.85 from the uniform start
+    (every doc has out-degree >= 1, so no dangling-mass term).  Exactly
+    :data:`PAGERANK_ITERS` iterations unroll into the SQL oracle's CTE
+    chain (the ``kmeans_clusters`` discipline).  Returns the top 50 docs
+    by (pr DESC, doc_id ASC).
+
+    ``mode="dense"``: each iteration is ONE contribution shuffle
+    (rank/outdeg ships along edges, sums per destination) but the rank
+    vector itself is a driver-resident n-float array — fine to
+    :data:`GRAPH_DENSE_MAX_NODES`.  ``mode="vertex"``: the rank lives as
+    a node-hash-bucketed (node, rank) Dataset co-partitioned with the
+    edge list (:func:`splade_ray.pipelines.graph.pagerank_table`) — two
+    bucket exchanges per iteration, only the bounded top-k partials reach
+    the driver; the 10^10-node shape.  ``auto`` switches on node count;
+    dense == vertex is pinned by tests/test_graph.py."""
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    edges = _link_fixture_edges(sf_dir, n_docs)
+
+    if _resolve_graph_mode(mode, n_docs) == "vertex":
+        from .graph import pagerank_table, topk_by_score
+
+        inv_n = 1.0 / n_docs
+
+        def node_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": pa.array(ids), "r0": pa.array(np.full(ids.size, inv_n))}
+            )
+
+        nodes = _docs(sf_dir, columns=["doc_id"]).map_batches(node_rows, batch_format="pyarrow")
+        vertex = pagerank_table(
+            nodes, edges, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+        )
+        top = topk_by_score(vertex, "rank", 50, decimals=6)
+        return (
+            pd.DataFrame(
+                {
+                    "doc_id": top["node"].to_numpy(np.int64),
+                    "pr_r": np.round(top["rank"].to_numpy(), 6),
+                }
+            )
+            .sort_values(["doc_id"], ignore_index=True)
+        )
 
     # out-degree: one count exchange (bounded combiner partials per batch)
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -5428,9 +5484,6 @@ def link_pagerank(sf_dir: str) -> pd.DataFrame:
     )
     outdeg = np.zeros(n_docs, dtype=np.float64)
     outdeg[deg.index.to_numpy()] = deg.to_numpy()
-    # rank vectors are N floats — at 10^10 docs these become a doc-keyed
-    # Dataset joined per iteration; here N is driver-bounded and the heavy
-    # side (the edge list) still streams through map_batches each pass
     rank = np.full(n_docs, 1.0 / n_docs)
     for _ in range(PAGERANK_ITERS):
         rank_ref = ray.put(rank / np.maximum(outdeg, 1.0))
@@ -6096,26 +6149,49 @@ HITS_ITERS: int = 3
 HITS_TOP: int = 30
 
 
-def hits_scores(sf_dir: str) -> pd.DataFrame:
+def hits_scores(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """(doc_id, auth_r, hub_r) — HITS hubs & authorities (Kleinberg) over
     the deterministic link fixture shared with :func:`link_pagerank`,
     3 iterations with L1 normalization after each half-step from the
-    all-ones hub start.  Each half-step is ONE edge-stream pass: the
-    n-bounded score vector broadcasts via ``ray.put`` and per-batch
-    contribution partials sum per endpoint (at 10^10 docs the vector
-    becomes a doc-keyed Dataset joined per pass — same caveat as
-    link_pagerank, and the heavy edge list streams either way).  Top 30 by
-    (auth DESC, doc_id)."""
+    all-ones hub start.  Top 30 by (auth DESC, doc_id).
+
+    ``mode="dense"``: each half-step is ONE edge-stream pass with the
+    n-bounded score vector broadcast via ``ray.put``.  ``mode="vertex"``:
+    both score vectors live as a node-hash-bucketed Dataset
+    (:func:`splade_ray.pipelines.graph.hits_table`); the L1 divisor is
+    the only driver state (one scalar per half-step) and is folded into
+    the next gather so each element divides exactly once — the dense
+    arithmetic replayed distributively.  dense == vertex pinned by
+    tests/test_graph.py."""
     n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    edges = _link_fixture_edges(sf_dir, n_docs)
 
-    def edges_of(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids])
-        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
-        keep = src != dst
-        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    if _resolve_graph_mode(mode, n_docs) == "vertex":
+        from .graph import hits_table, topk_by_score
 
-    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+        nodes = _docs(sf_dir, columns=["doc_id"]).map_batches(
+            lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+        )
+        vertex = hits_table(nodes, edges, iters=HITS_ITERS).materialize()
+        top = topk_by_score(vertex, "auth", HITS_TOP, decimals=9)
+        want = np.sort(top["node"].to_numpy(np.int64))
+        sel = (
+            vertex.map_batches(
+                lambda b: b.filter(
+                    pa.array(np.isin(b.column("node").to_numpy(zero_copy_only=False), want))
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": sel["node"].to_numpy(np.int64),
+                "auth_r": np.round(sel["auth"].to_numpy(), 6),
+                "hub_r": np.round(sel["hub"].to_numpy(), 6),
+            }
+        )
 
     def sweep(vec: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
         """One half-step: sum vec[key_in] into key_out endpoints, L1-norm."""
@@ -7153,16 +7229,66 @@ PPR_RESTART: float = 0.15
 PPR_ITERS: int = 3
 
 
-def personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+def personalized_pagerank(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """(doc_id, ppr_r) — PERSONALIZED PageRank over the deterministic link
     fixture: the restart vector concentrates on the lang='en' seed set
     (uniform over seeds) instead of all nodes, 3 power iterations at
-    damping 0.85 from the restart vector itself.  Same edge-partitioned
-    contribution shuffle as ``link_pagerank`` (rank/outdeg ships along
-    edges, sums per destination; restart mass is a broadcast-side add),
-    all iterations unrolled into the SQL oracle.  Top 50 by
-    (ppr DESC, doc_id ASC)."""
+    damping 0.85 from the restart vector itself.  All iterations unroll
+    into the SQL oracle.  Top 50 by (ppr DESC, doc_id ASC).
+
+    ``mode="dense"``: edge-partitioned contribution shuffle with a
+    driver-resident rank vector.  ``mode="vertex"``: the restart vector
+    is a COLUMN of the bucketed vertex table (r0 = 1/|seeds| on seeds,
+    built at tag time from the lang column — no dense seed array), and
+    :func:`splade_ray.pipelines.graph.pagerank_table` iterates with the
+    restart mass added per bucket.  Only |seeds| (a scalar) and the
+    bounded top-k reach the driver.  dense == vertex pinned by
+    tests/test_graph.py."""
     n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    edges = _link_fixture_edges(sf_dir, n_docs)
+
+    if _resolve_graph_mode(mode, n_docs) == "vertex":
+        from .graph import pagerank_table, topk_by_score
+
+        # |seeds| via per-batch count partials — one scalar to the driver
+        cnt_parts = (
+            _docs(sf_dir, columns=["lang"])
+            .map_batches(
+                lambda b: pa.table(
+                    {"c": pa.array([int(pc.sum(pc.equal(b.column("lang"), "en")).as_py() or 0)])}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        n_seeds = float(cnt_parts["c"].sum())
+        inv_s = 1.0 / n_seeds
+
+        def node_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            is_seed = pc.equal(batch.column("lang"), "en").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": pa.array(ids), "r0": pa.array(np.where(is_seed, inv_s, 0.0))}
+            )
+
+        nodes = _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+            node_rows, batch_format="pyarrow"
+        )
+        vertex = pagerank_table(
+            nodes,
+            edges,
+            iters=PPR_ITERS,
+            damping=1.0 - PPR_RESTART,
+            restart=PPR_RESTART,
+        )
+        top = topk_by_score(vertex, "rank", 50, decimals=9)
+        return pd.DataFrame(
+            {
+                "doc_id": top["node"].to_numpy(np.int64),
+                "ppr_r": np.round(top["rank"].to_numpy(), 6),
+            }
+        )
+
     seeds = (
         _docs(sf_dir, columns=["doc_id", "lang"])
         .map_batches(
@@ -7180,14 +7306,6 @@ def personalized_pagerank(sf_dir: str) -> pd.DataFrame:
     r0 = np.zeros(n_docs, dtype=np.float64)
     r0[seed_set] = 1.0 / n_seeds
 
-    def edges_of(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids])
-        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
-        keep = src != dst
-        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
-
-    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
     # out-degrees (bounded combiner partials)
     deg_parts = edges.map_batches(
         lambda b: pa.table(
