@@ -1813,15 +1813,23 @@ def search_facets(sf_dir: str) -> pd.DataFrame:
     reader = IndexReader(index_dir, DOCS_CFG)
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    lang_by_id = np.empty(int(ids.max()) + 1 if ids.size else 0, dtype=object)
-    lang_by_id[ids] = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
+    # dictionary-encoded int codes, not an object array: the per-doc facet
+    # attribute is 4 bytes/doc (the facet module's doc-values layout), and
+    # per-query counting is one int gather + bincount
+    enc = pc.dictionary_encode(tbl.column("lang").combine_chunks())
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    code_by_id = np.full(int(ids.max()) + 1 if ids.size else 0, -1, dtype=np.int32)
+    code_by_id[ids] = enc.indices.to_numpy(zero_copy_only=False).astype(np.int32)
     rows = []
     for qid, text in BM25_QUERIES:
         ext = np.asarray(_external_ids(reader, min_should_match(reader, text, 1)), dtype=np.int64)
         if ext.size == 0:
             continue
-        langs, counts = np.unique(lang_by_id[ext].astype(str), return_counts=True)
-        rows.extend((qid, l, int(c)) for l, c in zip(langs, counts))
+        counts = np.bincount(code_by_id[ext], minlength=vocab.size)
+        order = np.argsort(vocab.astype(str), kind="stable")
+        rows.extend(
+            (qid, str(vocab[i]), int(counts[i])) for i in order if counts[i] > 0
+        )
     ss = ShardedSearcher(index_dir, DOCS_CFG, num_actors=2)
     try:
         q0, t0 = BM25_QUERIES[0]
@@ -8011,20 +8019,28 @@ def err_at10(sf_dir: str) -> pd.DataFrame:
     a prefix sum, so the whole metric replays in SQL."""
     run = bm25_topk(sf_dir)[["query_id", "rank", "doc_id"]]
     qrels = boolean_and_match(sf_dir)
-    rel_set = set(zip(qrels["query_id"], qrels["doc_id"]))
-    qids_with = set(qrels["query_id"])
-    rows = []
-    for qid, g in run.groupby("query_id", sort=True):
-        if qid not in qids_with:
-            continue  # no qrels at all -> dropped per M13
-        g = g.sort_values("rank")
-        err, seen_rel = 0.0, 0
-        for r, d in zip(g["rank"], g["doc_id"]):
-            if (qid, d) in rel_set:
-                err += (0.5 * (0.5 ** seen_rel)) / r
-                seen_rel += 1
-        rows.append((qid, round(err, 6)))
-    return pd.DataFrame(rows, columns=["query_id", "err_r"])
+    # vectorized cascade: rel flag via a semi-join, #relevant-above via a
+    # per-query exclusive cumsum over rank order, contribution =
+    # 0.5·0.5^above / rank summed per query (groupby-cumsum, no row loop)
+    run = run.sort_values(["query_id", "rank"], ignore_index=True)
+    rel = (
+        run.merge(qrels[["query_id", "doc_id"]].assign(_rel=1), on=["query_id", "doc_id"], how="left")["_rel"]
+        .fillna(0)
+        .to_numpy(np.int64)
+    )
+    above = run.assign(_rel=rel).groupby("query_id")["_rel"].cumsum().to_numpy() - rel
+    contrib = rel * (0.5 * 0.5**above) / run["rank"].to_numpy()
+    out = (
+        run.assign(_c=contrib)
+        .groupby("query_id", sort=True)["_c"]
+        .sum()
+        .reset_index(name="err")
+    )
+    # queries with no qrels at all drop (M13)
+    out = out[out["query_id"].isin(set(qrels["query_id"]))]
+    return pd.DataFrame(
+        {"query_id": out["query_id"].to_numpy(), "err_r": np.round(out["err"].to_numpy(), 6)}
+    ).reset_index(drop=True)
 
 
 PRUNE_FRACTION: float = 0.5
