@@ -290,6 +290,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clarity_scores": q.clarity_scores,
         # day-of-week seasonality profile on the gap-free daily axis
         "dow_seasonality": q.dow_seasonality,
+        # cumulative_sum pipeline agg over the gap-free daily histogram
+        "cumulative_sum_daily": q.cumulative_sum_daily,
+        # bucket_script ratio (purchase/view filter sub-counts per day,
+        # zero-denominator buckets dropped per bucket_selector)
+        "bucket_script_ratio": q.bucket_script_ratio,
+        # Zipf's-law slope/intercept fit over the top-1000 term head
+        "zipf_slope": q.zipf_slope,
+        # link-fixture in-degree distribution via the graph engine's
+        # vertex-table exchange (indeg-0 nodes included)
+        "degree_hist": q.degree_hist,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -5956,6 +5966,58 @@ SELECT isodow(day)::BIGINT AS dow, sum(n)::BIGINT AS n_events,
        round(avg(n::DOUBLE), 6) AS avg_per_day_r,
        round(avg(n::DOUBLE) / (SELECT m FROM ov), 6) AS lift_r
 FROM s GROUP BY 1 ORDER BY 1
+"""
+    # cumulative_sum pipeline agg: gap-free day axis + running total
+    oracles["cumulative_sum_daily"] = """
+WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+axis AS (
+  SELECT CAST(unnest(generate_series(CAST((SELECT lo FROM b) AS TIMESTAMP),
+                                     CAST((SELECT hi FROM b) AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+s AS (SELECT a.day, coalesce(c.n, 0)::BIGINT AS n FROM axis a LEFT JOIN c USING (day))
+SELECT CAST(day AS TIMESTAMP) AS day, n AS n_events,
+       sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
+FROM s ORDER BY day
+"""
+    # bucket_script: per-day purchase/view ratio, view=0 buckets dropped
+    oracles["bucket_script_ratio"] = """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+         count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_purchase, n_view,
+       round(n_purchase::DOUBLE / n_view, 6) AS ratio_r
+FROM c WHERE n_view > 0 ORDER BY day
+"""
+    # Zipf fit: ln(cf) ~ ln(rank) over the top-1000 term head
+    oracles["zipf_slope"] = f"""
+WITH toks AS (SELECT unnest({_TOK_SQL.format(col="text")}) AS term FROM documents),
+cf AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+rk AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC) AS r FROM cf),
+sel AS (SELECT ln(r::DOUBLE) AS x, ln(c) AS y FROM rk WHERE r <= 1000)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(y, x), 6) AS slope_r,
+       round(regr_intercept(y, x), 6) AS intercept_r
+FROM sel
+"""
+    # in-degree histogram of the link fixture (indeg-0 nodes included)
+    oracles["degree_hist"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+ind AS (
+  SELECT d.doc_id, count(e.dst)::BIGINT AS indeg
+  FROM documents d LEFT JOIN e ON e.dst = d.doc_id GROUP BY d.doc_id
+)
+SELECT indeg, count(*)::BIGINT AS n_nodes FROM ind GROUP BY indeg ORDER BY indeg
 """
     # the *_dist variants run the identical computation through the
     # vertex-partitioned graph engine — same contract, same oracle

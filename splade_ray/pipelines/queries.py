@@ -8357,3 +8357,137 @@ def dow_seasonality(sf_dir: str) -> pd.DataFrame:
         avg = n[m].mean()
         rows.append((d, int(n[m].sum()), round(avg, 6), round(avg / overall, 6)))
     return pd.DataFrame(rows, columns=["dow", "n_events", "avg_per_day_r", "lift_r"])
+
+
+def _daily_counts(sf_dir: str, event_types: tuple[str, ...] | None = None) -> pd.DataFrame:
+    """day → per-type event counts via the bounded day-count combiner
+    (one ``(day[, type], count)`` partial per batch — the series is
+    coordinator-sized at any corpus scale).  ``event_types=None`` counts
+    everything into one ``n`` column."""
+    cols = ["ts"] if event_types is None else ["ts", "event_type"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"), pa.date32())
+        if event_types is None:
+            t = pa.table({"day": days})
+            return t.group_by(["day"]).aggregate([("day", "count")])
+        t = pa.table({"day": days, "et": batch.column("event_type")})
+        t = t.filter(pc.is_in(t.column("et"), value_set=pa.array(event_types)))
+        return t.group_by(["day", "et"]).aggregate([("day", "count")])
+
+    return ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+
+def cumulative_sum_daily(sf_dir: str) -> pd.DataFrame:
+    """(day, n_events, cum_n) — ES ``cumulative_sum`` pipeline aggregation
+    over the daily date_histogram, gap-free axis (empty days emit a
+    bucket and the running total carries through — the ES
+    ``min_doc_count: 0`` + cumulative_sum shape).  One bounded day-count
+    combiner pass; the prefix sum runs on the coordinator-sized series,
+    exactly where ES's pipeline-agg reducer runs it."""
+    parts = _daily_counts(sf_dir)
+    counts = parts.groupby("day", sort=True)["day_count"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(), freq="D").date
+    series = counts.reindex(full, fill_value=0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(series.index),
+            "n_events": series.to_numpy(),
+            "cum_n": series.to_numpy().cumsum(),
+        }
+    )
+
+
+def bucket_script_ratio(sf_dir: str) -> pd.DataFrame:
+    """(day, n_purchase, n_view, ratio_r) — ES ``bucket_script`` pipeline
+    aggregation: a daily date_histogram with two ``filter`` sub-counts
+    (purchase / view) and a per-bucket computed ratio, plus the
+    ``bucket_selector`` convention that buckets whose denominator is 0
+    drop.  The distributed pass ships (day, type, count) combiner
+    partials filtered to the two types AT THE SCAN — the series is
+    coordinator-sized, the script runs where ES runs it."""
+    parts = _daily_counts(sf_dir, event_types=("purchase", "view"))
+    pivot = (
+        parts.groupby(["day", "et"], sort=True)["day_count"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(columns=["purchase", "view"], fill_value=0)
+    )
+    keep = pivot["view"] > 0
+    pivot = pivot[keep]
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(pivot.index),
+            "n_purchase": pivot["purchase"].to_numpy(np.int64),
+            "n_view": pivot["view"].to_numpy(np.int64),
+            "ratio_r": np.round(
+                pivot["purchase"].to_numpy(np.float64) / pivot["view"].to_numpy(np.float64), 6
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+ZIPF_TOP: int = 1000
+
+
+def zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """(n_terms, slope_r, intercept_r) — Zipf's-law fit over the corpus
+    term-frequency table: least-squares slope/intercept of ln(cf) against
+    ln(rank) for the top :data:`ZIPF_TOP` terms by (cf DESC, term ASC) —
+    the corpus-health diagnostic a tokenizer/quality pipeline tracks (a
+    healthy web corpus sits near slope −1).  One fused tokenize+count
+    sweep with per-batch (term, cf) combiner partials (the A1 stats
+    discipline, vocab-bounded); the fit runs on the ZIPF_TOP-bounded
+    head.  Matches DuckDB ``regr_slope``/``regr_intercept`` exactly
+    (population-moment ratio)."""
+    words = _bpe_word_table(sf_dir)  # term → cf, vocab-bounded
+    head = words.reset_index().sort_values(
+        ["cf_sum", "term"], ascending=[False, True], kind="mergesort"
+    ).head(ZIPF_TOP)
+    y = np.log(head["cf_sum"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(head) + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = ((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum()
+    intercept = my - slope * mx
+    return pd.DataFrame(
+        {
+            "n_terms": np.array([len(head)], dtype=np.int64),
+            "slope_r": [round(float(slope), 6)],
+            "intercept_r": [round(float(intercept), 6)],
+        }
+    )
+
+
+def degree_hist(sf_dir: str) -> pd.DataFrame:
+    """(indeg, n_nodes) — in-degree distribution of the deterministic
+    link fixture (the first sanity plot of any web-graph build; nodes
+    with no in-links are counted at indeg 0).  Reuses the graph engine's
+    vertex-table construction with REVERSED edges — one coarse-bucket
+    exchange joins per-batch degree combiner partials to the node
+    universe — then per-block (degree, count) histogram partials reduce
+    on the driver (bounded by the number of DISTINCT degree values, not
+    nodes)."""
+    from .graph import _build_vertex_table
+
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    edges = _link_fixture_edges(sf_dir, n_docs).map_batches(
+        lambda b: pa.table({"src": b.column("dst"), "dst": b.column("src")}),
+        batch_format="pyarrow",
+    )
+    nodes = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table(
+            {"node": b.column("doc_id"), "r0": pa.array(np.zeros(b.num_rows, dtype=np.float64))}
+        ),
+        batch_format="pyarrow",
+    )
+    vertex = _build_vertex_table(nodes, edges.materialize(), 8)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        deg = batch.column("outdeg").to_numpy(zero_copy_only=False).astype(np.int64)
+        d, c = np.unique(deg, return_counts=True)
+        return pa.table({"indeg": pa.array(d), "c": pa.array(c.astype(np.int64))})
+
+    parts = vertex.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("indeg", sort=True)["c"].sum().reset_index(name="n_nodes")
+    return out.astype({"indeg": np.int64, "n_nodes": np.int64})
