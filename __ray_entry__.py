@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_topk": q.span_not_topk,
         # span_containing: big span must HOLD the little term (span_not dual)
         "span_containing_topk": q.span_containing_topk,
+        # SpanWithinQuery: same containment match set, little-term ranking
+        "span_within_topk": q.span_within_topk,
         # collapse with inner_hits: top-3 groups, each with its top-2 docs
         "collapse_inner_hits": q.collapse_inner_hits,
         # frequent_item_sets (pairwise, exact): one incidence matmul/batch
@@ -4624,6 +4626,49 @@ qterms AS (
   UNION ALL SELECT query_id, t2 FROM sset
 ),
 qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+flat AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS i FROM toksl),
+pmatch AS (
+  SELECT DISTINCT s.query_id, f1.doc_id
+  FROM sset s
+  JOIN flat f1 ON f1.tok = s.t1
+  JOIN flat f2 ON f2.doc_id = f1.doc_id AND f2.tok = s.t2 AND f2.i > f1.i
+  WHERE f2.i - f1.i - 1 <= s.slop
+    AND EXISTS (
+      SELECT 1 FROM flat fe
+      WHERE fe.doc_id = f1.doc_id AND fe.tok = s.little AND fe.i BETWEEN f1.i AND f2.i
+    )
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN pmatch m ON m.query_id = q.query_id AND m.doc_id = tf.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    # span_within: the span_containing match CTE verbatim, but the scored
+    # bag is the little term alone (the returned query in Lucene's dual)
+    oracles["span_within_topk"] = f"""
+WITH sset(query_id, t1, t2, little, slop) AS (VALUES {span_contain_values}),
+qtf AS (SELECT query_id, little AS term, 1.0::DOUBLE AS qtf FROM sset),
 toksl AS (SELECT doc_id, {doc_toks} AS l FROM documents),
 toks AS (SELECT doc_id, unnest(l) AS term FROM toksl),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),

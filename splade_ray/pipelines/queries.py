@@ -5931,6 +5931,28 @@ def span_containing_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def span_within_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_r) — Lucene ``SpanWithinQuery``
+    top-10, the dual of :func:`span_containing_topk` over the SAME
+    (big, little, slop) fixture: identical match set (docs where the
+    little term sits inside an ordered big span) but the little span is
+    the RETURNED query, so ranking is BM25 on the little term alone —
+    containment is pure context.  Same chain DP + searchsorted probes;
+    only the scoring bag changes."""
+    key = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{PHRASE_DOCS_CFG}".encode()).hexdigest()[:12]
+    out = os.path.join("/tmp/splade_ray_cache", f"docs_pidx_{key}")
+    corpus_path = os.path.join(build_documents_index(sf_dir), "corpus_input.parquet")
+    build_index(corpus_path, out, PHRASE_DOCS_CFG)
+    reader = IndexReader(out, PHRASE_DOCS_CFG)
+    rows = []
+    for qid, text, little, slop in SPAN_CONTAIN_QUERIES:
+        for rank, (_doc, score, url) in enumerate(
+            reader.search_span_within(text, little, slop, BM25_K), 1
+        ):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 def collapse_inner_hits(sf_dir: str) -> pd.DataFrame:
     """(query_id, value, group_rank, inner_rank, doc_id, score_r) — ES
     ``collapse`` WITH ``inner_hits``: top-3 source groups per query ranked

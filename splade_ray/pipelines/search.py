@@ -850,6 +850,8 @@ class ShardIndex:
         slop: int,
         k: int,
         contain: bool = False,
+        score_tids: np.ndarray | None = None,
+        score_weights: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Lucene ``SpanNotQuery`` top-k: docs holding at least one ordered
         span-near match of the include terms (positions p1 < … < pm with
@@ -862,6 +864,12 @@ class ShardIndex:
         ``SpanContainingQuery``: the span must HOLD at least one occurrence
         of the (little) term inside [p1, pm] — same DP, same searchsorted
         probes, inverted survival test.
+
+        ``score_tids``/``score_weights`` override the RANKING bag (the
+        match set is still driven by ``qtids``/``h_seq``): with
+        ``contain=True`` and the little term as the scoring bag this is
+        Lucene's ``SpanWithinQuery`` — the little span is returned (and
+        scored) where it occurs inside a big span.
 
         Same chain DP as :meth:`span_near_topk`, but instead of stopping at
         "some chain completed", every completed span (start=chain, end=pos)
@@ -924,6 +932,11 @@ class ShardIndex:
         matched = cand[np.unique(cidx[ok][clean])]
         if matched.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        if score_tids is not None:
+            sslices = self._term_slices(score_tids)
+            if len(sslices) < score_tids.size:
+                return np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return self._restricted_bag_topk(sslices, score_weights, matched, k)
         return self._restricted_bag_topk(slices, qweights, matched, k)
 
     def intervals_topk(
@@ -2229,6 +2242,43 @@ class IndexReader:
         h_little = int(md5_u64(ltoks)[0])
         cands = [
             sh.span_not_topk(qtids, qw, h_seq, h_little, slop, k, contain=True)
+            for sh in self.shards
+        ]
+        return self._merge_shard_topk(cands, k)
+
+    def search_span_within(
+        self, text: str, little: str, slop: int, k: int = 10
+    ) -> list[tuple[int, float, str]]:
+        """Span-within top-k (Lucene ``SpanWithinQuery``, the dual of
+        :meth:`search_span_containing`): the match set is docs where the
+        (single-token) ``little`` term occurs inside an ordered span-near
+        match of the big ``text`` tokens — identical to span-containing —
+        but the RETURNED query is the little span, so ranking is BM25 on
+        the little term (the big span is pure containment context).  OOV
+        little ⇒ []; OOV big token ⇒ no enclosing span ⇒ []."""
+        from ..functions.hashing import md5_u64
+
+        toks = self.tok.tokenize(text)
+        if len(toks) < 2:
+            raise ValueError("span-within needs at least two big tokens")
+        ltoks = self.tok.tokenize(little)
+        if len(ltoks) != 1:
+            raise ValueError(f"span-within takes one little term, got {ltoks!r}")
+        if ltoks[0] in toks:
+            raise ValueError("little term must differ from every big token")
+        qtids, qw = self.encode_query(text)
+        if qtids.size == 0 or int(qw.sum()) != len(toks):
+            return []  # at least one big token is OOV
+        stids, sw = self.encode_query(ltoks[0])
+        if stids.size == 0:
+            return []  # OOV little term matches nowhere
+        h_seq = md5_u64(toks)
+        h_little = int(md5_u64(ltoks)[0])
+        cands = [
+            sh.span_not_topk(
+                qtids, qw, h_seq, h_little, slop, k, contain=True,
+                score_tids=stids, score_weights=sw,
+            )
             for sh in self.shards
         ]
         return self._merge_shard_topk(cands, k)
