@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-fixture in-degree distribution via the graph engine's
         # vertex-table exchange (indeg-0 nodes included)
         "degree_hist": q.degree_hist,
+        # weighted PageRank (rank·w/W transition) — vertex engine only
+        "weighted_pagerank": q.weighted_pagerank,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -6063,6 +6065,27 @@ ind AS (
   FROM documents d LEFT JOIN e ON e.dst = d.doc_id GROUP BY d.doc_id
 )
 SELECT indeg, count(*)::BIGINT AS n_nodes FROM ind GROUP BY indeg ORDER BY indeg
+"""
+    # weighted PageRank: the link_pagerank CTE chain with w = 1+(src+dst)%3
+    # edge weights and rank·w/W transitions; round-9 selection like PPR
+    oracles["weighted_pagerank"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT src, dst, (1 + (src + dst) % 3)::DOUBLE AS w FROM e0 WHERE src <> dst),
+od AS (SELECT src, sum(w) AS wd FROM e GROUP BY src),
+r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+c1 AS (SELECT e.dst, sum(r0.pr / od.wd * e.w) AS s FROM e JOIN r0 ON r0.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r1 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.s, 0) AS pr FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+c2 AS (SELECT e.dst, sum(r1.pr / od.wd * e.w) AS s FROM e JOIN r1 ON r1.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r2 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.s, 0) AS pr FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id),
+c3 AS (SELECT e.dst, sum(r2.pr / od.wd * e.w) AS s FROM e JOIN r2 ON r2.doc_id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id),
+rk AS (SELECT doc_id, pr, row_number() OVER (ORDER BY round(pr, 9) DESC, doc_id ASC) AS rn FROM r3)
+SELECT doc_id, round(pr, 6) AS pr_r FROM rk WHERE rn <= 50 ORDER BY doc_id
 """
     # the *_dist variants run the identical computation through the
     # vertex-partitioned graph engine — same contract, same oracle

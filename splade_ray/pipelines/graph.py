@@ -93,18 +93,28 @@ _VERTEX_SCHEMA = pa.schema(
 )
 
 
-def _tag_edges_gather(batch: pa.Table, nbuckets: int, src_col: str, dst_col: str) -> pa.Table:
+def _tag_edges_gather(
+    batch: pa.Table, nbuckets: int, src_col: str, dst_col: str, weight_col: str | None = None
+) -> pa.Table:
     """Edge rows for the gather union: bucketed on the SOURCE endpoint
-    (where the rank share lives)."""
+    (where the rank share lives).  Edge rows carry their WEIGHT in the
+    ``w`` slot (1.0 unweighted) — the gather kernel multiplies it into
+    the source share, which is the weighted-PageRank transition
+    ``rank · w_edge / W_src``."""
     src = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
     dst = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ew = (
+        batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if weight_col is not None
+        else np.ones(src.size, dtype=np.float64)
+    )
     return pa.table(
         {
             "bkt": pa.array(_bucket(src, nbuckets)),
             "side": pa.array(np.zeros(src.size, dtype=np.int8)),
             "a": pa.array(src),
             "b": pa.array(dst),
-            "w": pa.array(np.zeros(src.size, dtype=np.float64)),
+            "w": pa.array(ew),
         },
         schema=_GATHER_SCHEMA,
     )
@@ -124,15 +134,15 @@ def _gather_kernel(g: pa.Table, nbuckets: int) -> pa.Table:
     vnodes, vshare = a[is_v], w[is_v]
     order = np.argsort(vnodes, kind="stable")
     vnodes, vshare = vnodes[order], vshare[order]
-    src, dst = a[~is_v], b[~is_v]
+    src, dst, ew = a[~is_v], b[~is_v], w[~is_v]
     if src.size == 0 or vnodes.size == 0:
         return _SCATTER_SCHEMA.empty_table()
     pos = np.searchsorted(vnodes, src)
     pos = np.minimum(pos, vnodes.size - 1)
     hit = vnodes[pos] == src  # sources outside the vertex set contribute nothing
-    dst, pos = dst[hit], pos[hit]
+    dst, pos, ew = dst[hit], pos[hit], ew[hit]
     ud, inv = np.unique(dst, return_inverse=True)
-    mass = np.bincount(inv, weights=vshare[pos])
+    mass = np.bincount(inv, weights=vshare[pos] * ew)
     return pa.table(
         {
             "bkt": pa.array(_bucket(ud, nbuckets)),
@@ -215,13 +225,22 @@ def _vertex_as_scatter(batch: pa.Table) -> pa.Table:
     )
 
 
-def _build_vertex_table(nodes: Dataset, edges: Dataset, nbuckets: int) -> Dataset:
+def _build_vertex_table(
+    nodes: Dataset, edges: Dataset, nbuckets: int, weight_col: str | None = None
+) -> Dataset:
     """(bkt, node, outdeg, r0, rank=r0) from a (node, r0) node table and a
-    (src, dst) edge list — out-degrees via per-batch combiner partials
-    joined to the node set inside ONE bucket exchange."""
+    (src, dst[, weight]) edge list — out-degrees (weighted out-strengths
+    when ``weight_col`` is given) via per-batch combiner partials joined
+    to the node set inside ONE bucket exchange."""
 
     def deg_partial(batch: pa.Table) -> pa.Table:
-        s, c = np.unique(batch.column("src").to_numpy(zero_copy_only=False), return_counts=True)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        if weight_col is not None:
+            ew = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            s, inv = np.unique(src, return_inverse=True)
+            c = np.bincount(inv, weights=ew)
+        else:
+            s, c = np.unique(src, return_counts=True)
         s = s.astype(np.int64)
         return pa.table(
             {
@@ -295,6 +314,7 @@ def pagerank_table(
     damping: float,
     restart: float | None = None,
     nbuckets: int | None = None,
+    weight_col: str | None = None,
 ) -> Dataset:
     """Distributed power iteration: returns a (node, rank) Dataset after
     ``iters`` steps of ``rank' = alpha·r0 + damping·(Σ incoming
@@ -309,9 +329,10 @@ def pagerank_table(
     if nbuckets is None:
         nbuckets = int(max(8, min(256, edges.count() // 500_000 + 8)))
     alpha = (1.0 - damping) if restart is None else restart
-    vertex = _build_vertex_table(nodes, edges, nbuckets)
+    vertex = _build_vertex_table(nodes, edges, nbuckets, weight_col)
     edges_g = edges.map_batches(
-        lambda b: _tag_edges_gather(b, nbuckets, "src", "dst"), batch_format="pyarrow"
+        lambda b: _tag_edges_gather(b, nbuckets, "src", "dst", weight_col),
+        batch_format="pyarrow",
     ).materialize()
     nb = nbuckets
     for _ in range(iters):

@@ -8513,3 +8513,55 @@ def degree_hist(sf_dir: str) -> pd.DataFrame:
     parts = vertex.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("indeg", sort=True)["c"].sum().reset_index(name="n_nodes")
     return out.astype({"indeg": np.int64, "n_nodes": np.int64})
+
+
+def weighted_pagerank(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pr_r) — WEIGHTED PageRank over the link fixture with
+    deterministic edge weights ``w = 1 + (src + dst) mod 3``: the
+    transition ships ``rank · w_edge / W_src`` (W = weighted
+    out-strength) instead of the uniform 1/outdeg split — the
+    link-quality-weighted crawl-frontier ranking.  Runs ONLY through the
+    vertex-partitioned engine (edge weights ride the gather schema's
+    ``w`` slot; out-strengths come from the same degree-combiner
+    exchange), so this query keeps the distributed path in the driver's
+    correctness gate at every scale.  3 iterations at damping 0.85,
+    uniform start and restart; top 50 by (round-9 pr DESC, doc_id)."""
+    from .graph import pagerank_table, topk_by_score
+
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 3 + 1) % n_docs, (ids * 7 + 2) % n_docs])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "w": pa.array((1 + (src + dst) % 3).astype(np.float64)),
+            }
+        )
+
+    edges = _docs(sf_dir, columns=["doc_id"]).map_batches(edges_of, batch_format="pyarrow")
+    inv_n = 1.0 / n_docs
+    nodes = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table(
+            {"node": b.column("doc_id"), "r0": pa.array(np.full(b.num_rows, inv_n))}
+        ),
+        batch_format="pyarrow",
+    )
+    vertex = pagerank_table(
+        nodes, edges, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING, weight_col="w"
+    )
+    top = topk_by_score(vertex, "rank", 50, decimals=9)
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": top["node"].to_numpy(np.int64),
+                "pr_r": np.round(top["rank"].to_numpy(), 6),
+            }
+        )
+        .sort_values(["doc_id"], ignore_index=True)
+    )

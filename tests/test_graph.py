@@ -80,6 +80,37 @@ def test_pagerank_table_personalized_restart(ray_session):
         assert (got[no_in] > 0).all()
 
 
+def test_pagerank_table_weighted_vs_dense(ray_session):
+    from splade_ray.pipelines.graph import pagerank_table
+
+    n = 250
+    src, dst = _random_graph(31, n, 1400)
+    w = (1 + (src + dst) % 3).astype(np.float64)
+    W = np.zeros(n)
+    np.add.at(W, src, w)
+    r0 = np.full(n, 1.0 / n)
+    rank = r0.copy()
+    for _ in range(3):
+        share = np.divide(rank, W, out=np.zeros_like(rank), where=W > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, dst, share[src] * w)
+        rank = 0.15 * r0 + 0.85 * acc
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)})
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64)), "r0": pa.array(r0)})
+    )
+    out = (
+        pagerank_table(nodes, edges, iters=3, damping=0.85, nbuckets=4, weight_col="w")
+        .to_pandas()
+        .sort_values("node")
+    )
+    got = np.zeros(n)
+    got[out["node"].to_numpy()] = out["rank"].to_numpy()
+    np.testing.assert_allclose(got, rank, atol=1e-12)
+
+
 def test_hits_table_vs_dense(ray_session):
     from splade_ray.pipelines.graph import hits_table
 
