@@ -25,9 +25,10 @@ with node-id tie-breaks (the house oracle convention), and the dense ==
 vertex equality is pinned by tests at every fixture scale.
 
 Reference parity: the reference engine has no graph operators; these
-back the ``link_pagerank`` / ``personalized_pagerank`` / ``hits_scores``
-showcase queries (web-graph centrality over the deterministic link
-fixture).
+back the ``link_pagerank`` / ``personalized_pagerank`` /
+``weighted_pagerank`` / ``hits_scores`` / ``degree_hist`` showcase
+queries (web-graph centrality and diagnostics over the deterministic
+link fixture).
 """
 
 from __future__ import annotations
