@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q.degree_hist,
         # weighted PageRank (rank·w/W transition) — vertex engine only
         "weighted_pagerank": q.weighted_pagerank,
+        # synchronous label-propagation communities (3 rounds, undirected
+        # fixture) — vertex engine, per-(node,label) count elections
+        "label_propagation": q.label_propagation,
         # significant-terms aggregation (ES significant_text, JLH) over
         # each query's top-50 hits — k-bounded foreground per shard owner
         "significant_terms": q.significant_terms,
@@ -6086,6 +6089,30 @@ c3 AS (SELECT e.dst, sum(r2.pr / od.wd * e.w) AS s FROM e JOIN r2 ON r2.doc_id =
 r3 AS (SELECT d.doc_id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.s, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id),
 rk AS (SELECT doc_id, pr, row_number() OVER (ORDER BY round(pr, 9) DESC, doc_id ASC) AS rn FROM r3)
 SELECT doc_id, round(pr, 6) AS pr_r FROM rk WHERE rn <= 50 ORDER BY doc_id
+"""
+    # label propagation: 3 synchronized rounds unrolled; per-round winner =
+    # argmax neighbor-label count with (c DESC, label ASC) election
+    oracles["label_propagation"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn) FROM documents
+),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+c1 AS (SELECT e2.dst AS node, l0.label, count(*)::BIGINT AS c FROM e2 JOIN l0 ON l0.node = e2.src GROUP BY 1, 2),
+w1 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+l1 AS (SELECT l0.node, coalesce(w1.label, l0.label) AS label FROM l0 LEFT JOIN w1 USING (node)),
+c2 AS (SELECT e2.dst AS node, l1.label, count(*)::BIGINT AS c FROM e2 JOIN l1 ON l1.node = e2.src GROUP BY 1, 2),
+w2 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+l2 AS (SELECT l1.node, coalesce(w2.label, l1.label) AS label FROM l1 LEFT JOIN w2 USING (node)),
+c3 AS (SELECT e2.dst AS node, l2.label, count(*)::BIGINT AS c FROM e2 JOIN l2 ON l2.node = e2.src GROUP BY 1, 2),
+w3 AS (SELECT node, label FROM (SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM c3) WHERE rn = 1),
+l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label FROM l2 LEFT JOIN w3 USING (node))
+SELECT label, count(*)::BIGINT AS n_members
+FROM l3 GROUP BY label ORDER BY n_members DESC, label ASC LIMIT 20
 """
     # the *_dist variants run the identical computation through the
     # vertex-partitioned graph engine — same contract, same oracle

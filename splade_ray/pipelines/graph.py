@@ -36,12 +36,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
 from ..functions.hashing import splitmix64
 
-__all__ = ["pagerank_table", "hits_table", "topk_by_score"]
+__all__ = ["pagerank_table", "hits_table", "label_propagation_table", "topk_by_score"]
 
 
 def _bucket(node: np.ndarray, nbuckets: int) -> np.ndarray:
@@ -477,6 +478,191 @@ def hits_table(
         )
 
     return vertex.map_batches(final, batch_format="pyarrow")
+
+
+_LPA_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("bkt", pa.int32()),
+        ("side", pa.int8()),
+        ("node", pa.int64()),
+        ("label", pa.int64()),
+        ("c", pa.int64()),
+    ]
+)
+
+
+def _lpa_gather_kernel(g: pa.Table, nbuckets: int) -> pa.Table:
+    """One bucket of the LPA gather: look up each edge's source label and
+    emit per-(destination, label) pre-summed count partials, tagged with
+    the destination bucket."""
+    if g.num_rows == 0:
+        return _LPA_PARTIAL_SCHEMA.empty_table()
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    a = g.column("a").to_numpy(zero_copy_only=False)
+    b = g.column("b").to_numpy(zero_copy_only=False)
+    is_v = side == 1
+    vnodes, vlabel = a[is_v], b[is_v]
+    order = np.argsort(vnodes, kind="stable")
+    vnodes, vlabel = vnodes[order], vlabel[order]
+    src, dst = a[~is_v], b[~is_v]
+    if src.size == 0 or vnodes.size == 0:
+        return _LPA_PARTIAL_SCHEMA.empty_table()
+    pos = np.minimum(np.searchsorted(vnodes, src), vnodes.size - 1)
+    hit = vnodes[pos] == src
+    dst, lab = dst[hit], vlabel[pos[hit]]
+    # pre-sum per (dst, label) inside the bucket (combiner discipline)
+    order = np.lexsort((lab, dst))
+    dst, lab = dst[order], lab[order]
+    new = np.ones(dst.size, bool)
+    new[1:] = (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.r_[starts, dst.size])
+    ud, ul = dst[starts], lab[starts]
+    return pa.table(
+        {
+            "bkt": pa.array(_bucket(ud, nbuckets)),
+            "side": pa.array(np.zeros(ud.size, dtype=np.int8)),
+            "node": pa.array(ud),
+            "label": pa.array(ul),
+            "c": pa.array(counts.astype(np.int64)),
+        },
+        schema=_LPA_PARTIAL_SCHEMA,
+    )
+
+
+def _lpa_scatter_kernel(g: pa.Table) -> pa.Table:
+    """One bucket of the LPA scatter: sum (node, label) count partials and
+    elect each node's new label by (count DESC, label ASC); nodes with no
+    neighbor partials keep their current label.  Emits the next
+    (bkt, node, label) vertex table rows."""
+    if g.num_rows == 0:
+        return pa.schema(
+            [("bkt", pa.int32()), ("node", pa.int64()), ("label", pa.int64())]
+        ).empty_table()
+    side = g.column("side").to_numpy(zero_copy_only=False)
+    node = g.column("node").to_numpy(zero_copy_only=False)
+    label = g.column("label").to_numpy(zero_copy_only=False)
+    c = g.column("c").to_numpy(zero_copy_only=False)
+    is_v = side == 1
+    vnodes = node[is_v]
+    vorder = np.argsort(vnodes, kind="stable")
+    vnodes = vnodes[vorder]
+    vlabel = label[is_v][vorder]
+    vbkt = g.column("bkt").to_numpy(zero_copy_only=False)[is_v][vorder]
+    pn, pl, pc = node[~is_v], label[~is_v], c[~is_v]
+    new_label = vlabel.copy()
+    if pn.size:
+        # sum partials per (node, label)
+        order = np.lexsort((pl, pn))
+        pn, pl, pc = pn[order], pl[order], pc[order]
+        newgrp = np.ones(pn.size, bool)
+        newgrp[1:] = (pn[1:] != pn[:-1]) | (pl[1:] != pl[:-1])
+        starts = np.nonzero(newgrp)[0]
+        tot = np.add.reduceat(pc, starts)
+        gn, gl = pn[starts], pl[starts]
+        # elect per node by (count DESC, label ASC): lexsort then first row
+        order2 = np.lexsort((gl, -tot, gn))
+        gn_s, gl_s = gn[order2], gl[order2]
+        first = np.ones(gn_s.size, bool)
+        first[1:] = gn_s[1:] != gn_s[:-1]
+        win_n, win_l = gn_s[first], gl_s[first]
+        pos = np.minimum(np.searchsorted(vnodes, win_n), max(vnodes.size - 1, 0))
+        ok = vnodes[pos] == win_n if vnodes.size else np.zeros(0, bool)
+        new_label[pos[ok]] = win_l[ok]
+    return pa.table(
+        {"bkt": pa.array(vbkt), "node": pa.array(vnodes), "label": pa.array(new_label)}
+    )
+
+
+def label_propagation_table(
+    nodes: Dataset,
+    edges: Dataset,
+    *,
+    iters: int,
+    nbuckets: int | None = None,
+    symmetric: bool = True,
+) -> Dataset:
+    """Distributed synchronous Label Propagation (Raghavan et al. 2007,
+    the GraphX/GraphFrames LPA): labels start as node ids; each iteration
+    every node adopts the most frequent label among its neighbors
+    (ties: smallest label; isolated nodes keep their label) — all nodes
+    update simultaneously, so ``iters`` rounds unroll exactly into a SQL
+    oracle.  Returns a (node, label) Dataset.
+
+    Same two-exchange shape as :func:`pagerank_table` with the weighted
+    sum swapped for a per-(node, label) count election — the label table
+    is node-hash-bucketed, co-partitioned with edges; per-bucket partials
+    are pre-summed per (destination, label) before the exchange.
+    ``symmetric=True`` mirrors each directed edge (the usual undirected
+    LPA neighborhood)."""
+    if symmetric:
+        def mirror(batch: pa.Table) -> pa.Table:
+            src = batch.column("src")
+            dst = batch.column("dst")
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([pc.cast(src, pa.int64()).combine_chunks(), pc.cast(dst, pa.int64()).combine_chunks()]),
+                    "dst": pa.concat_arrays([pc.cast(dst, pa.int64()).combine_chunks(), pc.cast(src, pa.int64()).combine_chunks()]),
+                }
+            )
+
+        edges = edges.map_batches(mirror, batch_format="pyarrow")
+    edges = _coalesce_small(edges.materialize())
+    if nbuckets is None:
+        nbuckets = int(max(8, min(256, edges.count() // 500_000 + 8)))
+    nb = nbuckets
+    edges_g = edges.map_batches(
+        lambda b: _tag_edges_gather(b, nb, "src", "dst"), batch_format="pyarrow"
+    ).materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"bkt": pa.array(_bucket(node, nb)), "node": pa.array(node), "label": pa.array(node.copy())}
+        )
+
+    vertex = nodes.map_batches(node_rows, batch_format="pyarrow").materialize()
+
+    def as_gather(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bkt": batch.column("bkt"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "a": batch.column("node"),
+                "b": batch.column("label"),
+                "w": pa.array(np.zeros(n, dtype=np.float64)),
+            },
+            schema=_GATHER_SCHEMA,
+        )
+
+    def as_scatter(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "bkt": batch.column("bkt"),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "c": pa.array(np.zeros(n, dtype=np.int64)),
+            },
+            schema=_LPA_PARTIAL_SCHEMA,
+        )
+
+    for _ in range(iters):
+        gathered = (
+            edges_g.union(vertex.map_batches(as_gather, batch_format="pyarrow"))
+            .groupby("bkt")
+            .map_groups(lambda g: _lpa_gather_kernel(g, nb), batch_format="pyarrow")
+        )
+        vertex = (
+            gathered.union(vertex.map_batches(as_scatter, batch_format="pyarrow"))
+            .groupby("bkt")
+            .map_groups(_lpa_scatter_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        vertex = _bound_blocks(vertex, nb)
+    return vertex.select_columns(["node", "label"])
 
 
 def topk_by_score(

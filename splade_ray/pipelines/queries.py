@@ -8515,6 +8515,60 @@ def degree_hist(sf_dir: str) -> pd.DataFrame:
     return out.astype({"indeg": np.int64, "n_nodes": np.int64})
 
 
+LPA_ITERS: int = 3
+LPA_TOP: int = 20
+
+
+def label_propagation(sf_dir: str) -> pd.DataFrame:
+    """(label, n_members) — synchronous Label Propagation community
+    detection (Raghavan et al. 2007, the GraphX/GraphFrames LPA) over the
+    UNDIRECTED link fixture, 3 synchronized rounds from labels = node
+    ids; each node adopts its neighbors' most frequent label (ties:
+    smallest).  Runs through the vertex-partitioned engine
+    (:func:`splade_ray.pipelines.graph.label_propagation_table`): the
+    label table is node-hash-bucketed, each round is two coarse-bucket
+    exchanges with per-(destination, label) count partials pre-summed in
+    the bucket.  Community sizes reduce through one label-bucket
+    exchange with per-bucket top-20 partials — the driver sees ≤
+    20·buckets rows.  Top 20 communities by (size DESC, label ASC)."""
+    from .graph import _bucket, label_propagation_table
+
+    n_docs = int(pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    edges = _link_fixture_edges(sf_dir, n_docs)
+    nodes = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    labels = label_propagation_table(nodes, edges, iters=LPA_ITERS)
+    nb = 8
+
+    def part(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        ul, c = np.unique(lab, return_counts=True)
+        return pa.table(
+            {
+                "bkt": pa.array(_bucket(ul.astype(np.int64), nb)),
+                "label": pa.array(ul.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def bucket_top(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("label", as_index=False)["c"].sum()
+        df = df.sort_values(["c", "label"], ascending=[False, True], kind="mergesort").head(LPA_TOP)
+        return pa.table({"label": pa.array(df["label"].to_numpy(np.int64)), "c": pa.array(df["c"].to_numpy(np.int64))})
+
+    cand = (
+        labels.map_batches(part, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(bucket_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = cand.sort_values(["c", "label"], ascending=[False, True], kind="mergesort").head(LPA_TOP)
+    return pd.DataFrame(
+        {"label": top["label"].to_numpy(np.int64), "n_members": top["c"].to_numpy(np.int64)}
+    ).reset_index(drop=True)
+
+
 def weighted_pagerank(sf_dir: str) -> pd.DataFrame:
     """(doc_id, pr_r) — WEIGHTED PageRank over the link fixture with
     deterministic edge weights ``w = 1 + (src + dst) mod 3``: the

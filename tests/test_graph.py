@@ -139,6 +139,39 @@ def test_hits_table_vs_dense(ray_session):
     np.testing.assert_allclose(gh, hub, atol=1e-12)
 
 
+def test_label_propagation_vs_dense(ray_session):
+    from collections import Counter
+
+    from splade_ray.pipelines.graph import label_propagation_table
+
+    n = 300
+    src, dst = _random_graph(3, n, 900)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(3):
+        newl = label.copy()
+        order = np.argsort(d2, kind="stable")
+        dd, ss = d2[order], s2[order]
+        starts = np.r_[0, np.nonzero(np.diff(dd))[0] + 1]
+        for i, st in enumerate(starts):
+            en = starts[i + 1] if i + 1 < len(starts) else dd.size
+            cnt = Counter(label[ss[st:en]])
+            newl[dd[st]] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        label = newl
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    nodes = rd.from_arrow(pa.table({"node": pa.array(np.arange(n, dtype=np.int64))}))
+    out = (
+        label_propagation_table(nodes, edges, iters=3, nbuckets=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert len(out) == n  # isolated nodes keep their own label
+    got = np.zeros(n, dtype=np.int64)
+    got[out["node"].to_numpy()] = out["label"].to_numpy()
+    np.testing.assert_array_equal(got, label)
+
+
 def test_topk_by_score_ties(ray_session):
     from splade_ray.pipelines.graph import topk_by_score
 
