@@ -195,6 +195,29 @@ def test_query_modes_agree(ray_session, name):
     pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9)
 
 
+def test_pagerank_table_million_edges(ray_session):
+    """Scale smoke: 1M edges / 400k nodes through the vertex engine —
+    exercises real multi-bucket exchanges (nbuckets from the size
+    heuristic) and the block-bounding logic, pinned against the dense
+    reference."""
+    from splade_ray.pipelines.graph import pagerank_table, topk_by_score
+
+    n = 400_000
+    src, dst = _random_graph(99, n, 1_000_000)
+    r0 = np.full(n, 1.0 / n)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).repartition(16)
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64)), "r0": pa.array(r0)})
+    )
+    vertex = pagerank_table(nodes, edges, iters=2, damping=0.85)
+    want = _dense_pagerank(n, src, dst, r0, 2, 0.85, 0.15)
+    # bounded verification: the global top-100 matches the dense ranking
+    top = topk_by_score(vertex, "rank", 100, decimals=9)
+    order = np.lexsort((np.arange(n), -np.round(want, 9)))[:100]
+    np.testing.assert_array_equal(top["node"].to_numpy(), order)
+    np.testing.assert_allclose(top["rank"].to_numpy(), want[order], atol=1e-12)
+
+
 def test_auto_mode_resolution():
     from splade_ray.pipelines.queries import GRAPH_DENSE_MAX_NODES, _resolve_graph_mode
 
