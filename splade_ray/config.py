@@ -35,13 +35,18 @@ class EngineConfig:
     # Lucene LMJelinekMercerSimilarity) —
     # w = ln(1 + (1-λ)·(tf/dl) / (λ·cf/T)), always positive for tf>0 —
     # or "classic" (Lucene pre-8 ClassicSimilarity / TFIDFSimilarity):
-    # w = sqrt(tf)·(1 + ln((N+1)/(df+1)))²/sqrt(dl).
+    # w = sqrt(tf)·(1 + ln((N+1)/(df+1)))²/sqrt(dl) —
+    # or "dfr_inl2" (Lucene DFRSimilarity with BasicModelIn + AfterEffectL
+    # + NormalizationH2, the I(n)L2 divergence-from-randomness config):
+    # w = tfn·log2((N+1)/(df+0.5))/(tfn+1) with
+    # tfn = tf·log2(1 + dfr_c·avgdl/dl), always positive for tf>0.
     # cf = collection frequency and T = total tokens, both from the stats
     # stage.  Zone maxima are re-derived from the recomputed impacts at
     # load so block-max WAND stays exact.
     scoring: str = "bm25"
     mu: float = 2000.0
     lam: float = 0.1
+    dfr_c: float = 1.0
 
     # --- deterministic doc-id assignment (SURVEY.md §3.2 contract) ---
     # doc ids are assigned in (bucket, url) order where

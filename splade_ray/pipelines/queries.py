@@ -301,6 +301,25 @@ def classic_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def dfr_topk(sf_dir: str) -> pd.DataFrame:
+    """Lucene DFRSimilarity I(n)L2 top-10 over the SAME stored index as
+    `bm25_topk` — the fourth similarity on the READ-time seam
+    (divergence from randomness, Amati & van Rijsbergen 2002): per
+    posting w = tfn·log2((N+1)/(df+0.5))/(tfn+1) with the H2 length
+    normalization tfn = tf·log2(1 + c·avgdl/dl), c = 1.  Zone maxima
+    re-derive at load so block-max WAND stays exact (tested)."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    d_cfg = dataclasses.replace(DOCS_CFG, scoring="dfr_inl2")
+    reader = IndexReader(index_dir, d_cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(_rounded_topk(reader, text), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 
