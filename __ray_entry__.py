@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DFR I(n)L2 similarity (divergence from randomness) on the same
         # read-time seam over the same stored index
         "dfr_topk": q.dfr_topk,
+        # IB log-logistic similarity (information-based) — fifth plug on
+        # the same seam
+        "ib_ll_topk": q.ib_ll_topk,
         # rescore API: BM25 top-30 window re-ranked by bm25 + 0.5*lm_dirichlet
         "rescore_lm_topk": q.rescore_lm_topk,
         # analysis chain: StopFilter + minimal English stemmer at index AND
@@ -1130,6 +1133,36 @@ scores AS (
              * (tf.tf * log2(1 + s.avgdl / dl.dl))
              * log2((s.n_docs + 1) / (df.df + 0.5))
              / ((tf.tf * log2(1 + s.avgdl / dl.dl)) + 1)) AS score
+  FROM qtf q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= 10
+"""
+    ib_sql = f"""
+WITH qset(query_id, qtext) AS (VALUES {bm25_values}),
+qterms AS (
+  SELECT query_id, unnest({_TOK_SQL.format(col="qtext")}) AS term FROM qset
+),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY query_id, term),
+toks AS (SELECT doc_id, unnest({doc_toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM dl)::DOUBLE AS n_docs, (SELECT avg(dl) FROM dl) AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1 + (tf.tf * log2(1 + s.avgdl / dl.dl))
+                            * (s.n_docs + 1) / (df.df + 1))) AS score
   FROM qtf q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -1954,6 +1987,7 @@ FROM rankedr WHERE rank <= 10
         "lm_jm_topk": jm_sql,
         "classic_topk": classic_sql,
         "dfr_topk": dfr_sql,
+        "ib_ll_topk": ib_sql,
         "analyzed_topk": analyzed,
         # nested block-join: BM25 over the chunk corpus (chunk-level
         # df/dl/avgdl — the nested-document model), parent = max child,

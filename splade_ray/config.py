@@ -39,7 +39,9 @@ class EngineConfig:
     # or "dfr_inl2" (Lucene DFRSimilarity with BasicModelIn + AfterEffectL
     # + NormalizationH2, the I(n)L2 divergence-from-randomness config):
     # w = tfn·log2((N+1)/(df+0.5))/(tfn+1) with
-    # tfn = tf·log2(1 + dfr_c·avgdl/dl), always positive for tf>0.
+    # tfn = tf·log2(1 + dfr_c·avgdl/dl), always positive for tf>0 —
+    # or "ib_ll" (Lucene IBSimilarity, DistributionLL + LambdaDF + H2):
+    # w = ln(1 + tfn·(N+1)/(df+1)) with the same tfn.
     # cf = collection frequency and T = total tokens, both from the stats
     # stage.  Zone maxima are re-derived from the recomputed impacts at
     # load so block-max WAND stays exact.

@@ -320,6 +320,25 @@ def dfr_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
 
 
+def ib_ll_topk(sf_dir: str) -> pd.DataFrame:
+    """Lucene IBSimilarity (information-based, log-logistic distribution,
+    LambdaDF, H2 normalization; Clinchant & Gaussier 2010) top-10 over
+    the SAME stored index — the fifth similarity on the READ-time seam:
+    per posting w = ln(1 + tfn·(N+1)/(df+1)) with
+    tfn = tf·log2(1 + c·avgdl/dl).  Zone maxima re-derive at load so
+    block-max WAND stays exact (tested)."""
+    import dataclasses
+
+    index_dir = build_documents_index(sf_dir)
+    i_cfg = dataclasses.replace(DOCS_CFG, scoring="ib_ll")
+    reader = IndexReader(index_dir, i_cfg)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (_d, score, url) in enumerate(_rounded_topk(reader, text), 1):
+            rows.append((qid, rank, int(url.removeprefix("doc://")), round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_r"])
+
+
 MLT_SEEDS: list[tuple[str, int]] = [("m0", 0), ("m1", 7), ("m2", 23), ("m3", 41)]
 
 

@@ -109,7 +109,7 @@ class ShardIndex:
             self.post_local = csum - np.repeat(prior, seg_lens)
         else:
             self.post_local = np.zeros(0, np.int64)
-        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic", "dfr_inl2") and "tfs" not in post.column_names:
+        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic", "dfr_inl2", "ib_ll") and "tfs" not in post.column_names:
             raise ValueError(f"{cfg.scoring} scoring needs raw-tf postings (weight_mode='tf')")
         self.avgdl = float(avgdl)
         self.post_tf: np.ndarray | None = None
@@ -188,6 +188,21 @@ class ShardIndex:
                     (float(n_docs) + 1.0) / (np.repeat(df_of, seg_lens).astype(np.float64) + 0.5)
                 )
                 self.post_w = inf / (tfn + 1.0)
+            elif cfg.scoring == "ib_ll":
+                # Lucene IBSimilarity (DistributionLL + LambdaDF +
+                # NormalizationH2), the fifth plug on the READ-time seam:
+                # tfn = tf·log2(1 + c·avgdl/dl)  (H2, shared with DFR),
+                # λ_w = (df+1)/(N+1)             (LambdaDF),
+                # w = ln(1 + tfn/λ_w)            (log-logistic -log P).
+                # Positive for every stored posting, so no clamp is needed.
+                if isinstance(df_global, tuple):
+                    tid_index, dfv = df_global
+                    df_of = dfv[np.searchsorted(tid_index, self.term_ids)]
+                else:
+                    df_of = df_global[self.term_ids]
+                tfn = tf * np.log2(1.0 + float(cfg.dfr_c) * avgdl / self.dl[self.post_local])
+                lam_w = (np.repeat(df_of, seg_lens).astype(np.float64) + 1.0) / (float(n_docs) + 1.0)
+                self.post_w = np.log1p(tfn / lam_w)
             else:
                 if isinstance(df_global, tuple):
                     tid_index, dfv = df_global
@@ -214,7 +229,7 @@ class ShardIndex:
         self.zone_zid = zi.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         self.zone_max = post.column("zone_maxs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         self.zone_docs = int(cfg.zone_docs)
-        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic", "dfr_inl2") and nnz:
+        if cfg.scoring in ("lm_dirichlet", "lm_jm", "classic", "dfr_inl2", "ib_ll") and nnz:
             # stored zone maxima are BM25 impacts; re-derive them from the
             # recomputed similarity's weights so block-max WAND stays an
             # exact upper bound.  (term-segment, zone) runs are contiguous — postings

@@ -411,6 +411,46 @@ def test_dfr_inl2_rank_identity(built_index, oracle_index):
         assert rd.search(text, 10, method="wand") == got, text
 
 
+def test_ib_ll_rank_identity(built_index, oracle_index):
+    """IB log-logistic similarity on the same read-time seam: ranking
+    must equal a brute-force information-based oracle (H2 tfn, LambdaDF,
+    -log of the log-logistic survival), and WAND (re-derived zone
+    maxima) must equal exhaustive."""
+    import dataclasses
+    from collections import Counter
+
+    from splade_ray.tokenizer import Tokenizer
+
+    index_dir, cfg = built_index
+    i_cfg = dataclasses.replace(cfg, scoring="ib_ll")
+    rd = IndexReader(index_dir, i_cfg)
+    tok = Tokenizer(i_cfg)
+    tfs = [Counter(t) for t in oracle_index.tokens]
+    dl = np.array([len(t) for t in oracle_index.tokens], dtype=np.float64)
+    avgdl = float(dl.mean())
+    n_docs = oracle_index.n_docs
+    df: Counter = Counter()
+    for c in tfs:
+        df.update(set(c))
+    for text in generate_queries(25)["text"].to_pylist():
+        qtf = Counter(t for t in tok.tokenize(text) if t in df)
+        scores = np.zeros(n_docs)
+        for t, q in qtf.items():
+            for d in range(n_docs):
+                f = tfs[d].get(t, 0)
+                if f:
+                    tfn = f * np.log2(1.0 + i_cfg.dfr_c * avgdl / dl[d])
+                    lam_w = (df[t] + 1.0) / (n_docs + 1.0)
+                    scores[d] += q * np.log1p(tfn / lam_w)
+        nz = np.nonzero(scores)[0]
+        want = nz[np.lexsort((nz, -scores[nz]))][:10]
+        got = rd.search(text, 10)
+        assert [int(d) for d in want] == [d for d, _, _ in got], text
+        for wd, (_, gs, _) in zip(want, got):
+            assert gs == pytest.approx(float(scores[wd]), rel=1e-9)
+        assert rd.search(text, 10, method="wand") == got, text
+
+
 def test_more_like_this_rank_identity(reader, oracle_index):
     """MLT must equal an independently computed oracle: top-5 seed terms
     by tf·idf (term-asc ties) expanded as a unit-weight query over the
